@@ -1,0 +1,89 @@
+"""Canonical property-graph DataFrames (GraphFrames-style).
+
+The schema-flexible representation (SURVEY.md §1.5): nodes and edges with
+open ``map<string,string>`` property bags, mirroring the reference's
+"union of observed keys" dynamic schema (``neo4j_export.py:284-292``).
+Used by the schema-discovery operators and the quirk-compat export path;
+the typed star-schema view (``star_schema.py``) is the fast path.
+
+Layout for scale: write canonical graphs ``partitionBy("label")`` (nodes)
+and ``partitionBy("rel_type")`` (edges) so per-label scans partition-prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .star_schema import GraphView
+
+NODE_SCHEMA_COLS = ("node_id", "label", "labels", "props")
+EDGE_SCHEMA_COLS = ("src", "dst", "src_label", "rel_type", "tgt_label", "props")
+
+
+def _props_map(df: DataFrame, cols: list[str]) -> F.Column:
+    """Build map<string,string> of property name → stringified value.
+
+    Values pass through ``cast("string")`` — the canonical graph is
+    stringly-typed like the reference's CSV output (SURVEY.md §1.3).
+    """
+    pairs = []
+    for c in cols:
+        pairs.append(F.lit(c))
+        pairs.append(F.col(c).cast("string"))
+    return F.map_from_arrays(
+        F.array(*pairs[::2]), F.array(*pairs[1::2])
+    )
+
+
+def nodes_from_view(view: GraphView) -> DataFrame:
+    """Union all per-label tables into canonical nodes.
+
+    ``node_id`` is the label-local identifier stringified; global identity
+    is the (label, node_id) pair. ``labels`` is an array to model
+    multi-label nodes (quirk 5, SURVEY.md §2.12) — star-schema nodes carry
+    exactly one label.
+    """
+    parts = []
+    for spec in view.spec.nodes:
+        df = view.nodes[spec.label]
+        id_col = df.columns[0]  # star-schema convention: key first; cascade refines later
+        parts.append(
+            df.select(
+                F.col(id_col).cast("string").alias("node_id"),
+                F.lit(spec.label).alias("label"),
+                F.array(F.lit(spec.label)).alias("labels"),
+                _props_map(df, df.columns).alias("props"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def edges_from_view(view: GraphView) -> DataFrame:
+    """Union all FK-derived edges into canonical edges."""
+    parts = []
+    for spec in view.spec.edges:
+        df = view.edge_df(spec)
+        parts.append(
+            df.select(
+                F.col(spec.src_key).cast("string").alias("src"),
+                F.col(spec.tgt_key).cast("string").alias("dst"),
+                F.lit(spec.src_label).alias("src_label"),
+                F.lit(spec.rel_type).alias("rel_type"),
+                F.lit(spec.tgt_label).alias("tgt_label"),
+                _props_map(df, list(spec.props)).alias("props"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def write_partitioned_graph(nodes: DataFrame, edges: DataFrame, path: str) -> None:
+    """Persist a canonical graph partitioned for label/type pruning."""
+    nodes.write.mode("overwrite").partitionBy("label").parquet(f"{path}/nodes")
+    edges.write.mode("overwrite").partitionBy("rel_type").parquet(f"{path}/edges")
