@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with a count() action (results are
+not collected to the driver — we measure engine throughput, not driver
+serialization). A warmup query first amortizes session/JIT startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: reference-parity exports + analytics + scale extensions.
+BENCH_QUERIES = [
+    "node_export_customer",
+    "node_export_orders",
+    "rel_export_customer_placed_order",
+    "rel_export_order_contains_part",
+    "rel_export_order_supplied_by_supplier",
+    "pattern_discovery",
+    "identifier_detection",
+    "q1_pricing_summary",
+    "q5_revenue_by_segment_nation",
+    "q3_top_orders_by_revenue",
+    "supplier_part_volume",
+    "window_tumbling_events",
+    "window_session_events",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_signatures",
+    "text_token_stats",
+    "text_quality_score",
+    "embedding_topk",
+    "graph_degrees",
+]
+
+
+def main() -> None:
+    from neo4j_database_to_data_importer_package_spark.session import get_spark
+    from neo4j_database_to_data_importer_package_spark import registry
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: session + codegen + parquet footer caches.
+    registry.QUERIES["q1_pricing_summary"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline query wall-clock (engine actions, no driver collect)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Relational analytics over the graph view (engine generalization).
+
+The reference's only aggregations are distinct/count/uniqueness
+(SURVEY.md §2.4); a usable engine needs the full groupBy/join/window
+analytics surface. These are the headline bench queries: TPC-H-shaped
+plans chosen to exercise partial aggregation, broadcast vs shuffle join
+selection, and multi-join reordering — all left to Catalyst/AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_half_up
+
+from ..sources.star_schema import GraphView
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: full-scan aggregate with computed expressions.
+
+    One wide scan → map-side partial agg on a tiny key space → 4-row
+    result; the canonical 'is codegen working' benchmark.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_half_up(F.sum(disc_price), 2).alias("sum_disc_price"),
+            round_half_up(F.sum(charge), 2).alias("sum_charge"),
+            round_half_up(F.avg("l_quantity"), 6).alias("avg_qty"),
+            round_half_up(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            round_half_up(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def revenue_by_segment_nation(view: GraphView) -> DataFrame:
+    """TPC-H Q5 shape: fact ⋈ 4 dims; dims broadcast, one shuffle agg.
+
+    lineitem ⋈ orders shuffles on orderkey; customer/nation/region are
+    broadcast (AQE) — the 100 TB plan is the same shape with bucketed
+    lineitem/orders making even that shuffle optional.
+    """
+    li, orders = view.tables["lineitem"], view.tables["orders"]
+    cust, nation, region = view.tables["customer"], view.tables["nation"], view.tables["region"]
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("c_mktsegment", "n_name", "r_name")
+        .agg(
+            round_half_up(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def top_orders_by_revenue(view: GraphView, limit: int = 20) -> DataFrame:
+    """TPC-H Q3 shape: selective join + agg + top-k (TakeOrderedAndProject)."""
+    li, orders = view.tables["lineitem"], view.tables["orders"]
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(round_half_up(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(limit)
+    )
+
+
+def supplier_part_volume(view: GraphView) -> DataFrame:
+    """Double-fact-join shape: lineitem ⋈ part ⋈ supplier with two
+    different keys — exercises join reordering + two shuffles."""
+    li, part, supp = view.tables["lineitem"], view.tables["part"], view.tables["supplier"]
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("p_brand", "s_name")
+        .agg(
+            round_half_up(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

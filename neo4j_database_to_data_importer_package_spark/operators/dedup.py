@@ -1,0 +1,268 @@
+"""Deduplication operators for large-scale corpus pipelines
+(beyond-reference, per the north star: exact, n-gram Jaccard,
+MinHash+LSH, SimHash).
+
+Scale design notes (100 TB):
+- exact dedup is a hash groupBy on a fingerprint — one shuffle, no
+  driver materialization; at extreme scale group on (fingerprint) only
+  and keep min(doc_id) via partial aggregation.
+- n-gram Jaccard uses an inverted shingle index self-join; its cost is
+  Σ df(shingle)² — fine for sparse shingles (n≥3), quadratic for hot
+  shingles, which is exactly what MinHash LSH avoids: candidates come
+  from banded signature equality (equi-join on (band, signature) — a
+  plain shuffle join), and only candidates pay the verification cost.
+- all hashing is md5 (engine-portable, deterministic) — no seed state,
+  no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_half_up
+
+from ..functions.text import fingerprint_md5, tokens, word_shingles
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized text: one survivor (min id) per group.
+
+    Returns (fingerprint, keep_id, n_dups).
+    """
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingle_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) inverted index."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(tokens(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold.
+
+    Exact (no sketching): inverted-index self-join → intersection counts
+    → sizes join → filter. Output (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    idx = shingle_index(df, text_col, id_col, n)
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", round_half_up(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded MinHash signatures: (id, band, signature).
+
+    MinHash h_s(doc) = min over shingles of md5('{s}|{shingle}') — the
+    lexicographic min of fixed-width hex IS the numeric min, so no hex
+    decoding is needed. Band signature = md5 of the ','-joined minhashes
+    of the band (in seed order). Docs sharing any (band, signature) are
+    LSH candidates.
+    """
+    idx = shingle_index(df, text_col, id_col, shingle_n)
+    # One WIDE aggregation instead of a num_hashes× row explosion: the k
+    # minhashes are k min() aggregates over k hash expressions of the same
+    # shingle row — map-side partial aggregation reduces each partition to
+    # one row per doc before the shuffle.
+    mins = idx.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"mh{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    n_bands = num_hashes // band_size
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                    )
+                ).alias("signature"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mins.select(
+        F.col(id_col), F.explode(band_structs).alias("bs")
+    ).select(F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.signature").alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via LSH candidates + exact Jaccard verification.
+
+    Candidates = equi-join on (band, signature); verification re-uses
+    the exact inverted-index intersection but ONLY for candidate pairs
+    (semi-join pushin) — at scale this is the whole point vs the
+    all-pairs ``ngram_jaccard_pairs``.
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, band_size, shingle_n)
+    a, b = sig.alias("a"), sig.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.signature") == F.col("b.signature"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    idx = shingle_index(df, text_col, id_col, shingle_n)
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    ia = idx.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    ib = idx.select(F.col(id_col).alias("__ib_id"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cands.join(ia, "id_a")
+        .join(ib, (F.col("id_b") == F.col("__ib_id")) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", round_half_up(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """SimHash: 64-bit signature as a bitstring, term-frequency weighted.
+
+    Per (token-instance, bit): bit b of md5(token) is extracted from hex
+    nibble b//4 (pure SQL arithmetic, engine-portable); signature bit b =
+    1 iff Σ_tokens freq·(2·bit−1) > 0. All codegen — the explode produces
+    |tokens|·bits rows which partial-aggregate map-side.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    tok = tok.select(F.col(id_col), F.md5(F.col("token")).alias("hx"))
+    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    bitrows = tok.select(F.col(id_col), F.col("hx"), b).select(
+        F.col(id_col),
+        F.col("b"),
+        F.expr(
+            "((instr('0123456789abcdef', substring(hx, cast(b/4 as int)+1, 1)) - 1) "
+            "div cast(pow(2, b % 4) as int)) % 2"
+        ).alias("bit"),
+    )
+    sums = bitrows.groupBy(id_col, "b").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("s")
+    )
+    return sums.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "s"))),
+                lambda r: F.when(r["s"] > 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Pairs within a Hamming radius of SimHash signatures.
+
+    Blocked by signature quarters (a pair within distance d shares at
+    least one of 4 blocks exactly when d ≤ 3·block-mismatch bound — the
+    standard pigeonhole trick), so the self-join is an equi-join on
+    (block_idx, block) rather than a cross join.
+    """
+    sig = simhash_signatures(df, text_col, id_col)
+    blocks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("q"),
+    ).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("q"),
+        F.expr("substring(simhash, q*16 + 1, 16)").alias("block"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    # Hamming distance between bitstrings: count differing positions.
+    ham = F.expr(
+        "size(filter(sequence(1, 64), i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
+    )
+    return cands.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

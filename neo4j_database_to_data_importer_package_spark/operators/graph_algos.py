@@ -1,0 +1,131 @@
+"""Iterative graph analytics on DataFrames (north-star: GraphX/Pregel-style
+analytics without the JVM-only GraphX API).
+
+PySpark-native route: Pregel as iterative joins with driver-side
+convergence checks and periodic ``localCheckpoint`` to cut lineage
+(SURVEY.md §7 Phase E). Vertices/edges are plain DataFrames; at 100 TB
+both sides hash-partition on vertex id so each superstep is a co-located
+shuffle join, and AQE handles skewed hubs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_half_up
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, out_degree, in_degree) — one pass, two partial aggs."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("out_degree"))
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(F.count(F.lit(1)).alias("in_degree"))
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Undirected connected components by hash-min label propagation.
+
+    Each superstep: component[v] ← min(component[v], min over neighbors).
+    Converges in O(diameter) supersteps; lineage is cut with
+    localCheckpoint to keep plans bounded. Returns (node, component)
+    where component = min node id in the component.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    comp = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+    )
+    for i in range(max_iter):
+        # candidate = min over incoming neighbor components
+        nbr = (
+            und.join(comp, und["a"] == comp["node"])
+            .select(F.col("b").alias("node"), F.col("component"))
+        )
+        new_comp = (
+            comp.select("node", "component")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if i % checkpoint_every == checkpoint_every - 1:
+            comp = comp.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return comp
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank (dangling mass redistributed uniformly).
+
+    Returns (node, pagerank rounded). Deterministic for a fixed
+    iteration count up to FP summation order — the oracle uses a
+    matching fixed-iteration recursion and values are rounded.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .cache()
+    )
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("dst_node"))
+    for i in range(iterations):
+        with_deg = ranks.join(out_deg, "node", "left")
+        contribs = (
+            e.join(with_deg, "node")
+            .select(F.col("dst_node").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+            .first()["d"]
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+            )
+        )
+        if i % checkpoint_every == checkpoint_every - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", round_half_up("rank", 8).alias("pagerank"))

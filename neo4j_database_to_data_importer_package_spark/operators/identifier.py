@@ -108,12 +108,28 @@ def detect_identifiers(
     node_dfs: dict[str, DataFrame],
     unique_constraints: dict[str, list[str]] | None = None,
     approx_screen: bool = False,
+    max_parallel: int = 8,
 ) -> dict[str, str]:
     """Cascade over every label → {label: identifier} (the reference's
-    ``self.label_identifiers`` IR, ``neo4j_export.py:301``)."""
-    return {
-        label: determine_identifier(
-            df, label, sorted(df.columns), unique_constraints, approx_screen
+    ``self.label_identifiers`` IR, ``neo4j_export.py:301``).
+
+    Labels are independent, so their tier-4 aggregation jobs are
+    submitted concurrently from driver threads (the reference loops
+    serially, ``neo4j_export.py:277``); Spark's scheduler interleaves the
+    jobs across executors.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    labels = list(node_dfs)
+    with ThreadPoolExecutor(max_workers=min(max_parallel, max(1, len(labels)))) as ex:
+        results = ex.map(
+            lambda label: (
+                label,
+                determine_identifier(
+                    node_dfs[label], label, sorted(node_dfs[label].columns),
+                    unique_constraints, approx_screen,
+                ),
+            ),
+            labels,
         )
-        for label, df in node_dfs.items()
-    }
+        return dict(results)

@@ -1,0 +1,155 @@
+"""Vector similarity search over embedding columns (beyond-reference).
+
+Brute-force cosine top-k as the exact baseline, plus an IVF-style
+coarse-quantized variant as the 100 TB scale path (search only the
+nprobe nearest cells → candidate set shrinks by ~n_cells/nprobe).
+
+Dot products run as ``aggregate(zip_with(...))`` over array<double> —
+JVM-side, no UDF, deterministic left-to-right accumulation (matches
+DuckDB's list_dot_product for oracle parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_half_up
+
+
+def _as_double(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col), v.alias("v"), F.sqrt(_dot(v, v)).alias("norm")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, O(n²) — the correctness
+    baseline; use minhash/IVF for scale). Output (id_a, id_b, cosine)."""
+    n = with_norm(df, vec_col, id_col)
+    a = n.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = n.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("id_a", "id_b", round_half_up(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_queries: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for a set of query vectors.
+
+    Queries are broadcast (small side); candidates scan once. Ranking is
+    deterministic: (rounded cosine desc, neighbor id asc).
+    """
+    n = with_norm(df, vec_col, id_col)
+    q = n.select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    if query_ids is not None:
+        q = q.filter(F.col("query_id").isin(query_ids))
+    else:
+        q = q.filter(F.col("query_id") < n_queries)
+    c = n.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
+    joined = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = round_half_up(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization: centroids = the first ``n_cells`` vectors
+    by id (deterministic seed choice; a KMeans refinement can swap in
+    without changing the interface). Returns (id, v, norm, cell)."""
+    n = with_norm(df, vec_col, id_col)
+    cents = (
+        n.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
+    )
+    joined = n.crossJoin(F.broadcast(cents))
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    w = Window.partitionBy(id_col).orderBy(round_half_up(cos, 6).desc(), F.col("cell"))
+    return (
+        joined.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(id_col, "v", "norm", "cell")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: search only the ``nprobe`` nearest cells per query.
+
+    At scale the assignment is precomputed and the index DataFrame is
+    partitioned by cell → a query touches nprobe partitions instead of
+    the full corpus.
+    """
+    assigned = ivf_assign(df, n_cells, vec_col, id_col).cache()
+    cents = (
+        assigned.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell2"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
+    )
+    q = assigned.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    qc = F.broadcast(q).crossJoin(F.broadcast(cents))
+    ccos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    wq = Window.partitionBy("query_id").orderBy(round_half_up(ccos, 6).desc(), F.col("cell2"))
+    probe = (
+        qc.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("cell2").alias("cell"))
+    )
+    cands = probe.join(
+        assigned.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"), F.col("norm").alias("nn"), "cell"),
+        "cell",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = round_half_up(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6)
+    scored = cands.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

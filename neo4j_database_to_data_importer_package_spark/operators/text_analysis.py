@@ -1,0 +1,97 @@
+"""Text-analysis operators for corpus pipelines (beyond-reference):
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All JVM-side (regex + array builtins inside codegen); formulas are
+engine-portable so DuckDB oracles reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_half_up
+
+from ..functions.text import LANG_STOPWORDS, fingerprint_md5, tokens
+
+# Word-or-single-punct pattern — the "BPE-ish" token proxy.
+_BPE_RE = r"\w+|[^\w\s]"
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counts: whitespace tokens, regex (BPE-ish) tokens,
+    and the chars/4 approximation used for LLM budget estimates."""
+    t = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_RE), 0)).alias("n_re_tokens"),
+        F.ceil(F.length(text_col) / 4).cast("long").alias("n_tok_est"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1].
+
+    Features: length band, mean word length band, stopword ratio,
+    alphabetic ratio. Deliberately simple/deterministic — the point is
+    the (scalable) plumbing, not the heuristic.
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(text_col)
+    stop = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+    mean_wlen = (n_chars - (n_tok - 1)) / n_tok
+
+    stop_ratio = round_half_up(stop_hits / n_tok, 6)
+    alpha_ratio = round_half_up(alpha_chars / n_chars, 6)
+    len_ok = (n_chars >= F.lit(50)) & (n_chars <= F.lit(20000))
+    wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    score = round_half_up(
+        (F.when(len_ok, 0.25).otherwise(0.0))
+        + (F.when(wlen_ok, 0.25).otherwise(0.0))
+        + F.least(stop_ratio * F.lit(2.5), F.lit(0.25))
+        + (alpha_ratio * F.lit(0.25)),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language heuristic.
+
+    Scores each language by distinct-stopword hits in the token set;
+    winner = max score, ties broken alphabetically; zero hits → 'und'.
+    Explode+join-free: one array_intersect per language, all codegen.
+    """
+    t = tokens(text_col)
+    cols = [F.col(id_col)]
+    score_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        arr = F.array([F.lit(w) for w in LANG_STOPWORDS[lang]])
+        score_cols.append(
+            F.size(F.array_intersect(F.array_distinct(t), arr)).alias(f"score_{lang}")
+        )
+    scored = df.select(*cols, *score_cols)
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pick = F.lit("und")
+    # Alphabetical tie-break: first lang reaching the max wins.
+    for lang in reversed(langs):
+        pick = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pick)
+    pick = F.when(best > 0, pick).otherwise(F.lit("und"))
+    return scored.select(F.col(id_col), pick.alias("detected_lang"), best.alias("best_score"))
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, md5 fingerprint of normalized text)."""
+    return df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))

@@ -28,6 +28,17 @@ from .sources.star_schema import TPCH_GRAPH_SPEC, load_graph_view
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Graph views are immutable metadata + lazy scans — cache per (session, dir)
+# so repeated queries don't re-read 9 parquet footers each.
+_VIEW_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _view(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _VIEW_CACHE:
+        _VIEW_CACHE[key] = load_graph_view(spark, sf_dir)
+    return _VIEW_CACHE[key]
+
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
@@ -59,7 +70,7 @@ def _fmt_ts(df: DataFrame, *cols: str) -> DataFrame:
        FROM customer WHERE c_custkey IS NOT NULL""",
 )
 def node_export_customer(spark, sf_dir):
-    view = load_graph_view(spark, sf_dir)
+    view = _view(spark, sf_dir)
     df, _ = export_node_table(view.nodes["Customer"], "Customer")
     return df
 
@@ -72,7 +83,7 @@ def node_export_customer(spark, sf_dir):
         FROM orders WHERE o_orderkey IS NOT NULL""",
 )
 def node_export_orders(spark, sf_dir):
-    view = load_graph_view(spark, sf_dir)
+    view = _view(spark, sf_dir)
     df, _ = export_node_table(view.nodes["Order"], "Order")
     return _fmt_ts(df, "o_orderdate")
 
@@ -83,7 +94,7 @@ def node_export_orders(spark, sf_dir):
        FROM part WHERE p_partkey IS NOT NULL""",
 )
 def node_export_part(spark, sf_dir):
-    view = load_graph_view(spark, sf_dir)
+    view = _view(spark, sf_dir)
     df, _ = export_node_table(view.nodes["Part"], "Part")
     return df
 
@@ -110,7 +121,7 @@ for _label, _cols in [
     "SELECT * FROM (VALUES " + ", ".join(_SCHEMA_ROWS) + ") AS t(label, property)",
 )
 def schema_union(spark, sf_dir):
-    view = load_graph_view(spark, sf_dir)
+    view = _view(spark, sf_dir)
     return schema_union_map(nodes_from_view(view))
 
 
@@ -165,7 +176,7 @@ def _cascade_oracle_sql() -> str:
 
 @register("identifier_detection", _cascade_oracle_sql())
 def identifier_detection(spark, sf_dir):
-    view = load_graph_view(spark, sf_dir)
+    view = _view(spark, sf_dir)
     idents = detect_identifiers(view.nodes, view.catalog.unique_constraints)
     return spark.createDataFrame(
         sorted(idents.items()), "label string, identifier string"
@@ -181,7 +192,7 @@ def identifier_detection(spark, sf_dir):
        UNION ALL SELECT 'c_nationkey', count(c_nationkey), count(DISTINCT c_nationkey) FROM customer""",
 )
 def uniqueness_profile_customer(spark, sf_dir):
-    view = load_graph_view(spark, sf_dir)
+    view = _view(spark, sf_dir)
     df = view.nodes["Customer"]
     prof = uniqueness_profile(df, sorted(df.columns), exact=True)
     rows = [(p, int(c), int(d)) for p, (c, d) in sorted(prof.items())]
@@ -203,7 +214,7 @@ def uniqueness_profile_customer(spark, sf_dir):
 def pattern_discovery(spark, sf_dir):
     from .sources.property_graph import edges_from_view
 
-    view = load_graph_view(spark, sf_dir)
+    view = _view(spark, sf_dir)
     return discover_patterns_map(edges_from_view(view))
 
 
@@ -215,7 +226,7 @@ def _rel_export(spark, sf_dir, pattern_key):
     # Edge FKs reference the DECLARED star-schema identifiers (node
     # identity), not the discovered ones — the C1 cascade is the
     # *analysis* operator and is verified separately above.
-    view = load_graph_view(spark, sf_dir)
+    view = _view(spark, sf_dir)
     idents = view.declared_identifiers()
     spec = next(e for e in TPCH_GRAPH_SPEC.edges if e.pattern_key == pattern_key)
     return export_relationship_table(view, spec, idents)
@@ -293,3 +304,490 @@ _TYPE_SAMPLES = [
 def type_inference_samples(spark, sf_dir):
     df = spark.createDataFrame([(v,) for v, _ in _TYPE_SAMPLES], "value string")
     return df.select("value", infer_type_col(F.col("value")).alias("inferred"))
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics (headline bench queries)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+              floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+              floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+              floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+              floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+              floor((avg(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+              floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    from .operators.analytics import pricing_summary
+
+    view = _view(spark, sf_dir)
+    return pricing_summary(view.tables["lineitem"])
+
+
+@register(
+    "q5_revenue_by_segment_nation",
+    """SELECT c_mktsegment, n_name, r_name,
+              floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+              count(*) AS n_lineitems
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY c_mktsegment, n_name, r_name""",
+)
+def q5_revenue_by_segment_nation(spark, sf_dir):
+    from .operators.analytics import revenue_by_segment_nation
+
+    return revenue_by_segment_nation(_view(spark, sf_dir))
+
+
+@register(
+    "q3_top_orders_by_revenue",
+    """SELECT o_orderkey, o_orderpriority,
+              floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderkey, o_orderpriority
+       ORDER BY revenue DESC, o_orderkey LIMIT 20""",
+)
+def q3_top_orders_by_revenue(spark, sf_dir):
+    from .operators.analytics import top_orders_by_revenue
+
+    return top_orders_by_revenue(_view(spark, sf_dir), limit=20)
+
+
+@register(
+    "supplier_part_volume",
+    """SELECT p_brand, s_name,
+              floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS total_qty, count(*) AS n_items
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       GROUP BY p_brand, s_name""",
+)
+def supplier_part_volume(spark, sf_dir):
+    from .operators.analytics import supplier_part_volume as op
+
+    return op(_view(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Batch window aggregation over events (tumbling / sliding / session)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_tumbling_events",
+    f"""SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+               strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '{_TS_FMT_DUCK}') AS window_end,
+               event_type, count(*) AS n_events,
+               floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+               floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
+        FROM events GROUP BY 1, 2, 3""",
+)
+def window_tumbling_events(spark, sf_dir):
+    from .operators.windows import tumbling_window_agg
+
+    view = _view(spark, sf_dir)
+    return tumbling_window_agg(view.tables["events"])
+
+
+@register(
+    "window_sliding_events",
+    f"""WITH grid AS (
+          SELECT *, date_trunc('hour', ts)
+                 + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS s1
+          FROM events
+        ), expanded AS (
+          SELECT event_type, value, s1 AS ws FROM grid
+          UNION ALL
+          SELECT event_type, value, s1 - INTERVAL 30 MINUTE AS ws FROM grid
+        )
+        SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+               strftime(ws + INTERVAL 1 HOUR, '{_TS_FMT_DUCK}') AS window_end,
+               event_type, count(*) AS n_events, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+        FROM expanded GROUP BY 1, 2, 3""",
+)
+def window_sliding_events(spark, sf_dir):
+    from .operators.windows import sliding_window_agg
+
+    view = _view(spark, sf_dir)
+    return sliding_window_agg(view.tables["events"])
+
+
+@register(
+    "window_session_events",
+    f"""WITH o AS (
+          SELECT user_id, ts, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+          FROM events
+        ), m AS (
+          SELECT *, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+          FROM o
+        ), g AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp
+          FROM m
+        )
+        SELECT strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start, user_id,
+               count(*) AS n_events, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+        FROM g GROUP BY user_id, grp""",
+)
+def window_session_events(spark, sf_dir):
+    from .operators.windows import session_window_agg
+
+    view = _view(spark, sf_dir)
+    return session_window_agg(view.tables["events"])
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family (exact / n-gram Jaccard / MinHash LSH / SimHash)
+# ---------------------------------------------------------------------------
+
+_NORM_DUCK = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_DUCK = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+_SHINGLES_DUCK = (
+    "CASE WHEN len(t) < 3 THEN [] "
+    "ELSE list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) END"
+)
+
+
+@register(
+    "dedup_exact",
+    f"""SELECT md5({_NORM_DUCK}) AS fingerprint, min(doc_id) AS keep_id,
+               count(*) AS n_dups
+        FROM documents GROUP BY 1""",
+)
+def dedup_exact(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+
+    view = _view(spark, sf_dir)
+    return exact_dedup(view.tables["documents"])
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM toks),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, floor((i * 1.0 / (sa.n + sb.n - i)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE floor((i * 1.0 / (sa.n + sb.n - i)) * 1000000.0 + 0.5) / 1000000.0 >= 0.5""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+
+    view = _view(spark, sf_dir)
+    return ngram_jaccard_pairs(view.tables["documents"], n=3, threshold=0.5)
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM toks),
+        h AS (
+          SELECT doc_id, seed, md5(seed || '|' || shingle) AS h
+          FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s),
+        mh AS (SELECT doc_id, seed, min(h) AS mh FROM h GROUP BY 1, 2)
+        SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS signature
+        FROM mh GROUP BY doc_id, CAST(seed // 4 AS INT)""",
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    from .operators.dedup import minhash_signatures
+
+    view = _view(spark, sf_dir)
+    return minhash_signatures(view.tables["documents"])
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM toks),
+        h AS (
+          SELECT doc_id, seed, md5(seed || '|' || shingle) AS h
+          FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s),
+        mh AS (SELECT doc_id, seed, min(h) AS mh FROM h GROUP BY 1, 2),
+        sig AS (
+          SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                 md5(string_agg(mh, ',' ORDER BY seed)) AS signature
+          FROM mh GROUP BY doc_id, CAST(seed // 4 AS INT)),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a JOIN sig b
+            ON a.band = b.band AND a.signature = b.signature AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS i
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, floor((i * 1.0 / (sa.n + sb.n - i)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE floor((i * 1.0 / (sa.n + sb.n - i)) * 1000000.0 + 0.5) / 1000000.0 >= 0.5""",
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_pairs
+
+    view = _view(spark, sf_dir)
+    return minhash_lsh_pairs(view.tables["documents"])
+
+
+@register(
+    "dedup_simhash_signatures",
+    f"""WITH tok AS (SELECT doc_id, md5(unnest({_TOKS_DUCK})) AS hx FROM documents),
+        bits AS (
+          SELECT doc_id, b,
+                 ((strpos('0123456789abcdef', substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1)
+                  >> CAST(b % 4 AS INT)) & 1 AS bit
+          FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS b) s),
+        sums AS (SELECT doc_id, b, sum(2 * bit - 1) AS s FROM bits GROUP BY 1, 2)
+        SELECT doc_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+        FROM sums GROUP BY doc_id""",
+)
+def dedup_simhash_signatures(spark, sf_dir):
+    from .operators.dedup import simhash_signatures
+
+    view = _view(spark, sf_dir)
+    return simhash_signatures(view.tables["documents"])
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    from .operators.dedup import simhash_pairs
+
+    view = _view(spark, sf_dir)
+    return simhash_pairs(view.tables["documents"], max_hamming=6)
+
+
+QUERIES["dedup_simhash_pairs"] = dedup_simhash_pairs  # rows-only: pairs verified in pytest
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (token stats / quality / language-ID / fingerprints)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    f"""SELECT doc_id,
+               CAST(len({_TOKS_DUCK}) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_re_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tok_est,
+               CAST(length(text) AS INT) AS n_chars
+        FROM documents""",
+)
+def text_token_stats(spark, sf_dir):
+    from .operators.text_analysis import token_stats
+
+    view = _view(spark, sf_dir)
+    return token_stats(view.tables["documents"])
+
+
+@register(
+    "text_quality_score",
+    f"""WITH base AS (
+          SELECT doc_id, text, {_TOKS_DUCK} AS t,
+                 length(text) AS n_chars,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+          FROM documents),
+        feat AS (
+          SELECT doc_id, len(t) AS n_tokens,
+                 floor((len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) * 1.0 / len(t)) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+                 floor((alpha_chars * 1.0 / n_chars) * 1000000.0 + 0.5) / 1000000.0 AS alpha_ratio,
+                 n_chars, (n_chars - (len(t) - 1)) * 1.0 / len(t) AS mean_wlen
+          FROM base)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, stopword_ratio, alpha_ratio,
+               floor(((CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0 THEN 0.25 ELSE 0.0 END)
+                 + least(stopword_ratio * 2.5, 0.25)
+                 + alpha_ratio * 0.25) * 1000000.0 + 0.5) / 1000000.0 AS quality
+        FROM feat""",
+)
+def text_quality_score(spark, sf_dir):
+    from .operators.text_analysis import quality_score
+
+    view = _view(spark, sf_dir)
+    return quality_score(view.tables["documents"])
+
+
+_LANG_LISTS_DUCK = {
+    "de": "['der','die','das','und','ist','ein','zu','den']",
+    "en": "['the','a','of','and','to','in','is','it']",
+    "es": "['el','la','de','que','y','en','un','es']",
+    "fr": "['le','la','de','et','un','les','des','est']",
+    "zh": "['的','了','是','我','不','在','有','他']",
+}
+
+
+@register(
+    "text_language_id",
+    f"""WITH scored AS (
+          SELECT doc_id,
+                 {", ".join(f"len(list_intersect(list_distinct({_TOKS_DUCK}), {lst})) AS score_{lang}" for lang, lst in _LANG_LISTS_DUCK.items())}
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+                    WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+                    WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+                    WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+                    WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+                    ELSE 'zh' END AS detected_lang,
+               CAST(greatest(score_de, score_en, score_es, score_fr, score_zh) AS INT) AS best_score
+        FROM scored""",
+)
+def text_language_id(spark, sf_dir):
+    from .operators.text_analysis import language_id
+
+    view = _view(spark, sf_dir)
+    return language_id(view.tables["documents"])
+
+
+@register(
+    "text_fingerprints",
+    f"SELECT doc_id, md5({_NORM_DUCK}) AS fingerprint FROM documents",
+)
+def text_fingerprints(spark, sf_dir):
+    from .operators.text_analysis import fingerprints
+
+    view = _view(spark, sf_dir)
+    return fingerprints(view.tables["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Vector similarity (brute-force cosine pairs / top-k / IVF ANN)
+# ---------------------------------------------------------------------------
+
+_COS_DUCK = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@register(
+    "embedding_cosine_pairs",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, floor(({_COS_DUCK}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE floor(({_COS_DUCK}) * 1000000.0 + 0.5) / 1000000.0 >= 0.35""",
+)
+def embedding_cosine_pairs(spark, sf_dir):
+    from .operators.similarity import cosine_pairs
+
+    view = _view(spark, sf_dir)
+    return cosine_pairs(view.tables["embeddings"], threshold=0.35)
+
+
+@register(
+    "embedding_topk",
+    f"""SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               floor(({_COS_DUCK}) * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+               CAST(row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY floor(({_COS_DUCK}) * 1000000.0 + 0.5) / 1000000.0 DESC, b.vec_id) AS INT) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 10
+        QUALIFY rank <= 10""",
+)
+def embedding_topk(spark, sf_dir):
+    from .operators.similarity import brute_force_topk
+
+    view = _view(spark, sf_dir)
+    return brute_force_topk(view.tables["embeddings"], k=10, n_queries=10)
+
+
+def embedding_ivf_topk(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+
+    view = _view(spark, sf_dir)
+    return ivf_topk(view.tables["embeddings"], k=10, n_cells=16, nprobe=4, n_queries=10)
+
+
+QUERIES["embedding_ivf_topk"] = embedding_ivf_topk  # rows-only: recall vs brute force in pytest
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics (degrees / connected components / PageRank)
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_degrees",
+    """WITH e AS (SELECT 'O' || l_orderkey AS src, 'P' || l_partkey AS dst FROM lineitem),
+       o AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY 1),
+       i AS (SELECT dst AS node, count(*) AS in_degree FROM e GROUP BY 1)
+       SELECT coalesce(o.node, i.node) AS node,
+              coalesce(out_degree, 0) AS out_degree,
+              coalesce(in_degree, 0) AS in_degree
+       FROM o FULL OUTER JOIN i ON o.node = i.node""",
+)
+def graph_degrees(spark, sf_dir):
+    from .operators.graph_algos import degrees
+
+    view = _view(spark, sf_dir)
+    e = view.tables["lineitem"].select(
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+    )
+    return degrees(e)
+
+
+@register(
+    "graph_connected_components",
+    """WITH e AS (
+         SELECT 'C' || c_custkey AS a, 'N' || c_nationkey AS b FROM customer
+         UNION ALL
+         SELECT 'N' || n_nationkey AS a, 'R' || n_regionkey AS b FROM nation),
+       und AS (
+         SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+       nodes AS (SELECT DISTINCT a AS node FROM und)
+       , reach AS (
+         WITH RECURSIVE r(node, comp) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT u.b, r.comp FROM r JOIN und u ON u.a = r.node)
+         SELECT * FROM r)
+       SELECT node, min(comp) AS component FROM reach GROUP BY node""",
+)
+def graph_connected_components(spark, sf_dir):
+    from .operators.graph_algos import connected_components
+
+    view = _view(spark, sf_dir)
+    cust = view.tables["customer"].select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    nat = view.tables["nation"].select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+    )
+    return connected_components(cust.unionByName(nat))
+
+
+def graph_pagerank(spark, sf_dir):
+    from .operators.graph_algos import pagerank
+
+    view = _view(spark, sf_dir)
+    cust = view.tables["customer"].select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    nat = view.tables["nation"].select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+    )
+    return pagerank(cust.unionByName(nat), iterations=10)
+
+
+QUERIES["graph_pagerank"] = graph_pagerank  # rows-only: fixed-point values checked in pytest

@@ -1,0 +1,83 @@
+"""Dedup-family tests on synthetic corpora with planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill "
+    "and the birds sing in the tall green trees near the old stone bridge"
+)
+NEAR = BASE.replace("lazy dog", "lazy cat")  # 2-word change → high jaccard
+FAR = "completely different content about spark dataframes and distributed joins at scale"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),           # exact duplicate of 0
+        (2, NEAR),           # near-duplicate of 0/1
+        (3, FAR),
+        (4, "  " + BASE.upper() + "  "),  # normalizes to the same as 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, corpus):
+    res = {r["fingerprint"]: (r["keep_id"], r["n_dups"]) for r in exact_dedup(corpus).collect()}
+    # 0, 1, 4 collapse (case/whitespace-normalized); 2 and 3 are singletons
+    sizes = sorted(v[1] for v in res.values())
+    assert sizes == [1, 1, 3]
+    big = next(v for v in res.values() if v[1] == 3)
+    assert big[0] == 0  # min doc_id survives
+
+
+def test_ngram_jaccard_finds_near_dup(spark, corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dup(spark, corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in minhash_lsh_pairs(corpus, threshold=0.5).collect()}
+    # exact dups always collide in every band
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 4) in pairs
+    # verified jaccard for candidates equals the exact computation
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    for k, v in pairs.items():
+        assert exact[k] == v
+
+
+def test_minhash_lsh_subset_of_exact(spark, corpus):
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(corpus, threshold=0.5).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    assert lsh <= exact
+
+
+def test_simhash_properties(spark, corpus):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(corpus).collect()}
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in sigs.values())
+    assert sigs[0] == sigs[1]  # identical text → identical signature
+    ham02 = sum(a != b for a, b in zip(sigs[0], sigs[2]))
+    ham03 = sum(a != b for a, b in zip(sigs[0], sigs[3]))
+    assert ham02 < ham03  # near-dup closer than unrelated
+
+
+def test_simhash_pairs_hamming(spark, corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(corpus, max_hamming=10).collect()}
+    assert pairs.get((0, 1)) == 0
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(corpus).collect()}
+    for (a, b), h in pairs.items():
+        assert h == sum(x != y for x, y in zip(sigs[a], sigs[b]))

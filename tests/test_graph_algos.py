@@ -1,0 +1,49 @@
+"""Graph-analytics tests on known small graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+    connected_components,
+    degrees,
+    pagerank,
+)
+
+
+@pytest.fixture(scope="module")
+def two_components(spark):
+    # component {a,b,c,d} (chain) and {x,y} — plus isolated-by-direction edge cases
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+def test_degrees(spark, two_components):
+    d = {r["node"]: (r["out_degree"], r["in_degree"]) for r in degrees(two_components).collect()}
+    assert d["a"] == (1, 0)
+    assert d["b"] == (1, 1)
+    assert d["d"] == (0, 1)
+    assert d["x"] == (1, 0)
+
+
+def test_connected_components(spark, two_components):
+    comp = {r["node"]: r["component"] for r in connected_components(two_components).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_connected_components_cycle(spark):
+    edges = [("1", "2"), ("2", "3"), ("3", "1"), ("9", "9")]
+    comp = {r["node"]: r["component"] for r in connected_components(spark.createDataFrame(edges, "src string, dst string")).collect()}
+    assert comp["1"] == comp["2"] == comp["3"] == "1"
+    assert comp["9"] == "9"
+
+
+def test_pagerank_star(spark):
+    # star: spokes all point at hub → hub rank highest; ranks sum ≈ 1
+    edges = [(f"s{i}", "hub") for i in range(5)]
+    pr = {r["node"]: r["pagerank"] for r in pagerank(spark.createDataFrame(edges, "src string, dst string"), iterations=20).collect()}
+    assert pr["hub"] == max(pr.values())
+    assert abs(sum(pr.values()) - 1.0) < 1e-3
+    spokes = [v for k, v in pr.items() if k != "hub"]
+    assert max(spokes) - min(spokes) < 1e-9  # symmetric spokes equal

@@ -1,0 +1,65 @@
+"""Similarity-search tests: brute-force correctness + IVF recall."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    ivf_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    # 4 clusters around orthogonal-ish centers → meaningful neighbors
+    centers = [[1.0 if j % 4 == c else 0.0 for j in range(dim)] for c in range(4)]
+    for i in range(120):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.gauss(0, 0.15) for x in c]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _py_cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_brute_force_topk_matches_python(spark, vecs):
+    data = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    got = brute_force_topk(vecs, k=5, n_queries=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    for q in range(3):
+        expected = sorted(
+            ((round(_py_cosine(data[q], data[n]), 6), n) for n in data if n != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        ours = sorted(by_q[q])
+        for (rank, nid, cos), (ecos, enid) in zip(ours, expected):
+            assert nid == enid and abs(cos - ecos) < 1e-6
+
+
+def test_cosine_pairs_symmetric_threshold(spark, vecs):
+    pairs = cosine_pairs(vecs, threshold=0.8).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= 0.8
+
+
+def test_ivf_recall_vs_brute_force(spark, vecs):
+    brute = brute_force_topk(vecs, k=5, n_queries=8).collect()
+    ann = ivf_topk(vecs, k=5, n_cells=8, nprobe=4, n_queries=8).collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    aset = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    recall = len(bset & aset) / len(bset)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
