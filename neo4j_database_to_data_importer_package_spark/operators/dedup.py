@@ -104,6 +104,12 @@ def minhash_signatures(
     LSH candidates.
     """
     idx = shingle_index(df, text_col, id_col, shingle_n)
+    return _signatures_from_index(idx, id_col, num_hashes, band_size)
+
+
+def _signatures_from_index(
+    idx: DataFrame, id_col: str, num_hashes: int, band_size: int
+) -> DataFrame:
     # One WIDE aggregation instead of a num_hashes× row explosion: the k
     # minhashes are k min() aggregates over k hash expressions of the same
     # shingle row — map-side partial aggregation reduces each partition to
@@ -148,8 +154,12 @@ def minhash_lsh_pairs(
     the exact inverted-index intersection but ONLY for candidate pairs
     (semi-join pushin) — at scale this is the whole point vs the
     all-pairs ``ngram_jaccard_pairs``.
+
+    The shingle index feeds three consumers (signatures, sizes,
+    verification) — persisted once instead of recomputed per subtree.
     """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, band_size, shingle_n)
+    idx = shingle_index(df, text_col, id_col, shingle_n).persist()
+    sig = _signatures_from_index(idx, id_col, num_hashes, band_size)
     a, b = sig.alias("a"), sig.alias("b")
     cands = (
         a.join(
@@ -161,7 +171,6 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    idx = shingle_index(df, text_col, id_col, shingle_n)
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     ia = idx.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     ib = idx.select(F.col(id_col).alias("__ib_id"), F.col("shingle").alias("shingle_b"))

@@ -1,0 +1,145 @@
+"""Multimodal (image/audio/video) column plumbing (beyond-reference).
+
+Media ride as opaque ``binary`` columns with a typed metadata struct;
+decode / feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` stages so each executor processes whole record batches.
+The actual codec calls are STUBBED (image/audio libraries are not in this
+container): ``decode_stub`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake "decode" produces
+byte-statistics features — making the Spark-side plumbing (schema,
+batching, partitioning, UDF signatures) fully real and testable.
+
+Scale notes: binary payloads dominate row size — keep
+``spark.sql.files.maxPartitionBytes`` small enough that a batch of rows
+fits executor memory, and select() media columns only in the stages that
+need them (column pruning drops the bytes everywhere else).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),  # png|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_stub(payload: bytes, meta: dict, fake: bool = False) -> dict:
+    """Decode one media payload.
+
+    Real decoding requires codec libraries not present in this
+    environment; ``fake=True`` substitutes a deterministic byte-level
+    "decode" (histogram statistics) with the same output contract.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires codec libraries (PIL/librosa/av) not "
+            "available in this environment; pass fake=True for the "
+            "deterministic stub"
+        )
+    import math
+
+    data = payload or b""
+    n = len(data)
+    counts = [0] * 256
+    for b in data:
+        counts[b] += 1
+    mean = sum(i * c for i, c in enumerate(counts)) / n if n else 0.0
+    entropy = -sum(
+        (c / n) * math.log2(c / n) for c in counts if c
+    ) if n else 0.0
+    # 16-bin byte histogram as the fake feature vector
+    feats = [sum(counts[i * 16 : (i + 1) * 16]) / n if n else 0.0 for i in range(16)]
+    return {"n_bytes": n, "byte_mean": mean, "byte_entropy": entropy, "features": feats}
+
+
+def extract_features(media: DataFrame, fake: bool = True, batch_size_hint: int = 64) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow moves each partition as record batches; the iterator contract
+    keeps peak memory to one batch of payloads per task.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_stub(bytes(payload) if payload is not None else b"", {}, fake=fake)
+                rows.append(
+                    (int(mid), d["n_bytes"], d["byte_mean"], d["byte_entropy"], d["features"])
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "byte_mean", "byte_entropy", "features"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per frame timestamp
+    (the decode of each frame is the stubbed stage). Pure JVM-side:
+    explode over a sequence of timestamps derived from duration."""
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )
+
+
+def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests/demos."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        size = 256 + (i % 7) * 128
+        payload = bytes(rng.randrange(256) for _ in range(size))
+        rows.append(
+            (
+                i,
+                payload,
+                {
+                    "media_type": ["image", "audio", "video"][i % 3],
+                    "format": ["png", "wav", "mp4"][i % 3],
+                    "width": 64,
+                    "height": 64,
+                    "duration_ms": 3000 + 500 * (i % 5),
+                },
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -791,3 +791,43 @@ def graph_pagerank(spark, sf_dir):
 
 
 QUERIES["graph_pagerank"] = graph_pagerank  # rows-only: fixed-point values checked in pytest
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction over events (semi-structured column handling)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_json_props",
+    """SELECT event_type, CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+              count(*) AS n
+       FROM events GROUP BY event_type""",
+)
+def events_json_props(spark, sf_dir):
+    view = _view(spark, sf_dir)
+    ev = view.tables["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only: deterministic fake decode, see
+# operators/multimodal.py — real codecs are stubbed in this environment)
+# ---------------------------------------------------------------------------
+
+def multimodal_features(spark, sf_dir):
+    from .operators.multimodal import extract_features, make_fake_media
+
+    return extract_features(make_fake_media(spark, n=64), fake=True)
+
+
+def multimodal_frame_plan(spark, sf_dir):
+    from .operators.multimodal import frame_sample_plan, make_fake_media
+
+    return frame_sample_plan(make_fake_media(spark, n=64), every_ms=500)
+
+
+QUERIES["multimodal_features"] = multimodal_features
+QUERIES["multimodal_frame_plan"] = multimodal_frame_plan

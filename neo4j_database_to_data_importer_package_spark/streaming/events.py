@@ -1,0 +1,116 @@
+"""Structured Streaming operators (beyond-reference, SURVEY.md §2.9).
+
+The reference is batch-only; these are the streaming twins of the batch
+window operators in ``operators/windows.py`` — same aggregation logic,
+same output schema, expressed over an unbounded source with watermarks
+for late data. A parquet directory of events can be replayed as a stream
+(``read_events_stream``) so batch results are the oracle for streaming
+results (run both, compare — see tests/test_streaming.py).
+
+Scale notes: watermark bounds state (old windows evicted); the shuffle
+key is (window, keys) exactly as in batch; ``withWatermark`` + append
+mode emits each window once when it finalizes. For exactly-once sinks
+use checkpointed writeStream into parquet/Delta.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_half_up
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Replay a parquet directory as a file-source stream."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (append-mode compatible)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).alias("window"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    keys: tuple = ("user_id",),
+) -> DataFrame:
+    """Watermarked session windows (gap-merged, append mode)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("window"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    id_cols: tuple = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key streaming dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps keys only while they can
+    still collide under the watermark (vs unbounded dropDuplicates)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append", timeout_sec: int = 60
+):
+    """Drive a streaming query to completion against a finite file source
+    (test/bench helper): processAllAvailable then return the in-memory
+    table's contents."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    spark = stream_df.sparkSession
+    return spark.sql(f"SELECT * FROM {query_name}")
