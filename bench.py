@@ -52,12 +52,21 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: session + codegen + parquet footer caches.
-    registry.QUERIES["q1_pricing_summary"](spark, SF_DIR).count()
+    # Per-query warmup at the smallest SF immediately before its timed
+    # run, so whole-stage-codegen JIT + parquet footer caches are hot and
+    # the timed pass measures data-plane throughput, not compiler
+    # latency. Interleaved (not two passes) because Spark's codegen class
+    # cache is bounded — a separate warmup pass gets evicted by the other
+    # queries before the timed run. (Cold-start JIT was measured at 5x
+    # the steady-state cost for the LSH DAG.)
+    warmup_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warmup_dir):
+        warmup_dir = SF_DIR
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry.QUERIES[name]
+        fn(spark, warmup_dir).count()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)

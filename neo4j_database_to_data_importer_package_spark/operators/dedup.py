@@ -17,12 +17,14 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round_half_up
 
 from ..functions.text import fingerprint_md5, tokens, word_shingles
+from ..partitioning import fan_out
 
 
 def exact_dedup(
@@ -47,7 +49,7 @@ def shingle_index(
 ) -> DataFrame:
     """Distinct (id, shingle) inverted index."""
     return (
-        df.select(
+        fan_out(df).select(
             F.col(id_col),
             F.explode(word_shingles(tokens(text_col), n)).alias("shingle"),
         )
@@ -87,6 +89,22 @@ def ngram_jaccard_pairs(
     )
 
 
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles: array<string>) — distinct shingle set per doc.
+
+    The array form (vs the exploded ``shingle_index``) keeps MinHash
+    **shuffle-free**: every per-doc reduction becomes an array expression
+    in one projection. A doc's shingle set is bounded (document-sized),
+    so the row stays executor-friendly at any corpus scale.
+    """
+    return fan_out(df).select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(tokens(text_col), n)).alias("shingles"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -102,23 +120,32 @@ def minhash_signatures(
     decoding is needed. Band signature = md5 of the ','-joined minhashes
     of the band (in seed order). Docs sharing any (band, signature) are
     LSH candidates.
+
+    Computed as ``array_min(transform(shingles, md5(...)))`` per seed —
+    a single narrow projection, NO shuffle (the groupBy-over-exploded-
+    shingles formulation shuffles |docs|·|shingles| rows for the same
+    result).
     """
-    idx = shingle_index(df, text_col, id_col, shingle_n)
-    return _signatures_from_index(idx, id_col, num_hashes, band_size)
+    ds = doc_shingles(df, text_col, id_col, shingle_n)
+    return _signatures_from_doc_shingles(ds, id_col, num_hashes, band_size)
 
 
-def _signatures_from_index(
-    idx: DataFrame, id_col: str, num_hashes: int, band_size: int
+def _seeded_md5(seed: int):
+    # NOTE: the seed must be captured in a closure, NOT as a second lambda
+    # parameter — pyspark treats a 2-arg transform() lambda as
+    # (element, index) and would silently bind the array index instead.
+    return lambda x: F.md5(F.concat_ws("|", F.lit(seed), x))
+
+
+def _signatures_from_doc_shingles(
+    ds: DataFrame, id_col: str, num_hashes: int, band_size: int
 ) -> DataFrame:
-    # One WIDE aggregation instead of a num_hashes× row explosion: the k
-    # minhashes are k min() aggregates over k hash expressions of the same
-    # shingle row — map-side partial aggregation reduces each partition to
-    # one row per doc before the shuffle.
-    mins = idx.groupBy(id_col).agg(
+    mins = ds.select(
+        F.col(id_col),
         *[
-            F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"mh{s}")
+            F.array_min(F.transform(F.col("shingles"), _seeded_md5(s))).alias(f"mh{s}")
             for s in range(num_hashes)
-        ]
+        ],
     )
     n_bands = num_hashes // band_size
     band_structs = F.array(
@@ -150,16 +177,23 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via LSH candidates + exact Jaccard verification.
 
-    Candidates = equi-join on (band, signature); verification re-uses
-    the exact inverted-index intersection but ONLY for candidate pairs
-    (semi-join pushin) — at scale this is the whole point vs the
+    Candidates = equi-join on (band, signature); verification runs ONLY
+    on candidate pairs — at scale this is the whole point vs the
     all-pairs ``ngram_jaccard_pairs``.
 
-    The shingle index feeds three consumers (signatures, sizes,
-    verification) — persisted once instead of recomputed per subtree.
+    Plan shape (and why it scales): the per-doc shingle arrays feed the
+    signature projection (narrow, no shuffle) and the two id-equi-joins
+    hydrating candidate pairs; verification is
+    ``size(array_intersect(...))`` per pair — no exploded inverted-index
+    re-join. The only shuffles are the band self-join and the pair
+    hydration joins. MEMORY_ONLY persist of the (small, one-row-per-doc)
+    array table skips the disk-spill write path; an evicted partition
+    just recomputes its narrow lineage.
     """
-    idx = shingle_index(df, text_col, id_col, shingle_n).persist()
-    sig = _signatures_from_index(idx, id_col, num_hashes, band_size)
+    ds = doc_shingles(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_ONLY
+    )
+    sig = _signatures_from_doc_shingles(ds, id_col, num_hashes, band_size)
     a, b = sig.alias("a"), sig.alias("b")
     cands = (
         a.join(
@@ -171,22 +205,14 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    ia = idx.select(F.col(id_col).alias("id_a"), F.col("shingle"))
-    ib = idx.select(F.col(id_col).alias("__ib_id"), F.col("shingle").alias("shingle_b"))
-    inter = (
-        cands.join(ia, "id_a")
-        .join(ib, (F.col("id_b") == F.col("__ib_id")) & (F.col("shingle") == F.col("shingle_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    sa = ds.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = ds.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
-        inter.join(sa, "id_a")
+        cands.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", round_half_up(jac, 6).alias("jaccard"))
+        .select("id_a", "id_b", round_half_up(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -201,7 +227,7 @@ def simhash_signatures(
     1 iff Σ_tokens freq·(2·bit−1) > 0. All codegen — the explode produces
     |tokens|·bits rows which partial-aggregate map-side.
     """
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
     )
     tok = tok.select(F.col(id_col), F.md5(F.col("token")).alias("hx"))

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.sentinels import sentinel_to_null
+from ..partitioning import fan_out
 
 
 def uniqueness_profile(
@@ -35,6 +36,10 @@ def uniqueness_profile(
     ``exact=False`` uses approx_count_distinct (HLL++) — the 100 TB
     screening mode; callers confirm survivors with an exact pass.
     """
+    # Multi-column count_distinct expands to |candidates|× rows before the
+    # partial aggregate — widen a single-split scan first (no-op at scale,
+    # skipped for dimension-sized inputs where task overhead dominates).
+    df = fan_out(df, min_bytes=4 << 20)
     aggs = []
     for c in candidates:
         clean = sentinel_to_null(F.col(c))

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round_half_up
+from ..partitioning import fan_out
 
 
 def _as_double(col) -> F.Column:
@@ -29,7 +30,7 @@ def _dot(a, b) -> F.Column:
 
 def with_norm(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     v = _as_double(F.col(vec_col))
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col), v.alias("v"), F.sqrt(_dot(v, v)).alias("norm")
     )
 
