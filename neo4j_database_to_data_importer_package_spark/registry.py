@@ -831,3 +831,81 @@ def multimodal_frame_plan(spark, sf_dir):
 
 QUERIES["multimodal_features"] = multimodal_features
 QUERIES["multimodal_frame_plan"] = multimodal_frame_plan
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming, driven to completion (availableNow) so the batch
+# SQL is the oracle: the parquet events are replayed as a file-source
+# stream, processed with watermarks / applyInPandasWithState, and the
+# final materialized result is returned as a batch DataFrame.
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = [0]
+
+
+def _replayed_events_stream(spark, sf_dir, max_files_per_trigger=2):
+    import tempfile
+
+    from .streaming.events import read_events_stream
+
+    view = _view(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ndip_events_stream_")
+    view.tables["events"].repartition(4).write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    return read_events_stream(spark, tmp, schema, max_files_per_trigger)
+
+
+@register(
+    "streaming_tumbling_events",
+    f"""SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+               event_type, count(*) AS n_events,
+               floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+        FROM events GROUP BY 1, 2""",
+)
+def streaming_tumbling_events(spark, sf_dir):
+    from .streaming.events import run_stream_to_memory, streaming_tumbling_counts
+
+    stream = _replayed_events_stream(spark, sf_dir)
+    _STREAM_SEQ[0] += 1
+    return run_stream_to_memory(
+        streaming_tumbling_counts(stream),
+        f"q_stream_tumbling_{_STREAM_SEQ[0]}",
+        output_mode="complete",
+    )
+
+
+@register(
+    "streaming_running_totals",
+    """SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS n_events,
+              floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+              strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+       FROM events GROUP BY event_type""",
+)
+def streaming_running_totals(spark, sf_dir):
+    """applyInPandasWithState lifetime totals; last emission per key ==
+    the batch aggregate (the update is commutative, so arrival order
+    cannot change the fixed point)."""
+    from pyspark.sql import Window
+
+    from .functions.numeric import round_half_up
+    from .streaming.events import run_stream_to_memory
+    from .streaming.stateful import streaming_running_totals as op
+
+    stream = _replayed_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    _STREAM_SEQ[0] += 1
+    got = run_stream_to_memory(
+        op(stream), f"q_stream_running_{_STREAM_SEQ[0]}", output_mode="update"
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("n_events"))
+    return (
+        got.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "key",
+            "n_events",
+            round_half_up(F.col("sum_value"), 4).alias("sum_value"),
+            F.date_format("min_ts", _TS_FMT_SPARK).alias("min_ts"),
+            F.date_format("max_ts", _TS_FMT_SPARK).alias("max_ts"),
+        )
+    )

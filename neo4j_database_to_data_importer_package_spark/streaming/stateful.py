@@ -1,0 +1,115 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(beyond-reference; the reference is batch-only, SURVEY.md §2.9).
+
+``streaming_running_totals`` maintains per-key running aggregates
+(count, sum, min/max event time) across micro-batches and emits the
+updated totals for every key touched in a batch — an incrementally
+maintained materialized aggregate, the streaming primitive behind
+"how many tokens / documents / events has each source contributed so
+far" in a training-data ingest pipeline.
+
+Why not a built-in windowed agg: the state here is *unbounded in time*
+(lifetime totals, not a window) and must be emittable mid-stream per
+batch — ``groupBy().agg()`` on a stream in update mode could emit
+running counts, but cannot carry custom non-aggregate state (e.g. the
+first-seen timestamp alongside) nor apply custom emission policy. This
+operator is the template for those: the state schema, Arrow batch
+iteration, and timeout plumbing are exactly what a bespoke operator
+needs.
+
+Scale notes: state is hash-partitioned by key (one shuffle per batch,
+same key → same partition → local state lookup); state size is
+O(distinct keys), bounded by key cardinality not stream length; use
+``GroupStateTimeout.ProcessingTimeTimeout`` + ``state.setTimeoutDuration``
+to evict dormant keys when key-space is unbounded.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("min_ts", TimestampType()),
+        StructField("max_ts", TimestampType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("min_ts", TimestampType()),
+        StructField("max_ts", TimestampType()),
+    ]
+)
+
+
+def _update_running_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n, s, mn, mx = state.get
+    else:
+        n, s, mn, mx = 0, 0.0, None, None
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        n += int(len(pdf))
+        s += float(pdf["value"].sum())
+        bmn = pdf["ts"].min()
+        bmx = pdf["ts"].max()
+        mn = bmn if mn is None else min(mn, bmn)
+        mx = bmx if mx is None else max(mx, bmx)
+    state.update((n, s, mn, mx))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_events": [n],
+            "sum_value": [s],
+            "min_ts": [mn],
+            "max_ts": [mx],
+        }
+    )
+
+
+def streaming_running_totals(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key lifetime totals, re-emitted each micro-batch the key
+    appears in. Deterministic regardless of arrival order (the update is
+    commutative/associative), so a batch groupBy is its oracle.
+    """
+    from pyspark.sql import functions as F
+
+    src = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _update_running_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -64,3 +64,33 @@ def test_streaming_dedup_bounded_state(spark, events_stream_path, events_batch):
     got = run_stream_to_memory(streaming_dedup(stream), "t_dedup")
     n_distinct = events_batch.select("event_id").distinct().count()
     assert got.count() == n_distinct
+
+
+def test_stateful_running_totals_matches_batch(spark, events_stream_path, events_batch):
+    """applyInPandasWithState running totals: the LAST emission per key
+    must equal the batch lifetime aggregate, independent of file/batch
+    arrival order (the update is commutative)."""
+    from neo4j_database_to_data_importer_package_spark.streaming.stateful import (
+        streaming_running_totals,
+    )
+
+    schema = spark.read.parquet(events_stream_path).schema
+    stream = read_events_stream(spark, events_stream_path, schema, max_files_per_trigger=1)
+    got = run_stream_to_memory(
+        streaming_running_totals(stream), "t_running", output_mode="update"
+    ).toPandas()
+    # last emission per key = the row with max n_events
+    last = got.loc[got.groupby("key")["n_events"].idxmax()]
+    batch = (
+        events_batch.groupBy(F.col("event_type").cast("string").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .toPandas()
+    )
+    g = {r.key: (r.n_events, round(r.sum_value, 4), r.min_ts, r.max_ts) for r in last.itertuples()}
+    b = {r.key: (r.n_events, round(r.sum_value, 4), r.min_ts, r.max_ts) for r in batch.itertuples()}
+    assert g == b
