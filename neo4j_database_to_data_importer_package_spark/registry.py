@@ -573,7 +573,37 @@ def dedup_simhash_pairs(spark, sf_dir):
     return simhash_pairs(view.tables["documents"], max_hamming=6)
 
 
-QUERIES["dedup_simhash_pairs"] = dedup_simhash_pairs  # rows-only: pairs verified in pytest
+QUERIES["dedup_simhash_pairs"] = dedup_simhash_pairs
+# Pigeonhole-blocked Hamming pairs are deterministic → full SQL oracle:
+# signatures CTE (same as dedup_simhash_signatures), quarter-blocks
+# equi-join, then exact Hamming distance over the 64 bit positions.
+ORACLES["dedup_simhash_pairs"] = f"""
+WITH tok AS (SELECT doc_id, md5(unnest({_TOKS_DUCK})) AS hx FROM documents),
+bits AS (
+  SELECT doc_id, b,
+         ((strpos('0123456789abcdef', substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1)
+          >> CAST(b % 4 AS INT)) & 1 AS bit
+  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS b) s),
+sums AS (SELECT doc_id, b, sum(2 * bit - 1) AS s FROM bits GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+  FROM sums GROUP BY doc_id),
+blocks AS (
+  SELECT doc_id, simhash, q, substr(simhash, CAST(q * 16 + 1 AS INT), 16) AS block
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS q) s),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sig_a, b.simhash AS sig_b
+  FROM blocks a JOIN blocks b
+    ON a.q = b.q AND a.block = b.block AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b,
+         CAST(len(list_filter(range(1, 65),
+              i -> substr(sig_a, CAST(i AS INT), 1) != substr(sig_b, CAST(i AS INT), 1))) AS INT) AS hamming
+  FROM cands) t
+WHERE hamming <= 6
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -715,7 +745,44 @@ def embedding_ivf_topk(spark, sf_dir):
     return ivf_topk(view.tables["embeddings"], k=10, n_cells=16, nprobe=4, n_queries=10)
 
 
-QUERIES["embedding_ivf_topk"] = embedding_ivf_topk  # rows-only: recall vs brute force in pytest
+QUERIES["embedding_ivf_topk"] = embedding_ivf_topk
+# The IVF path is deterministic end-to-end (centroids = first n_cells
+# vectors, every ranking tie-broken), so the WHOLE approximate index is
+# SQL-expressible: the oracle mirrors assign → probe → scan stage by
+# stage with identical rounding and tie-breaks.
+ORACLES["embedding_ivf_topk"] = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cell, v AS cv, norm AS cn FROM v WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, v, norm, cell FROM (
+    SELECT a.vec_id, a.v, a.norm, c.cell,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY floor((list_dot_product(a.v, c.cv)/(a.norm*c.cn)) * 1000000.0 + 0.5)/1000000.0 DESC,
+                      c.cell) AS r
+    FROM v a CROSS JOIN cents c) t WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM assigned WHERE vec_id < 10),
+probe AS (
+  SELECT query_id, qv, qn, cell FROM (
+    SELECT q.query_id, q.qv, q.qn, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY floor((list_dot_product(q.qv, c.cv)/(q.qn*c.cn)) * 1000000.0 + 0.5)/1000000.0 DESC,
+                      c.cell) AS r
+    FROM q CROSS JOIN cents c) t WHERE r <= 4
+),
+scored AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+         floor((list_dot_product(p.qv, n.v)/(p.qn*n.norm)) * 1000000.0 + 0.5)/1000000.0 AS cosine
+  FROM probe p JOIN assigned n ON n.cell = p.cell AND n.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -790,7 +857,38 @@ def graph_pagerank(spark, sf_dir):
     return pagerank(cust.unionByName(nat), iterations=10)
 
 
-QUERIES["graph_pagerank"] = graph_pagerank  # rows-only: fixed-point values checked in pytest
+QUERIES["graph_pagerank"] = graph_pagerank
+# Fixed-iteration PageRank is deterministic (10 synchronous iterations,
+# dangling mass redistributed uniformly, ranks rounded to 8 decimals) —
+# the oracle replays the same recursion as a recursive CTE.
+ORACLES["graph_pagerank"] = """
+WITH RECURSIVE
+edges AS (
+  SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst FROM customer
+  UNION ALL
+  SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges) u),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+out_deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY 1),
+pr AS (
+  SELECT node, (SELECT 1.0/n FROM nn) AS rank, 0 AS i FROM nodes
+  UNION ALL
+  SELECT n.node,
+         CAST((1.0-0.85)/(SELECT n FROM nn)
+              + 0.85 * (SELECT coalesce(sum(CASE WHEN od.deg IS NULL THEN p.rank END), 0.0)
+                        FROM pr p LEFT JOIN out_deg od ON od.node = p.node) / (SELECT n FROM nn)
+              + 0.85 * coalesce(c.contrib, 0.0) AS DOUBLE) AS rank,
+         (SELECT min(i) FROM pr) + 1 AS i
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst AS node, sum(p.rank / od.deg) AS contrib
+             FROM pr p JOIN edges e ON e.src = p.node
+             JOIN out_deg od ON od.node = p.node
+             GROUP BY e.dst) c ON c.node = n.node
+  WHERE (SELECT min(i) FROM pr) < 10
+)
+SELECT node, floor(rank * 100000000.0 + 0.5) / 100000000.0 AS pagerank
+FROM pr WHERE i = 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -829,8 +927,16 @@ def multimodal_frame_plan(spark, sf_dir):
     return frame_sample_plan(make_fake_media(spark, n=64), every_ms=500)
 
 
-QUERIES["multimodal_features"] = multimodal_features
+QUERIES["multimodal_features"] = multimodal_features  # rows-only: seeded-RNG payloads, no SQL twin
 QUERIES["multimodal_frame_plan"] = multimodal_frame_plan
+# The frame-sampling plan over the deterministic fake media table is pure
+# arithmetic (duration_ms = 3000 + 500*(id%5), frames every 500 ms
+# inclusive of the endpoint) — regenerate the same table in SQL.
+ORACLES["multimodal_frame_plan"] = """
+SELECT media_id,
+       CAST(unnest(range(0, 3000 + 500 * (media_id % 5) + 1, 500)) AS BIGINT) AS frame_ts_ms
+FROM (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS media_id) m
+"""
 
 
 # ---------------------------------------------------------------------------
