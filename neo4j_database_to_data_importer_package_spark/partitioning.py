@@ -12,6 +12,7 @@ shuffle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def fan_out(
@@ -31,3 +32,37 @@ def fan_out(
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: explode the hot keys across ``salts``
+    buckets on the skewed side, replicate the other side once per salt.
+
+    AQE's skew-join split handles most skew at runtime; this is the
+    explicit fallback for the pathological case AQE can't fix — a single
+    key too large for any one task even after splitting — and for
+    engines/pipelines where AQE is disabled. The replicated side is
+    built with ``explode`` (size × salts), so use it dim-side only.
+
+    Join-key column semantics match ``skewed.join(dim, on, how)`` for
+    inner/left joins: the salt columns are internal and dropped.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    # Any salt assignment yields the same join result (the dim side is
+    # replicated for every salt); pmod of the row id just spreads a hot
+    # key's rows evenly across the shuffle's salted buckets.
+    s = skewed.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salts)).cast("int")
+    )
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    out = s.join(d, [on, "__salt"], how)
+    return out.drop("__salt")

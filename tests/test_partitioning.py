@@ -1,0 +1,60 @@
+"""fan_out / salted_join semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_database_to_data_importer_package_spark.partitioning import (
+    fan_out,
+    salted_join,
+)
+
+
+def test_fan_out_widens_narrow_plan(spark):
+    df = spark.range(1000).coalesce(1)
+    assert fan_out(df).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_fan_out_noop_on_wide_plan(spark):
+    wide = spark.range(1000).repartition(64)
+    assert fan_out(wide) is wide
+
+
+def test_fan_out_size_threshold_skips_tiny_input(spark, sf_dir):
+    from neo4j_database_to_data_importer_package_spark.sources.star_schema import (
+        read_parquet_table,
+    )
+
+    nation = read_parquet_table(spark, f"{sf_dir}/nation.parquet")
+    assert fan_out(nation, min_bytes=4 << 20) is nation
+
+
+def test_salted_join_matches_plain_join(spark):
+    # One pathologically hot key + a long tail.
+    skewed = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    plain = skewed.join(dim, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s"), F.first("v").alias("v")
+    )
+    salted = salted_join(skewed, dim, "k", salts=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s"), F.first("v").alias("v")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    skewed = spark.range(100).select((F.col("id") % 60).alias("k"))
+    dim = spark.range(50).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    plain = skewed.join(dim, "k", "left")
+    salted = salted_join(skewed, dim, "k", salts=4, how="left")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_right_join(spark):
+    df = spark.range(2).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", how="right")
