@@ -1015,3 +1015,45 @@ def streaming_running_totals(spark, sf_dir):
             F.date_format("max_ts", _TS_FMT_SPARK).alias("max_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of (point-in-time) join over events — custom operator Spark lacks;
+# DuckDB's native ASOF JOIN is the oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_latest_high_value",
+    f"""WITH marks AS (
+          SELECT user_id, ts, floor(max(value) * 10000.0 + 0.5) / 10000.0 AS mark_value
+          FROM events WHERE value > 400 GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id,
+               strftime(e.ts, '{_TS_FMT_DUCK}') AS ts,
+               strftime(m.ts, '{_TS_FMT_DUCK}') AS asof_ts,
+               m.mark_value AS asof_mark_value
+        FROM events e ASOF LEFT JOIN marks m
+          ON e.user_id = m.user_id AND e.ts >= m.ts""",
+)
+def asof_latest_high_value(spark, sf_dir):
+    """For every event: the most recent (inclusive) high-value event of
+    the same user — single-shuffle union-sort as-of join."""
+    from .functions.numeric import round_half_up
+    from .operators.asof import as_of_join
+
+    view = _view(spark, sf_dir)
+    ev = view.tables["events"]
+    marks = (
+        ev.filter(F.col("value") > 400)
+        .groupBy("user_id", "ts")
+        .agg(round_half_up(F.max("value"), 4).alias("mark_value"))
+    )
+    out = as_of_join(
+        ev.select("event_id", "user_id", "ts"), marks, on="user_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        F.date_format("asof_ts", _TS_FMT_SPARK).alias("asof_ts"),
+        F.col("asof_mark_value"),
+    )

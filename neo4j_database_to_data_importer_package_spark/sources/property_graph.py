@@ -87,3 +87,47 @@ def write_partitioned_graph(nodes: DataFrame, edges: DataFrame, path: str) -> No
     """Persist a canonical graph partitioned for label/type pruning."""
     nodes.write.mode("overwrite").partitionBy("label").parquet(f"{path}/nodes")
     edges.write.mode("overwrite").partitionBy("rel_type").parquet(f"{path}/edges")
+
+
+def read_partitioned_graph(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read back a ``write_partitioned_graph`` layout. Per-label /
+    per-type filters partition-prune (the scan lists only the matching
+    ``label=``/``rel_type=`` directories)."""
+    nodes = spark.read.parquet(f"{path}/nodes").select(*NODE_SCHEMA_COLS)
+    edges = spark.read.parquet(f"{path}/edges").select(*EDGE_SCHEMA_COLS)
+    return nodes, edges
+
+
+def read_apoc_jsonl_graph(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Compatibility source: an ``apoc.export.json``-style JSON-lines
+    dump (the public export format reference users already have), i.e.
+    rows of
+
+        {"type":"node","id":"0","labels":["Customer"],"properties":{...}}
+        {"type":"relationship","label":"PLACED","start":{"id":"0",
+         "labels":["Customer"]},"end":{"id":"7","labels":["Order"]},
+         "properties":{...}}
+
+    into the canonical (nodes, edges) pair. Properties become
+    ``map<string,string>`` via to_json/from_json — JVM-side, no UDF, and
+    faithful to the reference's stringly-typed property bags. Multi-label
+    nodes keep the full array; ``label`` is the first label (quirk 5,
+    SURVEY.md §2.12).
+    """
+    raw = spark.read.json(path)
+    to_map = lambda c: F.from_json(F.to_json(c), "map<string,string>")
+    nodes = raw.filter(F.col("type") == "node").select(
+        F.col("id").cast("string").alias("node_id"),
+        F.col("labels")[0].alias("label"),
+        F.col("labels").alias("labels"),
+        to_map(F.col("properties")).alias("props"),
+    )
+    edges = raw.filter(F.col("type") == "relationship").select(
+        F.col("start.id").cast("string").alias("src"),
+        F.col("end.id").cast("string").alias("dst"),
+        F.col("start.labels")[0].alias("src_label"),
+        F.col("label").alias("rel_type"),
+        F.col("end.labels")[0].alias("tgt_label"),
+        to_map(F.col("properties")).alias("props"),
+    )
+    return nodes, edges
