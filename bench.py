@@ -67,9 +67,12 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = registry.QUERIES[name]
         fn(spark, warmup_dir).count()
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: damps GC / scheduler / JIT-tiering noise
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -71,7 +71,10 @@ def _fmt_ts(df: DataFrame, *cols: str) -> DataFrame:
 )
 def node_export_customer(spark, sf_dir):
     view = _view(spark, sf_dir)
-    df, _ = export_node_table(view.nodes["Customer"], "Customer")
+    df, _ = export_node_table(
+        view.nodes["Customer"], "Customer",
+        identifier=view.detected_identifiers()["Customer"],
+    )
     return df
 
 
@@ -84,7 +87,10 @@ def node_export_customer(spark, sf_dir):
 )
 def node_export_orders(spark, sf_dir):
     view = _view(spark, sf_dir)
-    df, _ = export_node_table(view.nodes["Order"], "Order")
+    df, _ = export_node_table(
+        view.nodes["Order"], "Order",
+        identifier=view.detected_identifiers()["Order"],
+    )
     return _fmt_ts(df, "o_orderdate")
 
 
@@ -95,7 +101,10 @@ def node_export_orders(spark, sf_dir):
 )
 def node_export_part(spark, sf_dir):
     view = _view(spark, sf_dir)
-    df, _ = export_node_table(view.nodes["Part"], "Part")
+    df, _ = export_node_table(
+        view.nodes["Part"], "Part",
+        identifier=view.detected_identifiers()["Part"],
+    )
     return df
 
 
@@ -177,7 +186,7 @@ def _cascade_oracle_sql() -> str:
 @register("identifier_detection", _cascade_oracle_sql())
 def identifier_detection(spark, sf_dir):
     view = _view(spark, sf_dir)
-    idents = detect_identifiers(view.nodes, view.catalog.unique_constraints)
+    idents = view.detected_identifiers()
     return spark.createDataFrame(
         sorted(idents.items()), "label string, identifier string"
     )

@@ -100,10 +100,27 @@ class GraphView:
     nodes: dict[str, DataFrame]
     tables: dict[str, DataFrame]
     catalog: GraphCatalog
+    _detected_identifiers: dict[str, str] | None = None
 
     def declared_identifiers(self) -> dict[str, str]:
         """{label: declared id column} for labels that declare one."""
         return {n.label: n.id_col for n in self.spec.nodes if n.id_col}
+
+    def detected_identifiers(self, approx_screen: bool = False) -> dict[str, str]:
+        """{label: identifier} via the C1 cascade, memoized per view.
+
+        The cascade's tier-4 uniqueness aggregation is a catalog-level
+        analysis — the reference runs it once per export (``export_nodes``
+        populates ``self.label_identifiers``, ``neo4j_export.py:301``),
+        not once per downstream consumer; the memo mirrors that IR.
+        """
+        if self._detected_identifiers is None:
+            from ..operators.identifier import detect_identifiers
+
+            self._detected_identifiers = detect_identifiers(
+                self.nodes, self.catalog.unique_constraints, approx_screen
+            )
+        return self._detected_identifiers
 
     def edge_df(self, spec: EdgeSpec) -> DataFrame:
         """Edge rows of one pattern, pruned to keys + declared props."""
