@@ -32,17 +32,29 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q5_revenue_by_segment_nation",
     "q3_top_orders_by_revenue",
+    "q6_forecast_revenue",
     "supplier_part_volume",
     "window_tumbling_events",
+    "window_sliding_events",
     "window_session_events",
+    "asof_latest_high_value",
+    "events_json_props",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
     "dedup_simhash_signatures",
     "text_token_stats",
     "text_quality_score",
+    "text_language_id",
+    "text_fingerprints",
     "embedding_topk",
+    "embedding_ivf_topk",
     "graph_degrees",
 ]
+# Deliberately outside the headline set (still correctness-gated):
+# graph_pagerank / graph_connected_components (iterative, dominate
+# wall-clock), embedding_cosine_pairs (O(n²) exactness baseline),
+# streaming_* (measure stream replay IO, not engine throughput).
 
 
 def main() -> None:

@@ -1066,3 +1066,38 @@ def asof_latest_high_value(spark, sf_dir):
         F.date_format("asof_ts", _TS_FMT_SPARK).alias("asof_ts"),
         F.col("asof_mark_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Selective-scan analytics (TPC-H q6 shape): every predicate must reach
+# the parquet reader — the plan-quality test asserts PushedFilters.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_forecast_revenue",
+    """SELECT floor(sum(l_extendedprice * l_discount) * 10000.0 + 0.5) / 10000.0 AS revenue,
+              count(*) AS n_lines
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.03 AND 0.07
+         AND l_quantity < 24""",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    li = view.tables["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            round_half_up(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

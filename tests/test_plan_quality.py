@@ -63,6 +63,25 @@ def test_q5_join_columns_pruned(spark):
     )
 
 
+def test_q6_all_predicates_pushed(spark):
+    """Range + comparison predicates on a selective scan must all reach
+    the parquet reader (TPC-H q6 shape)."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(spark, "q6_forecast_revenue")
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    pushed = " ".join(_pushed(plan))
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.03)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, f"missing pushed filter {frag!r} in {pushed}"
+
+
 def test_dim_joins_broadcast_not_sort_merge(spark):
     """At sf0.01 every dimension side is broadcastable; a SortMergeJoin
     here means a plan regression (lost size estimate or lost AQE)."""
