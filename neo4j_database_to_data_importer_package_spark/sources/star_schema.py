@@ -156,8 +156,18 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     for fld in footer:
         if pa.types.is_timestamp(fld.type) and dtypes.get(fld.name) == "bigint":
             if fld.type.unit == "ns":
+                # NTZ, not LTZ: timestamp_micros() alone yields an instant
+                # whose wall-time rendering follows the SESSION timezone —
+                # a non-UTC driver session would shift every window edge
+                # and formatted string vs the (naive) DuckDB oracle.
+                # convert_timezone pins the wall time to UTC as
+                # TIMESTAMP_NTZ, matching natively-read parquet timestamps
+                # (isAdjustedToUTC=false → NTZ).
                 df = df.withColumn(
-                    fld.name, F.expr(f"timestamp_micros(`{fld.name}` div 1000)")
+                    fld.name,
+                    F.expr(
+                        f"convert_timezone('UTC', timestamp_micros(`{fld.name}` div 1000))"
+                    ),
                 )
     return df
 

@@ -35,6 +35,29 @@ def read_events_stream(
     )
 
 
+def _as_event_time(events: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require LTZ TIMESTAMP (instants). Pin NTZ wall times to
+    the instants whose UTC rendering equals them, via pure wall-clock
+    arithmetic from the NTZ epoch — NOT a cast or to_utc_timestamp, both
+    of which interpret NTZ in the session timezone and would shift every
+    window edge when the driver session is not UTC."""
+    if dict(events.dtypes).get(ts_col) != "timestamp_ntz":
+        return events
+    return events.withColumn(
+        ts_col,
+        F.expr(
+            f"timestamp_micros(timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`))"
+        ),
+    )
+
+
+def _fmt_utc(col, fmt: str = "yyyy-MM-dd HH:mm:ss"):
+    """Render an instant as its UTC wall time, independent of the session
+    timezone (plain date_format follows spark.sql.session.timeZone)."""
+    return F.date_format(F.convert_timezone(None, F.lit("UTC"), col), fmt)
+
+
 def streaming_tumbling_counts(
     events: DataFrame,
     ts_col: str = "ts",
@@ -45,14 +68,15 @@ def streaming_tumbling_counts(
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation (append-mode compatible)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _as_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), duration).alias("window"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             round_half_up(F.sum(value_col), 4).alias("sum_value"),
         )
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            _fmt_utc(F.col("window.start")).alias("window_start"),
             *keys,
             "n_events",
             "sum_value",
@@ -69,11 +93,12 @@ def streaming_session_windows(
 ) -> DataFrame:
     """Watermarked session windows (gap-merged, append mode)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _as_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("window"), *keys)
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            _fmt_utc(F.col("window.start")).alias("session_start"),
             *keys,
             "n_events",
         )
@@ -89,8 +114,10 @@ def streaming_dedup(
     """Exactly-once-per-key streaming dedup with bounded state:
     ``dropDuplicatesWithinWatermark`` keeps keys only while they can
     still collide under the watermark (vs unbounded dropDuplicates)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        list(id_cols)
+    return (
+        _as_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(id_cols))
     )
 
 

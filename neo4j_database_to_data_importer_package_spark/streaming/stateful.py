@@ -38,15 +38,18 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
+    TimestampNTZType,
 )
 
+# NTZ timestamps end-to-end: wall times stay session-timezone-independent
+# (the event source is NTZ; an LTZ column here would re-interpret the
+# naive pandas datetimes in whatever tz the driver session runs).
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
         StructField("sum_value", DoubleType()),
-        StructField("min_ts", TimestampType()),
-        StructField("max_ts", TimestampType()),
+        StructField("min_ts", TimestampNTZType()),
+        StructField("max_ts", TimestampNTZType()),
     ]
 )
 
@@ -55,8 +58,8 @@ OUTPUT_SCHEMA = StructType(
         StructField("key", StringType()),
         StructField("n_events", LongType()),
         StructField("sum_value", DoubleType()),
-        StructField("min_ts", TimestampType()),
-        StructField("max_ts", TimestampType()),
+        StructField("min_ts", TimestampNTZType()),
+        StructField("max_ts", TimestampNTZType()),
     ]
 )
 
