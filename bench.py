@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "text_quality_score",
     "text_language_id",
     "text_fingerprints",
+    "corpus_clean_pipeline",
     "embedding_topk",
     "embedding_ivf_topk",
     "graph_degrees",

@@ -1101,3 +1101,75 @@ def q6_forecast_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus-cleaning pipeline: quality gate + language filter +
+# exact-dedup survivorship in ONE lazy plan (the realistic LLM-data
+# ingest shape — operators compose without materialization barriers).
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_clean_pipeline",
+    f"""WITH base AS (
+          SELECT doc_id, text, {_TOKS_DUCK} AS t,
+                 length(text) AS n_chars,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+          FROM documents),
+        feat AS (
+          SELECT doc_id, n_chars,
+                 floor((len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) * 1.0 / len(t)) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+                 floor((alpha_chars * 1.0 / n_chars) * 1000000.0 + 0.5) / 1000000.0 AS alpha_ratio,
+                 (n_chars - (len(t) - 1)) * 1.0 / len(t) AS mean_wlen
+          FROM base),
+        qual AS (
+          SELECT doc_id, n_chars,
+                 floor(((CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0 THEN 0.25 ELSE 0.0 END)
+                   + least(stopword_ratio * 2.5, 0.25)
+                   + alpha_ratio * 0.25) * 1000000.0 + 0.5) / 1000000.0 AS quality
+          FROM feat),
+        lscore AS (
+          SELECT doc_id,
+                 {", ".join(f"len(list_intersect(list_distinct({_TOKS_DUCK}), {lst})) AS score_{lang}" for lang, lst in _LANG_LISTS_DUCK.items())}
+          FROM documents),
+        lang AS (
+          SELECT doc_id,
+                 CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+                      WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+                      WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+                      WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+                      WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+                      ELSE 'zh' END AS detected_lang
+          FROM lscore),
+        surv AS (
+          SELECT md5({_NORM_DUCK}) AS fp, min(doc_id) AS doc_id, count(*) AS n_dups
+          FROM documents GROUP BY 1)
+        SELECT q.doc_id, q.n_chars, q.quality, s.n_dups
+        FROM qual q
+        JOIN lang l ON l.doc_id = q.doc_id
+        JOIN surv s ON s.doc_id = q.doc_id
+        WHERE q.quality >= 0.5 AND l.detected_lang = 'en'""",
+)
+def corpus_clean_pipeline(spark, sf_dir):
+    """Keep docs that are (a) the canonical survivor of their exact-dup
+    group, (b) detected English, (c) quality >= 0.5 — one lazy DataFrame
+    plan; every stage is the already-verified operator, composed."""
+    from .operators.dedup import exact_dedup
+    from .operators.text_analysis import language_id, quality_score
+
+    view = _view(spark, sf_dir)
+    docs = view.tables["documents"]
+    q = quality_score(docs).select("doc_id", "quality")
+    l = language_id(docs).select("doc_id", "detected_lang")
+    survivors = exact_dedup(docs).select(
+        F.col("keep_id").alias("doc_id"), "n_dups"
+    )
+    return (
+        docs.select("doc_id", F.length("text").alias("n_chars"))
+        .join(q, "doc_id")
+        .join(l, "doc_id")
+        .join(survivors, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("detected_lang") == "en"))
+        .select("doc_id", "n_chars", "quality", "n_dups")
+    )
