@@ -31,8 +31,9 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality features + composite score in [0,1].
+def quality_columns(text_col: str = "text") -> dict[str, F.Column]:
+    """Expression-level quality features — composable into any projection
+    (single-scan pipelines fuse these with other per-doc expressions).
 
     Features: length band, mean word length band, stopword ratio,
     alphabetic ratio. Deliberately simple/deterministic — the point is
@@ -57,39 +58,52 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + (alpha_ratio * F.lit(0.25)),
         6,
     )
+    return {
+        "n_tokens": F.size(t),
+        "stopword_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio,
+        "quality": score,
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1]."""
+    cols = quality_columns(text_col)
     return df.select(
-        F.col(id_col),
-        F.size(t).alias("n_tokens"),
-        stop_ratio.alias("stopword_ratio"),
-        alpha_ratio.alias("alpha_ratio"),
-        score.alias("quality"),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-overlap language heuristic.
+def language_columns(text_col: str = "text") -> dict[str, F.Column]:
+    """Expression-level language-ID: {detected_lang, best_score} columns.
 
     Scores each language by distinct-stopword hits in the token set;
     winner = max score, ties broken alphabetically; zero hits → 'und'.
     Explode+join-free: one array_intersect per language, all codegen.
     """
     t = tokens(text_col)
-    cols = [F.col(id_col)]
-    score_cols = []
-    for lang in sorted(LANG_STOPWORDS):
-        arr = F.array([F.lit(w) for w in LANG_STOPWORDS[lang]])
-        score_cols.append(
-            F.size(F.array_intersect(F.array_distinct(t), arr)).alias(f"score_{lang}")
-        )
-    scored = df.select(*cols, *score_cols)
     langs = sorted(LANG_STOPWORDS)
-    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    scores = {}
+    for lang in langs:
+        arr = F.array([F.lit(w) for w in LANG_STOPWORDS[lang]])
+        scores[lang] = F.size(F.array_intersect(F.array_distinct(t), arr))
+    best = F.greatest(*scores.values())
     pick = F.lit("und")
     # Alphabetical tie-break: first lang reaching the max wins.
     for lang in reversed(langs):
-        pick = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pick)
+        pick = F.when(scores[lang] == best, F.lit(lang)).otherwise(pick)
     pick = F.when(best > 0, pick).otherwise(F.lit("und"))
-    return scored.select(F.col(id_col), pick.alias("detected_lang"), best.alias("best_score"))
+    return {"detected_lang": pick, "best_score": best}
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language heuristic (see ``language_columns``)."""
+    cols = language_columns(text_col)
+    return df.select(
+        F.col(id_col),
+        cols["detected_lang"].alias("detected_lang"),
+        cols["best_score"].alias("best_score"),
+    )
 
 
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

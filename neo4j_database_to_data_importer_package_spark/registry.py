@@ -1153,23 +1153,30 @@ def q6_forecast_revenue(spark, sf_dir):
 )
 def corpus_clean_pipeline(spark, sf_dir):
     """Keep docs that are (a) the canonical survivor of their exact-dup
-    group, (b) detected English, (c) quality >= 0.5 — one lazy DataFrame
-    plan; every stage is the already-verified operator, composed."""
-    from .operators.dedup import exact_dedup
-    from .operators.text_analysis import language_id, quality_score
+    group, (b) detected English, (c) quality >= 0.5.
+
+    Single-pass plan: quality, language, and fingerprint are EXPRESSIONS
+    fused into one projection over one documents scan (the operator
+    functions expose expression-level builders exactly for this);
+    survivorship is the only shuffle (fingerprint agg + co-partitioned
+    join). The naive operator-join formulation scans documents 4x."""
+    from .functions.text import fingerprint_md5
+    from .operators.text_analysis import language_columns, quality_columns
 
     view = _view(spark, sf_dir)
     docs = view.tables["documents"]
-    q = quality_score(docs).select("doc_id", "quality")
-    l = language_id(docs).select("doc_id", "detected_lang")
-    survivors = exact_dedup(docs).select(
-        F.col("keep_id").alias("doc_id"), "n_dups"
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        quality_columns("text")["quality"].alias("quality"),
+        language_columns("text")["detected_lang"].alias("detected_lang"),
+        fingerprint_md5("text").alias("fingerprint"),
+    )
+    survivors = base.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups")
     )
     return (
-        docs.select("doc_id", F.length("text").alias("n_chars"))
-        .join(q, "doc_id")
-        .join(l, "doc_id")
-        .join(survivors, "doc_id")
+        base.join(survivors, ["fingerprint", "doc_id"])
         .filter((F.col("quality") >= 0.5) & (F.col("detected_lang") == "en"))
         .select("doc_id", "n_chars", "quality", "n_dups")
     )
