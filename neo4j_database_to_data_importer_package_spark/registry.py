@@ -1180,3 +1180,63 @@ def corpus_clean_pipeline(spark, sf_dir):
         .filter((F.col("quality") >= 0.5) & (F.col("detected_lang") == "en"))
         .select("doc_id", "n_chars", "quality", "n_dups")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-level aggregation (ROLLUP) and exact quantiles — SQL-surface
+# breadth beyond the reference's distinct/count aggregations.
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_revenue_by_flag_status",
+    """SELECT l_returnflag, l_linestatus,
+              floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+              count(*) AS n
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def rollup_revenue_by_flag_status(spark, sf_dir):
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    li = view.tables["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        round_half_up(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "lineitem_price_quantiles",
+    """WITH qv AS (
+          SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.9, 0.99]) AS v
+          FROM lineitem)
+        SELECT CAST([0.25, 0.5, 0.9, 0.99][i] AS DOUBLE) AS q,
+               floor(v[i] * 10000.0 + 0.5) / 10000.0 AS price_q
+        FROM qv, (SELECT unnest(range(1, 5)) AS i) t""",
+)
+def lineitem_price_quantiles(spark, sf_dir):
+    """Exact linear-interpolated quantiles (percentile(), matching
+    DuckDB's quantile_cont) — the exactness baseline; at 100 TB swap in
+    approx_percentile with a declared error bound."""
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    li = view.tables["lineitem"]
+    qs = [0.25, 0.5, 0.9, 0.99]
+    row = li.agg(
+        F.expr(
+            f"percentile(l_extendedprice, array({', '.join(map(str, qs))}))"
+        ).alias("p")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qs]).alias("q"), F.col("p").alias("price_q")
+    )
+    return (
+        row.select(F.explode(pairs).alias("z"))
+        .select(
+            F.col("z.q").alias("q"),
+            round_half_up(F.col("z.price_q"), 4).alias("price_q"),
+        )
+    )
