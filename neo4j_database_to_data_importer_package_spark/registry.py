@@ -1240,3 +1240,45 @@ def lineitem_price_quantiles(spark, sf_dir):
             round_half_up(F.col("z.price_q"), 4).alias("price_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Anti/semi joins — the idiomatic form of the reference's "filtered rows"
+# accounting (SURVEY.md §2.3: exported = all − filtered).
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_without_lineitems",
+    """SELECT o.o_orderkey, o.o_orderstatus
+       FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""",
+)
+def orders_without_lineitems(spark, sf_dir):
+    """Left-anti join: orders with no lineitem rows. At scale the anti
+    join broadcasts the distinct key set when small, else shuffles on the
+    key like any equi-join — no driver-side set materialization."""
+    view = _view(spark, sf_dir)
+    o = view.tables["orders"]
+    li = view.tables["lineitem"].select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@register(
+    "customers_with_open_orders",
+    """SELECT c.c_custkey, c.c_mktsegment
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""",
+)
+def customers_with_open_orders(spark, sf_dir):
+    """Left-semi join with a pushed predicate on the probe side."""
+    view = _view(spark, sf_dir)
+    c = view.tables["customer"]
+    o = view.tables["orders"].filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )

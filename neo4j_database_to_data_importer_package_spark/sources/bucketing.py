@@ -29,6 +29,18 @@ def write_bucketed(
     """Persist as a bucketed managed table (bucket pruning + shuffle-free
     joins on ``key``). Overwrites an existing table of the same name."""
     keys = [key] if isinstance(key, str) else list(key)
+    spark = df.sparkSession
+    # A stale warehouse directory from a previous session blocks
+    # saveAsTable even in overwrite mode (the catalog no longer tracks
+    # the table, but its location survives) — drop both.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    import os
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table)
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
     w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
     if sort:
         w = w.sortBy(*keys)
