@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "window_session_events",
     "asof_latest_high_value",
     "events_json_props",
+    "events_gap_stats",
+    "rollup_revenue_by_flag_status",
+    "lineitem_price_quantiles",
+    "orders_without_lineitems",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",

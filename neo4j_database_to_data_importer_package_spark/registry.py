@@ -1282,3 +1282,47 @@ def customers_with_open_orders(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .select("c_custkey", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions (SURVEY.md §2.5: absent in the reference —
+# engine extension): per-user inter-event gaps via lag().
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_gap_stats",
+    """WITH g AS (
+         SELECT user_id,
+                date_diff('microsecond',
+                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                          ts) AS gap_us
+         FROM events)
+       SELECT user_id, count(gap_us) AS n_gaps,
+              CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+              CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+              floor(avg(gap_us) / 10000.0 + 0.5) / 100.0 AS avg_gap_s
+       FROM g GROUP BY user_id""",
+)
+def events_gap_stats(spark, sf_dir):
+    """Per-user inter-event gap statistics: lag() over (user, ts) — the
+    ranking/analytic window family on event data. One shuffle (partition
+    by user), sort within partition, then a partial-aggregated groupBy on
+    the same key — no second exchange (same-key clustering is reused)."""
+    from pyspark.sql import Window
+
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    ev = view.tables["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+    return (
+        ev.select("user_id", gap.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            round_half_up(F.avg("gap_us") / 1_000_000, 2).alias("avg_gap_s"),
+        )
+    )
