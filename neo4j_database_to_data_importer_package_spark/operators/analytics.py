@@ -89,3 +89,69 @@ def supplier_part_volume(view: GraphView) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def exact_quantiles(
+    df: DataFrame, value_col: str, qs: list[float], n_partitions: int = 64
+) -> list[tuple[float, float]]:
+    """Distributed EXACT linear-interpolated quantiles (quantile_cont
+    semantics, rank r = 1 + (n-1)·q).
+
+    Spark's built-in ``percentile()`` buffers every value in one final
+    aggregation buffer — exact but single-node. This is the scale path:
+    range-repartition on the value (one shuffle), sort within partitions,
+    derive each row's GLOBAL rank as (cumulative partition offset +
+    within-partition row_number), and fetch only the O(|qs|) rows whose
+    ranks bracket the targets. No task ever holds more than its
+    partition; works at any row count.
+
+    Returns [(q, value)] on the driver (quantiles are a scalar result).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    data = (
+        df.select(F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .repartitionByRange(n_partitions, F.col("v"))
+        .sortWithinPartitions("v")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = dict(
+            (r["pid"], r["cnt"])
+            for r in data.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        )
+        n = sum(counts.values())
+        if n == 0:
+            return [(q, float("nan")) for q in qs]
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        ranks = {q: 1 + (n - 1) * q for q in qs}
+        needed = sorted(
+            {int(math.floor(r)) for r in ranks.values()}
+            | {int(math.ceil(r)) for r in ranks.values()}
+        )
+        off_expr = F.lit(0)
+        for pid, off in offsets.items():
+            off_expr = F.when(F.col("pid") == pid, F.lit(off)).otherwise(off_expr)
+        w = Window.partitionBy("pid").orderBy("v")
+        picked = {
+            r["rank"]: r["v"]
+            for r in data.withColumn("rank", off_expr + F.row_number().over(w))
+            .filter(F.col("rank").isin(needed))
+            .collect()
+        }
+    finally:
+        data.unpersist()
+    out = []
+    for q in qs:
+        r = ranks[q]
+        lo, hi = picked[int(math.floor(r))], picked[int(math.ceil(r))]
+        frac = r - math.floor(r)
+        out.append((q, lo + (hi - lo) * frac))
+    return out

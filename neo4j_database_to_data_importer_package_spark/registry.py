@@ -1218,8 +1218,11 @@ def rollup_revenue_by_flag_status(spark, sf_dir):
 )
 def lineitem_price_quantiles(spark, sf_dir):
     """Exact linear-interpolated quantiles (percentile(), matching
-    DuckDB's quantile_cont) — the exactness baseline; at 100 TB swap in
-    approx_percentile with a declared error bound."""
+    DuckDB's quantile_cont). The builtin buffers all values in one agg
+    buffer — fine at bench SF; the distributed scale path with identical
+    results is operators.analytics.exact_quantiles (range partition +
+    global-rank lookup, tested equal), or approx_percentile when an
+    error bound is acceptable."""
     from .functions.numeric import round_half_up
 
     view = _view(spark, sf_dir)

@@ -126,3 +126,25 @@ def test_minhash_signatures_single_stage(spark):
         f"MinHash signatures should add no shuffle beyond the input "
         f"repartition, found {n_exchanges} exchanges:\n{plan[:2000]}"
     )
+
+
+def test_exact_quantiles_matches_builtin_percentile(spark):
+    """The distributed exact-quantile operator (range partition + global
+    rank) must equal the single-buffer builtin on the same data."""
+    from pyspark.sql import functions as F
+
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        exact_quantiles,
+    )
+    from neo4j_database_to_data_importer_package_spark.sources.star_schema import (
+        read_parquet_table,
+    )
+
+    li = read_parquet_table(spark, f"{SF}/lineitem.parquet")
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    builtin = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({', '.join(map(str, qs))}))").alias("p")
+    ).first()["p"]
+    mine = exact_quantiles(li, "l_extendedprice", qs, n_partitions=8)
+    for (q, v), b in zip(mine, builtin):
+        assert abs(v - b) < 1e-9, (q, v, b)
