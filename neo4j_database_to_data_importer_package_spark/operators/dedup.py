@@ -140,6 +140,11 @@ def _seeded_md5(seed: int):
 def _signatures_from_doc_shingles(
     ds: DataFrame, id_col: str, num_hashes: int, band_size: int
 ) -> DataFrame:
+    # A doc with no shingles has no MinHash (array_min(empty) is NULL and
+    # every empty doc would band-match every other); the exploded-index
+    # formulation naturally emitted no rows for them — keep that
+    # semantic, and keep the downstream Jaccard denominator non-zero.
+    ds = ds.filter(F.size("shingles") > 0)
     mins = ds.select(
         F.col(id_col),
         *[
