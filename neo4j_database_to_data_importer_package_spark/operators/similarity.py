@@ -154,3 +154,90 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _hyperplanes(n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: each component derived
+    from md5(bit|dim) mapped to [-1, 1]. No runtime randomness — the
+    same planes can be regenerated in any engine (SQL oracle parity)."""
+    import hashlib
+
+    planes = []
+    for b in range(n_bits):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{b}|{d}".encode()).hexdigest()[:8], 16)
+            row.append(round(h / float(0xFFFFFFFF) * 2.0 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_bits: int = 16,
+    block_size: int = 4,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, LSH-bucketed (the scale
+    path next to the exact O(n²) ``cosine_pairs``).
+
+    Random-hyperplane signatures: bit b = (v · h_b >= 0). Vectors within
+    a small angle share most bits, so candidates = equi-join on any of
+    the ``n_bits/block_size`` signature blocks (pigeonhole, same blocking
+    as SimHash); only candidates pay the exact-cosine verification.
+
+    Recall regime: P(bit agree) = 1 − θ/π, so the defaults (4 blocks of
+    4 bits) give ~0.95 recall for near-duplicates (cos ≥ 0.9) but only
+    ~0.45 at cos ≈ 0.35 — for low-threshold *similarity* mining raise
+    the block count (more bits), or use ``ivf_topk``; this operator's
+    job is dedup.
+    Everything is codegen: the b dot products are fixed-literal
+    ``zip_with``/``aggregate`` expressions, the block join is a plain
+    shuffle join on (block_idx, block_bits).
+    """
+    planes = _hyperplanes(n_bits, dim)
+    n = with_norm(df, vec_col, id_col)
+    bits = [
+        F.when(_dot(F.col("v"), F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    sig = n.select(
+        F.col(id_col), F.col("v"), F.col("norm"), F.concat(*bits).alias("sig")
+    )
+    n_blocks = n_bits // block_size
+    blocks = sig.select(
+        F.col(id_col), F.col("v"), F.col("norm"), F.col("sig"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(q).alias("q"),
+                    F.substring("sig", q * block_size + 1, block_size).alias("block"),
+                )
+                for q in range(n_blocks)
+            ])
+        ).alias("bq"),
+    ).select(id_col, "v", "norm", F.col("bq.q").alias("q"), F.col("bq.block").alias("block"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.v").alias("va"), F.col("a.norm").alias("na"),
+            F.col("b.v").alias("vb"), F.col("b.norm").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cands.select("id_a", "id_b", round_half_up(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

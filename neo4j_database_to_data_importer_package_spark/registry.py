@@ -1329,3 +1329,47 @@ def events_gap_stats(spark, sf_dir):
             round_half_up(F.avg("gap_us") / 1_000_000, 2).alias("avg_gap_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup, LSH-bucketed (scale path next to the exact
+# embedding_cosine_pairs): random-hyperplane signatures with
+# DETERMINISTIC planes, so the whole approximate pipeline has a SQL twin.
+# ---------------------------------------------------------------------------
+
+def _embedding_lsh_oracle() -> str:
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(16, 64)
+    bit_exprs = ", ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings),
+sig AS (SELECT vec_id, concat({bit_exprs}) AS sig FROM v),
+blocks AS (
+  SELECT vec_id, q, substr(sig, CAST(q * 4 + 1 AS INT), 4) AS block
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS q) s),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM blocks a JOIN blocks b
+    ON a.q = b.q AND a.block = b.block AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+       floor((list_dot_product(x.v, y.v) / (x.norm * y.norm)) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM cands c JOIN v x ON x.vec_id = c.id_a JOIN v y ON y.vec_id = c.id_b
+WHERE floor((list_dot_product(x.v, y.v) / (x.norm * y.norm)) * 1000000.0 + 0.5) / 1000000.0 >= 0.35
+"""
+
+
+@register("embedding_lsh_pairs", _embedding_lsh_oracle())
+def embedding_lsh_pairs(spark, sf_dir):
+    from .operators.similarity import embedding_lsh_pairs as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["embeddings"])

@@ -63,3 +63,29 @@ def test_ivf_recall_vs_brute_force(spark, vecs):
     aset = {(r["query_id"], r["neighbor_id"]) for r in ann}
     recall = len(bset & aset) / len(bset)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_embedding_lsh_finds_near_duplicates(spark):
+    """Hyperplane-LSH dedup: true near-duplicates (tiny perturbations)
+    must be recovered; the pair set is a subset of the exact pairs."""
+    import random
+
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        cosine_pairs,
+        embedding_lsh_pairs,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # id 100+i is a near-duplicate of id i
+        rows.append((100 + i, [float(x + rng.gauss(0, 0.01)) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in embedding_lsh_pairs(df, threshold=0.9).collect()}
+    expected = {(i, 100 + i) for i in range(20)}
+    missing = expected - got
+    assert len(missing) <= 1, f"near-duplicates missed by LSH: {missing}"
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs(df, threshold=0.9).collect()}
+    assert got <= exact, "LSH produced a pair the exact computation rejects"
