@@ -1373,3 +1373,43 @@ def embedding_lsh_pairs(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return op(view.tables["embeddings"])
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis over events: users who did view -> purchase in order
+# (sequence matching via min-timestamp comparison per stage).
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_funnel_view_purchase",
+    f"""WITH s AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+          FROM events GROUP BY user_id)
+        SELECT user_id,
+               strftime(first_view, '{_TS_FMT_DUCK}') AS first_view,
+               strftime(first_purchase, '{_TS_FMT_DUCK}') AS first_purchase,
+               (first_purchase > first_view) AS converted
+        FROM s WHERE first_view IS NOT NULL""",
+)
+def events_funnel_view_purchase(spark, sf_dir):
+    """Two-stage funnel: for each user with a 'view', did a 'purchase'
+    follow it? One groupBy with conditional min aggregates — no self-join
+    (the naive events-join-events funnel shuffles the table twice and
+    explodes on active users)."""
+    view = _view(spark, sf_dir)
+    ev = view.tables["events"]
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return (
+        s.filter(F.col("first_view").isNotNull())
+        .select(
+            "user_id",
+            F.date_format("first_view", _TS_FMT_SPARK).alias("first_view"),
+            F.date_format("first_purchase", _TS_FMT_SPARK).alias("first_purchase"),
+            (F.col("first_purchase") > F.col("first_view")).alias("converted"),
+        )
+    )

@@ -98,6 +98,41 @@ def read_partitioned_graph(spark, path: str) -> tuple[DataFrame, DataFrame]:
     return nodes, edges
 
 
+def write_apoc_jsonl_graph(
+    nodes: DataFrame, edges: DataFrame, path: str
+) -> None:
+    """Write the canonical (nodes, edges) pair as an apoc.export.json-
+    style JSON-lines dump — the inverse of ``read_apoc_jsonl_graph``
+    (round-trip tested). One distributed text write per side; property
+    maps serialize via to_json, all JVM-side."""
+    n = nodes.select(
+        F.to_json(
+            F.struct(
+                F.lit("node").alias("type"),
+                F.col("node_id").alias("id"),
+                F.col("labels"),
+                F.col("props").alias("properties"),
+            )
+        ).alias("value")
+    )
+    e = edges.select(
+        F.to_json(
+            F.struct(
+                F.lit("relationship").alias("type"),
+                F.col("rel_type").alias("label"),
+                F.struct(
+                    F.col("src").alias("id"), F.array(F.col("src_label")).alias("labels")
+                ).alias("start"),
+                F.struct(
+                    F.col("dst").alias("id"), F.array(F.col("tgt_label")).alias("labels")
+                ).alias("end"),
+                F.col("props").alias("properties"),
+            )
+        ).alias("value")
+    )
+    n.unionByName(e).write.mode("overwrite").text(path)
+
+
 def read_apoc_jsonl_graph(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Compatibility source: an ``apoc.export.json``-style JSON-lines
     dump (the public export format reference users already have), i.e.

@@ -57,3 +57,25 @@ def test_apoc_jsonl_reader(spark, tmp_path):
     assert (e["src"], e["dst"], e["rel_type"]) == ("0", "1", "PLACED")
     assert (e["src_label"], e["tgt_label"]) == ("Customer", "Order")
     assert e["props"]["at"] == "2024-01-01"
+
+
+def test_apoc_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    from neo4j_database_to_data_importer_package_spark.sources.property_graph import (
+        write_apoc_jsonl_graph,
+    )
+
+    view = load_graph_view(spark, sf_dir)
+    nodes, edges = nodes_from_view(view), edges_from_view(view)
+    path = str(tmp_path / "dump")
+    write_apoc_jsonl_graph(nodes, edges, path)
+    rn, re_ = read_apoc_jsonl_graph(spark, path)
+    assert rn.count() == nodes.count()
+    assert re_.count() == edges.count()
+    # spot-check lossless property bags for one label
+    a = {r["node_id"]: r["props"] for r in nodes.filter(F.col("label") == "Nation").collect()}
+    b = {r["node_id"]: r["props"] for r in rn.filter(F.col("label") == "Nation").collect()}
+    assert a == b
+    # edge endpoints and types survive
+    ea = sorted((r["src"], r["rel_type"], r["dst"]) for r in edges.collect())
+    eb = sorted((r["src"], r["rel_type"], r["dst"]) for r in re_.collect())
+    assert ea == eb
