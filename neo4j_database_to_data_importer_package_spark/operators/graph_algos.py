@@ -44,40 +44,51 @@ def connected_components(
     localCheckpoint to keep plans bounded. Returns (node, component)
     where component = min node id in the component.
     """
+    from pyspark import StorageLevel
+
+    # The edge list is re-joined every superstep — persist it once; each
+    # superstep's result is materialized (localCheckpoint) so the
+    # convergence probe and the next iteration read it instead of
+    # re-deriving the whole lineage (without this, iteration i recomputes
+    # iterations 0..i-1 twice: once for the probe, once for the join).
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     comp = (
         und.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
     )
-    for i in range(max_iter):
-        # candidate = min over incoming neighbor components
-        nbr = (
-            und.join(comp, und["a"] == comp["node"])
-            .select(F.col("b").alias("node"), F.col("component"))
-        )
-        new_comp = (
-            comp.select("node", "component")
-            .union(nbr)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        comp = new_comp
-        if i % checkpoint_every == checkpoint_every - 1:
-            comp = comp.localCheckpoint(eager=True)
-        if changed == 0:
-            break
+    try:
+        for i in range(max_iter):
+            # candidate = min over incoming neighbor components
+            nbr = (
+                und.join(comp, und["a"] == comp["node"])
+                .select(F.col("b").alias("node"), F.col("component"))
+            )
+            new_comp = (
+                comp.select("node", "component")
+                .union(nbr)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_comp.alias("n")
+                .join(comp.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            comp = new_comp
+            if changed == 0:
+                break
+    finally:
+        und.unpersist()
     return comp
 
 
@@ -95,37 +106,55 @@ def pagerank(
     iteration count up to FP summation order — the oracle uses a
     matching fixed-iteration recursion and values are rounded.
     """
+    from pyspark import StorageLevel
+
+    # Every static input the loop re-joins is persisted once; each
+    # superstep's ranks are materialized (localCheckpoint) so the
+    # per-iteration dangling-mass action reads the previous iteration's
+    # result instead of recomputing the whole chain back to the last
+    # checkpoint (which made iteration cost grow with checkpoint_every).
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .cache()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_nodes = nodes.count()
-    out_deg = edges.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("deg"))
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("dst_node"))
-    for i in range(iterations):
-        with_deg = ranks.join(out_deg, "node", "left")
-        contribs = (
-            e.join(with_deg, "node")
-            .select(F.col("dst_node").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        dangling = (
-            with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-            .first()["d"]
-        )
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+    out_deg = (
+        edges.groupBy(F.col(src).alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("dst_node")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    try:
+        for _ in range(iterations):
+            with_deg = ranks.join(out_deg, "node", "left")
+            contribs = (
+                e.join(with_deg, "node")
+                .select(F.col("dst_node").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("contrib"))
             )
-        )
-        if i % checkpoint_every == checkpoint_every - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            dangling = (
+                with_deg.filter(F.col("deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+                .first()["d"]
+            )
+            base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        for df in (nodes, out_deg, e):
+            df.unpersist()
     return ranks.select("node", round_half_up("rank", 8).alias("pagerank"))
