@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "asof_latest_high_value",
     "events_json_props",
     "events_gap_stats",
+    "events_funnel_view_purchase",
     "rollup_revenue_by_flag_status",
     "lineitem_price_quantiles",
     "orders_without_lineitems",
@@ -54,7 +55,9 @@ BENCH_QUERIES = [
     "corpus_clean_pipeline",
     "embedding_topk",
     "embedding_ivf_topk",
+    "embedding_lsh_pairs",
     "graph_degrees",
+    "graph_connected_components",
 ]
 # Deliberately outside the headline set (still correctness-gated):
 # graph_pagerank / graph_connected_components (iterative, dominate
