@@ -1413,3 +1413,31 @@ def events_funnel_view_purchase(spark, sf_dir):
             (F.col("first_purchase") > F.col("first_view")).alias("converted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chain-pattern (mini-Cypher) matching: the graph-query surface a Neo4j
+# user expects next to the export — (Customer)-[PLACED]->(Order)-
+# [CONTAINS]->(Part), aggregated per customer.
+# ---------------------------------------------------------------------------
+
+@register(
+    "motif_customer_order_part",
+    """SELECT CAST(o.o_custkey AS VARCHAR) AS customer,
+              count(*) AS n_paths,
+              count(DISTINCT l.l_partkey) AS n_parts
+       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       GROUP BY o.o_custkey""",
+)
+def motif_customer_order_part(spark, sf_dir):
+    from .operators.motif import match_chain
+    from .sources.property_graph import edges_from_view
+
+    view = _view(spark, sf_dir)
+    paths = match_chain(
+        edges_from_view(view), "(Customer)-[PLACED]->(Order)-[CONTAINS]->(Part)"
+    )
+    return paths.groupBy(F.col("n0").alias("customer")).agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.count_distinct("n2").alias("n_parts"),
+    )
