@@ -156,17 +156,21 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     for fld in footer:
         if pa.types.is_timestamp(fld.type) and dtypes.get(fld.name) == "bigint":
             if fld.type.unit == "ns":
-                # NTZ, not LTZ: timestamp_micros() alone yields an instant
-                # whose wall-time rendering follows the SESSION timezone —
-                # a non-UTC driver session would shift every window edge
-                # and formatted string vs the (naive) DuckDB oracle.
-                # convert_timezone pins the wall time to UTC as
-                # TIMESTAMP_NTZ, matching natively-read parquet timestamps
-                # (isAdjustedToUTC=false → NTZ).
+                # NTZ via pure wall-clock arithmetic from the NTZ epoch.
+                # NOT timestamp_micros()/convert_timezone/cast: those
+                # consult the session timezone (timestamp_micros yields an
+                # LTZ instant; convert_timezone's deferred
+                # current_timezone() can even be resolved under a
+                # DIFFERENT tz than the runtime cast if the session tz
+                # changes between plan analysis and execution). The
+                # timestampadd form contains no tz reference at all, so
+                # the rendered wall time equals the raw epoch micros in
+                # every session — matching DuckDB's naive timestamps.
                 df = df.withColumn(
                     fld.name,
                     F.expr(
-                        f"convert_timezone('UTC', timestamp_micros(`{fld.name}` div 1000))"
+                        f"timestampadd(MICROSECOND, `{fld.name}` div 1000, "
+                        f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                     ),
                 )
     return df
