@@ -1441,3 +1441,59 @@ def motif_customer_order_part(spark, sf_dir):
         F.count(F.lit(1)).alias("n_paths"),
         F.count_distinct("n2").alias("n_parts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE (all grouping combinations) and running-total window frames —
+# rounding out the multi-level-aggregation / window-frame families.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cube_orders_by_priority_status",
+    """SELECT o_orderpriority, o_orderstatus,
+              count(*) AS n,
+              floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+       FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+)
+def cube_orders_by_priority_status(spark, sf_dir):
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    return view.tables["orders"].cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_half_up(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "orders_running_total",
+    f"""SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '{_TS_FMT_DUCK}') AS o_orderdate,
+               floor(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0
+               AS running_total
+        FROM orders WHERE o_custkey < 100""",
+)
+def orders_running_total(spark, sf_dir):
+    """Cumulative per-customer revenue: an explicit ROWS frame (ordered
+    running aggregate). One shuffle on the partition key; the frame scan
+    is a per-partition sorted pass."""
+    from pyspark.sql import Window
+
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    o = view.tables["orders"].filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", _TS_FMT_SPARK).alias("o_orderdate"),
+        round_half_up(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
