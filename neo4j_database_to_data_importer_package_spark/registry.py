@@ -1497,3 +1497,81 @@ def orders_running_total(spark, sf_dir):
         F.date_format("o_orderdate", _TS_FMT_SPARK).alias("o_orderdate"),
         round_half_up(F.sum("o_totalprice").over(w), 2).alias("running_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking (ntile deciles), regex extraction over data, and a q17-shape
+# decorrelated scalar-subquery aggregate.
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_balance_deciles",
+    """WITH d AS (
+         SELECT c_custkey,
+                ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+         FROM customer)
+       SELECT decile, count(*) AS n FROM d GROUP BY decile""",
+)
+def customer_balance_deciles(spark, sf_dir):
+    """ntile() global ranking. NOTE the single-partition window: a global
+    ORDER BY ntile is inherently one sorted pass — at scale prefer
+    approx_percentile bucketing or range-partitioned rank arithmetic
+    (operators.analytics.exact_quantiles shows the pattern)."""
+    from pyspark.sql import Window
+
+    view = _view(spark, sf_dir)
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        view.tables["customer"]
+        .select(F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "part_brand_families",
+    """SELECT regexp_extract(p_brand, '#([0-9]+)', 1) AS family,
+              count(*) AS n_parts,
+              floor(avg(p_retailprice) * 100.0 + 0.5) / 100.0 AS avg_price
+       FROM part GROUP BY 1""",
+)
+def part_brand_families(spark, sf_dir):
+    """Regex extraction over data values (the reference only regexes
+    catalog text, SURVEY.md §2.8) — stays in codegen."""
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    return (
+        view.tables["part"]
+        .groupBy(F.regexp_extract("p_brand", r"#([0-9]+)", 1).alias("family"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            round_half_up(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """SELECT floor(sum(l_extendedprice) / 7.0 * 100.0 + 0.5) / 100.0 AS avg_yearly
+       FROM lineitem l
+       JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
+             FROM lineitem GROUP BY l_partkey) t
+         ON t.l_partkey = l.l_partkey
+       WHERE l.l_quantity < t.lim""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H q17 shape: correlated scalar subquery (avg per part),
+    decorrelated into a groupBy + join — the per-part aggregate is tiny
+    relative to lineitem, so AQE broadcasts it."""
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    li = view.tables["lineitem"]
+    lim = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("lim"))
+    return (
+        li.join(lim, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .agg(round_half_up(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
