@@ -77,3 +77,60 @@ def as_of_join(
         F.col(f"{_RV}.{right_ts}").alias(f"{payload_prefix}{right_ts}"),
         *[F.col(f"{_RV}.{c}").alias(f"{payload_prefix}{c}") for c in payload_cols],
     )
+
+
+def _epoch_s(col: F.Column) -> F.Column:
+    # tz-free epoch seconds from NTZ wall time (see star_schema notes on
+    # why no cast/unix_timestamp: those consult the session timezone).
+    return F.timestamp_diff(
+        "SECOND", F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"), col
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_s: int = 0,
+    upper_s: int = 86400,
+    bucket_s: int | None = None,
+) -> DataFrame:
+    """Range (interval) join: pairs where
+    ``left_ts + lower_s < right_ts <= left_ts + upper_s`` and keys match.
+
+    The naive formulation is a theta join (cross product per key); this
+    is the scalable shape: both sides bucket time by ``bucket_s``
+    (default = window width), the left row explodes over the 2-3 buckets
+    its window covers, candidates come from an EQUI-join on
+    (key, bucket), and the exact interval predicate filters the rest.
+    Shuffle cost is that of a plain equi-join with a small constant
+    replication factor — no per-key cross product.
+
+    Right columns are suffixed ``_r`` on name collisions.
+    """
+    bucket_s = bucket_s or max(upper_s - lower_s, 1)
+    l_ts = _epoch_s(F.col(left_ts))
+    r_ts = _epoch_s(F.col(right_ts))
+    lo = l_ts + F.lit(lower_s)
+    hi = l_ts + F.lit(upper_s)
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(lo / bucket_s), F.floor(hi / bucket_s))),
+    )
+    rename = {
+        c: f"{c}_r" for c in right.columns if c in left.columns and c != on
+    }
+    r = right
+    for old, new in rename.items():
+        r = r.withColumnRenamed(old, new)
+    rb = r.withColumn(
+        "__bucket", F.floor(_epoch_s(F.col(rename.get(right_ts, right_ts))) / bucket_s)
+    )
+    rt = _epoch_s(F.col(rename.get(right_ts, right_ts)))
+    out = lb.join(rb, [on, "__bucket"]).filter(
+        (rt > _epoch_s(F.col(left_ts)) + F.lit(lower_s))
+        & (rt <= _epoch_s(F.col(left_ts)) + F.lit(upper_s))
+    )
+    return out.drop("__bucket")

@@ -1575,3 +1575,46 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("lim"))
         .agg(round_half_up(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join: purchases within 24h after each signup, per
+# user — bucketed equi-join shape, not a per-key cross product.
+# ---------------------------------------------------------------------------
+
+@register(
+    "signup_purchases_24h",
+    """SELECT s.event_id AS signup_id,
+              CAST(count(p.event_id) AS BIGINT) AS n_purchases_24h
+       FROM events s LEFT JOIN events p
+         ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR
+       WHERE s.event_type = 'signup'
+       GROUP BY s.event_id""",
+)
+def signup_purchases_24h(spark, sf_dir):
+    from .operators.asof import interval_join
+
+    view = _view(spark, sf_dir)
+    ev = view.tables["events"]
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    matched = interval_join(
+        signups, purchases, on="user_id", left_ts="ts", right_ts="p_ts",
+        lower_s=0, upper_s=86400,
+    )
+    counts = matched.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_purchases_24h")
+    )
+    return (
+        signups.select(F.col("event_id"))
+        .join(counts, "event_id", "left")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.coalesce("n_purchases_24h", F.lit(0)).alias("n_purchases_24h"),
+        )
+    )

@@ -53,3 +53,39 @@ def test_asof_preserves_left_rowcount(spark):
     out = as_of_join(left, right, on="k")
     assert out.count() == 100
     assert set(out.columns) == {"k", "ts", "payload", "asof_ts", "asof_v"}
+
+
+def test_interval_join_matches_naive_theta_join(spark):
+    """Bucketed interval join == the naive theta-join on random data,
+    including window edges (exclusive lower, inclusive upper)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, i % 5, datetime(2024, 1, 1 + rng.randrange(20), rng.randrange(24), rng.randrange(60)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k long, ts timestamp_ntz")
+    left = df.select("event_id", "k", "ts")
+    right = df.select("k", F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts"))
+    from neo4j_database_to_data_importer_package_spark.operators.asof import (
+        interval_join,
+    )
+
+    got = {
+        (r["event_id"], r["r_id"])
+        for r in interval_join(
+            left, right, on="k", left_ts="ts", right_ts="r_ts",
+            lower_s=0, upper_s=6 * 3600,
+        ).collect()
+    }
+    naive = {
+        (r["event_id"], r["r_id"])
+        for r in left.join(right, "k")
+        .filter(
+            (F.col("r_ts") > F.col("ts"))
+            & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 6 HOURS"))
+        )
+        .collect()
+    }
+    assert got == naive and len(naive) > 0
