@@ -1618,3 +1618,108 @@ def signup_purchases_24h(spark, sf_dir):
             F.coalesce("n_purchases_24h", F.lit(0)).alias("n_purchases_24h"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous-aggregate (hypertable-style) time-hierarchy rollup: daily
+# aggregates derived by RE-AGGREGATING the hourly level, never
+# rescanning raw events — the materialized-rollup maintenance pattern.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly_daily_rollup",
+    f"""WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS bucket, event_type,
+                 count(*) AS n, sum(value) AS sv
+          FROM events GROUP BY 1, 2),
+        daily AS (
+          SELECT date_trunc('day', bucket) AS bucket, event_type,
+                 sum(n) AS n, sum(sv) AS sv
+          FROM hourly GROUP BY 1, 2)
+        SELECT 'hour' AS granularity, strftime(bucket, '{_TS_FMT_DUCK}') AS bucket_start,
+               event_type, n, floor(sv * 10000.0 + 0.5) / 10000.0 AS sum_value
+        FROM hourly
+        UNION ALL
+        SELECT 'day', strftime(bucket, '{_TS_FMT_DUCK}'), event_type, n,
+               floor(sv * 10000.0 + 0.5) / 10000.0
+        FROM daily""",
+)
+def events_hourly_daily_rollup(spark, sf_dir):
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    ev = view.tables["events"]
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    fmt = lambda df, g: df.select(
+        F.lit(g).alias("granularity"),
+        F.date_format("bucket", _TS_FMT_SPARK).alias("bucket_start"),
+        "event_type",
+        "n",
+        round_half_up(F.col("sv"), 4).alias("sum_value"),
+    )
+    return fmt(hourly, "hour").unionByName(fmt(daily, "day"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — deterministic (md5-hashed),
+# so the whole estimator has a SQL twin; the mergeable-sketch pattern
+# behind approx distinct counting at 100 TB.
+# ---------------------------------------------------------------------------
+
+@register(
+    "kmv_distinct_users_per_type",
+    """WITH h AS (
+         SELECT DISTINCT event_type,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS frac
+         FROM events),
+       ranked AS (
+         SELECT event_type, frac,
+                row_number() OVER (PARTITION BY event_type ORDER BY frac) AS r
+         FROM h),
+       kth AS (SELECT event_type, frac AS kth_frac FROM ranked WHERE r = 32),
+       exact AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+       SELECT e.event_type,
+              CAST(coalesce(CAST(floor(31.0 / k.kth_frac + 0.5) AS BIGINT), e.n_exact) AS BIGINT) AS kmv_estimate,
+              e.n_exact
+       FROM exact e LEFT JOIN kth k ON k.event_type = e.event_type""",
+)
+def kmv_distinct_users_per_type(spark, sf_dir):
+    """KMV estimator per group: hash values to (0,1], keep the k=32
+    smallest per group (a bounded, mergeable state), estimate distinct =
+    (k-1)/kth_min. Fewer than k distinct values → the sketch holds them
+    all and the count is exact. Deterministic md5 hashing makes the
+    estimate reproducible in any engine."""
+    from pyspark.sql import Window
+
+    view = _view(spark, sf_dir)
+    ev = view.tables["events"]
+    k = 32
+    h = ev.select(
+        "event_type",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") / F.lit(4294967296.0)
+        ).alias("frac"),
+    ).dropDuplicates(["event_type", "frac"])
+    w = Window.partitionBy("event_type").orderBy("frac")
+    kth = (
+        h.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == k)
+        .select("event_type", F.col("frac").alias("kth_frac"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(kth, "event_type", "left").select(
+        "event_type",
+        F.coalesce(
+            F.floor(F.lit(float(k - 1)) / F.col("kth_frac") + 0.5).cast("bigint"),
+            F.col("n_exact"),
+        ).alias("kmv_estimate"),
+        "n_exact",
+    )
