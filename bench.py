@@ -41,7 +41,15 @@ BENCH_QUERIES = [
     "events_json_props",
     "events_gap_stats",
     "events_funnel_view_purchase",
+    "events_hourly_daily_rollup",
+    "signup_purchases_24h",
+    "kmv_distinct_users_per_type",
     "rollup_revenue_by_flag_status",
+    "cube_orders_by_priority_status",
+    "orders_running_total",
+    "customer_balance_deciles",
+    "part_brand_families",
+    "q17_small_quantity_revenue",
     "lineitem_price_quantiles",
     "orders_without_lineitems",
     "dedup_exact",
