@@ -89,3 +89,23 @@ def test_interval_join_matches_naive_theta_join(spark):
         .collect()
     }
     assert got == naive and len(naive) > 0
+
+
+def test_interval_join_renames_colliding_right_columns(spark):
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10)), (1, datetime(2024, 1, 1, 20))],
+        "k long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12))], "k long, ts timestamp_ntz"
+    )
+    from neo4j_database_to_data_importer_package_spark.operators.asof import (
+        interval_join,
+    )
+
+    out = interval_join(left, right, on="k", lower_s=0, upper_s=4 * 3600)
+    assert set(out.columns) == {"k", "ts", "ts_r"}
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["ts"] == datetime(2024, 1, 1, 10)
+    assert rows[0]["ts_r"] == datetime(2024, 1, 1, 12)
