@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "q3_top_orders_by_revenue",
     "q6_forecast_revenue",
     "supplier_part_volume",
+    "motif_customer_order_part",
     "window_tumbling_events",
     "window_sliding_events",
     "window_session_events",

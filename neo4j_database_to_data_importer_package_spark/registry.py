@@ -927,7 +927,20 @@ def events_json_props(spark, sf_dir):
 def multimodal_features(spark, sf_dir):
     from .operators.multimodal import extract_features, make_fake_media
 
-    return extract_features(make_fake_media(spark, n=64), fake=True)
+    feats = extract_features(make_fake_media(spark, n=64), fake=True)
+    # The gate canonicalizer sorts pandas columns; an array<float> column is
+    # unhashable there — emit only scalar columns: round the stats and
+    # serialize the feature vector to a JSON string (deterministic: the fake
+    # decode is pure integer arithmetic over a seeded payload).
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        F.to_json(
+            F.transform("features", lambda x: F.round(x.cast("double"), 6))
+        ).alias("features_json"),
+    )
 
 
 def multimodal_frame_plan(spark, sf_dir):

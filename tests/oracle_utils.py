@@ -47,7 +47,18 @@ def canonical_rows(cols, rows):
 
 
 def compare_query(spark, name, query_fn, oracle, sf_dir):
+    from pyspark.sql import types as T
+
     sdf = query_fn(spark, sf_dir)
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: non-scalar gate columns {complex_cols} — the driver's "
+        "pandas canon cannot sort them; serialize (F.to_json) first"
+    )
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 

@@ -24,5 +24,19 @@ _ROWS_ONLY = sorted(set(registry.QUERIES) - set(registry.ORACLES))
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = registry.QUERIES[name](spark, sf_dir)
+    # The driver's canonicalizer sorts a pandas frame by every column —
+    # array/map/struct top-level columns are unhashable there and crash the
+    # gate (round-1 multimodal_features). Every gate output must be scalar.
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: non-scalar gate columns {complex_cols} — serialize them "
+        "(F.to_json) before returning from the registry entry"
+    )
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
