@@ -1702,13 +1702,16 @@ def events_hourly_daily_rollup(spark, sf_dir):
        FROM exact e LEFT JOIN kth k ON k.event_type = e.event_type""",
 )
 def kmv_distinct_users_per_type(spark, sf_dir):
-    """KMV estimator per group: hash values to (0,1], keep the k=32
-    smallest per group (a bounded, mergeable state), estimate distinct =
-    (k-1)/kth_min. Fewer than k distinct values → the sketch holds them
-    all and the count is exact. Deterministic md5 hashing makes the
-    estimate reproducible in any engine."""
-    from pyspark.sql import Window
-
+    """KMV estimator per group as a *mergeable bounded sketch*: hash values
+    to (0,1], then two-level aggregation — (1) per (group, input partition)
+    keep only the k=32 smallest distinct fracs (``slice(array_sort(
+    collect_set))``, built map-side because the partition id is part of the
+    group key), (2) merge the ≤k-element partials per group and re-slice.
+    No global per-group sort anywhere: the merge state per group is at most
+    k × num_partitions doubles. Estimate = (k-1)/kth_min; fewer than k
+    distinct values → the sketch holds them all and the count is exact.
+    Deterministic md5 hashing makes the estimate reproducible in any
+    engine."""
     view = _view(spark, sf_dir)
     ev = view.tables["events"]
     k = 32
@@ -1718,12 +1721,18 @@ def kmv_distinct_users_per_type(spark, sf_dir):
             F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
             .cast("bigint") / F.lit(4294967296.0)
         ).alias("frac"),
-    ).dropDuplicates(["event_type", "frac"])
-    w = Window.partitionBy("event_type").orderBy("frac")
-    kth = (
-        h.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == k)
-        .select("event_type", F.col("frac").alias("kth_frac"))
+    )
+    partials = h.groupBy("event_type", F.spark_partition_id().alias("pid")).agg(
+        F.slice(F.array_sort(F.collect_set("frac")), 1, k).alias("mins")
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))), 1, k
+        ).alias("mins")
+    )
+    kth = merged.select(
+        "event_type",
+        F.when(F.size("mins") >= k, F.element_at("mins", k)).alias("kth_frac"),
     )
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_exact")
