@@ -54,6 +54,37 @@ class IndexInfo:
     properties: list[str] = field(default_factory=list)
 
 
+def parse_legacy_constraint_description(description: str) -> tuple[str, str] | None:
+    """Parse a legacy ``CALL db.constraints()`` description string (F4).
+
+    Bit-exact with the reference's fallback extraction
+    (``neo4j_export.py:109-123``): only descriptions containing the literal
+    ``UNIQUE`` (case-sensitive, as in the reference) are considered; the
+    label is the text between the first ``:`` and the next ``)``; the
+    property is the text between the first ``.`` and the next ``)``. The
+    canonical format is
+    ``CONSTRAINT ON ( label:Label ) ASSERT (label.property) IS UNIQUE``.
+
+    Quirk preserved: for the paren-less Neo4j 3.x form
+    ``... ASSERT person.email IS UNIQUE`` the reference extracts
+    ``"email IS UNIQUE"`` (no ``)`` to stop at) — so do we.
+
+    Returns ``(label, property)`` or ``None`` when the description does not
+    parse (non-unique, missing ``:``, or missing ``.``).
+    """
+    description = description or ""
+    if "UNIQUE" not in description:
+        return None
+    parts = description.split(":")
+    if len(parts) >= 2:
+        label = parts[1].split(")")[0].strip()
+        prop_parts = description.split(".")
+        if len(prop_parts) >= 2:
+            prop = prop_parts[1].split(")")[0].strip()
+            return label, prop
+    return None
+
+
 def classify_constraint_type(raw: str) -> str:
     """Normalize a raw constraint-type string (reference :244-252)."""
     raw_u = (raw or "").upper()
@@ -90,3 +121,17 @@ class GraphCatalog:
 
     def properties_of(self, label: str) -> list[str]:
         return list(self.labels[label].properties.keys())
+
+    def ingest_legacy_constraint_descriptions(self, descriptions: list[str]) -> None:
+        """Populate ``unique_constraints`` from legacy ``db.constraints()``
+        description strings — the reference's fallback path for pre-4.x
+        catalogs (``neo4j_export.py:107-123``). Appends in input order,
+        duplicates kept, exactly as the reference does.
+        """
+        for description in descriptions:
+            parsed = parse_legacy_constraint_description(description)
+            if parsed is not None:
+                label, prop = parsed
+                if label not in self.unique_constraints:
+                    self.unique_constraints[label] = []
+                self.unique_constraints[label].append(prop)
