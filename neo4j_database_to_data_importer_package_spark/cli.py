@@ -2,10 +2,17 @@
 ``neo4j_export.py:1336-1473``): parse args, resolve config, run the
 export DAG, optionally move the zip to a custom path.
 
+Flag surface is a superset of the reference's
+(``neo4j_export.py:1336-1409``, ``README.md:75-97``): the short
+connection/output flags ``-u/-U/-P/-d/-o/-f/-z`` and ``--no-zip`` are
+accepted verbatim, alongside the engine's long-form flags. Under
+``--profile reference`` the zip is created by default exactly like the
+reference (``create_zip = not args.no_zip``, ``:1463``); the engine
+profile keeps zip opt-in.
+
 Usage:
     python -m neo4j_database_to_data_importer_package_spark.cli \
-        --input-dir /root/testdata/sf0.001 --output-dir /tmp/export \
-        --format-version 3.0 --zip out.zip
+        --input-dir /root/testdata/sf0.001 -o /tmp/export -f 3.0 -z out.zip
 """
 
 from __future__ import annotations
@@ -21,16 +28,47 @@ from .sources.star_schema import load_graph_view
 
 
 def parse_args(argv=None) -> argparse.Namespace:
-    p = argparse.ArgumentParser(description="PySpark graph → relational export engine")
-    p.add_argument("--input-dir", dest="input_dir", help="star-schema parquet directory")
-    p.add_argument("--output-dir", dest="output_dir", help="export output directory")
-    p.add_argument(
-        "--format-version",
-        dest="format_version",
-        choices=["3.0", "2.4.0", "0.1.0"],
-        help="importer model format (default 3.0)",
+    p = argparse.ArgumentParser(
+        description="PySpark graph → relational export engine",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        epilog="""
+Configuration Priority (highest to lowest):
+  1. Command line arguments
+  2. Environment variables (GRAPH_EXPORT_*, then NEO4J_URI/NEO4J_USER/
+     NEO4J_PASSWORD/NEO4J_DATABASE/OUTPUT_DIR/FORMAT_VERSION)
+  3. .env file
+  4. Default values
+
+Examples:
+  %(prog)s -u bolt://localhost -U neo4j -P password -o myexport --profile reference
+  %(prog)s --env-file .env.production -o myexport
+""",
     )
-    p.add_argument("--zip", dest="zip", help="create zip at this exact path")
+    conn = p.add_argument_group("connection options")
+    conn.add_argument("-u", "--uri", dest="uri",
+                      help="Neo4j connection URI (default: bolt://localhost or NEO4J_URI)")
+    conn.add_argument("-U", "--user", dest="user",
+                      help="Neo4j username (default: neo4j or NEO4J_USER)")
+    conn.add_argument("-P", "--password", dest="password",
+                      help="Neo4j password (default: password or NEO4J_PASSWORD)")
+    conn.add_argument("-d", "--database", dest="database",
+                      help="Neo4j database name (optional, NEO4J_DATABASE)")
+
+    out = p.add_argument_group("output options")
+    p.add_argument("--input-dir", dest="input_dir", help="star-schema parquet directory")
+    out.add_argument("-o", "--output", "--output-dir", dest="output_dir",
+                     help="output directory/basename for export")
+    out.add_argument("-f", "--format", "--format-version", dest="format_version",
+                     choices=["3.0", "2.4.0", "0.1.0"],
+                     help="importer model format (default 3.0 or FORMAT_VERSION)")
+    out.add_argument("-z", "--zip", dest="zip",
+                     help="custom zip file name (default: auto-generated with timestamp)")
+    out.add_argument("--no-zip", dest="no_zip", action="store_true",
+                     help="skip creating zip file (only export CSVs and JSON)")
+
+    p.add_argument("--profile", dest="profile", choices=["engine", "reference"],
+                   help="'reference' replicates the reference CLI contract "
+                        "(zip on by default); default 'engine'")
     p.add_argument("--no-single-file", dest="single_file", action="store_const", const="false",
                    help="sharded CSV + manifest (100 TB mode) instead of one file per table")
     p.add_argument("--compat-render", dest="compat_render", action="store_const", const="true",
@@ -43,10 +81,26 @@ def parse_args(argv=None) -> argparse.Namespace:
 
 def main(argv=None) -> int:
     args = parse_args(argv)
-    cli = {k: v for k, v in vars(args).items() if k != "env_file"}
+    cli = {k: v for k, v in vars(args).items() if k not in ("env_file", "no_zip")}
+    # --no-zip beats -z, as in the reference (neo4j_export.py:1463: the
+    # custom name is only applied when a zip was created at all).
+    if args.no_zip:
+        cli["create_zip"] = "false"
+    elif args.zip:
+        cli["create_zip"] = "true"
     cfg = load_config(cli_args=cli, env_file=args.env_file)
-    if args.zip:
-        cfg.create_zip = True
+
+    if cfg.profile == "reference":
+        # Banner parity with the reference's main() (neo4j_export.py:1440-1449).
+        print(f"Graph source: {cfg.input_dir} (connection recorded: {cfg.uri})")
+        if cfg.database:
+            print(f"Database: {cfg.database}")
+        print(f"Output directory: {cfg.output_dir}")
+        print(f"Format version: {cfg.format_version}")
+        if not cfg.create_zip:
+            print("Zip creation: Disabled")
+        elif cfg.zip:
+            print(f"Zip file: {cfg.zip}")
 
     spark = get_spark(app_name="graph-export")
     view = load_graph_view(spark, cfg.input_dir)
@@ -59,7 +113,7 @@ def main(argv=None) -> int:
         quirks=cfg.quirks,
     )
     result = exporter.run(create_zip_file=cfg.create_zip)
-    if cfg.zip and result.zip_path:
+    if cfg.create_zip and cfg.zip and result.zip_path:
         move_zip(result.zip_path, cfg.zip)
         result.zip_path = cfg.zip
 

@@ -21,9 +21,32 @@ DEFAULTS = {
     "quirks": "true",
     "zip": "",
     "create_zip": "false",
+    # Reference connection parameters (neo4j_export.py:1423-1428). The
+    # engine records them for the pluggable GraphSource seam; defaults are
+    # the reference's own.
+    "uri": "bolt://localhost",
+    "user": "neo4j",
+    "password": "password",
+    "database": "",
+    # "engine" keeps engine defaults; "reference" replicates the reference
+    # CLI contract (zip-on-by-default, neo4j_export.py:1463).
+    "profile": "engine",
 }
 
 ENV_PREFIX = "GRAPH_EXPORT_"
+
+# The reference's own env-var names (neo4j_export.py:1423-1428). Lower
+# precedence than the engine's GRAPH_EXPORT_* namespace, higher than
+# defaults — so `export NEO4J_URI=...; prog -o out` behaves as documented
+# in the reference README.
+REFERENCE_ENV_ALIASES = {
+    "uri": "NEO4J_URI",
+    "user": "NEO4J_USER",
+    "password": "NEO4J_PASSWORD",
+    "database": "NEO4J_DATABASE",
+    "output_dir": "OUTPUT_DIR",
+    "format_version": "FORMAT_VERSION",
+}
 
 
 def parse_env_file(path: str) -> dict[str, str]:
@@ -55,6 +78,11 @@ class ExportConfig:
     quirks: bool
     zip: str | None
     create_zip: bool
+    uri: str = "bolt://localhost"
+    user: str = "neo4j"
+    password: str = "password"
+    database: str | None = None
+    profile: str = "engine"
 
 
 def load_config(
@@ -74,14 +102,26 @@ def load_config(
             warn(f"Warning: env file not found: {env_file}")
 
     merged = dict(DEFAULTS)
+    explicit: set[str] = set()
     for key in DEFAULTS:
-        env_key = ENV_PREFIX + key.upper()
-        if env_key in file_vals:
-            merged[key] = file_vals[env_key]
-        if env_key in env:
-            merged[key] = env[env_key]
+        # Per layer, the reference alias (NEO4J_URI, OUTPUT_DIR, ...) is
+        # consulted first so the engine's GRAPH_EXPORT_* namespace wins
+        # within the same layer; env beats .env beats defaults, CLI beats
+        # all — the reference's precedence (neo4j_export.py:1412-1432).
+        names = [REFERENCE_ENV_ALIASES.get(key), ENV_PREFIX + key.upper()]
+        for source in (file_vals, env):
+            for name in names:
+                if name and name in source:
+                    merged[key] = source[name]
+                    explicit.add(key)
         if cli_args and cli_args.get(key) is not None:
             merged[key] = cli_args[key]
+            explicit.add(key)
+
+    # Reference profile: zip is ON unless --no-zip / an explicit setting
+    # said otherwise (neo4j_export.py:1463 `create_zip = not args.no_zip`).
+    if str(merged["profile"]).lower() == "reference" and "create_zip" not in explicit:
+        merged["create_zip"] = "true"
 
     return ExportConfig(
         input_dir=str(merged["input_dir"]),
@@ -92,4 +132,9 @@ def load_config(
         quirks=_as_bool(merged["quirks"]),
         zip=str(merged["zip"]) or None,
         create_zip=_as_bool(merged["create_zip"]),
+        uri=str(merged["uri"]),
+        user=str(merged["user"]),
+        password=str(merged["password"]),
+        database=str(merged["database"]) or None,
+        profile=str(merged["profile"]).lower(),
     )

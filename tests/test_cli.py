@@ -30,3 +30,62 @@ def test_cli_full_export_with_zip(tmp_path, spark):
         names = z.namelist()
         assert "neo4j_importer_model.json" in names
         assert "Customer.csv" in names
+
+
+def test_cli_reference_readme_command_line_no_zip(tmp_path, spark):
+    """Mirror of the reference README example (README.md:84-97) with the
+    short connection/output flags; --no-zip skips packaging."""
+    out = tmp_path / "myexport"
+    rc = main(
+        [
+            "-u", "bolt://localhost",
+            "-U", "neo4j",
+            "-P", "password",
+            "-o", str(out),
+            "-f", "2.4.0",
+            "--no-zip",
+            "--profile", "reference",
+            "--input-dir", "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    files = sorted(os.listdir(out))
+    assert "Customer.csv" in files and "neo4j_importer_model.json" in files
+    model = json.loads((out / "neo4j_importer_model.json").read_text())
+    assert model["version"].startswith("2.4")
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".zip")]
+
+
+def test_cli_reference_profile_zips_by_default(tmp_path, spark):
+    """Reference contract: zip is created unless --no-zip
+    (neo4j_export.py:1463), auto-named {base}-export-{timestamp}.zip."""
+    out = tmp_path / "myexport"
+    rc = main(
+        [
+            "--profile", "reference",
+            "-o", str(out),
+            "--input-dir", "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    zips = [f for f in os.listdir(tmp_path) if f.endswith(".zip")]
+    assert len(zips) == 1
+    assert zips[0].startswith("myexport-export-")
+    with zipfile.ZipFile(tmp_path / zips[0]) as z:
+        assert "neo4j_importer_model.json" in z.namelist()
+
+
+def test_cli_reference_custom_zip_name(tmp_path, spark):
+    """-z renames the zip (S13, neo4j_export.py:1466-1470)."""
+    out = tmp_path / "myexport"
+    rc = main(
+        [
+            "--profile", "reference",
+            "-o", str(out),
+            "-z", str(tmp_path / "custom_name.zip"),
+            "--input-dir", "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    assert (tmp_path / "custom_name.zip").exists()
+    assert [f for f in os.listdir(tmp_path) if f.endswith(".zip")] == ["custom_name.zip"]

@@ -46,3 +46,71 @@ def test_missing_env_file_warns_not_raises(tmp_path):
     cfg = load_config(env={}, env_file=str(tmp_path / "nope.env"), warn=warnings.append)
     assert cfg.output_dir == "export"
     assert warnings and "not found" in warnings[0]
+
+
+# --- Reference CLI-contract parity (neo4j_export.py:1412-1432, 1463) ---
+
+
+def test_connection_defaults_match_reference():
+    cfg = load_config(env={})
+    assert cfg.uri == "bolt://localhost"
+    assert cfg.user == "neo4j"
+    assert cfg.password == "password"
+    assert cfg.database is None
+
+
+def test_reference_env_aliases():
+    cfg = load_config(
+        env={
+            "NEO4J_URI": "bolt://db:7687",
+            "NEO4J_USER": "alice",
+            "NEO4J_PASSWORD": "s3cret",
+            "NEO4J_DATABASE": "movies",
+            "OUTPUT_DIR": "ref_out",
+            "FORMAT_VERSION": "0.1.0",
+        }
+    )
+    assert cfg.uri == "bolt://db:7687"
+    assert cfg.user == "alice"
+    assert cfg.password == "s3cret"
+    assert cfg.database == "movies"
+    assert cfg.output_dir == "ref_out"
+    assert cfg.format_version == "0.1.0"
+
+
+def test_engine_namespace_beats_reference_alias():
+    cfg = load_config(
+        env={"NEO4J_URI": "bolt://ref", "GRAPH_EXPORT_URI": "bolt://engine"}
+    )
+    assert cfg.uri == "bolt://engine"
+
+
+def test_cli_beats_reference_alias():
+    cfg = load_config(cli_args={"uri": "bolt://cli"}, env={"NEO4J_URI": "bolt://ref"})
+    assert cfg.uri == "bolt://cli"
+
+
+def test_reference_profile_zips_by_default():
+    cfg = load_config(cli_args={"profile": "reference"}, env={})
+    assert cfg.create_zip is True
+
+
+def test_reference_profile_respects_explicit_no_zip():
+    cfg = load_config(
+        cli_args={"profile": "reference", "create_zip": "false"}, env={}
+    )
+    assert cfg.create_zip is False
+
+
+def test_reference_profile_respects_env_create_zip():
+    cfg = load_config(
+        cli_args={"profile": "reference"},
+        env={"GRAPH_EXPORT_CREATE_ZIP": "false"},
+    )
+    assert cfg.create_zip is False
+
+
+def test_engine_profile_zip_stays_opt_in():
+    cfg = load_config(env={})
+    assert cfg.profile == "engine"
+    assert cfg.create_zip is False
