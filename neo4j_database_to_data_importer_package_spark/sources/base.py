@@ -1,0 +1,196 @@
+"""GraphSource seam — pluggable graph connectors behind one contract.
+
+The reference's only input path is a live Neo4j Bolt connection
+(``neo4j_export.py:35`` driver connect, ``:52-56`` sessions). This engine
+abstracts the input behind ``GraphSource``: anything that can produce a
+:class:`~.star_schema.GraphView` (lazy per-label node DataFrames, edge
+tables, schema catalog) plugs into the identical downstream DAG —
+identifier cascade, pattern discovery, node/rel export, model generation.
+
+Implementations:
+
+- :class:`StarSchemaSource` — relational tables mapped by a
+  :class:`~.star_schema.GraphSpec` (the engine's primary, sandbox-testable
+  path).
+- :class:`Neo4jConnectorSource` — adapter for the public
+  `neo4j-spark-connector <https://neo4j.com/docs/spark/current/>`_
+  (Data Source V2, format ``org.neo4j.spark.DataSource``). The mapping is
+  real (options, read schema, column renames); the actual JVM read is
+  behind an injectable ``reader`` so the adapter is contract-testable
+  offline — the sandbox has neither the connector jar nor a Neo4j server.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Protocol, runtime_checkable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .star_schema import (
+    EdgeSpec,
+    GraphSpec,
+    GraphView,
+    NodeSpec,
+    TPCH_GRAPH_SPEC,
+    build_graph_view,
+    load_graph_view,
+)
+
+
+@runtime_checkable
+class GraphSource(Protocol):
+    """Anything that loads a property graph as a GraphView."""
+
+    def load(self, spark: SparkSession) -> GraphView:  # pragma: no cover - protocol
+        ...
+
+
+@dataclass(frozen=True)
+class StarSchemaSource:
+    """Primary source: a star-schema directory + declarative GraphSpec."""
+
+    sf_dir: str
+    spec: GraphSpec = field(default_factory=lambda: TPCH_GRAPH_SPEC)
+    fmt: str = "parquet"
+
+    def load(self, spark: SparkSession) -> GraphView:
+        return load_graph_view(spark, self.sf_dir, self.spec, self.fmt)
+
+
+# ---------------------------------------------------------------------------
+# Neo4j connector adapter
+# ---------------------------------------------------------------------------
+
+# One connector read request: the options dict passed to
+# spark.read.format("org.neo4j.spark.DataSource").options(**opts).load()
+ConnectorReader = Callable[[SparkSession, dict], DataFrame]
+
+
+def _strip_meta(df: DataFrame) -> DataFrame:
+    """Drop the connector's node metadata columns (`<id>`, `<labels>`),
+    keeping only property columns — the reference exports properties, not
+    internal ids (``neo4j_export.py:284-292``)."""
+    keep = [c for c in df.columns if not (c.startswith("<") and c.endswith(">"))]
+    return df.select(*[F.col(f"`{c}`") for c in keep])
+
+
+@dataclass(frozen=True)
+class Neo4jConnectorSource:
+    """Adapter: read a live Neo4j graph through the public
+    ``neo4j-spark-connector`` into the GraphView contract.
+
+    ``spec`` declares what to read — labels with their identifier property
+    (``NodeSpec.id_col`` is REQUIRED here: edges are joined on identifier
+    property values, so relationship reads project
+    ``source.<id_prop>`` / ``target.<id_prop>``) and relationship patterns
+    with their property lists.
+
+    Read mapping (connector's documented schema):
+
+    - nodes:    ``{"labels": ":Label"}`` → columns ``<id>``, ``<labels>``,
+      plus one column per property; metadata columns are dropped.
+    - edges:    ``{"relationship": "TYPE", "relationship.nodes.map":
+      "false", "relationship.source.labels": ":Src", ...}`` → columns
+      ``<rel.id>``, ``<rel.type>``, ``source.<prop>``, ``target.<prop>``,
+      ``rel.<prop>``; the adapter projects the two endpoint identifier
+      columns and the declared rel properties.
+
+    Pushdown note: the connector supports predicate/column pushdown into
+    Cypher, so the pruned selects below reach the server as property-level
+    ``RETURN`` clauses — the same scan-minimal behavior the parquet path
+    gets from Catalyst.
+
+    ``reader=None`` performs the real JVM read (requires the connector on
+    the classpath); tests inject a fake reader and exercise the full
+    adapter + downstream export DAG offline.
+    """
+
+    uri: str
+    user: str = "neo4j"
+    password: str = "password"
+    database: str | None = None
+    spec: GraphSpec = field(default_factory=lambda: TPCH_GRAPH_SPEC)
+    reader: ConnectorReader | None = field(default=None, compare=False)
+
+    # -- connector plumbing -------------------------------------------------
+
+    def _base_options(self) -> dict:
+        opts = {
+            "url": self.uri,
+            "authentication.type": "basic",
+            "authentication.basic.username": self.user,
+            "authentication.basic.password": self.password,
+        }
+        if self.database:
+            opts["database"] = self.database
+        return opts
+
+    def _read(self, spark: SparkSession, options: dict) -> DataFrame:
+        if self.reader is not None:
+            return self.reader(spark, options)
+        try:
+            return (
+                spark.read.format("org.neo4j.spark.DataSource")
+                .options(**{**self._base_options(), **options})
+                .load()
+            )
+        except Exception as exc:  # jar absent / server unreachable
+            raise RuntimeError(
+                "Neo4jConnectorSource needs the public neo4j-spark-connector "
+                "on the Spark classpath (--packages org.neo4j:neo4j-connector-"
+                "apache-spark_2.13:<version>) and a reachable server at "
+                f"{self.uri!r}; for offline use inject reader=..."
+            ) from exc
+
+    # -- GraphSource --------------------------------------------------------
+
+    def load(self, spark: SparkSession) -> GraphView:
+        id_props = {n.label: n.id_col for n in self.spec.nodes}
+        missing = [l for l, c in id_props.items() if not c]
+        if missing:
+            raise ValueError(
+                f"Neo4jConnectorSource requires NodeSpec.id_col for every label; missing: {missing}"
+            )
+
+        tables: dict[str, DataFrame] = {}
+        internal_nodes: list[NodeSpec] = []
+        for n in self.spec.nodes:
+            df = _strip_meta(self._read(spark, {"labels": f":{n.label}"}))
+            tables[n.label] = df
+            internal_nodes.append(NodeSpec(n.label, n.label, n.id_col))
+
+        internal_edges: list[EdgeSpec] = []
+        for e in self.spec.edges:
+            src_id, tgt_id = id_props[e.src_label], id_props[e.tgt_label]
+            raw = self._read(
+                spark,
+                {
+                    "relationship": e.rel_type,
+                    "relationship.nodes.map": "false",
+                    "relationship.source.labels": f":{e.src_label}",
+                    "relationship.target.labels": f":{e.tgt_label}",
+                },
+            )
+            # Connector column names contain literal dots — backtick them.
+            df = raw.select(
+                F.col(f"`source.{src_id}`").alias("__src_id"),
+                F.col(f"`target.{tgt_id}`").alias("__tgt_id"),
+                *[F.col(f"`rel.{p}`").alias(p) for p in e.props],
+            )
+            table_name = f"rel__{e.pattern_key}"
+            tables[table_name] = df
+            internal_edges.append(
+                EdgeSpec(
+                    e.src_label, e.rel_type, e.tgt_label,
+                    table_name, "__src_id", "__tgt_id", e.props,
+                )
+            )
+
+        internal_spec = GraphSpec(
+            nodes=internal_nodes,
+            edges=internal_edges,
+            unique_constraints=dict(self.spec.unique_constraints),
+        )
+        return build_graph_view(spark, internal_spec, tables)

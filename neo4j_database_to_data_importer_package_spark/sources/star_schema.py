@@ -176,19 +176,15 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def load_graph_view(
-    spark: SparkSession,
-    sf_dir: str,
-    spec: GraphSpec = TPCH_GRAPH_SPEC,
-    fmt: str = "parquet",
+def build_graph_view(
+    spark: SparkSession, spec: GraphSpec, tables: dict[str, DataFrame]
 ) -> GraphView:
-    """Load a star-schema directory as a graph view (lazy scans only)."""
-    tables: dict[str, DataFrame] = {}
-    names = {n.table for n in spec.nodes} | {e.table for e in spec.edges} | set(spec.extra_tables)
-    for name in sorted(names):
-        path = os.path.join(sf_dir, f"{name}.{fmt}" if fmt == "parquet" else name)
-        tables[name] = read_parquet_table(spark, path)
+    """Assemble a GraphView + catalog from already-loaded tables.
 
+    Shared by every GraphSource implementation (star-schema parquet, the
+    Neo4j connector adapter, ...): the catalog is derived from the lazy
+    DataFrame schemas, never from data rows.
+    """
     nodes = {n.label: tables[n.table] for n in spec.nodes}
 
     catalog = GraphCatalog(unique_constraints=dict(spec.unique_constraints))
@@ -203,3 +199,18 @@ def load_graph_view(
         props = {p: PropertyMeta(p, "STRING", "relationship") for p in e.props}
         catalog.labels.setdefault(e.rel_type, LabelMeta(e.rel_type, "relationship", props))
     return GraphView(spark, spec, nodes, tables, catalog)
+
+
+def load_graph_view(
+    spark: SparkSession,
+    sf_dir: str,
+    spec: GraphSpec = TPCH_GRAPH_SPEC,
+    fmt: str = "parquet",
+) -> GraphView:
+    """Load a star-schema directory as a graph view (lazy scans only)."""
+    tables: dict[str, DataFrame] = {}
+    names = {n.table for n in spec.nodes} | {e.table for e in spec.edges} | set(spec.extra_tables)
+    for name in sorted(names):
+        path = os.path.join(sf_dir, f"{name}.{fmt}" if fmt == "parquet" else name)
+        tables[name] = read_parquet_table(spark, path)
+    return build_graph_view(spark, spec, tables)
