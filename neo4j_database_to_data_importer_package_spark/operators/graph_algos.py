@@ -140,17 +140,26 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("c").alias("contrib"))
             )
-            dangling = (
+            # Dangling mass as a broadcast 1-row aggregate folded into the
+            # same superstep job — no separate driver action per iteration
+            # (the only action is the eager localCheckpoint below).
+            dangling_df = (
                 with_deg.filter(F.col("deg").isNull())
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-                .first()["d"]
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
             )
-            base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
             ranks = (
                 nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling_df))
                 .select(
                     "node",
-                    (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+                    (
+                        F.lit((1.0 - damping) / n_nodes)
+                        + F.lit(damping)
+                        * (
+                            F.col("__dangling") / F.lit(float(n_nodes))
+                            + F.coalesce(F.col("contrib"), F.lit(0.0))
+                        )
+                    ).alias("rank"),
                 )
                 .localCheckpoint(eager=True)
             )
