@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "q17_small_quantity_revenue",
     "lineitem_price_quantiles",
     "orders_without_lineitems",
+    "skewed_join_hot_suppliers",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",

@@ -1745,3 +1745,61 @@ def kmv_distinct_users_per_type(spark, sf_dir):
         ).alias("kmv_estimate"),
         "n_exact",
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew stressor: Zipf-ish hot-key join through salted_join
+# ---------------------------------------------------------------------------
+
+@register(
+    "skewed_join_hot_suppliers",
+    """SELECT s_nationkey,
+              count(*) AS n_items,
+              floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+       FROM (SELECT CASE WHEN l_orderkey % 10 < 6 THEN 1
+                         WHEN l_orderkey % 10 < 8 THEN 2
+                         WHEN l_orderkey % 10 = 8 THEN 3
+                         ELSE l_suppkey END AS hot_supp,
+                    l_extendedprice, l_discount
+             FROM lineitem) f
+       JOIN supplier ON f.hot_supp = s_suppkey
+       GROUP BY s_nationkey""",
+)
+def skewed_join_hot_suppliers(spark, sf_dir):
+    """Skew-resistant join on a Zipf-ish key distribution.
+
+    The fact side remaps lineitem's supplier key so ~60% of all rows hit
+    one key, 20% a second, 10% a third, and the remaining 10% keep the
+    real (uniform) key — the hot-head/long-tail shape of real event
+    streams. The join goes through ``partitioning.salted_join`` (hot keys
+    exploded across 8 salted buckets, dim side replicated per salt) with a
+    shuffle-hash hint so the skew path is actually exercised rather than
+    broadcast away; AQE's runtime skew split stacks on top at scale. The
+    reference has no skew handling at all (single client thread,
+    ``neo4j_export.py:277-292``)."""
+    from .functions.numeric import round_half_up
+    from .partitioning import salted_join
+
+    view = _view(spark, sf_dir)
+    li = view.tables["lineitem"].select(
+        F.expr(
+            "CASE WHEN l_orderkey % 10 < 6 THEN 1 "
+            "WHEN l_orderkey % 10 < 8 THEN 2 "
+            "WHEN l_orderkey % 10 = 8 THEN 3 "
+            "ELSE l_suppkey END"
+        ).alias("hot_supp"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    supp = (
+        view.tables["supplier"]
+        .select(F.col("s_suppkey").alias("hot_supp"), "s_nationkey")
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(li, supp, on="hot_supp", salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        round_half_up(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -148,3 +148,13 @@ def test_exact_quantiles_matches_builtin_percentile(spark):
     mine = exact_quantiles(li, "l_extendedprice", qs, n_partitions=8)
     for (q, v), b in zip(mine, builtin):
         assert abs(v - b) < 1e-9, (q, v, b)
+
+
+def test_skewed_join_uses_salted_shuffle_join(spark):
+    """The skew stressor must actually exercise the salted shuffle path:
+    join keys include the salt column and the dim side is NOT broadcast
+    (a broadcast would make the salting dead code)."""
+    plan = _plan(spark, "skewed_join_hot_suppliers")
+    assert "BroadcastHashJoin" not in plan, "dim side must not be broadcast"
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "__salt" in l]
+    assert join_lines, f"no salted join in plan:\n{plan[:2000]}"
