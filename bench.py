@@ -54,6 +54,12 @@ BENCH_QUERIES = [
     "lineitem_price_quantiles",
     "orders_without_lineitems",
     "skewed_join_hot_suppliers",
+    "q13_customer_order_distribution",
+    "top_parts_per_nation",
+    "q2_min_cost_supplier",
+    "grouping_sets_revenue",
+    "pivot_orders_priority_status",
+    "q22_rich_inactive_customers",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",

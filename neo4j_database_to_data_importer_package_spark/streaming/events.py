@@ -58,6 +58,37 @@ def _fmt_utc(col, fmt: str = "yyyy-MM-dd HH:mm:ss"):
     return F.date_format(F.convert_timezone(None, F.lit("UTC"), col), fmt)
 
 
+def streaming_interval_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "24 hours",
+    watermark: str = "3650 days",
+) -> DataFrame:
+    """Stream-stream inner equi-join with an event-time range condition
+    (right event strictly after the left event, within ``upper``).
+
+    Both sides are watermarked — Structured Streaming uses the watermark
+    plus the time-range condition to bound the join state (each side's
+    buffered rows are evicted once no future match is possible). The
+    default ``watermark`` here is deliberately enormous so a finite
+    replay emits exactly the batch-join answer for the correctness gate;
+    a production deployment sets it to its actual late-data bound (e.g.
+    '1 hour') and gets bounded state for free — the plan is identical.
+    """
+    l = _as_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r = _as_event_time(right, right_ts).withWatermark(right_ts, watermark)
+    cond = (
+        (l[left_key] == r[right_key])
+        & (r[right_ts] > l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def streaming_tumbling_counts(
     events: DataFrame,
     ts_col: str = "ts",
