@@ -2065,3 +2065,56 @@ def q22_rich_inactive_customers(spark, sf_dir):
             round_half_up(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup clustering: LSH candidate pairs -> connected
+# components -> one keep-doc per cluster (the training-corpus keep-list)
+# ---------------------------------------------------------------------------
+
+ORACLES["dedup_near_dup_clusters"] = f"""
+  WITH pairs AS ({ORACLES["dedup_minhash_lsh_pairs"]}),
+  und AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+  nodes AS (SELECT DISTINCT a AS node FROM und),
+  reach AS (
+    WITH RECURSIVE r(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT u.b, r.comp FROM r JOIN und u ON u.a = r.node)
+    SELECT * FROM r),
+  comp AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node)
+  SELECT cluster_id, count(*) AS n_docs, count(*) - 1 AS n_dropped
+  FROM comp GROUP BY cluster_id"""
+
+
+def dedup_near_dup_clusters(spark, sf_dir):
+    """The full near-dup dedup pipeline a training corpus needs: MinHash
+    signatures → banded LSH candidates → Jaccard-verified pairs →
+    connected components over the pair graph → per-cluster canonical doc
+    (min doc_id = cluster_id) with the drop count. Transitive duplicates
+    (A~B, B~C but A!~C) land in ONE cluster — pair-level dedup alone
+    would keep too many. All stages are the bucketed/bounded ones
+    (shuffle-free signatures, banded equi-join, candidate-only
+    verification, label-propagation CC) — nothing quadratic in corpus
+    size, so the composition survives 100 TB."""
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.graph_algos import connected_components
+
+    view = _view(spark, sf_dir)
+    pairs = minhash_lsh_pairs(view.tables["documents"]).select("id_a", "id_b")
+    # Numeric ids end-to-end: CC's min-label must agree with the oracle's
+    # numeric min (string min would order "10" < "9").
+    comp = connected_components(pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    return (
+        comp.groupBy(F.col("component").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "cluster_id",
+            "n_docs",
+            (F.col("n_docs") - F.lit(1)).alias("n_dropped"),
+        )
+    )
+
+
+QUERIES["dedup_near_dup_clusters"] = dedup_near_dup_clusters
