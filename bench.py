@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "grouping_sets_revenue",
     "pivot_orders_priority_status",
     "q22_rich_inactive_customers",
+    "corpus_hash_sample",
+    "events_stratified_sample",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",

@@ -2118,3 +2118,121 @@ def dedup_near_dup_clusters(spark, sf_dir):
 
 
 QUERIES["dedup_near_dup_clusters"] = dedup_near_dup_clusters
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) near-dup clustering + deterministic sampling
+# ---------------------------------------------------------------------------
+
+ORACLES["embedding_near_dup_clusters"] = f"""
+  WITH pairs AS ({_embedding_lsh_oracle()}),
+  strong AS (SELECT id_a, id_b FROM pairs WHERE cosine >= 0.42),
+  und AS (SELECT id_a AS a, id_b AS b FROM strong
+          UNION SELECT id_b AS a, id_a AS b FROM strong),
+  nodes AS (SELECT DISTINCT a AS node FROM und),
+  reach AS (
+    WITH RECURSIVE r(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT u.b, r.comp FROM r JOIN und u ON u.a = r.node)
+    SELECT * FROM r),
+  comp AS (SELECT node AS vec_id, min(comp) AS cluster_id FROM reach GROUP BY node)
+  SELECT cluster_id, count(*) AS n_vecs, count(*) - 1 AS n_dropped
+  FROM comp GROUP BY cluster_id"""
+
+
+def embedding_near_dup_clusters(spark, sf_dir):
+    """Semantic dedup: hyperplane-LSH candidate pairs above a cosine
+    threshold (0.42 here — the top similarity band of the synthetic
+    near-uniform embeddings; a production corpus of real duplicates would
+    sit at ~0.9 with identical plumbing) →
+    connected components → one keep-vector per cluster. The embedding twin
+    of ``dedup_near_dup_clusters`` — near-identical meaning collapses even
+    when the text-level shingles differ. The >= comparison is on the
+    6-dp-rounded cosine BOTH engines emit, so threshold membership is
+    engine-independent."""
+    from .operators.graph_algos import connected_components
+    from .operators.similarity import embedding_lsh_pairs as op
+
+    view = _view(spark, sf_dir)
+    strong = op(view.tables["embeddings"]).filter(F.col("cosine") >= 0.42)
+    comp = connected_components(
+        strong.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        comp.groupBy(F.col("component").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select("cluster_id", "n_vecs", (F.col("n_vecs") - F.lit(1)).alias("n_dropped"))
+    )
+
+
+QUERIES["embedding_near_dup_clusters"] = embedding_near_dup_clusters
+
+
+@register(
+    "corpus_hash_sample",
+    """SELECT doc_id, lang,
+              floor((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) * 1000000.0 + 0.5) / 1000000.0 AS frac
+       FROM documents
+       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 < 0.2""",
+)
+def corpus_hash_sample(spark, sf_dir):
+    """Deterministic corpus downsampling: hash-based Bernoulli (md5 of the
+    stable id → uniform (0,1) fraction, keep < rate). Unlike
+    ``df.sample()``, the keep-set is a pure function of the id — stable
+    across runs, engines, partitionings, and retries, which is what a
+    reproducible training-data pipeline needs. Filter is a scan-level
+    predicate: no shuffle at any scale."""
+    view = _view(spark, sf_dir)
+    docs = view.tables["documents"]
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(4294967296.0)
+    )
+    from .functions.numeric import round_half_up
+
+    return (
+        docs.select("doc_id", "lang", frac.alias("__frac"))
+        .filter(F.col("__frac") < 0.2)
+        .select("doc_id", "lang", round_half_up(F.col("__frac"), 6).alias("frac"))
+    )
+
+
+@register(
+    "events_stratified_sample",
+    """WITH rated AS (
+         SELECT event_id, event_type,
+                ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS frac,
+                CASE event_type WHEN 'view' THEN 0.05
+                                WHEN 'purchase' THEN 0.5
+                                ELSE 0.2 END AS rate
+         FROM events)
+       SELECT event_id, event_type,
+              floor(frac * 1000000.0 + 0.5) / 1000000.0 AS frac
+       FROM rated WHERE frac < rate""",
+)
+def events_stratified_sample(spark, sf_dir):
+    """Stratified deterministic sampling: per-stratum keep rates (rare
+    strata kept at higher rates) with the same hash-Bernoulli mechanics —
+    the class-balancing downsample step of a training pipeline, still a
+    pure scan-level predicate."""
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    ev = view.tables["events"]
+    frac = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(4294967296.0)
+    )
+    rate = (
+        F.when(F.col("event_type") == "view", 0.05)
+        .when(F.col("event_type") == "purchase", 0.5)
+        .otherwise(0.2)
+    )
+    return (
+        ev.select("event_id", "event_type", frac.alias("__frac"), rate.alias("__rate"))
+        .filter(F.col("__frac") < F.col("__rate"))
+        .select(
+            "event_id", "event_type", round_half_up(F.col("__frac"), 6).alias("frac")
+        )
+    )
