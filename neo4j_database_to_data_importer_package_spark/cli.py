@@ -69,6 +69,10 @@ Examples:
     p.add_argument("--profile", dest="profile", choices=["engine", "reference"],
                    help="'reference' replicates the reference CLI contract "
                         "(zip on by default); default 'engine'")
+    p.add_argument("--source", dest="source", choices=["star", "neo4j"], default="star",
+                   help="graph source: 'star' reads --input-dir parquet (default); "
+                        "'neo4j' reads a live server via the public "
+                        "neo4j-spark-connector using -u/-U/-P/-d")
     p.add_argument("--no-single-file", dest="single_file", action="store_const", const="false",
                    help="sharded CSV + manifest (100 TB mode) instead of one file per table")
     p.add_argument("--compat-render", dest="compat_render", action="store_const", const="true",
@@ -103,7 +107,14 @@ def main(argv=None) -> int:
             print(f"Zip file: {cfg.zip}")
 
     spark = get_spark(app_name="graph-export")
-    view = load_graph_view(spark, cfg.input_dir)
+    if args.source == "neo4j":
+        from .sources.base import Neo4jConnectorSource
+
+        view = Neo4jConnectorSource(
+            cfg.uri, cfg.user, cfg.password, cfg.database
+        ).load(spark)
+    else:
+        view = load_graph_view(spark, cfg.input_dir)
     exporter = GraphExporter(
         view,
         cfg.output_dir,

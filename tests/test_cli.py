@@ -75,6 +75,22 @@ def test_cli_reference_profile_zips_by_default(tmp_path, spark):
         assert "neo4j_importer_model.json" in z.namelist()
 
 
+def test_cli_neo4j_source_reachable_but_offline(tmp_path, spark):
+    """--source neo4j wires -u/-U/-P/-d into the Neo4jConnectorSource
+    seam; without the connector jar it must fail with the actionable
+    error, not a bare ClassNotFoundException."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="neo4j-spark-connector"):
+        main(
+            [
+                "--source", "neo4j",
+                "-u", "bolt://nowhere:7687",
+                "-o", str(tmp_path / "out"),
+            ]
+        )
+
+
 def test_cli_reference_custom_zip_name(tmp_path, spark):
     """-z renames the zip (S13, neo4j_export.py:1466-1470)."""
     out = tmp_path / "myexport"
