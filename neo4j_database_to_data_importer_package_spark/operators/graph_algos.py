@@ -167,3 +167,51 @@ def pagerank(
         for df in (nodes, out_deg, e):
             df.unpersist()
     return ranks.select("node", round_half_up("rank", 8).alias("pagerank"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Multi-source BFS over the undirected graph: minimum hop count from
+    any source node. Frontier expansion with an anti-join against the
+    visited set — each hop is one join + distinct, state is (node, dist)
+    only, and the loop stops at the first empty frontier (or ``max_hops``
+    as the safety bound). Returns (node, dist) for reachable nodes.
+    """
+    from pyspark import StorageLevel
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    try:
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                und.join(frontier, und["a"] == frontier["node"])
+                .select(F.col("b").alias("node"))
+                .distinct()
+                .join(dist.select("node"), "node", "left_anti")
+                .withColumn("dist", F.lit(hop))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            dist = dist.union(nxt).localCheckpoint(eager=True)
+            frontier = nxt.select("node")
+    finally:
+        und.unpersist()
+    return dist

@@ -2236,3 +2236,46 @@ def events_stratified_sample(spark, sf_dir):
             "event_id", "event_type", round_half_up(F.col("__frac"), 6).alias("frac")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distances over the FK graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_bfs_hops",
+    """WITH e AS (
+         SELECT 'C' || c_custkey AS a, 'N' || c_nationkey AS b FROM customer
+         UNION ALL
+         SELECT 'N' || n_nationkey AS a, 'R' || n_regionkey AS b FROM nation),
+       und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+       srcs AS (SELECT DISTINCT 'R' || r_regionkey AS node FROM region),
+       reach AS (
+         WITH RECURSIVE r(node, dist) AS (
+           SELECT node, 0 FROM srcs
+           UNION
+           SELECT u.b, r.dist + 1 FROM r JOIN und u ON u.a = r.node
+           WHERE r.dist < 6)
+         SELECT * FROM r)
+       SELECT node, min(dist) AS dist FROM reach GROUP BY node""",
+)
+def graph_bfs_hops(spark, sf_dir):
+    """Multi-source BFS from every region over the undirected
+    customer→nation→region FK graph (same graph as the CC/PageRank
+    queries, recursive-CTE oracle). Frontier-expansion supersteps with an
+    anti-join visited set — O(diameter) rounds, state linear in nodes."""
+    from .operators.graph_algos import bfs_distances
+
+    view = _view(spark, sf_dir)
+    cust = view.tables["customer"].select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    nat = view.tables["nation"].select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+    )
+    srcs = view.tables["region"].select(
+        F.concat(F.lit("R"), F.col("r_regionkey")).alias("node")
+    )
+    return bfs_distances(cust.unionByName(nat), srcs)
