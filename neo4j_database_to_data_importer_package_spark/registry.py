@@ -2279,3 +2279,29 @@ def graph_bfs_hops(spark, sf_dir):
         F.concat(F.lit("R"), F.col("r_regionkey")).alias("node")
     )
     return bfs_distances(cust.unionByName(nat), srcs)
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows (merging-session state) — batch twin's oracle
+# ---------------------------------------------------------------------------
+
+ORACLES["streaming_session_events"] = ORACLES["window_session_events"]
+
+
+def streaming_session_events(spark, sf_dir):
+    """Streaming session windows over the replayed events: the state store
+    merges sessions as events arrive within the 30-minute gap, complete
+    mode emits the final merged sessions — identical to the batch
+    session_window_agg and its lag/sum-over-window SQL oracle."""
+    from .streaming.events import run_stream_to_memory, streaming_session_counts
+
+    stream = _replayed_events_stream(spark, sf_dir)
+    _STREAM_SEQ[0] += 1
+    return run_stream_to_memory(
+        streaming_session_counts(stream),
+        f"q_stream_session_{_STREAM_SEQ[0]}",
+        output_mode="complete",
+    )
+
+
+QUERIES["streaming_session_events"] = streaming_session_events

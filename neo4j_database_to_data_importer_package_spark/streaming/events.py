@@ -89,6 +89,37 @@ def streaming_interval_join_pairs(
     return l.join(r, cond, "inner")
 
 
+def streaming_session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "3650 days",
+    keys: tuple = ("user_id",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked session-window aggregation — the streaming twin of
+    ``operators.windows.session_window_agg``. Sessions merge while events
+    arrive within ``gap`` of the session end; the state store merges
+    overlapping sessions across triggers. The oversized default watermark
+    makes a finite replay emit the exact batch answer; production uses the
+    real late-data bound and gets session-state eviction for free."""
+    return (
+        _as_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("window"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            _fmt_utc(F.col("window.start")).alias("session_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_tumbling_counts(
     events: DataFrame,
     ts_col: str = "ts",
