@@ -143,3 +143,26 @@ def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def resize_plan(
+    media: DataFrame,
+    w_col: str = "width",
+    h_col: str = "height",
+    max_side: int = 512,
+    multiple_of: int = 8,
+) -> DataFrame:
+    """Image/video resize *plan*: target dimensions for each asset —
+    aspect-preserving downscale so the longer side is at most ``max_side``,
+    snapped down to a multiple of ``multiple_of`` (the tensor-friendly
+    shape most vision models want). Never upscales. Pure JVM expressions;
+    the pixel resample itself is the stubbed decode stage, exactly like
+    ``extract_features``. Columns: (.., scale, out_w, out_h).
+    """
+    w = F.col(w_col).cast("double")
+    h = F.col(h_col).cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(max_side)) / F.greatest(w, h))
+    snap = lambda c: (F.floor(c * scale / multiple_of) * multiple_of).cast("bigint")
+    return media.withColumn("scale", scale).withColumn(
+        "out_w", F.greatest(snap(w), F.lit(multiple_of))
+    ).withColumn("out_h", F.greatest(snap(h), F.lit(multiple_of)))

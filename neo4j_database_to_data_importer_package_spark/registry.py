@@ -2305,3 +2305,52 @@ def streaming_session_events(spark, sf_dir):
 
 
 QUERIES["streaming_session_events"] = streaming_session_events
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize planning (aspect-preserving, tensor-snapped dims)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_resize_plan",
+    """WITH media AS (
+         SELECT event_id AS media_id,
+                320 + (event_id % 1600) AS width,
+                240 + (event_id % 900) AS height
+         FROM events WHERE event_id % 7 = 0),
+       planned AS (
+         SELECT media_id, width, height,
+                least(1.0, 512.0 / greatest(width * 1.0, height * 1.0)) AS scale
+         FROM media)
+       SELECT media_id, width, height,
+              floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
+              greatest(CAST(floor(width * scale / 8) * 8 AS BIGINT), 8) AS out_w,
+              greatest(CAST(floor(height * scale / 8) * 8 AS BIGINT), 8) AS out_h
+       FROM planned""",
+)
+def multimodal_resize_plan(spark, sf_dir):
+    """Resize planning over a deterministic media-dimension table derived
+    from events (the sandbox has no real image dims; the arithmetic is the
+    product). Aspect-preserving, longer side <= 512, snapped down to
+    multiples of 8, never upscaled — all scan-level JVM expressions; the
+    pixel resample is the stubbed decode stage
+    (``operators/multimodal.py::decode_stub``)."""
+    from .functions.numeric import round_half_up
+    from .operators.multimodal import resize_plan
+
+    view = _view(spark, sf_dir)
+    media = (
+        view.tables["events"]
+        .filter(F.col("event_id") % 7 == 0)
+        .select(
+            F.col("event_id").alias("media_id"),
+            (F.lit(320) + F.col("event_id") % 1600).alias("width"),
+            (F.lit(240) + F.col("event_id") % 900).alias("height"),
+        )
+    )
+    planned = resize_plan(media, max_side=512, multiple_of=8)
+    return planned.select(
+        "media_id", "width", "height",
+        round_half_up(F.col("scale"), 6).alias("scale"),
+        "out_w", "out_h",
+    )

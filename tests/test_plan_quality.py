@@ -158,3 +158,16 @@ def test_skewed_join_uses_salted_shuffle_join(spark):
     assert "BroadcastHashJoin" not in plan, "dim side must not be broadcast"
     join_lines = [l for l in plan.splitlines() if "Join" in l and "__salt" in l]
     assert join_lines, f"no salted join in plan:\n{plan[:2000]}"
+
+
+def test_grouping_sets_single_scan(spark):
+    """GROUPING SETS must Expand one scan, not union three scans."""
+    plan = _plan(spark, "grouping_sets_revenue")
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1, "three grouping sets must share ONE lineitem scan"
+
+
+def test_pivot_single_scan_no_values_job(spark):
+    """Pinned pivot values: one orders scan, no distinct-values pre-job."""
+    plan = _plan(spark, "pivot_orders_priority_status")
+    assert plan.count("FileScan") == 1
