@@ -63,33 +63,35 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=True)
     )
+    # Delta propagation: only nodes whose label just improved message
+    # their neighbors (a node whose label is stable already delivered it).
+    # The frontier shrinks every superstep, so late iterations join a
+    # handful of rows instead of the full vertex set.
+    frontier = comp
     try:
         for i in range(max_iter):
-            # candidate = min over incoming neighbor components
-            nbr = (
-                und.join(comp, und["a"] == comp["node"])
+            msgs = (
+                und.join(frontier, und["a"] == frontier["node"])
                 .select(F.col("b").alias("node"), F.col("component"))
             )
-            new_comp = (
-                comp.select("node", "component")
-                .union(nbr)
-                .groupBy("node")
-                .agg(F.min("component").alias("component"))
-                .localCheckpoint(eager=True)
+            cand = msgs.groupBy("node").agg(F.min("component").alias("cand"))
+            joined = (
+                comp.join(cand, "node", "left")
+                .select("node", "component", "cand")
+                .localCheckpoint(eager=True)  # the superstep's only big job
             )
-            changed = (
-                new_comp.alias("n")
-                .join(comp.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
+            frontier = joined.filter(
+                F.col("cand") < F.col("component")
+            ).select("node", F.col("cand").alias("component"))
+            comp = joined.select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("cand"), F.col("component"))).alias("component"),
             )
-            comp = new_comp
-            if changed == 0:
+            if frontier.limit(1).count() == 0:  # tiny probe on checkpointed rows
                 break
     finally:
         und.unpersist()
-    return comp
+    return comp.select("node", "component")
 
 
 def pagerank(
