@@ -1,0 +1,153 @@
+"""Corpus retrieval / vocabulary operators (beyond-reference):
+TF-IDF term ranking, BM25 scoring, vocabulary coverage (OOV rate).
+
+These are the lexical-statistics half of a training-data pipeline
+(the embedding half lives in operators/similarity.py). Everything is
+built-in expressions over an exploded token stream — the explode is
+linear in corpus size and the (doc, term) / (term) aggregations are
+partial-aggregatable, so the plans hold at 100 TB: the only shuffles
+are keyed groupBys and one join on ``term`` (vocabulary-sized, i.e.
+tiny relative to the corpus).
+
+Determinism: scores use natural log + ``round_half_up`` so DuckDB
+oracles reproduce them; ranking ties break on the term/doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_half_up
+from ..functions.text import tokens
+
+
+def _term_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term) stream — one row per token occurrence."""
+    return df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF.
+
+    score = tf * (ln((N+1)/(df+1)) + 1), rounded to 6 decimals; ranking
+    ties break alphabetically on the term. Corpus stats (doc count, doc
+    frequency) come from partial-aggregatable groupBys; the per-doc
+    top-k is a window over ``id_col`` — each doc's terms are one group,
+    so no single-task global sort.
+    """
+    tf = _term_stream(df, text_col, id_col).groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            round_half_up(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); score(d) = Σ_t idf(t) *
+    tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl)). avgdl averages over
+    ALL documents. The token stream is filtered to the query terms
+    BEFORE the tf aggregation, so the shuffled volume is proportional
+    to query-term occurrences, not the corpus.
+    """
+    stream = _term_stream(df, text_col, id_col)
+    q = stream.where(F.col("term").isin(query_terms))
+    tf = q.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+
+    dl = df.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
+    globals_ = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+    )
+
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(globals_))
+        .groupBy(id_col)
+        .agg(round_half_up(F.sum(contrib), 6).alias("bm25"))
+    )
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — a distributed
+    # partial top-k, no single-task full sort. The unpartitioned
+    # row_number window then only ever sees the k surviving rows.
+    topk = scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        id_col, "bm25", "rank"
+    )
+
+
+def vocabulary_oov(
+    df: DataFrame,
+    vocab_size: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-V vocab.
+
+    Phase 1 builds the vocabulary (top ``vocab_size`` terms by corpus
+    frequency, ties alphabetical) — output is V rows, broadcast to
+    phase 2 regardless of corpus size. Phase 2 marks each token
+    occurrence in/out of vocab and re-aggregates per doc.
+    """
+    stream = _term_stream(df, text_col, id_col)
+    freq = stream.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.orderBy(F.desc("n"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term")
+    )
+    marked = stream.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left"
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        round_half_up(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+    )

@@ -2354,3 +2354,111 @@ def multimodal_resize_plan(spark, sf_dir):
         round_half_up(F.col("scale"), 6).alias("scale"),
         "out_w", "out_h",
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus retrieval / vocabulary statistics (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tfidf_top_terms",
+    """WITH tok AS (
+         SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.term, tf.tf,
+                floor(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0)
+                      * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+         FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+       SELECT doc_id, term, tf, tfidf,
+              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+       FROM scored QUALIFY rank <= 5""",
+)
+def tfidf_top_terms(spark, sf_dir):
+    from .operators.retrieval import tfidf_top_terms as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["documents"], k=5)
+
+
+@register(
+    "bm25_rank_spark_hash_join",
+    """WITH tok AS (
+         SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS term
+         FROM documents),
+       q AS (SELECT doc_id, term FROM tok WHERE term IN ('spark', 'hash', 'join')),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM q GROUP BY 1, 2),
+       dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       g AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                    (SELECT avg(dl * 1.0) FROM dl) AS avgdl),
+       scored AS (
+         SELECT tf.doc_id,
+                floor(sum(ln(1.0 + (g.n_docs - dfreq.doc_freq + 0.5) / (dfreq.doc_freq + 0.5))
+                          * tf.tf * 2.2
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / g.avgdl)))
+                      * 1000000.0 + 0.5) / 1000000.0 AS bm25
+         FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+         GROUP BY tf.doc_id)
+       SELECT doc_id, bm25,
+              CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+       FROM scored QUALIFY rank <= 20""",
+)
+def bm25_rank_spark_hash_join(spark, sf_dir):
+    from .operators.retrieval import bm25_topk
+
+    view = _view(spark, sf_dir)
+    return bm25_topk(view.tables["documents"], ["spark", "hash", "join"], k=20)
+
+
+@register(
+    "vocabulary_oov_rate",
+    """WITH tok AS (
+         SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS term
+         FROM documents),
+       vocab AS (
+         SELECT term FROM (SELECT term, count(*) AS n FROM tok GROUP BY 1)
+         ORDER BY n DESC, term LIMIT 20),
+       marked AS (
+         SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+         FROM tok t LEFT JOIN vocab v USING (term))
+       SELECT doc_id, count(*) AS n_tokens, sum(oov) AS n_oov,
+              floor(sum(oov) * 1.0 / count(*) * 1000000.0 + 0.5) / 1000000.0 AS oov_rate
+       FROM marked GROUP BY doc_id""",
+)
+def vocabulary_oov_rate(spark, sf_dir):
+    from .operators.retrieval import vocabulary_oov
+
+    view = _view(spark, sf_dir)
+    return vocabulary_oov(view.tables["documents"], vocab_size=20)
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup (bounded-state dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_dedup_user_type",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_user_type(spark, sf_dir):
+    """Streaming dedup over the replayed events: one surviving row per
+    (user_id, event_type). Only the key columns are emitted — which
+    physical row survives depends on arrival order, the key set does
+    not, so the batch DISTINCT is an exact oracle. The oversized
+    watermark keeps every key live for the finite replay; production
+    sets the real collision bound and gets state eviction."""
+    from .streaming.events import run_stream_to_memory, streaming_dedup
+
+    stream = _replayed_events_stream(spark, sf_dir)
+    _STREAM_SEQ[0] += 1
+    deduped = streaming_dedup(
+        stream, id_cols=("user_id", "event_type"), watermark="3650 days"
+    )
+    return run_stream_to_memory(
+        deduped.select("user_id", "event_type"),
+        f"q_stream_dedup_{_STREAM_SEQ[0]}",
+    ).select("user_id", "event_type")

@@ -184,11 +184,15 @@ def streaming_dedup(
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, output_mode: str = "append", timeout_sec: int = 60
+    stream_df: DataFrame, query_name: str, output_mode: str = "append", timeout_sec: int = 600
 ):
     """Drive a streaming query to completion against a finite file source
-    (test/bench helper): processAllAvailable then return the in-memory
-    table's contents."""
+    (test/bench helper) and return the in-memory table's contents.
+
+    A timeout MUST surface as an error, never as data: returning whatever
+    the memory sink holds when ``awaitTermination`` times out silently
+    yields a partial (wrong) answer — observed when dozens of batch
+    queries share the JVM and push a stream past a short guard."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -197,7 +201,12 @@ def run_stream_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        terminated = q.awaitTermination(timeout_sec)
+        if not terminated:
+            raise TimeoutError(
+                f"streaming query {query_name!r} still active after "
+                f"{timeout_sec}s — refusing to return a partial result"
+            )
     finally:
         if q.isActive:
             q.stop()
