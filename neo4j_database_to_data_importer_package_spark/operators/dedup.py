@@ -306,3 +306,50 @@ def simhash_pairs(
     return cands.select(
         "id_a", "id_b", ham.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplication profile: per document, the fraction of
+    its token n-gram positions whose n-gram also occurs in ANOTHER
+    document (the span-dedup signal of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — here at n-gram
+    granularity rather than suffix-array granularity).
+
+    Plan: explode positional n-grams (linear in corpus tokens), count
+    per-ngram (a) total occurrences and (b) distinct source docs via one
+    partial-aggregatable groupBy, then join back on the n-gram hash and
+    re-aggregate per doc. Shuffles are keyed on the md5 of the n-gram —
+    uniformly distributed, no hot keys even when the corpus has hot
+    phrases, because the join fans out only by each doc's own positions.
+
+    Output: (id, n_spans, n_dup_spans, dup_ratio) where a span is
+    "duplicated" when its n-gram appears in >= 2 distinct docs.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokens(text_col), n)).alias("gram"),
+    ).select(F.col(id_col), F.md5("gram").alias("gram_h"))
+
+    gram_docs = grams.groupBy("gram_h").agg(
+        F.count_distinct(id_col).alias("n_docs")
+    )
+
+    return (
+        grams.join(gram_docs, "gram_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            round_half_up(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_ratio"),
+        )
+    )

@@ -217,3 +217,58 @@ def bfs_distances(
     finally:
         und.unpersist()
     return dist
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts on the undirected, deduped edge set.
+
+    Degree-ordered orientation (the O(m^1.5) algorithm): every edge is
+    directed from its lower-(degree, id) endpoint to the higher one, so
+    each node's out-degree is at most ~sqrt(2m) regardless of how hot a
+    hub is — the wedge self-join can never explode on a skewed degree
+    distribution, which is what makes this survive a 100 TB edge list
+    where the naive neighbor-intersection blows up on hubs. Wedges
+    (c→x, c→y) are then closed by one equi-join against the symmetric
+    edge set. All shuffles are keyed equi-joins; no driver state.
+
+    Returns (node, n_triangles) for every node in >= 1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    oriented = (
+        sym.join(deg.select(F.col("u"), F.col("deg").alias("du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v"
+        )
+        .where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .persist()
+    )
+    wedges = (
+        oriented.select(F.col("u").alias("c"), F.col("v").alias("x"))
+        .join(
+            oriented.select(F.col("u").alias("c"), F.col("v").alias("y")), "c"
+        )
+        .where(F.col("x") < F.col("y"))
+    )
+    closing = sym.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    roles = (
+        tri.select(F.col("c").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+    )
+    return roles.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -2462,3 +2462,87 @@ def streaming_dedup_user_type(spark, sf_dir):
         deduped.select("user_id", "event_type"),
         f"q_stream_dedup_{_STREAM_SEQ[0]}",
     ).select("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup profile (duplicated n-gram spans)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_span_stats",
+    """WITH tok AS (
+         SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+         FROM documents),
+       pos AS (
+         SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
+         FROM tok WHERE len(t) >= 8),
+       grams AS (
+         SELECT doc_id, md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS gram_h
+         FROM pos),
+       gd AS (SELECT gram_h, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY 1)
+       SELECT g.doc_id, count(*) AS n_spans,
+              sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans,
+              floor(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)
+                    * 1000000.0 + 0.5) / 1000000.0 AS dup_ratio
+       FROM grams g JOIN gd USING (gram_h) GROUP BY g.doc_id""",
+)
+def dedup_span_stats(spark, sf_dir):
+    from .operators.dedup import duplicate_span_stats
+
+    view = _view(spark, sf_dir)
+    return duplicate_span_stats(view.tables["documents"], n=8)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_triangle_counts",
+    """WITH raw AS (
+         SELECT 'O' || l_orderkey AS a, 'P' || l_partkey AS b FROM lineitem
+         UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM lineitem
+         UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey FROM lineitem),
+       e0 AS (
+         SELECT least(a, b) AS u, greatest(a, b) AS v FROM raw
+         WHERE a != b GROUP BY 1, 2),
+       tri AS (
+         SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         FROM e0 e1
+         JOIN e0 e2 ON e2.u = e1.v
+         JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+       roles AS (
+         SELECT x AS node FROM tri
+         UNION ALL SELECT y FROM tri
+         UNION ALL SELECT z FROM tri)
+       SELECT node, count(*) AS n_triangles FROM roles GROUP BY node""",
+)
+def graph_triangle_counts(spark, sf_dir):
+    """Triangles in the order/part/supplier co-occurrence graph: the three
+    edge kinds come from each lineitem's (orderkey, partkey, suppkey)
+    triple, but a triangle needs all three edges regardless of which
+    lineitems contributed them — a genuine closed-wedge computation, not
+    a row count."""
+    from .operators.graph_algos import triangle_counts
+
+    view = _view(spark, sf_dir)
+    li = view.tables["lineitem"]
+    e = (
+        li.select(
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+                F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+                F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+    )
+    return triangle_counts(e)

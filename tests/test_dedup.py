@@ -81,3 +81,19 @@ def test_simhash_pairs_hamming(spark, corpus):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(corpus).collect()}
     for (a, b), h in pairs.items():
         assert h == sum(x != y for x, y in zip(sigs[a], sigs[b]))
+
+
+def test_duplicate_span_stats(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import duplicate_span_stats
+
+    shared = "one two three four five six seven eight"   # exactly one 8-gram
+    rows = [
+        (0, shared + " nine ten"),                        # 3 spans, 1 shared
+        (1, "zz " + shared),                              # 2 spans, 1 shared
+        (2, "totally unrelated words appear here in this other document now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"]) for r in duplicate_span_stats(df, n=8).collect()}
+    assert res[0] == (3, 1)
+    assert res[1] == (2, 1)
+    assert res[2] == (3, 0)

@@ -47,3 +47,22 @@ def test_pagerank_star(spark):
     assert abs(sum(pr.values()) - 1.0) < 1e-3
     spokes = [v for k, v in pr.items() if k != "hub"]
     assert max(spokes) - min(spokes) < 1e-9  # symmetric spokes equal
+
+
+def test_triangle_counts(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import triangle_counts
+
+    # triangle a-b-c plus pendant c-d (direction/duplication must not matter)
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")]
+    tri = {r["node"]: r["n_triangles"] for r in triangle_counts(spark.createDataFrame(edges, "src string, dst string")).collect()}
+    assert tri == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_k4(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import triangle_counts
+
+    nodes = ["a", "b", "c", "d"]
+    edges = [(u, v) for u in nodes for v in nodes if u < v]
+    tri = {r["node"]: r["n_triangles"] for r in triangle_counts(spark.createDataFrame(edges, "src string, dst string")).collect()}
+    # K4: each node is in C(3,2)=3 triangles
+    assert tri == {n: 3 for n in nodes}
