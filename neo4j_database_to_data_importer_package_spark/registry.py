@@ -2546,3 +2546,391 @@ def graph_triangle_counts(spark, sf_dir):
         )
     )
     return triangle_counts(e)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H query-shape coverage, adapted to the reduced star schema (no
+# partsupp / commitdate / receiptdate columns in the testdata). Each
+# entry exercises a distinct plan shape a warehouse engine must get
+# right: EXISTS semi-joins, fact-fact joins with dim broadcasts,
+# conditional aggregation, HAVING over exact (integer-valued) sums.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate)
+       GROUP BY o_orderpriority""",
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H q4 shape: EXISTS correlated subquery -> left-semi join on the
+    fact key with a non-equi residual, then a tiny groupBy. The semi join
+    never materializes lineitem columns, so the shuffle carries only
+    (orderkey, shipdate)."""
+    view = _view(spark, sf_dir)
+    o, li = view.tables["orders"], view.tables["lineitem"]
+    hit = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q7_nation_volume_shipping",
+    """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+              year(l_shipdate) AS ship_year,
+              floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation cn ON c_nationkey = cn.n_nationkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation sn ON s_nationkey = sn.n_nationkey
+       WHERE cn.n_name != sn.n_name
+       GROUP BY 1, 2, 3""",
+)
+def q7_nation_volume_shipping(spark, sf_dir):
+    """TPC-H q7 shape: one fact-fact shuffle join (lineitem x orders on
+    the order key) and four broadcast dimension joins; cross-nation
+    trade volume by ship year."""
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    t = view.tables
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue_by_nation",
+    """SELECT n_name, count(DISTINCT c_custkey) AS n_customers,
+              floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS lost_revenue
+       FROM customer
+       JOIN nation   ON c_nationkey = n_nationkey
+       JOIN orders   ON o_custkey = c_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE l_returnflag = 'R'
+       GROUP BY n_name""",
+)
+def q10_returned_revenue_by_nation(spark, sf_dir):
+    """TPC-H q10 shape: returned-item revenue. The returnflag filter is
+    pushed into the lineitem scan; customer and nation broadcast."""
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    t = view.tables
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct("c_custkey").alias("n_customers"),
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("lost_revenue"),
+        )
+    )
+
+
+@register(
+    "q12_shipping_delay_class",
+    """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+                   THEN 'fast' ELSE 'slow' END AS delay_class,
+              sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+              sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY 1""",
+)
+def q12_shipping_delay_class(spark, sf_dir):
+    """TPC-H q12 shape: conditional (pivoted) aggregation over a derived
+    bucket; single fact-fact join, two-row output."""
+    view = _view(spark, sf_dir)
+    t = view.tables
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30, "fast"
+            )
+            .otherwise("slow")
+            .alias("delay_class"),
+            F.when(hi, 1).otherwise(0).alias("is_hi"),
+        )
+        .groupBy("delay_class")
+        .agg(
+            F.sum("is_hi").alias("high_line_count"),
+            F.sum(1 - F.col("is_hi")).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    """SELECT floor(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                     THEN l_extendedprice * (1 - l_discount)
+                                     ELSE 0 END)
+                    / sum(l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5)
+              / 1000000.0 AS promo_share_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey""",
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H q14 shape: ratio of conditional to total aggregate in one
+    pass; part broadcasts into the lineitem scan."""
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    t = view.tables
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            round_half_up(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    f"""SELECT c_custkey, o.o_orderkey,
+               strftime(o_orderdate, '{_TS_FMT_DUCK}') AS o_orderdate,
+               o_totalprice,
+               CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        FROM orders o
+        JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3, 4
+        HAVING sum(l_quantity) > 150""",
+)
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H q18 shape: HAVING over a per-order aggregate, joined back to
+    the customer. The quantity sum is integer-valued, so the threshold
+    compare is FP-exact in any engine. Aggregates lineitem FIRST (the
+    only shuffle on the fact), then joins the shrunken result."""
+    view = _view(spark, sf_dir)
+    t = view.tables
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", _TS_FMT_SPARK).alias("o_orderdate"),
+            "o_totalprice",
+            F.col("qty").cast("bigint").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    """WITH allrev AS (
+         SELECT year(l_shipdate) AS ship_year,
+                l_extendedprice * (1 - l_discount) AS rev,
+                sn.n_regionkey AS supp_region
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE cn.n_regionkey = 0)
+       SELECT ship_year,
+              floor(sum(CASE WHEN supp_region = 0 THEN rev ELSE 0 END)
+                    / sum(rev) * 1000000.0 + 0.5) / 1000000.0 AS local_share
+       FROM allrev GROUP BY ship_year""",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H q8 shape: a region's share of its own customers' purchase
+    volume per year (how much region-0 customers buy from region-0
+    suppliers). Same join tree as q7; the share is a conditional/total
+    ratio per group."""
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    t = view.tables
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cust_region")
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_regionkey").alias("supp_region")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("cust_region") == 0)
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            round_half_up(
+                F.sum(F.when(F.col("supp_region") == 0, rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("local_share")
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    """SELECT n_name AS supp_nation, year(l_shipdate) AS ship_year,
+              floor(sum(l_extendedprice * (1 - l_discount)
+                        - 0.6 * p_retailprice * l_quantity) * 100.0 + 0.5)
+              / 100.0 AS profit
+       FROM lineitem
+       JOIN part     ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       WHERE p_name LIKE '%red%'
+       GROUP BY 1, 2""",
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H q9 shape: profit by supplier nation and year over a
+    name-filtered part subset (0.6 x retailprice stands in for the
+    missing ps_supplycost). The part filter broadcasts; lineitem is
+    scanned once, no fact-fact join needed."""
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    t = view.tables
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("%red%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("supp_nation"), F.year("l_shipdate").alias("ship_year"))
+        .agg(round_half_up(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """WITH srev AS (
+         SELECT l_suppkey,
+                floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+                / 100.0 AS total_rev
+         FROM lineitem GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_rev
+       FROM srev JOIN supplier ON l_suppkey = s_suppkey
+       WHERE total_rev = (SELECT max(total_rev) FROM srev)""",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H q15 shape: argmax against a scalar subquery over an
+    aggregate. Revenue is rounded to cents BEFORE the max/equality so
+    the compare is engine-stable; the one-row max broadcasts."""
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    t = view.tables
+    srev = (
+        t["lineitem"]
+        .groupBy("l_suppkey")
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    mx = srev.agg(F.max("total_rev").alias("mx"))
+    return (
+        srev.join(F.broadcast(mx), srev.total_rev == mx.mx, "inner")
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    """SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+              / 100.0 AS revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+              AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+              AND l_quantity BETWEEN 20 AND 30)""",
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H q19 shape: three-armed disjunction mixing build-side (part)
+    and probe-side (lineitem) predicates. The part-only arms
+    (brand OR brand OR brand) are pushed into the broadcast build scan;
+    the mixed residual evaluates post-join."""
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    t = view.tables
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            arm("Brand#12", 15, 1, 11)
+            | arm("Brand#23", 25, 10, 20)
+            | arm("Brand#34", 35, 20, 30)
+        )
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
