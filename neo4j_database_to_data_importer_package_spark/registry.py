@@ -2934,3 +2934,154 @@ def q19_disjunctive_predicates(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "q11_part_volume_concentration",
+    """WITH pq AS (SELECT l_partkey, sum(l_quantity) AS total_qty
+                   FROM lineitem GROUP BY l_partkey)
+       SELECT l_partkey AS p_partkey, CAST(total_qty AS BIGINT) AS total_qty
+       FROM pq
+       WHERE total_qty > (SELECT sum(total_qty) * 0.0005 FROM pq)""",
+)
+def q11_part_volume_concentration(spark, sf_dir):
+    """TPC-H q11 shape: HAVING against a global scalar subquery. Both the
+    per-part and corpus-wide quantity sums are integer-valued doubles, so
+    the threshold compare is FP-exact; the one-row total broadcasts."""
+    view = _view(spark, sf_dir)
+    pq = (
+        view.tables["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+    )
+    total = pq.agg((F.sum("tq") * 0.0005).alias("threshold"))
+    return (
+        pq.join(F.broadcast(total), pq.tq > total.threshold, "inner")
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("tq").cast("bigint").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_counts_by_part",
+    """SELECT p_brand, p_type, p_size,
+              count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_brand != 'Brand#45'
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0)
+       GROUP BY 1, 2, 3""",
+)
+def q16_supplier_counts_by_part(spark, sf_dir):
+    """TPC-H q16 shape: NOT IN exclusion subquery -> broadcast left-anti
+    join, then a distinct-count per part attribute triple."""
+    view = _view(spark, sf_dir)
+    t = view.tables
+    excluded = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_brand") != "Brand#45")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_heavy_shippers_of_small_parts",
+    """WITH pq AS (
+         SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_name LIKE 'small%'
+         GROUP BY 1, 2),
+       avgq AS (SELECT l_partkey, avg(sq) AS av FROM pq GROUP BY 1)
+       SELECT DISTINCT s_suppkey, s_name
+       FROM pq JOIN avgq USING (l_partkey)
+       JOIN supplier ON l_suppkey = s_suppkey
+       WHERE sq > 0.5 * av""",
+)
+def q20_heavy_shippers_of_small_parts(spark, sf_dir):
+    """TPC-H q20 shape: nested correlated subqueries decorrelated into
+    two aggregates over the same filtered fact -- suppliers who shipped a
+    'small %' part at more than half that part's per-supplier average.
+    Quantity sums are exact; avg is one exact-operand IEEE division, so
+    the predicate is engine-stable."""
+    view = _view(spark, sf_dir)
+    t = view.tables
+    pq = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("small%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    avgq = pq.groupBy("l_partkey").agg(F.avg("sq").alias("av"))
+    return (
+        pq.join(avgq, "l_partkey")
+        .filter(F.col("sq") > 0.5 * F.col("av"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    """WITH ls AS (
+         SELECT l_orderkey, l_suppkey,
+                max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS is_late
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2)
+       SELECT s_suppkey, s_name, count(*) AS numwait
+       FROM ls a JOIN supplier ON a.l_suppkey = s_suppkey
+       WHERE a.is_late = 1
+         AND EXISTS (SELECT 1 FROM ls b
+                     WHERE b.l_orderkey = a.l_orderkey
+                       AND b.l_suppkey != a.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM ls c
+                         WHERE c.l_orderkey = a.l_orderkey
+                           AND c.l_suppkey != a.l_suppkey
+                           AND c.is_late = 1)
+       GROUP BY 1, 2""",
+)
+def q21_sole_late_supplier(spark, sf_dir):
+    """TPC-H q21 shape: EXISTS + NOT EXISTS over the same derived table,
+    decorrelated into one per-order aggregate -- a supplier waits alone
+    when the order has >= 2 suppliers and exactly one late one (itself).
+    One extra tiny shuffle replaces two correlated re-scans of the
+    fact."""
+    view = _view(spark, sf_dir)
+    t = view.tables
+    ls = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = ls.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        ls.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
