@@ -9,7 +9,7 @@ selection, and multi-join reordering — all left to Catalyst/AQE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round_half_up
@@ -155,3 +155,26 @@ def exact_quantiles(
         frac = r - math.floor(r)
         out.append((q, lo + (hi - lo) * frac))
     return out
+
+
+def deterministic_group_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Fixed-size per-group sample, reproducible across runs, engines,
+    and partitionings: rank rows within each group by the md5 of their
+    id (a uniform, data-independent order) and keep the first k. The
+    window is partitioned by the group column — no global sort — and
+    the md5 order means the sample is unbiased w.r.t. any natural
+    ordering of the data.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.select(F.col(group_col), F.col(id_col))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(group_col, id_col)
+    )

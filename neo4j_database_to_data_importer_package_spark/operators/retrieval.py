@@ -151,3 +151,29 @@ def vocabulary_oov(
         "n_oov",
         round_half_up(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
     )
+
+
+def heavy_hitter_terms(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global top-k corpus terms by occurrence count, deterministic
+    tie-break on the term itself. The explode→groupBy is map-side
+    partially aggregated (term counts shrink to vocabulary size before
+    the shuffle); the final top-k windows over the vocabulary — already
+    many orders of magnitude smaller than the corpus — ordered by
+    (count desc, term), so the result is unique regardless of plan.
+    """
+    counts = (
+        _term_stream(df, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("term", "n_occurrences", "rank")
+    )

@@ -241,3 +241,38 @@ def embedding_lsh_pairs(
         cands.select("id_a", "id_b", round_half_up(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def quantize_stats(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization audit: per vector, the scale
+    (max|x| / 127), the count of clipped components, and the mean
+    absolute dequantization error. Entirely element-wise array
+    expressions — a map-side operator with no shuffle; the pattern for
+    shrinking an embedding store 4x before ANN serving.
+
+    Rounding is floor(x + 0.5) (engine-portable half-up) and all math is
+    double precision in a fixed per-element order, so the result is
+    bit-reproducible in any engine.
+    """
+    ed = F.transform(vec_col, lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(ed, F.abs)) / F.lit(127.0)
+
+    def q(x):
+        return F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + 0.5))
+        )
+
+    err = F.aggregate(
+        F.transform(ed, lambda x: F.abs(x - q(x) * scale)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(ed)
+    n_clipped = F.size(F.filter(ed, lambda x: F.abs(F.floor(x / scale + 0.5)) > 127))
+    return df.select(
+        F.col(id_col),
+        round_half_up(scale, 9).alias("scale"),
+        n_clipped.alias("n_clipped"),
+        round_half_up(err, 9).alias("mean_abs_err"),
+    )

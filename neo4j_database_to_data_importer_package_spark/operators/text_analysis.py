@@ -109,3 +109,32 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, md5 fingerprint of normalized text)."""
     return df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+
+
+# Engine-portable PII patterns: the same regex text is valid (and means
+# the same) in Java regex (Spark) and RE2 (DuckDB) — char classes,
+# bounded repetition, and alternation only; no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[A-Za-z0-9./_-]+"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Count and redact emails / URLs — the scrubbing pass every
+    training-data pipeline runs before tokenization. Pure regexp
+    expressions in codegen (no Python): returns
+    (id, n_emails, n_urls, clean_len, clean_md5) where clean_* describe
+    the text after replacing matches with [EMAIL] / [URL].
+    """
+    c = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), URL_RE, "[URL]"
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(c, F.lit(URL_RE)).alias("n_urls"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )

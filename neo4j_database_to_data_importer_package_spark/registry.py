@@ -3085,3 +3085,186 @@ def q21_sole_late_supplier(spark, sf_dir):
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: chunking, packing, PII scrub, quantization,
+# heavy hitters, deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_chunk_plan",
+    """WITH tok AS (
+         SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+         FROM documents),
+       base AS (
+         SELECT doc_id, t, len(t) AS n,
+                CASE WHEN len(t) <= 128 THEN 1
+                     ELSE 1 + (len(t) - 128 + 95) // 96 END AS nc
+         FROM tok),
+       c AS (SELECT doc_id, t, n, unnest(range(0, nc)) AS chunk_id FROM base)
+       SELECT doc_id, chunk_id,
+              chunk_id * 96 AS token_start,
+              least(chunk_id * 96 + 128, n) AS token_end,
+              array_to_string(
+                  list_slice(t, chunk_id * 96 + 1, least(chunk_id * 96 + 128, n)),
+                  ' ') AS chunk_text
+       FROM c""",
+)
+def doc_chunk_plan(spark, sf_dir):
+    from .operators.chunking import chunk_plan
+
+    view = _view(spark, sf_dir)
+    return chunk_plan(view.tables["documents"], chunk_size=128, overlap=32)
+
+
+@register(
+    "sequence_pack_stats",
+    """WITH tk AS (
+         SELECT source, doc_id,
+                len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS n_tokens
+         FROM documents),
+       off AS (
+         SELECT source, doc_id, n_tokens,
+                coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         FROM tk)
+       SELECT source, CAST(floor(off / 2048.0) AS BIGINT) AS pack_id,
+              count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       FROM off GROUP BY 1, 2""",
+)
+def sequence_pack_stats(spark, sf_dir):
+    from .operators.chunking import sequence_packs
+
+    view = _view(spark, sf_dir)
+    return sequence_packs(view.tables["documents"], budget=2048)
+
+
+@register(
+    "pii_scrub_stats",
+    r"""WITH aug AS (
+         SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@mail.example.org for data'
+                        ELSE '' END
+                || CASE WHEN doc_id % 11 = 0
+                        THEN ' mirror at https://mirror.example.org/d/'
+                             || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS text
+         FROM documents),
+       cl AS (
+         SELECT doc_id, text,
+                regexp_replace(
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '[EMAIL]', 'g'),
+                  'https?://[A-Za-z0-9./_-]+', '[URL]', 'g') AS clean
+         FROM aug)
+       SELECT doc_id,
+              len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_-]+')) AS n_urls,
+              length(clean) AS clean_len,
+              md5(clean) AS clean_md5
+       FROM cl""",
+)
+def pii_scrub_stats(spark, sf_dir):
+    """PII scrub over a deterministically augmented corpus: every 7th doc
+    gets a synthetic email, every 11th a URL (the raw synthetic corpus
+    contains none), so the redaction path is actually exercised and the
+    md5-of-clean-text column proves byte parity of the replacement."""
+    from .operators.text_analysis import pii_scrub
+
+    view = _view(spark, sf_dir)
+    d = view.tables["documents"]
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.org for data"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" mirror at https://mirror.example.org/d/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return pii_scrub(aug)
+
+
+@register(
+    "embedding_quantize_stats",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+         FROM embeddings),
+       s AS (
+         SELECT vec_id, ed,
+                list_max(list_transform(ed, x -> abs(x))) / 127.0 AS sc
+         FROM e)
+       SELECT vec_id,
+              floor(sc * 1000000000.0 + 0.5) / 1000000000.0 AS scale,
+              len(list_filter(ed, x -> abs(floor(x / sc + 0.5)) > 127)) AS n_clipped,
+              floor(list_sum(list_transform(ed,
+                        x -> abs(x - greatest(-127.0, least(127.0, floor(x / sc + 0.5))) * sc)))
+                    / len(ed) * 1000000000.0 + 0.5) / 1000000000.0 AS mean_abs_err
+       FROM s""",
+)
+def embedding_quantize_stats(spark, sf_dir):
+    from .operators.similarity import quantize_stats
+
+    view = _view(spark, sf_dir)
+    return quantize_stats(view.tables["embeddings"])
+
+
+@register(
+    "heavy_hitter_terms",
+    """WITH t AS (
+         SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS term
+         FROM documents),
+       c AS (SELECT term, count(*) AS n_occurrences FROM t GROUP BY 1),
+       r AS (SELECT term, n_occurrences,
+                    row_number() OVER (ORDER BY n_occurrences DESC, term) AS rank
+             FROM c)
+       SELECT term, n_occurrences, rank FROM r WHERE rank <= 50""",
+)
+def heavy_hitter_terms(spark, sf_dir):
+    from .operators.retrieval import heavy_hitter_terms as hh
+
+    view = _view(spark, sf_dir)
+    return hh(view.tables["documents"], k=50)
+
+
+@register(
+    "events_group_sample",
+    """SELECT event_type, event_id FROM (
+         SELECT event_type, event_id,
+                row_number() OVER (
+                    PARTITION BY event_type
+                    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+         FROM events) t
+       WHERE rn <= 50""",
+)
+def events_group_sample(spark, sf_dir):
+    from .operators.analytics import deterministic_group_sample
+
+    view = _view(spark, sf_dir)
+    return deterministic_group_sample(
+        view.tables["events"], group_col="event_type", id_col="event_id", k=50
+    )
