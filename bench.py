@@ -76,6 +76,24 @@ BENCH_QUERIES = [
     "embedding_lsh_pairs",
     "graph_degrees",
     "graph_connected_components",
+    "graph_triangle_counts",
+    "dedup_span_stats",
+    # round-2 TPC-H shapes
+    "q4_order_priority",
+    "q7_nation_volume_shipping",
+    "q9_product_type_profit",
+    "q12_shipping_delay_class",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q21_sole_late_supplier",
+    # round-2 training-data pipeline
+    "doc_chunk_plan",
+    "sequence_pack_stats",
+    "pii_scrub_stats",
+    "embedding_quantize_stats",
+    "heavy_hitter_terms",
+    "events_group_sample",
 ]
 # Deliberately outside the headline set (still correctness-gated):
 # graph_pagerank / graph_connected_components (iterative, dominate

@@ -320,31 +320,40 @@ def duplicate_span_stats(
     Training Data Makes Language Models Better" — here at n-gram
     granularity rather than suffix-array granularity).
 
-    Plan: explode positional n-grams (linear in corpus tokens), count
-    per-ngram (a) total occurrences and (b) distinct source docs via one
-    partial-aggregatable groupBy, then join back on the n-gram hash and
-    re-aggregate per doc. Shuffles are keyed on the md5 of the n-gram —
-    uniformly distributed, no hot keys even when the corpus has hot
-    phrases, because the join fans out only by each doc's own positions.
+    Plan: ONE positional n-gram explode, immediately aggregated to
+    (gram, doc) position counts — the raw position stream is never
+    shuffled twice or joined at full volume. Cross-doc visibility comes
+    from a count() window over the gram hash (same key as the preceding
+    aggregation's shuffle, uniform — xxhash64 of the n-gram, internal to
+    the plan so the cheap Spark-native hash is fine), then one final
+    re-aggregation per doc. Three narrow shuffles total, each on a
+    uniformly distributed key; hot phrases fan out across grams, not
+    into one key.
 
     Output: (id, n_spans, n_dup_spans, dup_ratio) where a span is
     "duplicated" when its n-gram appears in >= 2 distinct docs.
     """
-    grams = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(tokens(text_col), n)).alias("gram"),
-    ).select(F.col(id_col), F.md5("gram").alias("gram_h"))
+    from pyspark.sql import Window
 
-    gram_docs = grams.groupBy("gram_h").agg(
-        F.count_distinct(id_col).alias("n_docs")
+    per_gram_doc = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(tokens(text_col), n)).alias("gram"),
+        )
+        .select(F.col(id_col), F.xxhash64("gram").alias("gram_h"))
+        .groupBy("gram_h", id_col)
+        .agg(F.count(F.lit(1)).alias("n_positions"))
     )
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("gram_h"))
 
     return (
-        grams.join(gram_docs, "gram_h")
+        per_gram_doc.withColumn("n_docs", n_docs)
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+            F.sum("n_positions").alias("n_spans"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.col("n_positions")).otherwise(0)
+            ).alias("n_dup_spans"),
         )
         .select(
             id_col,

@@ -2499,10 +2499,11 @@ def dedup_span_stats(spark, sf_dir):
 
 @register(
     "graph_triangle_counts",
-    """WITH raw AS (
-         SELECT 'O' || l_orderkey AS a, 'P' || l_partkey AS b FROM lineitem
-         UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM lineitem
-         UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey FROM lineitem),
+    """WITH li AS (SELECT * FROM lineitem WHERE year(l_shipdate) = 1998),
+       raw AS (
+         SELECT 'O' || l_orderkey AS a, 'P' || l_partkey AS b FROM li
+         UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM li
+         UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey FROM li),
        e0 AS (
          SELECT least(a, b) AS u, greatest(a, b) AS v FROM raw
          WHERE a != b GROUP BY 1, 2),
@@ -2522,11 +2523,15 @@ def graph_triangle_counts(spark, sf_dir):
     edge kinds come from each lineitem's (orderkey, partkey, suppkey)
     triple, but a triangle needs all three edges regardless of which
     lineitems contributed them — a genuine closed-wedge computation, not
-    a row count."""
+    a row count. One ship-year of edges: the full co-occurrence graph is
+    near-bipartite-dense on the tiny supplier side (every part touches
+    most of the 100·sf suppliers), which quadratically inflates wedge
+    generation without making the operator any more interesting; a
+    year's slice keeps realistic sparsity."""
     from .operators.graph_algos import triangle_counts
 
     view = _view(spark, sf_dir)
-    li = view.tables["lineitem"]
+    li = view.tables["lineitem"].filter(F.year("l_shipdate") == 1998)
     e = (
         li.select(
             F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
@@ -2567,19 +2572,20 @@ def graph_triangle_counts(spark, sf_dir):
        GROUP BY o_orderpriority""",
 )
 def q4_order_priority(spark, sf_dir):
-    """TPC-H q4 shape: EXISTS correlated subquery -> left-semi join on the
-    fact key with a non-equi residual, then a tiny groupBy. The semi join
-    never materializes lineitem columns, so the shuffle carries only
-    (orderkey, shipdate)."""
+    """TPC-H q4 shape: EXISTS correlated subquery. Because the correlated
+    predicate is monotone in one lineitem column (exists l with
+    l_shipdate > o_orderdate  <=>  max(l_shipdate) > o_orderdate), the
+    semi join decorrelates into a per-order max aggregate — lineitem
+    collapses to one row per order BEFORE the join, so the join input is
+    |orders|, not |lineitem|, and the aggregate is map-side partial."""
     view = _view(spark, sf_dir)
     o, li = view.tables["orders"], view.tables["lineitem"]
-    hit = o.join(
-        li,
-        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
-        "left_semi",
-    )
-    return hit.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("order_count")
+    mx = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("max_ship"))
+    return (
+        o.join(mx, o.o_orderkey == mx.l_orderkey)
+        .filter(F.col("max_ship") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
     )
 
 
