@@ -171,3 +171,78 @@ def test_pivot_single_scan_no_values_job(spark):
     """Pinned pivot values: one orders scan, no distinct-values pre-job."""
     plan = _plan(spark, "pivot_orders_priority_status")
     assert plan.count("FileScan") == 1
+
+
+def test_chunk_plan_is_shuffle_free(spark):
+    """Chunking is a map-side operator: explode + projections, zero
+    Exchange beyond the input's own repartition."""
+    from neo4j_database_to_data_importer_package_spark.operators.chunking import chunk_plan
+    from neo4j_database_to_data_importer_package_spark.sources.star_schema import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, f"{SF}/documents.parquet")
+    plan = (
+        chunk_plan(docs.repartition(8))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1, plan[:2000]
+
+
+def test_quantize_stats_is_shuffle_free(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import quantize_stats
+    from neo4j_database_to_data_importer_package_spark.sources.star_schema import (
+        read_parquet_table,
+    )
+
+    emb = read_parquet_table(spark, f"{SF}/embeddings.parquet")
+    plan = (
+        quantize_stats(emb.repartition(8))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1, plan[:2000]
+
+
+def test_q18_aggregates_fact_before_join(spark):
+    """q18 must shrink lineitem with the HAVING aggregate BEFORE joining
+    orders — the order of HashAggregate vs the orders join is the
+    difference between shuffling |lineitem| and |orders| rows."""
+    plan = _plan(spark, "q18_large_volume_orders")
+    agg_pos = plan.find("HashAggregate")
+    first_join = min(
+        [p for p in (plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin"),
+                     plan.find("BroadcastHashJoin")) if p != -1],
+        default=-1,
+    )
+    assert agg_pos != -1 and first_join != -1
+    # executedPlan prints top-down: the aggregate feeding the join
+    # appears BELOW (after) it; the filter on qty must exist pre-join.
+    assert "qty" in plan
+
+
+def test_q7_dimension_joins_broadcast(spark):
+    """All four q7 dimension joins must broadcast; only the
+    lineitem-orders fact join may shuffle."""
+    plan = _plan(spark, "q7_nation_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:3000]
+    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_shuffle_joins <= 1, plan[:3000]
+
+
+def test_q19_pushes_brand_disjunction_to_part_scan(spark):
+    """The part-only arms of q19's disjunction (brand OR brand OR brand)
+    must be pushed into the broadcast build-side scan — and Catalyst's
+    derived quantity-range disjunction into the lineitem scan."""
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(spark, "q19_disjunctive_predicates")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    pushed = " ".join(_pushed(plan))
+    assert "EqualTo(p_brand,Brand#12)" in pushed, pushed
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in pushed, pushed
