@@ -178,3 +178,58 @@ def deterministic_group_sample(
         .filter(F.col("rn") <= k)
         .select(group_col, id_col)
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Approximate quantiles from a fixed-grid histogram — the mergeable
+    bounded-state sketch pattern: per-partition bin counts (map-side
+    partial aggregation, state = n_bins longs regardless of data volume)
+    merge associatively; the quantile read-off walks the n_bins-row
+    cumulative histogram. Error is bounded by one bin width of the value
+    range. Deterministic (same grid everywhere), unlike sampling
+    sketches, so the same query in any engine returns the same estimate.
+
+    Returns (quantile, estimate) with estimate = the upper edge of the
+    bin where the cumulative count crosses q * total.
+    """
+    from pyspark.sql import Window
+
+    lohi = df.agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+    ).collect()[0]
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    w = (hi - lo) / n_bins or 1.0
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("int"),
+    )
+    hist = df.select(bin_col.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).crossJoin(F.broadcast(hist.agg(F.sum("c").alias("total"))))
+    qdf = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "quantile double"
+    )
+    crossed = cum.join(
+        F.broadcast(qdf), F.col("cum") >= F.col("quantile") * F.col("total")
+    )
+    return (
+        crossed.groupBy("quantile")
+        .agg(F.min("bin").alias("qbin"))
+        .select(
+            "quantile",
+            round_half_up(F.lit(lo) + (F.col("qbin") + 1) * F.lit(w), 6).alias(
+                "estimate"
+            ),
+        )
+    )

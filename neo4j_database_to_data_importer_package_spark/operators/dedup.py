@@ -362,3 +362,48 @@ def duplicate_span_stats(
             round_half_up(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_ratio"),
         )
     )
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, how many
+    of its token n-grams also appear anywhere in the eval set. The
+    standard pre-training hygiene pass (eval n-gram overlap, as in GPT-3
+    / The Pile decontamination), expressed as one equi-join.
+
+    The eval side collapses to DISTINCT n-gram hashes first — for a real
+    benchmark suite that is thousands of grams, so Spark broadcasts it
+    and the train-side explode never shuffles at all; with a huge eval
+    set the join degrades gracefully to a hash join on the uniform gram
+    key. Train docs with zero overlap are kept (count 0) so the output
+    is a complete audit table.
+
+    Output: (id, n_grams, n_contaminated_grams, contaminated).
+    """
+    def grams(df):
+        return df.select(
+            F.col(id_col),
+            F.explode(word_shingles(tokens(text_col), n)).alias("gram"),
+        ).select(F.col(id_col), F.xxhash64("gram").alias("gram_h"))
+
+    eval_grams = grams(eval_set).select("gram_h").distinct()
+    per_doc = (
+        grams(train)
+        .join(eval_grams.withColumn("hit", F.lit(1)), "gram_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated_grams"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_contaminated_grams",
+        (F.col("n_contaminated_grams") > 0).alias("contaminated"),
+    )

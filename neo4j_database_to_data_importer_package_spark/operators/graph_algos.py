@@ -272,3 +272,63 @@ def triangle_counts(
         .unionAll(tri.select(F.col("y").alias("node")))
     )
     return roles.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def k_core(
+    edges: DataFrame, k: int = 3, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """The k-core of the undirected graph: the maximal subgraph where
+    every node has degree >= k, computed by iterative peeling (drop
+    all nodes under k, recompute degrees on the induced subgraph,
+    repeat to fixpoint).
+
+    Each superstep is one degree aggregation and two semi-joins on the
+    surviving node set — hash-partitioned equi-joins keyed on node id,
+    no driver-side graph state beyond the single removed-count scalar
+    that decides termination. ``localCheckpoint`` truncates the lineage
+    every superstep (the iterative-algorithm rule from connected
+    components); peeling converges in at most O(peel-depth) rounds,
+    typically « diameter.
+
+    Returns (node, core_degree): nodes of the k-core with their degree
+    inside it.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    cur = und.localCheckpoint()
+    try:
+        while True:
+            deg = (
+                cur.select(F.col("u").alias("node"))
+                .unionAll(cur.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            keep = deg.filter(F.col("deg") >= k).select("node").persist()
+            nxt = (
+                cur.join(keep, cur.u == keep.node, "left_semi")
+                .join(keep, cur.v == keep.node, "left_semi")
+                .localCheckpoint()
+            )
+            n_prev, n_next = cur.count(), nxt.count()
+            keep.unpersist()
+            cur = nxt
+            if n_next == n_prev:
+                break
+            if n_next == 0:
+                break
+        return (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+    finally:
+        und.unpersist()

@@ -138,3 +138,35 @@ def pii_scrub(
         F.length(clean).alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram log-probability scoring — the cheap perplexity
+    proxy used to quality-filter web text against a reference corpus
+    (here: the corpus itself, MLE unigram LM). Two aggregations and one
+    join, all keyed on the term; the per-doc score is the mean token
+    log-probability ln(count(term)/total_tokens).
+
+    Every token occurrence has p >= 1/total by construction (the LM is
+    fit on the same corpus), so the log never sees zero.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    from ..functions.numeric import round_half_up
+
+    return (
+        terms.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            round_half_up(
+                F.avg(F.log(F.col("c") / F.col("total"))), 4
+            ).alias("mean_logprob"),
+        )
+    )

@@ -3274,3 +3274,121 @@ def events_group_sample(spark, sf_dir):
     return deterministic_group_sample(
         view.tables["events"], group_col="event_type", id_col="event_id", k=50
     )
+
+
+@register(
+    "contamination_check",
+    """WITH tok AS (
+         SELECT doc_id, source,
+                list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+         FROM documents),
+       g AS (
+         SELECT doc_id, source,
+                array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+         FROM (SELECT doc_id, source, t, unnest(range(1, len(t) - 5 + 2)) AS i
+               FROM tok WHERE len(t) >= 5) p),
+       ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+       tr AS (SELECT doc_id, g.gram, ev.gram AS hit
+              FROM g LEFT JOIN ev USING (gram) WHERE source != 'src0')
+       SELECT doc_id, count(*) AS n_grams,
+              sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated_grams,
+              sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+       FROM tr GROUP BY doc_id""",
+)
+def contamination_check(spark, sf_dir):
+    """Decontamination audit with source 'src0' standing in as the held-
+    out benchmark: per training doc, its 5-gram overlap with the eval
+    slice."""
+    from .operators.dedup import contamination_check as cc
+
+    view = _view(spark, sf_dir)
+    d = view.tables["documents"]
+    return cc(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n=5,
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    """WITH terms AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS term
+         FROM documents),
+       freq AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+       tot AS (SELECT sum(c) AS total FROM freq)
+       SELECT doc_id, count(*) AS n_tokens,
+              floor(avg(ln(c / total)) * 10000.0 + 0.5) / 10000.0 AS mean_logprob
+       FROM terms JOIN freq USING (term) CROSS JOIN tot
+       GROUP BY doc_id""",
+)
+def unigram_logprob_score(spark, sf_dir):
+    from .operators.text_analysis import unigram_logprob_score as ulps
+
+    view = _view(spark, sf_dir)
+    return ulps(view.tables["documents"])
+
+
+@register(
+    "lineitem_price_histogram_quantiles",
+    """WITH lh AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                   FROM lineitem),
+       b AS (SELECT least(999, CAST(floor((l_extendedprice - lo)
+                                          / ((hi - lo) / 1000.0)) AS INT)) AS bin
+             FROM lineitem, lh),
+       h AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+       cum AS (SELECT bin, sum(c) OVER (ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                      (SELECT sum(c) FROM h) AS total
+               FROM h),
+       q AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS quantile)
+       SELECT quantile,
+              floor((lo + (min(bin) + 1) * ((hi - lo) / 1000.0)) * 1000000.0 + 0.5)
+              / 1000000.0 AS estimate
+       FROM cum JOIN q ON cum >= quantile * total CROSS JOIN lh
+       GROUP BY quantile, lo, hi""",
+)
+def lineitem_price_histogram_quantiles(spark, sf_dir):
+    """Mergeable-sketch twin of the exact distributed quantiles: a
+    fixed-grid histogram (bounded state, associative merge) read off at
+    five quantiles. Companion to lineitem_price_quantiles the way KMV is
+    to count_distinct."""
+    from .operators.analytics import histogram_quantiles
+
+    view = _view(spark, sf_dir)
+    return histogram_quantiles(
+        view.tables["lineitem"], "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
+def graph_k_core(spark, sf_dir):
+    """4-core of the one-ship-year order/part/supplier co-occurrence
+    graph (rows-only: iterative peeling has no single-pass SQL twin;
+    unit tests cover known graphs)."""
+    from .operators.graph_algos import k_core
+
+    view = _view(spark, sf_dir)
+    li = view.tables["lineitem"].filter(F.year("l_shipdate") == 1998)
+    e = (
+        li.select(
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+                F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+                F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+    )
+    return k_core(e, k=4)
+
+
+QUERIES["graph_k_core"] = graph_k_core  # rows-only: iterative peeling

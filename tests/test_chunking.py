@@ -94,3 +94,31 @@ def test_deterministic_group_sample_stable(spark):
     # groups smaller than k keep everything
     small = spark.createDataFrame([("c", 1), ("c", 2)], "event_type string, event_id long")
     assert deterministic_group_sample(small, "event_type", "event_id", k=10).count() == 2
+
+
+def test_histogram_quantiles_uniform(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 1001)], "v double")
+    est = {r["quantile"]: r["estimate"] for r in histogram_quantiles(df, "v", [0.5, 0.9], n_bins=100).collect()}
+    # bin width ~ 9.99; estimates land within one bin of the true quantile
+    assert abs(est[0.5] - 500.5) < 11
+    assert abs(est[0.9] - 900.1) < 11
+
+
+def test_unigram_logprob_manual(spark):
+    import math
+
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        unigram_logprob_score,
+    )
+
+    # corpus: "x x y" and "y z" -> counts x:2 y:2 z:1, total 5
+    df = spark.createDataFrame([(1, "x x y"), (2, "y z")], "doc_id long, text string")
+    res = {r["doc_id"]: (r["n_tokens"], r["mean_logprob"]) for r in unigram_logprob_score(df).collect()}
+    exp1 = (math.log(2 / 5) * 3) / 3
+    exp2 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert res[1][0] == 3 and abs(res[1][1] - exp1) < 1e-3
+    assert res[2][0] == 2 and abs(res[2][1] - exp2) < 1e-3

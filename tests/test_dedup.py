@@ -97,3 +97,20 @@ def test_duplicate_span_stats(spark):
     assert res[0] == (3, 1)
     assert res[1] == (2, 1)
     assert res[2] == (3, 0)
+
+
+def test_contamination_check_planted(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import contamination_check
+
+    shared = "alpha beta gamma delta epsilon"  # one 5-gram
+    train = spark.createDataFrame(
+        [(1, shared + " zeta eta"), (2, "nothing in common with the eval set here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "prefix " + shared + " suffix")], "doc_id long, text string"
+    )
+    res = {r["doc_id"]: (r["n_grams"], r["n_contaminated_grams"], r["contaminated"])
+           for r in contamination_check(train, ev, n=5).collect()}
+    assert res[1] == (3, 1, True)
+    assert res[2][1] == 0 and res[2][2] is False

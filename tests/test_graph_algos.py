@@ -66,3 +66,41 @@ def test_triangle_counts_k4(spark):
     tri = {r["node"]: r["n_triangles"] for r in triangle_counts(spark.createDataFrame(edges, "src string, dst string")).collect()}
     # K4: each node is in C(3,2)=3 triangles
     assert tri == {n: 3 for n in nodes}
+
+
+def _py_k_core(edges, k):
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(ns) for n, ns in adj.items() if ns}
+
+
+def test_k_core_matches_reference_peeler(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import k_core
+
+    # K4 with a pendant chain and a triangle hung off it
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"),              # chain peels away
+        ("f", "g"), ("g", "h"), ("h", "f"),  # triangle peels at k=3
+    ]
+    got = {r["node"]: r["core_degree"] for r in k_core(spark.createDataFrame(edges, "src string, dst string"), k=3).collect()}
+    assert got == _py_k_core(edges, 3) == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_k_core_empty_result(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import k_core
+
+    edges = [("a", "b"), ("b", "c")]
+    assert k_core(spark.createDataFrame(edges, "src string, dst string"), k=2).count() == 0
