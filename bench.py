@@ -94,6 +94,11 @@ BENCH_QUERIES = [
     "embedding_quantize_stats",
     "heavy_hitter_terms",
     "events_group_sample",
+    "contamination_check",
+    "unigram_logprob_score",
+    "lineitem_price_histogram_quantiles",
+    "q16_supplier_counts_by_part",
+    "q20_heavy_shippers_of_small_parts",
 ]
 # Deliberately outside the headline set (still correctness-gated):
 # graph_pagerank / graph_connected_components (iterative, dominate
