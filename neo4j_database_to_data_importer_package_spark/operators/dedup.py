@@ -407,3 +407,37 @@ def contamination_check(
         "n_contaminated_grams",
         (F.col("n_contaminated_grams") > 0).alias("contaminated"),
     )
+
+
+def incremental_exact_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup: flag each batch document that exactly
+    duplicates (normalized-text fingerprint) a document already in the
+    corpus. The daily-crawl shape: the corpus side collapses to one row
+    per fingerprint BEFORE the join (partial-aggregated), so the join
+    input is |distinct corpus texts|, and the batch side is the small
+    side — at 100 TB the fingerprint join is a plain uniform-key hash
+    join, and with the corpus fingerprints persisted as a bucketed table
+    the shuffle disappears entirely.
+
+    Output: (id, is_dup, dup_of) with dup_of = the smallest matching
+    corpus doc id (NULL when new).
+    """
+    cfp = (
+        corpus.select(fingerprint_md5(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("dup_of"))
+    )
+    return (
+        batch.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        .join(cfp, "fingerprint", "left")
+        .select(
+            id_col,
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )

@@ -276,3 +276,55 @@ def quantize_stats(
         n_clipped.alias("n_clipped"),
         round_half_up(err, 9).alias("mean_abs_err"),
     )
+
+
+def kmeans_step(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Lloyd's k-means iteration with deterministic seeding (the k
+    lowest-id vectors are the initial centroids): assign every vector to
+    its nearest centroid (ties broken by centroid id), then emit the
+    updated centroids element-wise with assignment counts.
+
+    The k-row centroid table broadcasts into a map-side distance
+    projection (sequential-fold dist², engine-reproducible); the argmin
+    is a per-vector window (partitioned on the vector id — never
+    global); the centroid update is a (cluster, dim) aggregation whose
+    key space is k × dim. This is the building block the full iterative
+    clustering loops over — persist + localCheckpoint per round like
+    PageRank/CC.
+
+    Output: (cluster_id, pos, centroid_val, n_assigned) — the updated
+    centroid matrix in scalar long form.
+    """
+    ed = df.select(
+        F.col(id_col), F.transform(vec_col, lambda x: x.cast("double")).alias("ed")
+    )
+    cent = ed.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col("ed").alias("cvec")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("ed", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "cid")
+    assigned = (
+        ed.crossJoin(F.broadcast(cent))
+        .select(F.col(id_col), "ed", "cid", dist2.alias("dist2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    n = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
+    return (
+        assigned.select("cid", F.posexplode("ed").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(round_half_up(F.avg("v"), 6).alias("centroid_val"))
+        .join(F.broadcast(n), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"), "pos", "centroid_val", "n_assigned"
+        )
+    )

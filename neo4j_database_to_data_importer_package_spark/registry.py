@@ -3392,3 +3392,61 @@ def graph_k_core(spark, sf_dir):
 
 
 QUERIES["graph_k_core"] = graph_k_core  # rows-only: iterative peeling
+
+
+@register(
+    "embedding_kmeans_step",
+    """WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+         FROM embeddings),
+       c AS (SELECT vec_id AS cid, ed AS cvec FROM e WHERE vec_id < 8),
+       d AS (
+         SELECT e.vec_id, c.cid,
+                list_sum(list_transform(list_zip(e.ed, c.cvec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
+         FROM e, c),
+       a AS (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+             FROM d),
+       asg AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+       n AS (SELECT cid, count(*) AS n_assigned FROM asg GROUP BY 1),
+       px AS (
+         SELECT asg.cid, t.j AS pos, e.ed[t.j + 1] AS v
+         FROM asg JOIN e USING (vec_id)
+         CROSS JOIN (SELECT unnest(range(0, 64)) AS j) t)
+       SELECT px.cid AS cluster_id, px.pos,
+              floor(avg(px.v) * 1000000.0 + 0.5) / 1000000.0 AS centroid_val,
+              n.n_assigned
+       FROM px JOIN n USING (cid)
+       GROUP BY 1, 2, 4""",
+)
+def embedding_kmeans_step(spark, sf_dir):
+    from .operators.similarity import kmeans_step
+
+    view = _view(spark, sf_dir)
+    return kmeans_step(view.tables["embeddings"], k=8)
+
+
+@register(
+    "dedup_incremental_batch",
+    """WITH norm AS (
+         SELECT doc_id, source,
+                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         FROM documents),
+       cfp AS (SELECT fp, min(doc_id) AS dup_of
+               FROM norm WHERE source != 'src19' GROUP BY fp)
+       SELECT n.doc_id, cfp.dup_of IS NOT NULL AS is_dup, cfp.dup_of
+       FROM norm n LEFT JOIN cfp USING (fp)
+       WHERE n.source = 'src19'""",
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental ingest dedup with source 'src19' as the incoming
+    batch and the rest as the standing corpus."""
+    from .operators.dedup import incremental_exact_dedup
+
+    view = _view(spark, sf_dir)
+    d = view.tables["documents"]
+    return incremental_exact_dedup(
+        d.filter(F.col("source") != "src19"),
+        d.filter(F.col("source") == "src19"),
+    )

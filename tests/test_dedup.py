@@ -114,3 +114,21 @@ def test_contamination_check_planted(spark):
            for r in contamination_check(train, ev, n=5).collect()}
     assert res[1] == (3, 1, True)
     assert res[2][1] == 0 and res[2][2] is False
+
+
+def test_incremental_exact_dedup(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "The Quick Fox"), (2, "something else"), (3, "the quick  fox")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "  the quick fox "), (11, "brand new content")],
+        "doc_id long, text string",
+    )
+    res = {r["doc_id"]: (r["is_dup"], r["dup_of"]) for r in incremental_exact_dedup(corpus, batch).collect()}
+    assert res[10] == (True, 1)   # matches min corpus id among 1 and 3
+    assert res[11] == (False, None)

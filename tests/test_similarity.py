@@ -89,3 +89,20 @@ def test_embedding_lsh_finds_near_duplicates(spark):
     assert len(missing) <= 1, f"near-duplicates missed by LSH: {missing}"
     exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs(df, threshold=0.9).collect()}
     assert got <= exact, "LSH produced a pair the exact computation rejects"
+
+
+def test_kmeans_step_two_obvious_clusters(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import kmeans_step
+
+    # ids 0,1 are the seeds; 2..5 sit exactly on one of them
+    rows = [
+        (0, [0.0, 0.0]), (1, [10.0, 10.0]),
+        (2, [0.1, 0.0]), (3, [0.0, 0.1]),
+        (4, [10.1, 10.0]), (5, [10.0, 9.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_step(df, k=2)
+    rowsd = {(r["cluster_id"], r["pos"]): (r["centroid_val"], r["n_assigned"]) for r in out.collect()}
+    assert rowsd[(0, 0)][1] == 3 and rowsd[(1, 0)][1] == 3
+    assert abs(rowsd[(0, 0)][0] - (0.0 + 0.1 + 0.0) / 3) < 1e-6
+    assert abs(rowsd[(1, 1)][0] - (10.0 + 10.0 + 9.9) / 3) < 1e-6
