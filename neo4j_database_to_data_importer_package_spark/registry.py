@@ -3450,3 +3450,53 @@ def dedup_incremental_batch(spark, sf_dir):
         d.filter(F.col("source") != "src19"),
         d.filter(F.col("source") == "src19"),
     )
+
+
+@register(
+    "streaming_kmv_distinct_users",
+    """WITH h AS (
+         SELECT DISTINCT event_type,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS frac
+         FROM events),
+       ranked AS (
+         SELECT event_type, frac,
+                row_number() OVER (PARTITION BY event_type ORDER BY frac) AS r
+         FROM h),
+       kth AS (SELECT event_type, frac AS kth_frac FROM ranked WHERE r = 32),
+       cnt AS (SELECT event_type, count(*) AS n FROM h GROUP BY 1)
+       SELECT c.event_type,
+              CAST(coalesce(CAST(floor(31.0 / k.kth_frac + 0.5) AS BIGINT), c.n) AS BIGINT)
+                AS kmv_estimate
+       FROM cnt c LEFT JOIN kth k USING (event_type)""",
+)
+def streaming_kmv_distinct_users(spark, sf_dir):
+    """The KMV sketch maintained as streaming state: k=32 smallest
+    distinct hash fractions per event_type merged across micro-batches
+    (set-union + k-smallest is commutative/associative, so the fixed
+    point is arrival-order independent and the batch KMV SQL is the
+    oracle). Hashing runs JVM-side before the state shuffle."""
+    from pyspark.sql import Window
+
+    from .streaming.events import run_stream_to_memory
+    from .streaming.stateful import streaming_kmv_distinct
+
+    stream = _replayed_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    hashed = stream.select(
+        F.col("event_type").cast("string").alias("key"),
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") / F.lit(4294967296.0)
+        ).alias("frac"),
+    )
+    _STREAM_SEQ[0] += 1
+    got = run_stream_to_memory(
+        streaming_kmv_distinct(hashed),
+        f"q_stream_kmv_{_STREAM_SEQ[0]}",
+        output_mode="update",
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("n_batches"))
+    return (
+        got.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("key").alias("event_type"), "kmv_estimate")
+    )

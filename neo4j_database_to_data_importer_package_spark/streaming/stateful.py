@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -113,6 +114,80 @@ def streaming_running_totals(
         _update_running_totals,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct sketch: the batch KMV's bounded mergeable state
+# (k smallest distinct hash fractions per key) maintained incrementally
+# across micro-batches. State is exactly k doubles per key — the sketch
+# property that makes distinct-counting viable on an infinite stream.
+# ---------------------------------------------------------------------------
+
+KMV_K = 32
+
+KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("mins", ArrayType(DoubleType())),
+        StructField("n_batches", LongType()),
+    ]
+)
+
+KMV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_batches", LongType()),
+        StructField("n_mins", LongType()),
+        StructField("kmv_estimate", LongType()),
+    ]
+)
+
+
+def _update_kmv(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    if state.exists:
+        mins, nb = list(state.get[0]), state.get[1]
+    else:
+        mins, nb = [], 0
+    s = set(mins)
+    for pdf in pdfs:
+        if not pdf.empty:
+            s.update(float(x) for x in pdf["frac"])
+    mins = sorted(s)[:KMV_K]
+    nb += 1
+    state.update((mins, nb))
+    if len(mins) >= KMV_K:
+        est = int(math.floor((KMV_K - 1) / mins[KMV_K - 1] + 0.5))
+    else:
+        est = len(mins)  # sketch not full -> it IS the exact distinct set
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_batches": [nb],
+            "n_mins": [len(mins)],
+            "kmv_estimate": [est],
+        }
+    )
+
+
+def streaming_kmv_distinct(hashed: DataFrame) -> DataFrame:
+    """Per-key approximate distinct counts over a stream, via the KMV
+    bounded sketch. ``hashed`` must provide (key: string, frac: double)
+    where frac is the deterministic hash fraction in (0, 1] — computed
+    JVM-side before the shuffle so the Python state update only merges
+    doubles. The fixed point is arrival-order independent (set-union +
+    k-smallest is commutative/associative), so the batch KMV SQL is the
+    oracle for the final emission.
+    """
+    return hashed.groupBy("key").applyInPandasWithState(
+        _update_kmv,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -130,3 +130,45 @@ def test_streaming_checkpoint_resume_exactly_once(spark, events_batch, tmp_path)
     out = spark.read.parquet(sink)
     assert out.count() == events_batch.count()          # no loss, no dups
     assert out.select("event_id").distinct().count() == events_batch.count()
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, events_stream_path, events_batch):
+    """The streaming KMV's final emission per key must equal the batch
+    KMV computed from the same deterministic hash fractions, regardless
+    of micro-batch split (set-union + k-smallest is order-independent);
+    state is bounded at k doubles per key."""
+    import math
+
+    from neo4j_database_to_data_importer_package_spark.streaming.events import (
+        read_events_stream,
+    )
+    from neo4j_database_to_data_importer_package_spark.streaming.stateful import (
+        KMV_K,
+        streaming_kmv_distinct,
+    )
+
+    schema = spark.read.parquet(events_stream_path).schema
+    stream = read_events_stream(spark, events_stream_path, schema, max_files_per_trigger=1)
+    frac = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(4294967296.0)
+    )
+    hashed = stream.select(F.col("event_type").cast("string").alias("key"), frac.alias("frac"))
+    got = run_stream_to_memory(
+        streaming_kmv_distinct(hashed), "t_kmv", output_mode="update"
+    ).toPandas()
+    last = got.loc[got.groupby("key")["n_batches"].idxmax()]
+    assert (last["n_mins"] <= KMV_K).all()
+
+    batch = (
+        events_batch.select(F.col("event_type").cast("string").alias("key"), frac.alias("frac"))
+        .distinct()
+        .toPandas()
+    )
+    for r in last.itertuples():
+        fracs = sorted(batch[batch["key"] == r.key]["frac"])
+        if len(fracs) >= KMV_K:
+            exp = int(math.floor((KMV_K - 1) / fracs[KMV_K - 1] + 0.5))
+        else:
+            exp = len(fracs)
+        assert r.kmv_estimate == exp, r.key
