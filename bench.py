@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "text_quality_score",
     "text_language_id",
     "text_fingerprints",
+    "text_repetition_stats",
     "corpus_clean_pipeline",
     "embedding_topk",
     "embedding_ivf_topk",

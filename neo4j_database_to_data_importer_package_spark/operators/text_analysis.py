@@ -170,3 +170,76 @@ def unigram_logprob_score(
             ).alias("mean_logprob"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters: per-doc duplicate-2/3-gram
+    ratios, the most-frequent-2-gram share, and token-level Shannon
+    entropy, plus a combined ``flagged`` verdict.
+
+    Entirely array expressions inside whole-stage codegen — no explode,
+    no shuffle, no Python. Per doc the top-gram/entropy counts are
+    O(distinct x len) array scans, which is the right trade at 100 TB:
+    the alternative (explode tokens -> groupBy (doc, gram)) shuffles
+    the whole corpus token stream for a per-row statistic.
+
+    Thresholds follow the Gopher repetition-removal rules (dup 2-gram
+    fraction > 0.2, dup 3-gram > 0.18, top-2-gram share > 0.18; the
+    top-share rule only applies to docs with >= 10 2-grams, else a
+    2-word doc trivially hits share 1.0). ``flagged`` compares the
+    *rounded* values so engine parity is exact.
+    """
+    from ..functions.text import word_shingles
+
+    t = tokens(text_col)
+    g2 = word_shingles(t, 2)
+    g3 = word_shingles(t, 3)
+    nt, n2, n3 = F.size(t), F.size(g2), F.size(g3)
+    d2 = F.size(F.array_distinct(g2))
+    d3 = F.size(F.array_distinct(g3))
+    dup2 = round_half_up(
+        F.when(n2 > 0, (n2 - d2) / n2).otherwise(F.lit(0.0)), 6
+    )
+    dup3 = round_half_up(
+        F.when(n3 > 0, (n3 - d3) / n3).otherwise(F.lit(0.0)), 6
+    )
+    top2_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(g2),
+            lambda y: F.size(F.filter(g2, lambda x: x == y)),
+        )
+    )
+    top2 = round_half_up(
+        F.when(n2 > 0, top2_cnt / n2).otherwise(F.lit(0.0)), 6
+    )
+    tok_counts = F.transform(
+        F.array_distinct(t),
+        lambda y: F.size(F.filter(t, lambda x: x == y)),
+    )
+    entropy = round_half_up(
+        F.when(
+            nt > 0,
+            -F.aggregate(
+                tok_counts,
+                F.lit(0.0),
+                lambda acc, c: acc + (c / nt) * F.log2(c / nt),
+            ),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    out = df.select(
+        F.col(id_col),
+        n2.alias("n_2grams"),
+        dup2.alias("dup_2gram_ratio"),
+        dup3.alias("dup_3gram_ratio"),
+        top2.alias("top_2gram_share"),
+        entropy.alias("token_entropy"),
+    )
+    return out.withColumn(
+        "flagged",
+        (F.col("dup_2gram_ratio") > 0.2)
+        | (F.col("dup_3gram_ratio") > 0.18)
+        | ((F.col("n_2grams") >= 10) & (F.col("top_2gram_share") > 0.18)),
+    )

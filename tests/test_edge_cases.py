@@ -54,3 +54,24 @@ def test_similarity_tolerates_empty_table(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert similarity.cosine_pairs(empty).count() == 0
     assert similarity.brute_force_topk(empty).count() == 0
+
+
+def test_repetition_stats_flags_and_edges(spark, short_docs):
+    # Highly repetitive doc flagged; varied doc not; tiny/NULL docs get
+    # all-zero ratios without erroring.
+    docs = spark.createDataFrame(
+        [
+            (10, "spam spam spam spam spam spam spam spam"),
+            (11, "the quick brown fox jumps over one lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ta.repetition_stats(docs).collect()}
+    assert rows[10].flagged and rows[10].dup_2gram_ratio > 0.8
+    assert not rows[11].flagged and rows[11].dup_2gram_ratio == 0.0
+    # 9 distinct tokens of 9 -> entropy = log2(9)
+    assert abs(rows[11].token_entropy - 3.169925) < 1e-6
+    edge = {r.doc_id: r for r in ta.repetition_stats(short_docs).collect()}
+    assert len(edge) == 4
+    for r in edge.values():
+        assert not r.flagged
