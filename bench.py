@@ -72,6 +72,12 @@ BENCH_QUERIES = [
     "text_fingerprints",
     "text_repetition_stats",
     "corpus_clean_pipeline",
+    "corpus_split_stats",
+    "domain_cap_sample",
+    "lang_mixture_stats",
+    "rolling_user_activity",
+    "events_zscore_outliers",
+    "bigram_next_token_topk",
     "embedding_topk",
     "embedding_ivf_topk",
     "embedding_lsh_pairs",

@@ -1,0 +1,158 @@
+"""Data-mixing operators for training-corpus assembly (beyond-reference):
+deterministic train/val/test splits, per-domain caps, and weighted
+language mixtures.
+
+All sampling is hash-deterministic (md5 of the document id), so the same
+document lands in the same split/sample in any engine, at any
+parallelism, on any run — the property that makes a 100 TB corpus
+rebuild reproducible (and makes every operator here oracle-checkable in
+DuckDB). Assignment is a pure map-side expression; the only shuffles are
+the final tiny aggregations (key space = splits × langs / sources), and
+the per-domain cap projects to (group, hash, id) before its two-level
+bounded aggregation — the same mergeable pattern as the KMV sketch, so
+the merge state per group is ≤ k rows per input partition, never the
+whole document payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_half_up
+
+_HASH_DENOM = 4294967296.0  # 2^32 — md5 first 8 hex chars → uniform [0, 1)
+
+
+def hash_frac(col: Column) -> Column:
+    """Deterministic uniform [0,1) fraction from any id column."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        / F.lit(_HASH_DENOM)
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+) -> DataFrame:
+    """Stable train/val/test assignment by hashed id — no shuffle, no
+    state: re-running on a grown corpus never moves an old document
+    between splits (the property random splits lack)."""
+    frac = hash_frac(F.col(id_col))
+    return df.withColumn(
+        "split",
+        F.when(frac < train, F.lit("train"))
+        .when(frac < train + val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def split_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per (split, lang) corpus accounting: doc counts and char budget."""
+    return (
+        assign_split(df, id_col)
+        .groupBy("split", lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(chars_col).alias("total_chars"),
+            round_half_up(F.avg(chars_col), 4).alias("avg_chars"),
+        )
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = 25,
+) -> DataFrame:
+    """Per-domain cap: keep a stable k-document sample of every group,
+    chosen by md5(id) order (uniform, data-independent).
+
+    Two-level bounded aggregation (the KMV-sketch shape) instead of a
+    per-group global window sort: (1) per (group, input partition)
+    collect and slice the k smallest (hash, id) pairs — the projection
+    drops every other column first, so the shuffle carries two small
+    strings per row, never document payloads; (2) merge the ≤k-element
+    partials per group and re-slice. A hot domain with 10^9 docs merges
+    ≤ k × num_partitions pairs, not 10^9 — no single-task sort at any
+    scale.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    slim = df.select(F.col(group_col), h.alias("__h"), F.col(id_col))
+    partials = slim.groupBy(group_col, F.spark_partition_id().alias("__pid")).agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("__h", id_col))), 1, k
+        ).alias("__top")
+    )
+    merged = partials.groupBy(group_col).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__top"))), 1, k
+        ).alias("__top")
+    )
+    return merged.select(group_col, F.explode("__top").alias("__e")).select(
+        group_col, F.col(f"__e.{id_col}").alias(id_col)
+    )
+
+
+# Language-mixture weights: keep-probability per language. The shape a
+# real pipeline tunes per corpus source; values here are illustrative.
+LANG_MIX_WEIGHTS: dict[str, float] = {
+    "en": 0.9,
+    "de": 0.5,
+    "fr": 0.5,
+    "es": 0.4,
+    "zh": 0.3,
+}
+
+
+def weighted_mixture_sample(
+    df: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Keep each document with its language's mixture weight as the
+    probability — deterministically (hash_frac(id) < weight), so the
+    sampled corpus is reproducible and monotone in the weights (raising
+    a weight only ever adds documents). Unknown languages drop out
+    (weight 0). Pure map-side filter."""
+    w = weights or LANG_MIX_WEIGHTS
+    wmap = F.create_map(
+        *[x for kv in w.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    keep = hash_frac(F.col(id_col)) < F.coalesce(
+        wmap[F.col(lang_col)], F.lit(0.0)
+    )
+    return df.filter(keep)
+
+
+def mixture_stats(
+    df: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-language before/after accounting of the weighted mixture:
+    one scan, conditional aggregates (no second pass over the corpus)."""
+    w = weights or LANG_MIX_WEIGHTS
+    wmap = F.create_map(
+        *[x for kv in w.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    kept = hash_frac(F.col(id_col)) < F.coalesce(wmap[F.col(lang_col)], F.lit(0.0))
+    return df.groupBy(lang_col).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept.cast("long")).alias("n_sampled"),
+        F.sum(F.when(kept, F.col(chars_col)).otherwise(F.lit(0))).alias(
+            "sampled_chars"
+        ),
+    )

@@ -243,3 +243,55 @@ def repetition_stats(
         | (F.col("dup_3gram_ratio") > 0.18)
         | ((F.col("n_2grams") >= 10) & (F.col("top_2gram_share") > 0.18)),
     )
+
+
+def bigram_next_token_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_prefixes: int = 20,
+    k: int = 3,
+) -> DataFrame:
+    """Corpus bigram language model, read out as the top-``k`` next
+    tokens for the ``top_prefixes`` most frequent prefix words.
+
+    The explode is corpus-sized by nature (an LM build touches every
+    token) but hash aggregation combines (w1, w2) counts map-side
+    before the single shuffle; both rankings then run on vocabulary-
+    sized data — the prefix table re-joins as a broadcast. Ties break
+    lexicographically so the read-out is deterministic.
+    """
+    from pyspark.sql import Window
+
+    t = tokens(text_col)
+    grams = F.transform(
+        F.slice(t, 1, F.greatest(F.lit(0), F.size(t) - 1)),
+        lambda x, i: F.struct(
+            x.alias("w1"), F.element_at(t, i + F.lit(2)).alias("w2")
+        ),
+    )
+    pairs = df.select(F.explode(grams).alias("g")).select("g.w1", "g.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    prefix_rank = (
+        pc.groupBy("w1")
+        .agg(F.sum("pair_count").alias("__tot"))
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.orderBy(F.col("__tot").desc(), F.col("w1"))
+            ),
+        )
+        .filter(F.col("__pr") <= top_prefixes)
+        .select("w1")
+    )
+    ranked = pc.join(F.broadcast(prefix_rank), "w1").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("w1").orderBy(
+                F.col("pair_count").desc(), F.col("w2")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= k).select(
+        "w1", "w2", "pair_count", "rnk"
+    )

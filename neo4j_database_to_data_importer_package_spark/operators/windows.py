@@ -81,3 +81,76 @@ def session_window_agg(
         "n_events",
         "sum_value",
     )
+
+
+def _epoch_seconds(ts_col: str) -> Column:
+    """Wall-clock seconds since the NTZ epoch — session-timezone-proof
+    (never casts NTZ to an instant; see streaming/events.py)."""
+    return F.expr(
+        f"timestampdiff(SECOND, timestamp'1970-01-01 00:00:00', {ts_col})"
+    )
+
+
+def rolling_range_activity(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    window_seconds: int = 3 * 24 * 3600,
+) -> DataFrame:
+    """Per-key peak trailing-window activity: a RANGE frame over event-time
+    seconds ([-window, now] per row, peers included), then the per-key
+    maximum — the rolling-feature shape (trailing 3-day activity) used for
+    time-series featurization.
+
+    The RANGE window shuffles once on the key and sorts within key — the
+    same cost as any per-key sequence operator; no global sort. The frame
+    is on an integer seconds column, so Spark and any SQL engine agree on
+    peer handling exactly.
+    """
+    secs = _epoch_seconds(ts_col)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(secs.alias("__secs"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    rolled = events.select(
+        F.col(key_col),
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum(value_col).over(w).alias("__v"),
+    )
+    return rolled.groupBy(key_col).agg(
+        F.max("__n").alias("peak_window_events"),
+        round_half_up(F.max("__v"), 4).alias("peak_window_value"),
+    )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group anomaly accounting: population z-score of ``value_col``
+    against the group's mean/stddev, counting |z| > threshold.
+
+    Two aggregations over the same grouping key (stats, then a broadcast
+    join back for the scoring pass) — the group stats table is tiny, so
+    the second pass is a map-side broadcast join, not a re-shuffle.
+    """
+    stats = events.groupBy(key_col).agg(
+        F.avg(value_col).alias("__mean"),
+        F.stddev_pop(value_col).alias("__sd"),
+    )
+    z = (F.col(value_col) - F.col("__mean")) / F.col("__sd")
+    scored = events.join(F.broadcast(stats), key_col).select(
+        F.col(key_col),
+        F.when(F.col("__sd") > 0, F.abs(z)).otherwise(F.lit(0.0)).alias("__az"),
+    )
+    return scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("__az") > threshold).cast("long")).alias("n_outliers"),
+        round_half_up(F.max("__az"), 4).alias("max_abs_z"),
+    )

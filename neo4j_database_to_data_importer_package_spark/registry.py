@@ -3554,3 +3554,167 @@ def text_repetition_stats(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return repetition_stats(view.tables["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Data-mixing operators: deterministic splits, per-domain caps, language
+# mixtures (training-corpus assembly at 100 TB — all hash-deterministic,
+# so fully oracle-checkable).
+# ---------------------------------------------------------------------------
+
+_FRAC_DUCK = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0)"
+)
+
+
+@register(
+    "corpus_split_stats",
+    f"""WITH a AS (
+          SELECT CASE WHEN {_FRAC_DUCK} < 0.9 THEN 'train'
+                      WHEN {_FRAC_DUCK} < 0.95 THEN 'val'
+                      ELSE 'test' END AS split,
+                 lang, n_chars
+          FROM documents)
+        SELECT split, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
+        FROM a GROUP BY 1, 2""",
+)
+def corpus_split_stats(spark, sf_dir):
+    """Stable hash-based train/val/test assignment + per (split, lang)
+    corpus accounting. Map-side assignment, one tiny-key aggregation."""
+    from .operators.mixing import split_stats
+
+    view = _view(spark, sf_dir)
+    return split_stats(view.tables["documents"])
+
+
+@register(
+    "domain_cap_sample",
+    """WITH h AS (
+         SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+         FROM documents),
+       r AS (
+         SELECT source, doc_id,
+                row_number() OVER (PARTITION BY source ORDER BY hx, doc_id) AS rn
+         FROM h)
+       SELECT source, doc_id FROM r WHERE rn <= 25""",
+)
+def domain_cap_sample(spark, sf_dir):
+    """Per-domain document cap (keep a stable 25-doc md5-ordered sample
+    per source) via the two-level bounded-state aggregation — no global
+    per-group sort; shuffle payload is (hash, id) pairs only."""
+    from .operators.mixing import cap_per_group
+
+    view = _view(spark, sf_dir)
+    return cap_per_group(view.tables["documents"], "source", "doc_id", k=25)
+
+
+@register(
+    "lang_mixture_stats",
+    f"""WITH a AS (
+          SELECT lang, n_chars,
+                 {_FRAC_DUCK} < CASE lang
+                     WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5
+                     WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.4
+                     WHEN 'zh' THEN 0.3 ELSE 0.0 END AS kept
+          FROM documents)
+        SELECT lang, count(*) AS n_total,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+        FROM a GROUP BY 1""",
+)
+def lang_mixture_stats(spark, sf_dir):
+    """Deterministic weighted language mixture (keep-probability per
+    lang, hash-thresholded) with before/after accounting in one scan."""
+    from .operators.mixing import mixture_stats
+
+    view = _view(spark, sf_dir)
+    return mixture_stats(view.tables["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Time-series features over events: trailing RANGE-frame activity and
+# per-group z-score anomaly accounting.
+# ---------------------------------------------------------------------------
+
+@register(
+    "rolling_user_activity",
+    """WITH s AS (
+         SELECT user_id, value, epoch_us(ts) AS us FROM events),
+       r AS (
+         SELECT user_id,
+                count(*) OVER w AS n,
+                sum(value) OVER w AS v
+         FROM s
+         WINDOW w AS (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW))
+       SELECT user_id,
+              CAST(max(n) AS BIGINT) AS peak_window_events,
+              floor(max(v) * 10000.0 + 0.5) / 10000.0 AS peak_window_value
+       FROM r GROUP BY 1""",
+)
+def rolling_user_activity(spark, sf_dir):
+    """Per-user peak trailing-3-day activity via an event-time RANGE
+    frame on integer microseconds (identical peer semantics in any
+    engine); one shuffle on user_id."""
+    from .operators.windows import rolling_range_activity
+
+    view = _view(spark, sf_dir)
+    return rolling_range_activity(view.tables["events"])
+
+
+@register(
+    "events_zscore_outliers",
+    """WITH st AS (
+         SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+         FROM events GROUP BY 1),
+       sc AS (
+         SELECT e.event_type,
+                CASE WHEN sd > 0 THEN abs((value - m) / sd) ELSE 0.0 END AS az
+         FROM events e JOIN st USING (event_type))
+       SELECT event_type, count(*) AS n_events,
+              CAST(sum(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+              floor(max(az) * 10000.0 + 0.5) / 10000.0 AS max_abs_z
+       FROM sc GROUP BY 1""",
+)
+def events_zscore_outliers(spark, sf_dir):
+    """Population z-score anomaly counts per event_type: tiny stats agg
+    broadcast back over the events scan — no second shuffle."""
+    from .operators.windows import zscore_outliers
+
+    view = _view(spark, sf_dir)
+    return zscore_outliers(view.tables["events"])
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram LM read-out (top next-tokens per frequent prefix).
+# ---------------------------------------------------------------------------
+
+@register(
+    "bigram_next_token_topk",
+    f"""WITH tok AS (SELECT {_TOKS_DUCK} AS t FROM documents),
+        pairs AS (
+          SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> {{'w1': t[i], 'w2': t[i + 1]}}), recursive := true)
+          FROM tok),
+        pc AS (SELECT w1, w2, count(*) AS pair_count FROM pairs GROUP BY 1, 2),
+        pt AS (SELECT w1,
+                      row_number() OVER (ORDER BY sum(pair_count) DESC, w1) AS pr
+               FROM pc GROUP BY 1),
+        ranked AS (
+          SELECT c.w1, c.w2, CAST(c.pair_count AS BIGINT) AS pair_count,
+                 CAST(row_number() OVER (PARTITION BY c.w1
+                      ORDER BY c.pair_count DESC, c.w2) AS INT) AS rnk
+          FROM pc c JOIN pt ON pt.w1 = c.w1 AND pt.pr <= 20)
+        SELECT w1, w2, pair_count, rnk FROM ranked WHERE rnk <= 3""",
+)
+def bigram_next_token_topk(spark, sf_dir):
+    """Bigram LM over the corpus: top-3 next tokens for the 20 most
+    frequent prefixes. Map-side-combined (w1, w2) counts; rankings run
+    on vocabulary-sized data with the prefix set broadcast back."""
+    from .operators.text_analysis import bigram_next_token_topk as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["documents"])
