@@ -332,3 +332,87 @@ def k_core(
         )
     finally:
         und.unpersist()
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    node_col: str = "node",
+    rounds: int = 8,
+) -> DataFrame:
+    """Multi-source weighted shortest paths, bounded-hop Bellman-Ford.
+
+    Exactly ``rounds`` synchronous relaxation supersteps over the
+    undirected weighted graph: dist[v] <- min(dist[v], min over incoming
+    (dist[u] + w(u,v))). With ``rounds`` >= the hop-diameter this is the
+    exact single/multi-source shortest-path distance; in general it is
+    the shortest path using at most ``rounds`` edges — a well-defined,
+    deterministic quantity that a fixed-depth recursive-CTE oracle can
+    replay (same shape as ``pagerank``'s fixed-iteration contract).
+
+    Scale shape (beyond the reference, which has no graph analytics —
+    its one join is the export pattern join, neo4j_export.py:362-369):
+    per superstep one shuffle join edges ⋈ dist on the source endpoint
+    plus a min-aggregate on the destination — both hash-partition on the
+    vertex id, so consecutive supersteps reuse the same partitioning.
+    The frontier optimization (only improved nodes message) keeps late
+    supersteps cheap exactly like ``connected_components``; state is one
+    row per reached node, never a path.
+    """
+    from pyspark import StorageLevel
+
+    und = (
+        edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).alias("w")
+        )
+        .union(
+            edges.select(
+                F.col(dst).alias("a"), F.col(src).alias("b"), F.col(weight).alias("w")
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    try:
+        for _ in range(rounds):
+            if frontier.limit(1).count() == 0:
+                break
+            relax = (
+                und.join(frontier, und["a"] == frontier["node"])
+                .select(F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("cand"))
+                .groupBy("node")
+                .agg(F.min("cand").alias("cand"))
+            )
+            joined = (
+                dist.join(relax, "node", "full_outer")
+                .select(
+                    "node",
+                    F.col("dist"),
+                    F.col("cand"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            frontier = joined.filter(
+                F.col("dist").isNull() | (F.col("cand") < F.col("dist"))
+            ).select("node", F.col("cand").alias("dist"))
+            dist = joined.select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.col("cand")),
+                    F.coalesce(F.col("cand"), F.col("dist")),
+                ).alias("dist"),
+            )
+    finally:
+        und.unpersist()
+    return dist
