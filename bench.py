@@ -106,11 +106,15 @@ BENCH_QUERIES = [
     "lineitem_price_histogram_quantiles",
     "q16_supplier_counts_by_part",
     "q20_heavy_shippers_of_small_parts",
+    # round-3: previously gate-only operators, now timed
+    "graph_k_core",
+    "dedup_near_dup_clusters",
+    "embedding_near_dup_clusters",
+    "streaming_session_events",
 ]
 # Deliberately outside the headline set (still correctness-gated):
 # graph_pagerank / graph_connected_components (iterative, dominate
-# wall-clock), embedding_cosine_pairs (O(n²) exactness baseline),
-# streaming_* (measure stream replay IO, not engine throughput).
+# wall-clock), embedding_cosine_pairs (O(n²) exactness baseline).
 
 
 def main() -> None:
@@ -141,16 +145,32 @@ def main() -> None:
             fn(spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Operators that persist() intermediates (LSH candidate tables,
+        # iterative frontiers) must not leak storage memory into the next
+        # query's execution budget — 80+ queries of accumulated cache was
+        # the round-2 bench regression.
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
         "metric": "headline query wall-clock (engine actions, no driver collect)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
-    print(json.dumps(out))
+    print(json.dumps(detail))
+    # The detailed line above can exceed the driver's tail-capture window
+    # (round 2's 83-query line lost its head and parsed as null) — the
+    # LAST line is a short, always-parseable summary.
+    print(json.dumps({
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf_val,
+    }))
 
 
 if __name__ == "__main__":

@@ -47,11 +47,21 @@ def exact_dedup(
 def shingle_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Distinct (id, shingle) inverted index."""
+    """Distinct (id, shingle) inverted index.
+
+    The token array is materialized as a column BEFORE ``word_shingles``:
+    its transform() lambda slices the array per element, and a lambda's
+    outer sub-expressions are interpreted per element — an inline
+    ``tokens(text)`` expression there re-splits the whole document once
+    per shingle position (O(len²) re-tokenization). An attribute
+    reference is a per-element field read.
+    """
     return (
-        fan_out(df).select(
+        fan_out(df)
+        .withColumn("__tokens", tokens(text_col))
+        .select(
             F.col(id_col),
-            F.explode(word_shingles(tokens(text_col), n)).alias("shingle"),
+            F.explode(word_shingles(F.col("__tokens"), n)).alias("shingle"),
         )
         .distinct()
     )
@@ -99,9 +109,13 @@ def doc_shingles(
     in one projection. A doc's shingle set is bounded (document-sized),
     so the row stays executor-friendly at any corpus scale.
     """
-    return fan_out(df).select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(tokens(text_col), n)).alias("shingles"),
+    return (
+        fan_out(df)
+        .withColumn("__tokens", tokens(text_col))  # attribute ref, see shingle_index
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(F.col("__tokens"), n)).alias("shingles"),
+        )
     )
 
 
@@ -336,9 +350,10 @@ def duplicate_span_stats(
     from pyspark.sql import Window
 
     per_gram_doc = (
-        df.select(
+        df.withColumn("__tokens", tokens(text_col))  # attribute ref, see shingle_index
+        .select(
             F.col(id_col),
-            F.explode(word_shingles(tokens(text_col), n)).alias("gram"),
+            F.explode(word_shingles(F.col("__tokens"), n)).alias("gram"),
         )
         .select(F.col(id_col), F.xxhash64("gram").alias("gram_h"))
         .groupBy("gram_h", id_col)
@@ -386,10 +401,14 @@ def contamination_check(
     Output: (id, n_grams, n_contaminated_grams, contaminated).
     """
     def grams(df):
-        return df.select(
-            F.col(id_col),
-            F.explode(word_shingles(tokens(text_col), n)).alias("gram"),
-        ).select(F.col(id_col), F.xxhash64("gram").alias("gram_h"))
+        return (
+            df.withColumn("__tokens", tokens(text_col))  # attribute ref, see shingle_index
+            .select(
+                F.col(id_col),
+                F.explode(word_shingles(F.col("__tokens"), n)).alias("gram"),
+            )
+            .select(F.col(id_col), F.xxhash64("gram").alias("gram_h"))
+        )
 
     eval_grams = grams(eval_set).select("gram_h").distinct()
     per_doc = (

@@ -48,9 +48,21 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("byte_mean", T.DoubleType()),
         T.StructField("byte_entropy", T.DoubleType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
+        # double, not float32: the fake-decode features are exact integer
+        # ratios (bin_count / n_bytes) and the oracle comparison relies on
+        # both engines producing the identical division result.
+        T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
+
+
+def fixture_media_path() -> str:
+    """Committed fake-media parquet (payload blobs are checked in so the
+    DuckDB gate oracle reads the very same bytes — see
+    tools/make_fixtures.py)."""
+    import os
+
+    return os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures", "fake_media.parquet")
 
 
 def decode_stub(payload: bytes, meta: dict, fake: bool = False) -> dict:

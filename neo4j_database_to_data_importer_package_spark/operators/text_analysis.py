@@ -180,10 +180,13 @@ def repetition_stats(
     entropy, plus a combined ``flagged`` verdict.
 
     Entirely array expressions inside whole-stage codegen — no explode,
-    no shuffle, no Python. Per doc the top-gram/entropy counts are
-    O(distinct x len) array scans, which is the right trade at 100 TB:
-    the alternative (explode tokens -> groupBy (doc, gram)) shuffles
-    the whole corpus token stream for a per-row statistic.
+    no shuffle, no Python. Per doc the top-gram/entropy counts run on a
+    SORTED copy of the gram array with a linear run-length ``aggregate``
+    — O(len log len) per document (vs the naive filter-per-distinct-gram
+    O(distinct x len): a 20k-token doc would cost ~10^8 comparisons in
+    one row). Still the right trade at 100 TB: the alternative (explode
+    tokens -> groupBy (doc, gram)) shuffles the whole corpus token
+    stream for a per-row statistic.
 
     Thresholds follow the Gopher repetition-removal rules (dup 2-gram
     fraction > 0.2, dup 3-gram > 0.18, top-2-gram share > 0.18; the
@@ -193,9 +196,17 @@ def repetition_stats(
     """
     from ..functions.text import word_shingles
 
-    t = tokens(text_col)
-    g2 = word_shingles(t, 2)
-    g3 = word_shingles(t, 3)
+    # Materialize tokens and gram arrays as columns: word_shingles'
+    # transform() lambda slices the token array per element, and a
+    # lambda's outer sub-expressions are re-evaluated per element — an
+    # inline tokens(text) there re-splits the document once per gram
+    # position (O(len²) re-tokenization). Attribute refs are field reads.
+    base = (
+        df.withColumn("__t", tokens(text_col))
+        .withColumn("__g2", word_shingles(F.col("__t"), 2))
+        .withColumn("__g3", word_shingles(F.col("__t"), 3))
+    )
+    t, g2, g3 = F.col("__t"), F.col("__g2"), F.col("__g3")
     nt, n2, n3 = F.size(t), F.size(g2), F.size(g3)
     d2 = F.size(F.array_distinct(g2))
     d3 = F.size(F.array_distinct(g3))
@@ -205,31 +216,62 @@ def repetition_stats(
     dup3 = round_half_up(
         F.when(n3 > 0, (n3 - d3) / n3).otherwise(F.lit(0.0)), 6
     )
-    top2_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(g2),
-            lambda y: F.size(F.filter(g2, lambda x: x == y)),
+    def _run_length_max(arr):
+        # Longest run in a sorted array == max multiplicity, in one
+        # linear pass: state (prev, current run, best run).
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
         )
-    )
+
+        def step(s, x):
+            run = F.when(x == s["prev"], s["run"] + F.lit(1).cast("long")).otherwise(
+                F.lit(1).cast("long")
+            )
+            return F.struct(
+                x.alias("prev"), run.alias("run"), F.greatest(s["best"], run).alias("best")
+            )
+
+        return F.aggregate(F.array_sort(arr), zero, step, lambda s: s["best"])
+
+    top2_cnt = _run_length_max(g2)
     top2 = round_half_up(
         F.when(n2 > 0, top2_cnt / n2).otherwise(F.lit(0.0)), 6
     )
-    tok_counts = F.transform(
-        F.array_distinct(t),
-        lambda y: F.size(F.filter(t, lambda x: x == y)),
+
+    # Shannon entropy from run lengths of the sorted token array, via
+    # H = log2(nt) - (Σ c·log2 c)/nt. CRITICAL: the lambda accumulates
+    # only run*log2(run) and references NO outer expression — Catalyst
+    # evaluates higher-order-function lambdas interpretively, and any
+    # outer sub-expression (e.g. size(tokens(text))) would be recomputed
+    # PER ELEMENT, re-tokenizing the whole document len(t) times.
+    def _c_log_c(run):
+        return F.when(run > 1, run * F.log2(run)).otherwise(F.lit(0.0))
+
+    _ent_zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("acc"),
+    )
+
+    def _ent_step(s, x):
+        same = x == s["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, s["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(same, s["acc"]).otherwise(s["acc"] + _c_log_c(s["run"])).alias("acc"),
+        )
+
+    sum_c_log_c = F.aggregate(
+        F.array_sort(t), _ent_zero, _ent_step, lambda s: s["acc"] + _c_log_c(s["run"])
     )
     entropy = round_half_up(
-        F.when(
-            nt > 0,
-            -F.aggregate(
-                tok_counts,
-                F.lit(0.0),
-                lambda acc, c: acc + (c / nt) * F.log2(c / nt),
-            ),
-        ).otherwise(F.lit(0.0)),
-        6,
+        F.when(nt > 0, F.log2(nt) - sum_c_log_c / nt).otherwise(F.lit(0.0)), 6
     )
-    out = df.select(
+    out = base.select(
         F.col(id_col),
         n2.alias("n_2grams"),
         dup2.alias("dup_2gram_ratio"),
@@ -263,25 +305,31 @@ def bigram_next_token_topk(
     """
     from pyspark.sql import Window
 
-    t = tokens(text_col)
+    # __t is a materialized column: the transform() lambda below reads
+    # element_at(__t, i+2) per element — with an inline tokens()
+    # expression that would re-split the document per bigram position.
+    t = F.col("__t")
     grams = F.transform(
         F.slice(t, 1, F.greatest(F.lit(0), F.size(t) - 1)),
         lambda x, i: F.struct(
             x.alias("w1"), F.element_at(t, i + F.lit(2)).alias("w2")
         ),
     )
-    pairs = df.select(F.explode(grams).alias("g")).select("g.w1", "g.w2")
+    pairs = (
+        df.withColumn("__t", tokens(text_col))
+        .select(F.explode(grams).alias("g"))
+        .select("g.w1", "g.w2")
+    )
     pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    # Top-N prefixes via orderBy().limit() — TakeOrderedAndProject keeps a
+    # bounded heap per partition and merges N rows on the driver. (A
+    # row_number over an UNPARTITIONED window would drag the whole
+    # vocabulary — 10^8+ rows on a web corpus — through one task.)
     prefix_rank = (
         pc.groupBy("w1")
         .agg(F.sum("pair_count").alias("__tot"))
-        .withColumn(
-            "__pr",
-            F.row_number().over(
-                Window.orderBy(F.col("__tot").desc(), F.col("w1"))
-            ),
-        )
-        .filter(F.col("__pr") <= top_prefixes)
+        .orderBy(F.col("__tot").desc(), F.col("w1"))
+        .limit(top_prefixes)
         .select("w1")
     )
     ranked = pc.join(F.broadcast(prefix_rank), "w1").withColumn(

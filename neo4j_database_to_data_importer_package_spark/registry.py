@@ -134,6 +134,39 @@ def schema_union(spark, sf_dir):
     return schema_union_map(nodes_from_view(view))
 
 
+# S1 sampling variant: the oracle replays the same md5-Bernoulli keep-set
+# per label table — a (label, property) pair appears iff its label has at
+# least one sampled row (the props map always carries every column key).
+_SAMPLED_KEYS = [
+    ("Region", "region", "r_regionkey"),
+    ("Nation", "nation", "n_nationkey"),
+    ("Customer", "customer", "c_custkey"),
+    ("Supplier", "supplier", "s_suppkey"),
+    ("Part", "part", "p_partkey"),
+    ("Order", "orders", "o_orderkey"),
+]
+_SAMPLED_COUNTS = " UNION ALL ".join(
+    f"""SELECT '{label}' AS label, count(*) AS n FROM {table}
+        WHERE ('0x' || substr(md5('{label}' || '|' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0 < 0.2"""
+    for label, table, key in _SAMPLED_KEYS
+)
+
+
+@register(
+    "schema_union_sampled",
+    f"""WITH samp AS ({_SAMPLED_COUNTS})
+        SELECT t.label, t.property
+        FROM (VALUES {", ".join(_SCHEMA_ROWS)}) AS t(label, property)
+        JOIN samp ON samp.label = t.label AND samp.n > 0""",
+)
+def schema_union_sampled(spark, sf_dir):
+    from .operators.schema_union import schema_union_map_sampled
+
+    view = _view(spark, sf_dir)
+    return schema_union_map_sampled(nodes_from_view(view), sample_rate=0.2)
+
+
 # ---------------------------------------------------------------------------
 # Identifier detection (C1) + uniqueness profile (A2)
 # ---------------------------------------------------------------------------
@@ -925,21 +958,26 @@ def events_json_props(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def multimodal_features(spark, sf_dir):
-    from .operators.multimodal import extract_features, make_fake_media
+    from .operators.multimodal import extract_features, fixture_media_path
 
-    feats = extract_features(make_fake_media(spark, n=64), fake=True)
-    # The gate canonicalizer sorts pandas columns; an array<float> column is
-    # unhashable there — emit only scalar columns: round the stats and
-    # serialize the feature vector to a JSON string (deterministic: the fake
-    # decode is pure integer arithmetic over a seeded payload).
+    # The media table is a COMMITTED parquet fixture (tools/make_fixtures.py)
+    # so the DuckDB oracle computes the same byte statistics over the very
+    # same payload blobs. Scalar-only output (gate canon can't sort arrays):
+    # the 16-bin histogram becomes columns f0..f15. byte_mean / f* are exact
+    # integer divisions — identical doubles on both engines, left unrounded
+    # (rounding would CREATE mismatches: the values are multiples of 1/2^k,
+    # exact .5 ties at any decimal width, and the engines round ties
+    # differently). byte_entropy is an order-dependent float sum — rounded
+    # to 4 decimals on both sides.
+    feats = extract_features(
+        spark.read.parquet(fixture_media_path()), fake=True
+    )
     return feats.select(
         "media_id",
         "n_bytes",
-        F.round("byte_mean", 6).alias("byte_mean"),
-        F.round("byte_entropy", 6).alias("byte_entropy"),
-        F.to_json(
-            F.transform("features", lambda x: F.round(x.cast("double"), 6))
-        ).alias("features_json"),
+        "byte_mean",
+        F.round("byte_entropy", 4).alias("byte_entropy"),
+        *[F.element_at("features", k + 1).alias(f"f{k}") for k in range(16)],
     )
 
 
@@ -949,7 +987,39 @@ def multimodal_frame_plan(spark, sf_dir):
     return frame_sample_plan(make_fake_media(spark, n=64), every_ms=500)
 
 
-QUERIES["multimodal_features"] = multimodal_features  # rows-only: seeded-RNG payloads, no SQL twin
+QUERIES["multimodal_features"] = multimodal_features
+# Byte statistics over the committed payload blobs, decoded from hex in
+# pure SQL (blob → hex string → per-byte values via nibble lookup).
+_MEDIA_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures",
+    "fake_media.parquet",
+)
+ORACLES["multimodal_features"] = f"""
+WITH media AS (
+  SELECT media_id, octet_length(payload) AS n, lower(hex(payload)) AS h
+  FROM read_parquet('{_MEDIA_FIXTURE}')
+),
+pos AS (
+  SELECT media_id, n, h, unnest(range(0, n)) AS i FROM media
+),
+bytes AS (
+  SELECT media_id, n,
+         (strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1) AS b
+  FROM pos
+),
+counts AS (
+  SELECT media_id, any_value(n) AS n, b, count(*) AS c
+  FROM bytes GROUP BY media_id, b
+)
+SELECT media_id,
+       CAST(any_value(n) AS INTEGER) AS n_bytes,
+       sum(b * c) * 1.0 / any_value(n) AS byte_mean,
+       round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)), 4) AS byte_entropy,
+       {", ".join(f"sum(CASE WHEN b // 16 = {k} THEN c ELSE 0 END) * 1.0 / any_value(n) AS f{k}" for k in range(16))}
+FROM counts GROUP BY media_id
+"""
 QUERIES["multimodal_frame_plan"] = multimodal_frame_plan
 # The frame-sampling plan over the deterministic fake media table is pure
 # arithmetic (duration_ms = 3000 + 500*(id%5), frames every 500 ms
@@ -3391,7 +3461,47 @@ def graph_k_core(spark, sf_dir):
     return k_core(e, k=4)
 
 
-QUERIES["graph_k_core"] = graph_k_core  # rows-only: iterative peeling
+QUERIES["graph_k_core"] = graph_k_core
+
+
+def _k_core_oracle_sql(k: int = 4, rounds: int = 12) -> str:
+    """Fixed-depth unrolled peeling oracle. The Spark operator peels to
+    fixpoint; on this graph the fixpoint lands within 5-7 rounds at
+    sf0.001/0.01/0.1 (measured), so a 12-round unroll is a strict
+    superset — peeling is monotone and idempotent once converged, extra
+    rounds are no-ops."""
+    sql = """
+WITH li AS (SELECT * FROM lineitem WHERE year(l_shipdate) = 1998),
+raw AS (
+  SELECT 'O' || l_orderkey AS src, 'P' || l_partkey AS dst FROM li
+  UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM li
+  UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey FROM li
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+)"""
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # round's CTE five times — inlined, the scan tree grows 5^rounds.
+    for r in range(rounds):
+        sql += f""",
+d{r} AS MATERIALIZED (
+  SELECT node FROM (SELECT u AS node FROM e{r} UNION ALL SELECT v AS node FROM e{r})
+  GROUP BY node HAVING count(*) >= {k}
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e
+  JOIN d{r} ku ON e.u = ku.node
+  JOIN d{r} kv ON e.v = kv.node
+)"""
+    sql += f"""
+SELECT node, count(*) AS core_degree
+FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v AS node FROM e{rounds})
+GROUP BY node"""
+    return sql
+
+
+ORACLES["graph_k_core"] = _k_core_oracle_sql()
 
 
 @register(
