@@ -386,8 +386,6 @@ def shortest_paths(
     frontier = dist
     try:
         for _ in range(rounds):
-            if frontier.limit(1).count() == 0:
-                break
             relax = (
                 und.join(frontier, und["a"] == frontier["node"])
                 .select(F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("cand"))
@@ -413,6 +411,13 @@ def shortest_paths(
                     F.coalesce(F.col("cand"), F.col("dist")),
                 ).alias("dist"),
             )
+            # Probe AFTER the superstep (as connected_components does):
+            # the frontier can only shrink to empty once relaxation has
+            # run, so a head-of-loop probe just pays an extra job on
+            # round one. frontier derives from the checkpointed `joined`,
+            # so the emptiness probe is a cheap local scan.
+            if frontier.limit(1).count() == 0:
+                break
     finally:
         und.unpersist()
     return dist

@@ -320,7 +320,14 @@ def bigram_next_token_topk(
         .select(F.explode(grams).alias("g"))
         .select("g.w1", "g.w2")
     )
-    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    # pc feeds two consumers (the prefix-total ranking and the per-prefix
+    # read-out); without persist each branch re-runs the corpus-sized
+    # explode+aggregate. The persisted table is vocabulary-sized.
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .persist()
+    )
     # Top-N prefixes via orderBy().limit() — TakeOrderedAndProject keeps a
     # bounded heap per partition and merges N rows on the driver. (A
     # row_number over an UNPARTITIONED window would drag the whole

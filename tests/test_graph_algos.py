@@ -104,3 +104,55 @@ def test_k_core_empty_result(spark):
 
     edges = [("a", "b"), ("b", "c")]
     assert k_core(spark.createDataFrame(edges, "src string, dst string"), k=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths (bounded-hop multi-source Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+def _sp(spark, edges, sources, rounds=8):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import shortest_paths
+
+    e = spark.createDataFrame(edges, "src string, dst string, weight double")
+    s = spark.createDataFrame([(n,) for n in sources], "node string")
+    return {r["node"]: r["dist"] for r in shortest_paths(e, s, rounds=rounds).collect()}
+
+
+def test_shortest_paths_known_graph(spark):
+    # a-1-b-1-c and the direct a-5-c shortcut: two hops beat one heavy edge
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0), ("c", "d", 2.0)]
+    got = _sp(spark, edges, ["a"])
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 4.0}
+
+
+def test_shortest_paths_hop_bound(spark):
+    # chain a-b-c-d-e, unit weights; rounds=2 reaches only 2 hops out
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0), ("d", "e", 1.0)]
+    got = _sp(spark, edges, ["a"], rounds=2)
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0}
+    # with enough rounds the chain completes
+    assert _sp(spark, edges, ["a"], rounds=4)["e"] == 4.0
+
+
+def test_shortest_paths_multi_source_min(spark):
+    # sources at both ends of a chain: middle node takes the nearer one
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)]
+    got = _sp(spark, edges, ["a", "d"])
+    assert got == {"a": 0.0, "b": 1.0, "c": 1.0, "d": 0.0}
+
+
+def test_shortest_paths_parallel_edges_keep_cheapest(spark):
+    edges = [("a", "b", 7.0), ("a", "b", 2.0), ("b", "a", 9.0)]
+    got = _sp(spark, edges, ["a"])
+    assert got == {"a": 0.0, "b": 2.0}
+
+
+def test_shortest_paths_undirected_relaxation(spark):
+    # edge stored one way must relax both ways
+    edges = [("b", "a", 3.0)]
+    assert _sp(spark, edges, ["a"]) == {"a": 0.0, "b": 3.0}
+
+
+def test_shortest_paths_empty_sources(spark):
+    edges = [("a", "b", 1.0)]
+    assert _sp(spark, edges, []) == {}

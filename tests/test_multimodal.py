@@ -50,3 +50,33 @@ def test_payload_pruned_when_not_selected(spark, media):
     # keeps the binary column out of the plan entirely
     df = frame_sample_plan(media)
     assert "payload" not in df.columns
+
+
+def test_fixture_parquet_matches_generator(spark):
+    """The committed fake-media fixture must stay in sync with
+    make_fake_media (the gate oracle reads the fixture's bytes; the
+    operator tests read the generator's)."""
+    from neo4j_database_to_data_importer_package_spark.operators.multimodal import (
+        fixture_media_path,
+        make_fake_media,
+    )
+
+    fixture = {
+        r["media_id"]: bytes(r["payload"])
+        for r in spark.read.parquet(fixture_media_path()).collect()
+    }
+    generated = {
+        r["media_id"]: bytes(r["payload"]) for r in make_fake_media(spark, n=64).collect()
+    }
+    assert fixture == generated
+
+
+def test_extract_features_doubles_are_exact_ratios(spark, media):
+    """features are double (not float32) so bin_count/n_bytes divisions
+    are engine-exact for the oracle comparison."""
+    from neo4j_database_to_data_importer_package_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    feats = extract_features(media, fake=True)
+    assert dict(feats.dtypes)["features"] == "array<double>"

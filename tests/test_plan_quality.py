@@ -246,3 +246,26 @@ def test_q19_pushes_brand_disjunction_to_part_scan(spark):
     pushed = " ".join(_pushed(plan))
     assert "EqualTo(p_brand,Brand#12)" in pushed, pushed
     assert "GreaterThanOrEqual(l_quantity,1.0)" in pushed, pushed
+
+
+def test_bigram_topk_has_no_unpartitioned_window(spark):
+    """The prefix ranking must be TakeOrderedAndProject (bounded per-task
+    heap), never a row_number over a global window — an unpartitioned
+    window drags the whole vocabulary through one task at corpus scale."""
+    plan = _plan(spark, "bigram_next_token_topk")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    # any remaining Window operator must be partitioned (an empty
+    # partition spec renders as "], [], [" in the plan line)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "], [], [" not in line, f"unpartitioned window: {line}"
+
+
+def test_sampled_schema_union_filter_reaches_scan(spark):
+    """The hash-Bernoulli sample must be a scan-level predicate — no
+    shuffle before the filter (sampling at 100 TB must not materialize
+    the unsampled rows past the scan stage)."""
+    plan = _plan(spark, "schema_union_sampled")
+    assert "Exchange" in plan  # the distinct agg still shuffles (tiny)
+    scan_part, _, post = plan.partition("Scan parquet")
+    assert "Filter" in scan_part, "sample filter should sit above the scans"

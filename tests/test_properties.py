@@ -146,3 +146,53 @@ def test_ordered_columns_identifier_first_rest_sorted(props, idx):
     assert cols[0] == ident
     assert cols[1:] == sorted(p for p in props if p != ident)
     assert set(cols) == set(props)
+
+
+def test_schema_union_sampled_rate_one_equals_full(spark):
+    """At sample_rate=1.0 the sampled metadata scan must equal the full
+    scan; at a partial rate it must be a subset (apoc-style caveat)."""
+    from neo4j_database_to_data_importer_package_spark.operators.schema_union import (
+        schema_union_map,
+        schema_union_map_sampled,
+    )
+    from neo4j_database_to_data_importer_package_spark.sources.property_graph import (
+        nodes_from_view,
+    )
+    from neo4j_database_to_data_importer_package_spark.sources.star_schema import (
+        load_graph_view,
+    )
+
+    nodes = nodes_from_view(load_graph_view(spark, "/root/testdata/sf0.001"))
+    full = {tuple(r) for r in schema_union_map(nodes).collect()}
+    assert {tuple(r) for r in schema_union_map_sampled(nodes, 1.0).collect()} == full
+    part = {tuple(r) for r in schema_union_map_sampled(nodes, 0.2).collect()}
+    assert part <= full and part
+
+
+def test_repetition_stats_matches_python_reference(spark):
+    """Run-length formulation must agree with a direct Python computation
+    of the Gopher statistics on a crafted repetitive document."""
+    import math
+
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    words = ["spam", "spam", "eggs", "spam", "spam", "ham", "eggs", "spam"]
+    doc = " ".join(words)
+    row = repetition_stats(
+        spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    ).collect()[0]
+
+    g2 = [" ".join(words[i : i + 2]) for i in range(len(words) - 1)]
+    g3 = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+    top2 = max(g2.count(g) for g in set(g2))
+    counts = [words.count(w) for w in set(words)]
+    n = len(words)
+    ent = -sum((c / n) * math.log2(c / n) for c in counts)
+
+    assert row["n_2grams"] == len(g2)
+    assert row["dup_2gram_ratio"] == round((len(g2) - len(set(g2))) / len(g2), 6)
+    assert row["dup_3gram_ratio"] == round((len(g3) - len(set(g3))) / len(g3), 6)
+    assert row["top_2gram_share"] == round(top2 / len(g2), 6)
+    assert abs(row["token_entropy"] - ent) < 1e-6
