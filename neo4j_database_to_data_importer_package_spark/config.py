@@ -49,16 +49,67 @@ REFERENCE_ENV_ALIASES = {
 }
 
 
+def _find_unescaped(s: str, q: str) -> int:
+    """Index of the first ``q`` in ``s`` not preceded by a backslash
+    (single-quoted dotenv values have no escapes, so every quote closes);
+    -1 when absent."""
+    i = 0
+    while True:
+        i = s.find(q, i)
+        if i < 0 or q == "'" or i == 0 or s[i - 1] != "\\":
+            return i
+        i += 1
+
+
 def parse_env_file(path: str) -> dict[str, str]:
+    """python-dotenv-compatible .env parsing (the reference uses the
+    library itself, ``neo4j_export.py:1412-1432``): KEY=VALUE lines,
+    full-line ``#`` comments, ``export KEY=VALUE`` prefixes, inline
+    ``#`` comments after unquoted values, single/double-quoted values
+    including MULTI-LINE quoted values, and ``\\n``/``\\t``/``\\"``/
+    ``\\\\`` escapes inside double quotes (single quotes stay literal).
+    """
     out: dict[str, str] = {}
     with open(path, encoding="utf-8") as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("#") or "=" not in line:
-                continue
-            k, _, v = line.partition("=")
-            v = v.strip().strip("'\"")
-            out[k.strip()] = v
+        lines = f.read().splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i].strip()
+        i += 1
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        k, _, v = line.partition("=")
+        k = k.strip()
+        if k.startswith("export "):
+            k = k[len("export "):].strip()
+        v = v.strip()
+        if v[:1] in ("'", '"'):
+            q = v[0]
+            body = v[1:]
+            while True:
+                end = _find_unescaped(body, q)
+                if end >= 0:
+                    body = body[:end]
+                    break
+                if i >= len(lines):
+                    break  # unterminated quote: keep what we have
+                body += "\n" + lines[i]
+                i += 1
+            if q == '"':
+                body = (
+                    body.replace("\\\\", "\0")
+                    .replace("\\n", "\n")
+                    .replace("\\t", "\t")
+                    .replace('\\"', '"')
+                    .replace("\0", "\\")
+                )
+            out[k] = body
+        else:
+            for m in range(len(v)):
+                if v[m] == "#" and (m == 0 or v[m - 1] in " \t"):
+                    v = v[:m]
+                    break
+            out[k] = v.strip()
     return out
 
 

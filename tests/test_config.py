@@ -114,3 +114,34 @@ def test_engine_profile_zip_stays_opt_in():
     cfg = load_config(env={})
     assert cfg.profile == "engine"
     assert cfg.create_zip is False
+
+
+def test_env_file_dotenv_corners(tmp_path):
+    """python-dotenv fidelity: export prefix, inline comments, quoted
+    multi-line values, double-quote escapes, single-quote literalness."""
+    from neo4j_database_to_data_importer_package_spark.config import parse_env_file
+
+    p = tmp_path / ".env"
+    p.write_text(
+        "\n".join(
+            [
+                "# full-line comment",
+                "export OUTPUT_DIR=/data/out",
+                "FORMAT_VERSION=2.4.0  # inline comment",
+                'NEO4J_PASSWORD="p@ss word"',
+                'MULTI="line one',
+                'line two"',
+                "SINGLE='lit\\nerally'",
+                'ESCAPED="tab\\there \\"quoted\\""',
+                "ANCHOR=plain#notcomment",
+            ]
+        )
+    )
+    got = parse_env_file(str(p))
+    assert got["OUTPUT_DIR"] == "/data/out"
+    assert got["FORMAT_VERSION"] == "2.4.0"
+    assert got["NEO4J_PASSWORD"] == "p@ss word"
+    assert got["MULTI"] == "line one\nline two"
+    assert got["SINGLE"] == "lit\\nerally"  # single quotes: no escapes
+    assert got["ESCAPED"] == 'tab\there "quoted"'
+    assert got["ANCHOR"] == "plain#notcomment"  # '#' only after whitespace
