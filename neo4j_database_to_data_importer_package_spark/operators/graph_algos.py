@@ -304,6 +304,10 @@ def k_core(
     )
     cur = und.localCheckpoint()
     try:
+        # One count() action per superstep: the previous round's edge
+        # count carries over as this round's baseline (counting `cur`
+        # again each round doubled the driver actions for no information).
+        n_prev = cur.count()
         while True:
             deg = (
                 cur.select(F.col("u").alias("node"))
@@ -317,11 +321,12 @@ def k_core(
                 .join(keep, cur.v == keep.node, "left_semi")
                 .localCheckpoint()
             )
-            n_prev, n_next = cur.count(), nxt.count()
+            n_next = nxt.count()
             keep.unpersist()
             cur = nxt
             if n_next == n_prev:
                 break
+            n_prev = n_next
             if n_next == 0:
                 break
         return (
