@@ -3828,3 +3828,111 @@ def bigram_next_token_topk(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return op(view.tables["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: corpus shard planning, quality survival curve,
+# per-label embedding stats
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_shard_manifest",
+    f"""WITH s AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS INT) AS shard_id,
+                 len({_TOKS_DUCK}) AS nt
+          FROM documents)
+        SELECT shard_id, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM s GROUP BY shard_id""",
+)
+def corpus_shard_manifest(spark, sf_dir):
+    """Shard plan for the corpus-to-token-shards output step: hash-based
+    assignment (md5 of the stable id — deterministic across engines and
+    retries, no global row_number sort), audited per shard. The writer
+    (sinks/shard_sink.py::write_corpus_shards) executes exactly this
+    plan; the manifest is the I/O-free gate surface."""
+    from .sinks.shard_sink import shard_manifest
+
+    view = _view(spark, sf_dir)
+    return shard_manifest(view.tables["documents"], n_shards=16)
+
+
+ORACLES["quality_survival_curve"] = f"""
+WITH q AS ({ORACLES["text_quality_score"]}),
+j AS (
+  SELECT d.lang, LEAST(CAST(floor(q.quality * 10) AS INT), 9) AS bucket
+  FROM q JOIN documents d USING (doc_id)),
+a AS (SELECT lang, bucket, count(*) AS n_docs FROM j GROUP BY 1, 2)
+SELECT lang, bucket, n_docs,
+       sum(n_docs) OVER (PARTITION BY lang ORDER BY bucket DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_survivors
+FROM a
+"""
+
+
+def quality_survival_curve(spark, sf_dir):
+    """Threshold-tuning table for the quality filter: per (lang, score
+    decile), how many docs sit in the bucket and how many SURVIVE a
+    threshold at the bucket's lower edge (cumulative from the top,
+    windowed per language — no global window). The question every
+    pipeline asks before picking a cutoff: what fraction of each
+    language do we lose at quality >= x?"""
+    from pyspark.sql import Window
+
+    from .operators.text_analysis import quality_columns
+
+    view = _view(spark, sf_dir)
+    docs = view.tables["documents"]
+    q = quality_columns("text")["quality"]
+    bucket = F.least(F.floor(q * 10).cast("int"), F.lit(9))
+    agg = (
+        docs.select(F.col("lang"), bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return agg.withColumn("cum_survivors", F.sum("n_docs").over(w))
+
+
+QUERIES["quality_survival_curve"] = quality_survival_curve
+
+
+@register(
+    "embedding_label_stats",
+    """WITH n AS (
+         SELECT label,
+                sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings)
+       SELECT label, count(*) AS n_vecs,
+              floor(avg(nrm) * 1000000.0 + 0.5) / 1000000.0 AS mean_norm,
+              floor(min(nrm) * 1000000.0 + 0.5) / 1000000.0 AS min_norm,
+              floor(max(nrm) * 1000000.0 + 0.5) / 1000000.0 AS max_norm
+       FROM n GROUP BY label""",
+)
+def embedding_label_stats(spark, sf_dir):
+    """Per-class embedding audit (norm distribution by label) — the
+    sanity check before any cosine-based dedup/search: unnormalized or
+    collapsed classes show up here first. One narrow projection (the
+    norm is a per-row array aggregate in codegen) + one small groupBy."""
+    from .functions.numeric import round_half_up
+
+    view = _view(spark, sf_dir)
+    emb = view.tables["embeddings"]
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    per_vec = emb.select(F.col("label"), norm.alias("nrm"))
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        round_half_up(F.avg("nrm"), 6).alias("mean_norm"),
+        round_half_up(F.min("nrm"), 6).alias("min_norm"),
+        round_half_up(F.max("nrm"), 6).alias("max_norm"),
+    )
