@@ -282,13 +282,16 @@ def k_core(
     all nodes under k, recompute degrees on the induced subgraph,
     repeat to fixpoint).
 
-    Each superstep is one degree aggregation and two semi-joins on the
-    surviving node set — hash-partitioned equi-joins keyed on node id,
-    no driver-side graph state beyond the single removed-count scalar
-    that decides termination. ``localCheckpoint`` truncates the lineage
-    every superstep (the iterative-algorithm rule from connected
-    components); peeling converges in at most O(peel-depth) rounds,
-    typically « diameter.
+    Each superstep joins the edges against the DROP set (nodes that just
+    fell under k), not the keep set: after the first round the drop set
+    is the peeling frontier — typically tiny relative to the survivors —
+    so the two anti-joins broadcast and the edge table is never shuffled
+    again (the keep-side semi-join formulation re-shuffled every edge
+    every round). The drop count doubles as the termination signal
+    (0 removed → fixpoint), so no per-round edge counts are needed.
+    ``localCheckpoint`` truncates the lineage every superstep (the
+    iterative-algorithm rule from connected components); peeling
+    converges in O(peel-depth) rounds, typically « diameter.
 
     Returns (node, core_degree): nodes of the k-core with their degree
     inside it.
@@ -302,12 +305,12 @@ def k_core(
         .distinct()
         .persist()
     )
+    # Broadcasting the drop frontier is safe while it stays executor-
+    # sized; beyond that AQE's plain join is the fallback. 5M ids ≈
+    # a few hundred MB — the first peel round of a pathological graph.
+    _BCAST_DROP_MAX = 5_000_000
     cur = und.localCheckpoint()
     try:
-        # One count() action per superstep: the previous round's edge
-        # count carries over as this round's baseline (counting `cur`
-        # again each round doubled the driver actions for no information).
-        n_prev = cur.count()
         while True:
             deg = (
                 cur.select(F.col("u").alias("node"))
@@ -315,20 +318,19 @@ def k_core(
                 .groupBy("node")
                 .agg(F.count(F.lit(1)).alias("deg"))
             )
-            keep = deg.filter(F.col("deg") >= k).select("node").persist()
+            drop = deg.filter(F.col("deg") < k).select("node").persist()
+            n_drop = drop.count()
+            if n_drop == 0:
+                drop.unpersist()
+                break
+            d = F.broadcast(drop) if n_drop <= _BCAST_DROP_MAX else drop
             nxt = (
-                cur.join(keep, cur.u == keep.node, "left_semi")
-                .join(keep, cur.v == keep.node, "left_semi")
+                cur.join(d, cur.u == d.node, "left_anti")
+                .join(d, cur.v == d.node, "left_anti")
                 .localCheckpoint()
             )
-            n_next = nxt.count()
-            keep.unpersist()
+            drop.unpersist()
             cur = nxt
-            if n_next == n_prev:
-                break
-            n_prev = n_next
-            if n_next == 0:
-                break
         return (
             cur.select(F.col("u").alias("node"))
             .unionAll(cur.select(F.col("v").alias("node")))
