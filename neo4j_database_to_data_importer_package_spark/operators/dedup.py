@@ -460,3 +460,54 @@ def incremental_exact_dedup(
             "dup_of",
         )
     )
+
+
+def novelty_profile(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingestion-order novelty: per document, the fraction of its token
+    n-gram positions whose n-gram does NOT occur in any EARLIER document
+    (doc id = ingestion order). The data-curriculum / crawl-value signal:
+    a feed whose novelty curve collapses is re-crawling what the corpus
+    already has.
+
+    Same plan skeleton as ``duplicate_span_stats`` — one positional
+    explode pre-aggregated to (gram, doc) counts, a min-over-gram window
+    on the uniform hash key, one per-doc re-aggregation. A gram is novel
+    for the doc that holds its corpus-wide min id (hot phrases fan out
+    across gram keys, never into one).
+
+    Output: (id, n_grams, n_novel, novelty).
+    """
+    from pyspark.sql import Window
+
+    per_gram_doc = (
+        df.withColumn("__tokens", tokens(text_col))  # attribute ref, see shingle_index
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col("__tokens"), n)).alias("gram"),
+        )
+        .select(F.col(id_col), F.xxhash64("gram").alias("gram_h"))
+        .groupBy("gram_h", id_col)
+        .agg(F.count(F.lit(1)).alias("n_positions"))
+    )
+    first_doc = F.min(id_col).over(Window.partitionBy("gram_h"))
+    return (
+        per_gram_doc.withColumn("first_doc", first_doc)
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_positions").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col(id_col), F.col("n_positions")).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            round_half_up(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )

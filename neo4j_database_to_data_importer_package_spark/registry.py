@@ -3936,3 +3936,31 @@ def embedding_label_stats(spark, sf_dir):
         round_half_up(F.min("nrm"), 6).alias("min_norm"),
         round_half_up(F.max("nrm"), 6).alias("max_norm"),
     )
+
+
+@register(
+    "doc_novelty_profile",
+    """WITH tok AS (
+         SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+         FROM documents),
+       pos AS (
+         SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
+         FROM tok WHERE len(t) >= 8),
+       grams AS (
+         SELECT doc_id, md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS gram_h
+         FROM pos),
+       firsts AS (SELECT gram_h, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+       SELECT g.doc_id, count(*) AS n_grams,
+              sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel,
+              floor(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1.0
+                    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS novelty
+       FROM grams g JOIN firsts f USING (gram_h) GROUP BY g.doc_id""",
+)
+def doc_novelty_profile(spark, sf_dir):
+    """Per-doc first-seen n-gram fraction in ingestion (doc id) order —
+    the crawl-value / curriculum signal. See operators/dedup.py
+    ::novelty_profile for the plan shape."""
+    from .operators.dedup import novelty_profile
+
+    view = _view(spark, sf_dir)
+    return novelty_profile(view.tables["documents"], n=8)

@@ -132,3 +132,23 @@ def test_incremental_exact_dedup(spark):
     res = {r["doc_id"]: (r["is_dup"], r["dup_of"]) for r in incremental_exact_dedup(corpus, batch).collect()}
     assert res[10] == (True, 1)   # matches min corpus id among 1 and 3
     assert res[11] == (False, None)
+
+
+def test_novelty_profile_first_seen_semantics(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import novelty_profile
+
+    # doc 1 introduces everything; doc 2 repeats doc 1 verbatim (zero
+    # novelty); doc 3 is half doc-1 text, half new text.
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"                    # 1 gram of n=8
+    fresh = "x1 x2 x3 x4 x5 x6 x7 x8"
+    docs = [(1, a), (2, a), (3, a + " " + fresh)]
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"])
+        for r in novelty_profile(
+            spark.createDataFrame(docs, "doc_id long, text string"), n=8
+        ).collect()
+    }
+    assert got[1] == (1, 1)
+    assert got[2] == (1, 0)
+    # doc 3 has 9 grams; only the ones containing an x-token are novel
+    assert got[3] == (9, 8)
