@@ -1040,16 +1040,24 @@ FROM (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS media_id) m
 
 _STREAM_SEQ = [0]
 
+# The replay directory is immutable once written — materialize it once
+# per (session, sf_dir) instead of re-writing the events parquet for
+# every streaming query (six gate queries replay the same files).
+_STREAM_DIR_CACHE: dict[tuple[int, str], tuple[str, object]] = {}
+
 
 def _replayed_events_stream(spark, sf_dir, max_files_per_trigger=2):
     import tempfile
 
     from .streaming.events import read_events_stream
 
-    view = _view(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="ndip_events_stream_")
-    view.tables["events"].repartition(4).write.mode("overwrite").parquet(tmp)
-    schema = spark.read.parquet(tmp).schema
+    key = (id(spark), sf_dir)
+    if key not in _STREAM_DIR_CACHE:
+        view = _view(spark, sf_dir)
+        tmp = tempfile.mkdtemp(prefix="ndip_events_stream_")
+        view.tables["events"].repartition(4).write.mode("overwrite").parquet(tmp)
+        _STREAM_DIR_CACHE[key] = (tmp, spark.read.parquet(tmp).schema)
+    tmp, schema = _STREAM_DIR_CACHE[key]
     return read_events_stream(spark, tmp, schema, max_files_per_trigger)
 
 
