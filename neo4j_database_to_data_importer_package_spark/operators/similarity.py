@@ -255,9 +255,21 @@ def quantize_stats(
     Rounding is floor(x + 0.5) (engine-portable half-up) and all math is
     double precision in a fixed per-element order, so the result is
     bit-reproducible in any engine.
+
+    ``__ed``/``__scale`` are materialized columns, not inline
+    expressions: the quantize/clip lambdas reference the scale per
+    element, and an inline ``array_max(transform(...))`` there would be
+    re-reduced over the whole vector once per component — O(d²) per
+    vector (1M+ ops at production dims). Attribute references are
+    per-element field reads.
     """
-    ed = F.transform(vec_col, lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(ed, F.abs)) / F.lit(127.0)
+    base = df.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__ed"),
+    ).withColumn(
+        "__scale", F.array_max(F.transform("__ed", F.abs)) / F.lit(127.0)
+    )
+    ed, scale = F.col("__ed"), F.col("__scale")
 
     def q(x):
         return F.greatest(
@@ -270,7 +282,7 @@ def quantize_stats(
         lambda acc, x: acc + x,
     ) / F.size(ed)
     n_clipped = F.size(F.filter(ed, lambda x: F.abs(F.floor(x / scale + 0.5)) > 127))
-    return df.select(
+    return base.select(
         F.col(id_col),
         round_half_up(scale, 9).alias("scale"),
         n_clipped.alias("n_clipped"),
