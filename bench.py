@@ -111,6 +111,12 @@ BENCH_QUERIES = [
     "dedup_near_dup_clusters",
     "embedding_near_dup_clusters",
     "streaming_session_events",
+    # round-3 additions
+    "corpus_shard_manifest",
+    "quality_survival_curve",
+    "embedding_label_stats",
+    "doc_novelty_profile",
+    "schema_union_sampled",
 ]
 # Deliberately outside the headline set (still correctness-gated):
 # graph_pagerank / graph_connected_components (iterative, dominate
