@@ -3972,3 +3972,49 @@ def doc_novelty_profile(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return novelty_profile(view.tables["documents"], n=8)
+
+
+@register(
+    "lineitem_column_profile",
+    """WITH p AS (
+         SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+                sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                count(DISTINCT l_orderkey) AS n_distinct,
+                CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+                CAST(max(l_orderkey) AS VARCHAR) AS max_value
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_shipdate', count(*),
+                sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+                count(DISTINCT l_shipdate),
+                CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR),
+                CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_returnflag', count(*),
+                sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+                count(DISTINCT l_returnflag),
+                min(l_returnflag), max(l_returnflag)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_linenumber', count(*),
+                sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END),
+                count(DISTINCT l_linenumber),
+                CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+         FROM lineitem)
+       SELECT * FROM p""",
+)
+def lineitem_column_profile(spark, sf_dir):
+    """ANALYZE-style column statistics (exact mode for the oracle; the
+    100 TB path flips exact=False for single-pass HLL cardinalities —
+    see operators/profiling.py). String-safe columns only in the gate
+    projection: float rendering differs across engines."""
+    from .operators.profiling import column_profile
+
+    view = _view(spark, sf_dir)
+    li = view.tables["lineitem"].withColumn("l_shipdate", F.to_date("l_shipdate"))
+    return column_profile(
+        li,
+        ["l_orderkey", "l_shipdate", "l_returnflag", "l_linenumber"],
+        exact=True,
+    )
