@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "embedding_label_stats",
     "doc_novelty_profile",
     "schema_union_sampled",
+    "lineitem_column_profile",
 ]
 # Deliberately outside the headline set (still correctness-gated):
 # graph_pagerank / graph_connected_components (iterative, dominate
