@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "doc_novelty_profile",
     "schema_union_sampled",
     "lineitem_column_profile",
+    "corpus_snapshot_diff",
 ]
 # Deliberately outside the headline set (still correctness-gated):
 # graph_pagerank / graph_connected_components (iterative, dominate

@@ -511,3 +511,33 @@ def novelty_profile(
             round_half_up(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus snapshot diff — the change-data-capture pass between two
+    crawls/exports: per document id, whether it was added, removed,
+    changed (normalized-text fingerprint differs), or unchanged.
+
+    One full-outer hash join on the id (uniform key); fingerprints are
+    md5 of normalized text computed map-side, so each side is scanned
+    once and only (id, 32-byte fp) rows shuffle — at 100 TB the diff
+    moves ~50 bytes per document, not the corpus.
+
+    Output: (id, status) with status in added|removed|changed|unchanged.
+    """
+    of = old.select(F.col(id_col), fingerprint_md5(text_col).alias("__fp_old"))
+    nf = new.select(F.col(id_col), fingerprint_md5(text_col).alias("__fp_new"))
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return of.join(nf, id_col, "full_outer").select(
+        F.col(id_col), status.alias("status")
+    )

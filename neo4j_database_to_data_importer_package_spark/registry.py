@@ -4018,3 +4018,41 @@ def lineitem_column_profile(spark, sf_dir):
         ["l_orderkey", "l_shipdate", "l_returnflag", "l_linenumber"],
         exact=True,
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    """WITH old AS (
+         SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         FROM documents WHERE doc_id % 11 != 0),
+       new AS (
+         SELECT doc_id,
+                md5(trim(regexp_replace(lower(
+                  CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+                ), '\\s+', ' ', 'g'))) AS fp
+         FROM documents WHERE doc_id % 13 != 0)
+       SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+              CASE WHEN old.fp IS NULL THEN 'added'
+                   WHEN new.fp IS NULL THEN 'removed'
+                   WHEN old.fp != new.fp THEN 'changed'
+                   ELSE 'unchanged' END AS status
+       FROM old FULL OUTER JOIN new USING (doc_id)""",
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Snapshot-to-snapshot CDC over a deterministic mutation of the
+    documents table (drop doc_id%11 from the old crawl, drop %13 from
+    the new one, edit the text of %7): per-doc added/removed/changed/
+    unchanged via one fingerprint full-outer join. See
+    operators/dedup.py::snapshot_diff for the scale shape."""
+    from .operators.dedup import snapshot_diff
+
+    view = _view(spark, sf_dir)
+    docs = view.tables["documents"]
+    old = docs.filter(F.col("doc_id") % 11 != 0)
+    new = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)

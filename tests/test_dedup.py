@@ -152,3 +152,25 @@ def test_novelty_profile_first_seen_semantics(spark):
     assert got[2] == (1, 0)
     # doc 3 has 9 grams; only the ones containing an x-token are novel
     assert got[3] == (9, 8)
+
+
+def test_snapshot_diff_statuses(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_normalized_fingerprint(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import snapshot_diff
+
+    # whitespace/case-only edits are NOT changes (normalized fingerprint)
+    old = spark.createDataFrame([(1, "Hello  World")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    assert snapshot_diff(old, new).collect()[0]["status"] == "unchanged"
