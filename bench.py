@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "schema_union_sampled",
     "lineitem_column_profile",
     "corpus_snapshot_diff",
+    "bpe_merge_candidates",
 ]
 # Deliberately outside the headline set (still correctness-gated):
 # graph_pagerank / graph_connected_components (iterative, dominate

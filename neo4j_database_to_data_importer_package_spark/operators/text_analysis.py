@@ -350,3 +350,41 @@ def bigram_next_token_topk(
     return ranked.filter(F.col("rnk") <= k).select(
         "w1", "w2", "pair_count", "rnk"
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """First BPE iteration: the ``top_k`` most frequent adjacent
+    character pairs inside words — the merge candidates a byte-pair
+    tokenizer would learn first from this corpus (no end-of-word marker;
+    single-char words contribute nothing).
+
+    The word explode is corpus-sized (tokenizer induction reads every
+    token); pair counts partial-aggregate map-side, and the final top-k
+    is orderBy().limit() — TakeOrderedAndProject, never a global window.
+    The pair lambda reads ``substr(w, i, 2)`` against the word COLUMN
+    (attribute ref — an inline expression there would re-derive the word
+    per character position).
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(top_k)
+    )

@@ -4056,3 +4056,25 @@ def corpus_snapshot_diff(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
     return snapshot_diff(old, new)
+
+
+@register(
+    "bpe_merge_candidates",
+    """WITH words AS (
+         SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+         FROM documents),
+       pos AS (
+         SELECT w, unnest(range(1, length(w))) AS i
+         FROM words WHERE length(w) >= 2),
+       pairs AS (SELECT substr(w, i, 2) AS pair FROM pos)
+       SELECT pair, count(*) AS cnt FROM pairs
+       GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
+)
+def bpe_merge_candidates(spark, sf_dir):
+    """Tokenizer induction, step one: the 20 most frequent in-word
+    character pairs (what BPE would merge first on this corpus).
+    Deterministic tie-break on the pair string."""
+    from .operators.text_analysis import bpe_merge_candidates as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["documents"])

@@ -196,3 +196,14 @@ def test_repetition_stats_matches_python_reference(spark):
     assert row["dup_3gram_ratio"] == round((len(g3) - len(set(g3))) / len(g3), 6)
     assert row["top_2gram_share"] == round(top2 / len(g2), 6)
     assert abs(row["token_entropy"] - ent) < 1e-6
+
+
+def test_bpe_merge_candidates_known_corpus(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        bpe_merge_candidates,
+    )
+
+    # "aaab aaab ab" → in-word pairs: aa,aa,ab ×2 (from aaab) + ab ×1
+    df = spark.createDataFrame([(1, "aaab aaab ab"), (2, "x")], "doc_id long, text string")
+    got = {r["pair"]: r["cnt"] for r in bpe_merge_candidates(df, top_k=5).collect()}
+    assert got == {"aa": 4, "ab": 3}  # single-char word contributes nothing
