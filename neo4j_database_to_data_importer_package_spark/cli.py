@@ -75,6 +75,13 @@ Examples:
                         "neo4j-spark-connector using -u/-U/-P/-d")
     p.add_argument("--no-single-file", dest="single_file", action="store_const", const="false",
                    help="sharded CSV + manifest (100 TB mode) instead of one file per table")
+    p.add_argument("--profile-columns", dest="profile_columns", action="store_true",
+                   help="also write column_profiles.csv (per-column null/distinct/"
+                        "min/max stats for every node table, HLL mode)")
+    p.add_argument("--shard-output", dest="shard_output", type=int, metavar="N",
+                   help="also write every node table as N hash-sharded parquet "
+                        "files under <output>/shards/<label>/ with a "
+                        "shard_manifest.json (bulk 100 TB export path)")
     p.add_argument("--compat-render", dest="compat_render", action="store_const", const="true",
                    help="Python str() value rendering parity (slow path)")
     p.add_argument("--no-quirks", dest="quirks", action="store_const", const="false",
@@ -83,9 +90,64 @@ Examples:
     return p.parse_args(argv)
 
 
+def _write_column_profiles(view, output_dir: str) -> str:
+    """One long-form CSV of per-column stats across every node table
+    (label, column, n_rows, n_nulls, n_distinct, min_value, max_value).
+    HLL mode: a single aggregation pass per table, no expand — the shape
+    that still runs in one job per table at 100 TB."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .operators.profiling import column_profile
+    from .sinks.csv_sink import write_csv_single_file
+
+    profiles = None
+    for label, df in sorted(view.nodes.items()):
+        prof = column_profile(df, df.columns, exact=False).select(
+            F.lit(label).alias("label"), "*"
+        )
+        profiles = prof if profiles is None else profiles.unionByName(prof)
+    path = os.path.join(output_dir, "column_profiles.csv")
+    write_csv_single_file(profiles, path)
+    return path
+
+
+def _write_output_shards(view, identifiers: dict, output_dir: str, n_shards: int) -> str:
+    """Hash-sharded parquet bulk export: every node table split into
+    ``n_shards`` deterministic md5 shards on its identifier column, plus
+    one shard_manifest.json with per-shard row counts."""
+    import json
+    import os
+
+    from .sinks.shard_sink import write_corpus_shards
+
+    manifest = {}
+    for label, df in sorted(view.nodes.items()):
+        out = write_corpus_shards(
+            df,
+            os.path.join(output_dir, "shards", label),
+            n_shards=n_shards,
+            id_col=identifiers[label],
+        )
+        manifest[label] = {
+            "id_col": identifiers[label],
+            "n_shards": out["n_shards"],
+            "shards": out["shards"],
+        }
+    path = os.path.join(output_dir, "shard_manifest.json")
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return path
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
-    cli = {k: v for k, v in vars(args).items() if k not in ("env_file", "no_zip")}
+    cli = {
+        k: v
+        for k, v in vars(args).items()
+        if k not in ("env_file", "no_zip", "profile_columns", "shard_output")
+    }
     # --no-zip beats -z, as in the reference (neo4j_export.py:1463: the
     # custom name is only applied when a zip was created at all).
     if args.no_zip:
@@ -132,6 +194,14 @@ def main(argv=None) -> int:
           f"{len(result.manifest.rels)} relationship tables to {result.output_dir}")
     if result.zip_path:
         print(f"Zip: {result.zip_path}")
+    if args.profile_columns:
+        path = _write_column_profiles(view, result.output_dir)
+        print(f"Column profiles: {path}")
+    if args.shard_output:
+        path = _write_output_shards(
+            view, exporter.detect_identifiers(), result.output_dir, args.shard_output
+        )
+        print(f"Shard manifest: {path}")
     return 0
 
 

@@ -50,13 +50,24 @@ REFERENCE_ENV_ALIASES = {
 
 
 def _find_unescaped(s: str, q: str) -> int:
-    """Index of the first ``q`` in ``s`` not preceded by a backslash
-    (single-quoted dotenv values have no escapes, so every quote closes);
-    -1 when absent."""
+    """Index of the first ``q`` in ``s`` not preceded by an ODD run of
+    backslashes (single-quoted dotenv values have no escapes, so every
+    quote closes); -1 when absent. Counting the whole run matters:
+    ``DIR="C:\\\\"`` ends with an escaped backslash, and python-dotenv
+    closes the quote there — inspecting only the single preceding
+    character would treat the quote as escaped and swallow the rest of
+    the file as a multi-line value (ADVICE r03)."""
     i = 0
     while True:
         i = s.find(q, i)
-        if i < 0 or q == "'" or i == 0 or s[i - 1] != "\\":
+        if i < 0 or q == "'":
+            return i
+        n_bs = 0
+        j = i - 1
+        while j >= 0 and s[j] == "\\":
+            n_bs += 1
+            j -= 1
+        if n_bs % 2 == 0:
             return i
         i += 1
 

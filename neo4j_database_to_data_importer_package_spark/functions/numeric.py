@@ -24,3 +24,27 @@ def round_sql(expr: str, digits: int) -> str:
     """The identical formula as SQL text (for oracle queries)."""
     scale = float(10**digits)
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def dsum(col: Column | str, scale: int = 4) -> Column:
+    """Order-independent sum of a money-like double column.
+
+    ``sum(double)`` accumulates in partition order, so Spark's partial
+    aggregation and DuckDB's single-threaded scan can disagree by ~1e-3
+    at 1e6 magnitude — enough to flip a cent-rounded result (7 of 4188
+    q7 groups in CORRECTNESS_r03). Casting each element to a decimal
+    first makes the addition exact, hence identical for EVERY execution
+    order, partition count, and engine. For 2-dp prices and their 2-dp
+    discount/tax factors the cast is an exact recovery (products have
+    ≤4/6 decimal places), not a rounding.
+
+    Returns a double (cast after the exact sum) so downstream rounding
+    and schemas are unchanged. ``dsum_sql`` is the oracle twin.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 4) -> str:
+    """DuckDB twin of ``dsum`` (identical cast→exact-sum→double)."""
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(27,{scale}))) AS DOUBLE)"

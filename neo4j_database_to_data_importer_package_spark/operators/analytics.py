@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import round_half_up
+from ..functions.numeric import dsum, round_half_up
 
 from ..sources.star_schema import GraphView
 
@@ -22,20 +22,28 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
 
     One wide scan → map-side partial agg on a tiny key space → 4-row
     result; the canonical 'is codegen working' benchmark.
+
+    Money sums go through ``dsum`` (exact decimal accumulation) so the
+    cent-rounded outputs are independent of partition/accumulation
+    order — same value on any cluster size and in the DuckDB oracle.
+    Averages divide the exact decimal sum by the exact count for the
+    same reason. l_quantity is integer-valued, so its double sum is
+    already exact.
     """
+    n = F.count(F.lit(1))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
             round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
-            round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            round_half_up(F.sum(disc_price), 2).alias("sum_disc_price"),
-            round_half_up(F.sum(charge), 2).alias("sum_charge"),
+            round_half_up(dsum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_half_up(dsum(disc_price), 2).alias("sum_disc_price"),
+            round_half_up(dsum(charge, 6), 2).alias("sum_charge"),
             round_half_up(F.avg("l_quantity"), 6).alias("avg_qty"),
-            round_half_up(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            round_half_up(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            round_half_up(dsum("l_extendedprice") / n, 6).alias("avg_price"),
+            round_half_up(dsum("l_discount") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -57,7 +65,7 @@ def revenue_by_segment_nation(view: GraphView) -> DataFrame:
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("c_mktsegment", "n_name", "r_name")
         .agg(
-            round_half_up(F.sum(revenue), 2).alias("revenue"),
+            round_half_up(dsum(revenue), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -70,7 +78,7 @@ def top_orders_by_revenue(view: GraphView, limit: int = 20) -> DataFrame:
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("o_orderkey", "o_orderpriority")
-        .agg(round_half_up(F.sum(revenue), 2).alias("revenue"))
+        .agg(round_half_up(dsum(revenue), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(limit)
     )

@@ -293,6 +293,7 @@ def bigram_next_token_topk(
     id_col: str = "doc_id",
     top_prefixes: int = 20,
     k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Corpus bigram language model, read out as the top-``k`` next
     tokens for the ``top_prefixes`` most frequent prefix words.
@@ -347,9 +348,20 @@ def bigram_next_token_topk(
             )
         ),
     )
-    return ranked.filter(F.col("rnk") <= k).select(
+    out = ranked.filter(F.col("rnk") <= k).select(
         "w1", "w2", "pair_count", "rnk"
     )
+    if materialize:
+        # The result is bounded (top_prefixes·k rows): materialize it
+        # eagerly so the vocabulary-sized pair-count cache can be released
+        # before returning — long-lived sessions (the driver gate runs
+        # queries back-to-back without clearCache) must not accumulate
+        # per-query cached storage (ADVICE r03). ``materialize=False``
+        # returns the lazy plan (caller owns the pc cache) — used by the
+        # plan-quality pin, which needs to inspect the physical plan.
+        out = out.localCheckpoint(eager=True)
+        pc.unpersist()
+    return out
 
 
 def bpe_merge_candidates(

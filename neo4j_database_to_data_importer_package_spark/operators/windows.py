@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.numeric import round_half_up
+from ..functions.numeric import dsum, round_half_up
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -34,12 +34,16 @@ def tumbling_window_agg(
     keys: tuple = ("event_type",),
     value_col: str = "value",
 ) -> DataFrame:
-    """Fixed non-overlapping windows: count + sum/avg of ``value_col``."""
+    """Fixed non-overlapping windows: count + sum/avg of ``value_col``.
+
+    Sums/averages accumulate in exact decimal (``dsum``) so the rounded
+    outputs are partition-order-independent — see functions/numeric.py.
+    """
     g = events.groupBy(F.window(F.col(ts_col), duration).alias("window"), *keys)
     out = g.agg(
         F.count(F.lit(1)).alias("n_events"),
-        round_half_up(F.sum(value_col), 4).alias("sum_value"),
-        round_half_up(F.avg(value_col), 6).alias("avg_value"),
+        round_half_up(dsum(value_col), 4).alias("sum_value"),
+        round_half_up(dsum(value_col) / F.count(F.lit(1)), 6).alias("avg_value"),
     )
     return out.select(*_win_cols(), *keys, "n_events", "sum_value", "avg_value")
 
@@ -56,7 +60,7 @@ def sliding_window_agg(
     g = events.groupBy(F.window(F.col(ts_col), duration, slide).alias("window"), *keys)
     out = g.agg(
         F.count(F.lit(1)).alias("n_events"),
-        round_half_up(F.sum(value_col), 4).alias("sum_value"),
+        round_half_up(dsum(value_col), 4).alias("sum_value"),
     )
     return out.select(*_win_cols(), *keys, "n_events", "sum_value")
 
@@ -73,7 +77,7 @@ def session_window_agg(
     g = events.groupBy(F.session_window(F.col(ts_col), gap).alias("window"), *keys)
     out = g.agg(
         F.count(F.lit(1)).alias("n_events"),
-        round_half_up(F.sum(value_col), 4).alias("sum_value"),
+        round_half_up(dsum(value_col), 4).alias("sum_value"),
     )
     return out.select(
         F.date_format(F.col("window.start"), _TS_FMT).alias("session_start"),
@@ -119,11 +123,13 @@ def rolling_range_activity(
     rolled = events.select(
         F.col(key_col),
         F.count(F.lit(1)).over(w).alias("__n"),
-        F.sum(value_col).over(w).alias("__v"),
+        # decimal accumulation: every trailing-window sum is exact, so the
+        # per-key max (and its rounding) is frame-order-independent
+        F.sum(F.col(value_col).cast("decimal(27,4)")).over(w).alias("__v"),
     )
     return rolled.groupBy(key_col).agg(
         F.max("__n").alias("peak_window_events"),
-        round_half_up(F.max("__v"), 4).alias("peak_window_value"),
+        round_half_up(F.max("__v").cast("double"), 4).alias("peak_window_value"),
     )
 
 
@@ -139,10 +145,18 @@ def zscore_outliers(
     Two aggregations over the same grouping key (stats, then a broadcast
     join back for the scoring pass) — the group stats table is tiny, so
     the second pass is a map-side broadcast join, not a re-shuffle.
+
+    mean/stddev come from exact decimal first/second moments (not the
+    built-in Welford-merge ``stddev_pop``) so both stats — and therefore
+    every z-score and the >threshold counts — are identical under any
+    partitioning and in the SQL oracle.
     """
+    n = F.count(F.lit(1))
+    m = dsum(value_col) / n
+    m2 = dsum(F.col(value_col) * F.col(value_col), 8) / n
     stats = events.groupBy(key_col).agg(
-        F.avg(value_col).alias("__mean"),
-        F.stddev_pop(value_col).alias("__sd"),
+        m.alias("__mean"),
+        F.sqrt(F.greatest(m2 - m * m, F.lit(0.0))).alias("__sd"),
     )
     z = (F.col(value_col) - F.col("__mean")) / F.col("__sd")
     scored = events.join(F.broadcast(stats), key_col).select(

@@ -16,6 +16,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.numeric import dsum
+from .functions.numeric import dsum_sql as _dsum
 from .functions.type_inference import infer_type_col
 from .operators.identifier import detect_identifiers, uniqueness_profile
 from .operators.node_export import export_node_table
@@ -354,14 +356,14 @@ def type_inference_samples(spark, sf_dir):
 
 @register(
     "q1_pricing_summary",
-    """SELECT l_returnflag, l_linestatus,
+    f"""SELECT l_returnflag, l_linestatus,
               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
-              floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-              floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
-              floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+              floor(({_dsum('l_extendedprice')}) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+              floor(({_dsum('l_extendedprice * (1 - l_discount)')}) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+              floor(({_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}) * 100.0 + 0.5) / 100.0 AS sum_charge,
               floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
-              floor((avg(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
-              floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+              floor(({_dsum('l_extendedprice')} / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+              floor(({_dsum('l_discount')} / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
               count(*) AS count_order
        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 )
@@ -374,8 +376,8 @@ def q1_pricing_summary(spark, sf_dir):
 
 @register(
     "q5_revenue_by_segment_nation",
-    """SELECT c_mktsegment, n_name, r_name,
-              floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+    f"""SELECT c_mktsegment, n_name, r_name,
+              floor(({_dsum('l_extendedprice * (1 - l_discount)')}) * 100.0 + 0.5) / 100.0 AS revenue,
               count(*) AS n_lineitems
        FROM lineitem
        JOIN orders ON l_orderkey = o_orderkey
@@ -392,8 +394,8 @@ def q5_revenue_by_segment_nation(spark, sf_dir):
 
 @register(
     "q3_top_orders_by_revenue",
-    """SELECT o_orderkey, o_orderpriority,
-              floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+    f"""SELECT o_orderkey, o_orderpriority,
+              floor(({_dsum('l_extendedprice * (1 - l_discount)')}) * 100.0 + 0.5) / 100.0 AS revenue
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY o_orderkey, o_orderpriority
        ORDER BY revenue DESC, o_orderkey LIMIT 20""",
@@ -428,8 +430,8 @@ def supplier_part_volume(spark, sf_dir):
     f"""SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
                strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '{_TS_FMT_DUCK}') AS window_end,
                event_type, count(*) AS n_events,
-               floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value,
-               floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
+               floor(({_dsum('value')}) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+               floor(({_dsum('value')} / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
         FROM events GROUP BY 1, 2, 3""",
 )
 def window_tumbling_events(spark, sf_dir):
@@ -452,7 +454,8 @@ def window_tumbling_events(spark, sf_dir):
         )
         SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
                strftime(ws + INTERVAL 1 HOUR, '{_TS_FMT_DUCK}') AS window_end,
-               event_type, count(*) AS n_events, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+               event_type, count(*) AS n_events,
+               floor(({_dsum('value')}) * 10000.0 + 0.5) / 10000.0 AS sum_value
         FROM expanded GROUP BY 1, 2, 3""",
 )
 def window_sliding_events(spark, sf_dir):
@@ -476,7 +479,8 @@ def window_sliding_events(spark, sf_dir):
           FROM m
         )
         SELECT strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start, user_id,
-               count(*) AS n_events, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+               count(*) AS n_events,
+               floor(({_dsum('value')}) * 10000.0 + 0.5) / 10000.0 AS sum_value
         FROM g GROUP BY user_id, grp""",
 )
 def window_session_events(spark, sf_dir):
@@ -1065,7 +1069,7 @@ def _replayed_events_stream(spark, sf_dir, max_files_per_trigger=2):
     "streaming_tumbling_events",
     f"""SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
                event_type, count(*) AS n_events,
-               floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+               floor(({_dsum('value')}) * 10000.0 + 0.5) / 10000.0 AS sum_value
         FROM events GROUP BY 1, 2""",
 )
 def streaming_tumbling_events(spark, sf_dir):
@@ -1166,7 +1170,7 @@ def asof_latest_high_value(spark, sf_dir):
 
 @register(
     "q6_forecast_revenue",
-    """SELECT floor(sum(l_extendedprice * l_discount) * 10000.0 + 0.5) / 10000.0 AS revenue,
+    """SELECT floor(CAST(sum(CAST((l_extendedprice * l_discount) AS DECIMAL(27,4))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue,
               count(*) AS n_lines
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1188,7 +1192,7 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            round_half_up(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            round_half_up(dsum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -1281,7 +1285,7 @@ def corpus_clean_pipeline(spark, sf_dir):
 @register(
     "rollup_revenue_by_flag_status",
     """SELECT l_returnflag, l_linestatus,
-              floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+              floor(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(27,4))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
               count(*) AS n
        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 )
@@ -1292,7 +1296,7 @@ def rollup_revenue_by_flag_status(spark, sf_dir):
     li = view.tables["lineitem"]
     return li.rollup("l_returnflag", "l_linestatus").agg(
         round_half_up(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -1543,7 +1547,7 @@ def motif_customer_order_part(spark, sf_dir):
     "cube_orders_by_priority_status",
     """SELECT o_orderpriority, o_orderstatus,
               count(*) AS n,
-              floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+              floor(CAST(sum(CAST((o_totalprice) AS DECIMAL(27,4))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total
        FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
 )
 def cube_orders_by_priority_status(spark, sf_dir):
@@ -1552,7 +1556,7 @@ def cube_orders_by_priority_status(spark, sf_dir):
     view = _view(spark, sf_dir)
     return view.tables["orders"].cube("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        round_half_up(F.sum("o_totalprice"), 2).alias("total"),
+        round_half_up(dsum("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -1560,10 +1564,10 @@ def cube_orders_by_priority_status(spark, sf_dir):
     "orders_running_total",
     f"""SELECT o_custkey, o_orderkey,
                strftime(o_orderdate, '{_TS_FMT_DUCK}') AS o_orderdate,
-               floor(sum(o_totalprice) OVER (
+               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) OVER (
                  PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) * 100.0 + 0.5) / 100.0
                AS running_total
         FROM orders WHERE o_custkey < 100""",
 )
@@ -1586,7 +1590,7 @@ def orders_running_total(spark, sf_dir):
         "o_custkey",
         "o_orderkey",
         F.date_format("o_orderdate", _TS_FMT_SPARK).alias("o_orderdate"),
-        round_half_up(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        round_half_up(F.sum(F.col("o_totalprice").cast("decimal(27,4)")).over(w).cast("double"), 2).alias("running_total"),
     )
 
 
@@ -1645,7 +1649,7 @@ def part_brand_families(spark, sf_dir):
 
 @register(
     "q17_small_quantity_revenue",
-    """SELECT floor(sum(l_extendedprice) / 7.0 * 100.0 + 0.5) / 100.0 AS avg_yearly
+    """SELECT floor(CAST(sum(CAST((l_extendedprice) AS DECIMAL(27,4))) AS DOUBLE) / 7.0 * 100.0 + 0.5) / 100.0 AS avg_yearly
        FROM lineitem l
        JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
              FROM lineitem GROUP BY l_partkey) t
@@ -1664,7 +1668,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     return (
         li.join(lim, "l_partkey")
         .filter(F.col("l_quantity") < F.col("lim"))
-        .agg(round_half_up(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(round_half_up(dsum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
 
 
@@ -1721,18 +1725,19 @@ def signup_purchases_24h(spark, sf_dir):
     "events_hourly_daily_rollup",
     f"""WITH hourly AS (
           SELECT date_trunc('hour', ts) AS bucket, event_type,
-                 count(*) AS n, sum(value) AS sv
+                 count(*) AS n, sum(CAST(value AS DECIMAL(27,4))) AS sv
           FROM events GROUP BY 1, 2),
         daily AS (
           SELECT date_trunc('day', bucket) AS bucket, event_type,
-                 sum(n) AS n, sum(sv) AS sv
+                 CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv
           FROM hourly GROUP BY 1, 2)
         SELECT 'hour' AS granularity, strftime(bucket, '{_TS_FMT_DUCK}') AS bucket_start,
-               event_type, n, floor(sv * 10000.0 + 0.5) / 10000.0 AS sum_value
+               event_type, n,
+               floor(CAST(sv AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_value
         FROM hourly
         UNION ALL
         SELECT 'day', strftime(bucket, '{_TS_FMT_DUCK}'), event_type, n,
-               floor(sv * 10000.0 + 0.5) / 10000.0
+               floor(CAST(sv AS DOUBLE) * 10000.0 + 0.5) / 10000.0
         FROM daily""",
 )
 def events_hourly_daily_rollup(spark, sf_dir):
@@ -1742,7 +1747,10 @@ def events_hourly_daily_rollup(spark, sf_dir):
     ev = view.tables["events"]
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("bucket"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(27,4)")).alias("sv"),
+    )
     daily = hourly.groupBy(
         F.date_trunc("day", "bucket").alias("bucket"), "event_type"
     ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
@@ -1751,7 +1759,7 @@ def events_hourly_daily_rollup(spark, sf_dir):
         F.date_format("bucket", _TS_FMT_SPARK).alias("bucket_start"),
         "event_type",
         "n",
-        round_half_up(F.col("sv"), 4).alias("sum_value"),
+        round_half_up(F.col("sv").cast("double"), 4).alias("sum_value"),
     )
     return fmt(hourly, "hour").unionByName(fmt(daily, "day"))
 
@@ -1831,9 +1839,9 @@ def kmv_distinct_users_per_type(spark, sf_dir):
 
 @register(
     "skewed_join_hot_suppliers",
-    """SELECT s_nationkey,
+    f"""SELECT s_nationkey,
               count(*) AS n_items,
-              floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+              floor(({_dsum('l_extendedprice * (1 - l_discount)')}) * 100.0 + 0.5) / 100.0 AS revenue
        FROM (SELECT CASE WHEN l_orderkey % 10 < 6 THEN 1
                          WHEN l_orderkey % 10 < 8 THEN 2
                          WHEN l_orderkey % 10 = 8 THEN 3
@@ -1875,10 +1883,15 @@ def skewed_join_hot_suppliers(spark, sf_dir):
         .hint("shuffle_hash")
     )
     joined = salted_join(li, supp, on="hot_supp", salts=8)
+    # dsum: ~36k-row hot groups summed in exact decimal — under double
+    # accumulation this query was the one strict-canon red in the r04
+    # pre-rotation sweep (cent drift on the 1e8-magnitude hot groups).
+    from .functions.numeric import dsum
+
     return joined.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_items"),
         round_half_up(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
 
@@ -1960,7 +1973,7 @@ def q13_customer_order_distribution(spark, sf_dir):
     "top_parts_per_nation",
     """WITH rev AS (
          SELECT s_nationkey, l_partkey,
-                floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+                floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(27,4))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_nationkey, l_partkey),
        ranked AS (
@@ -1991,7 +2004,7 @@ def top_parts_per_nation(spark, sf_dir):
         .groupBy("s_nationkey", "l_partkey")
         .agg(
             round_half_up(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
     )
@@ -2048,7 +2061,7 @@ def q2_min_cost_supplier(spark, sf_dir):
 @register(
     "grouping_sets_revenue",
     """SELECT l_returnflag, l_linestatus,
-              floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+              floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(27,4))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue,
               count(*) AS n_items
        FROM lineitem
        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
@@ -2071,7 +2084,7 @@ def grouping_sets_revenue(spark, sf_dir):
         )
         .agg(
             round_half_up(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -2109,9 +2122,9 @@ def pivot_orders_priority_status(spark, sf_dir):
     "q22_rich_inactive_customers",
     """SELECT c_nationkey,
               count(*) AS n_rich_inactive,
-              floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS total_bal
+              floor((CAST(sum(CAST((c_acctbal) AS DECIMAL(27,4))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS total_bal
        FROM customer
-       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+       WHERE c_acctbal > (SELECT CAST(sum(CAST((c_acctbal) AS DECIMAL(27,4))) AS DOUBLE) / count(*) FROM customer WHERE c_acctbal > 0)
          AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
        GROUP BY c_nationkey""",
@@ -2125,7 +2138,7 @@ def q22_rich_inactive_customers(spark, sf_dir):
     view = _view(spark, sf_dir)
     cust = view.tables["customer"]
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("__avg_bal")
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("__avg_bal")
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
@@ -2140,7 +2153,7 @@ def q22_rich_inactive_customers(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_rich_inactive"),
-            round_half_up(F.sum("c_acctbal"), 2).alias("total_bal"),
+            round_half_up(dsum("c_acctbal"), 2).alias("total_bal"),
         )
     )
 
@@ -2359,6 +2372,89 @@ def graph_bfs_hops(spark, sf_dir):
     return bfs_distances(cust.unionByName(nat), srcs)
 
 
+@register(
+    "graph_shortest_hops",
+    """WITH e AS (
+         SELECT 'N' || n_nationkey AS a, 'R' || n_regionkey AS b, 1.0 AS w
+         FROM nation
+         UNION ALL
+         SELECT 'C' || c_custkey, 'N' || c_nationkey, 1.0 + (c_custkey % 5)
+         FROM customer
+         UNION ALL
+         SELECT 'O' || o_orderkey, 'C' || o_custkey, 1.0 + (o_orderkey % 3)
+         FROM orders
+         UNION ALL
+         SELECT 'P' || l_partkey, 'O' || l_orderkey,
+                0.5 * (1 + (l_linenumber % 4))
+         FROM lineitem WHERE l_partkey < 200),
+       und AS (
+         SELECT a, b, min(w) AS w FROM (
+           SELECT a, b, w FROM e UNION ALL SELECT b, a, w FROM e)
+         GROUP BY a, b),
+       srcs AS (SELECT DISTINCT 'R' || r_regionkey AS node FROM region),
+       reach AS (
+         WITH RECURSIVE r(node, dist, hops) AS (
+           SELECT node, CAST(0.0 AS DOUBLE), 0 FROM srcs
+           UNION
+           SELECT u.b, r.dist + u.w, r.hops + 1
+           FROM r JOIN und u ON u.a = r.node
+           WHERE r.hops < 8)
+         SELECT node, dist FROM r)
+       SELECT node, min(dist) AS dist FROM reach GROUP BY node""",
+)
+def graph_shortest_hops(spark, sf_dir):
+    """Multi-source weighted shortest paths (<=8-edge Bellman-Ford) from
+    every region over the weighted FK graph region-nation-customer-order
+    -part. Part nodes are reached through MANY order edges (every
+    lineitem of that part), so the min-relaxation genuinely competes
+    across paths rather than replaying a tree. All weights are multiples
+    of 0.5 <= 5 and path sums stay tiny, so every distance is an exact
+    binary double — the recursive-CTE oracle reproduces it bit-for-bit
+    with no rounding. Plan shape: operators/graph_algos.py::shortest_paths
+    (per-superstep edges-by-frontier shuffle join + min-agg, frontier
+    shrink, localCheckpoint per round)."""
+    from .operators.graph_algos import shortest_paths
+
+    view = _view(spark, sf_dir)
+    t = view.tables
+    pfx = lambda p, c: F.concat(F.lit(p), F.col(c))
+    edges = (
+        t["nation"]
+        .select(
+            pfx("N", "n_nationkey").alias("src"),
+            pfx("R", "n_regionkey").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        .unionByName(
+            t["customer"].select(
+                pfx("C", "c_custkey").alias("src"),
+                pfx("N", "c_nationkey").alias("dst"),
+                (1.0 + F.col("c_custkey") % 5).cast("double").alias("weight"),
+            )
+        )
+        .unionByName(
+            t["orders"].select(
+                pfx("O", "o_orderkey").alias("src"),
+                pfx("C", "o_custkey").alias("dst"),
+                (1.0 + F.col("o_orderkey") % 3).cast("double").alias("weight"),
+            )
+        )
+        .unionByName(
+            t["lineitem"]
+            .filter(F.col("l_partkey") < 200)
+            .select(
+                pfx("P", "l_partkey").alias("src"),
+                pfx("O", "l_orderkey").alias("dst"),
+                (0.5 * (1 + F.col("l_linenumber") % 4)).cast("double").alias(
+                    "weight"
+                ),
+            )
+        )
+    )
+    srcs = t["region"].select(pfx("R", "r_regionkey").alias("node"))
+    return shortest_paths(edges, srcs, rounds=8)
+
+
 # ---------------------------------------------------------------------------
 # Streaming session windows (merging-session state) — batch twin's oracle
 # ---------------------------------------------------------------------------
@@ -2503,7 +2599,7 @@ def bm25_rank_spark_hash_join(spark, sf_dir):
        marked AS (
          SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
          FROM tok t LEFT JOIN vocab v USING (term))
-       SELECT doc_id, count(*) AS n_tokens, sum(oov) AS n_oov,
+       SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
               floor(sum(oov) * 1.0 / count(*) * 1000000.0 + 0.5) / 1000000.0 AS oov_rate
        FROM marked GROUP BY doc_id""",
 )
@@ -2559,7 +2655,7 @@ def streaming_dedup_user_type(spark, sf_dir):
          FROM pos),
        gd AS (SELECT gram_h, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY 1)
        SELECT g.doc_id, count(*) AS n_spans,
-              sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans,
+              CAST(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
               floor(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)
                     * 1000000.0 + 0.5) / 1000000.0 AS dup_ratio
        FROM grams g JOIN gd USING (gram_h) GROUP BY g.doc_id""",
@@ -2669,9 +2765,10 @@ def q4_order_priority(spark, sf_dir):
 
 @register(
     "q7_nation_volume_shipping",
-    """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+    f"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
               year(l_shipdate) AS ship_year,
-              floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
+              floor({_dsum('l_extendedprice * (1 - l_discount)')}
+                    * 100.0 + 0.5) / 100.0 AS revenue
        FROM lineitem
        JOIN orders   ON l_orderkey = o_orderkey
        JOIN customer ON o_custkey = c_custkey
@@ -2705,8 +2802,11 @@ def q7_nation_volume_shipping(spark, sf_dir):
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
         .agg(
+            # dsum: decimal addition is exact and therefore order-
+            # independent — a double sum drifts ~1e-3 at 1e6 magnitude and
+            # landed 7 of 4188 groups on the cent boundary in r03.
             round_half_up(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
     )
@@ -2715,7 +2815,7 @@ def q7_nation_volume_shipping(spark, sf_dir):
 @register(
     "q10_returned_revenue_by_nation",
     """SELECT n_name, count(DISTINCT c_custkey) AS n_customers,
-              floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS lost_revenue
+              floor(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(27,4))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS lost_revenue
        FROM customer
        JOIN nation   ON c_nationkey = n_nationkey
        JOIN orders   ON o_custkey = c_custkey
@@ -2740,7 +2840,7 @@ def q10_returned_revenue_by_nation(spark, sf_dir):
         .agg(
             F.count_distinct("c_custkey").alias("n_customers"),
             round_half_up(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("lost_revenue"),
         )
     )
@@ -2750,10 +2850,10 @@ def q10_returned_revenue_by_nation(spark, sf_dir):
     "q12_shipping_delay_class",
     """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
                    THEN 'fast' ELSE 'slow' END AS delay_class,
-              sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
-              sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 0 ELSE 1 END) AS low_line_count
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY 1""",
 )
@@ -2784,10 +2884,8 @@ def q12_shipping_delay_class(spark, sf_dir):
 
 @register(
     "q14_promo_revenue_share",
-    """SELECT floor(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                     THEN l_extendedprice * (1 - l_discount)
-                                     ELSE 0 END)
-                    / sum(l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5)
+    """SELECT floor(100.0 * CAST(sum(CAST((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS DECIMAL(27,4))) AS DOUBLE)
+                    / CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(27,4))) AS DOUBLE) * 1000000.0 + 0.5)
               / 1000000.0 AS promo_share_pct
        FROM lineitem JOIN part ON l_partkey = p_partkey""",
 )
@@ -2805,8 +2903,8 @@ def q14_promo_revenue_share(spark, sf_dir):
         .agg(
             round_half_up(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / dsum(rev),
                 6,
             ).alias("promo_share_pct")
         )
@@ -2865,8 +2963,8 @@ def q18_large_volume_orders(spark, sf_dir):
          JOIN nation sn ON s_nationkey = sn.n_nationkey
          WHERE cn.n_regionkey = 0)
        SELECT ship_year,
-              floor(sum(CASE WHEN supp_region = 0 THEN rev ELSE 0 END)
-                    / sum(rev) * 1000000.0 + 0.5) / 1000000.0 AS local_share
+              floor(CAST(sum(CAST((CASE WHEN supp_region = 0 THEN rev ELSE 0 END) AS DECIMAL(27,4))) AS DOUBLE)
+                    / CAST(sum(CAST((rev) AS DECIMAL(27,4))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS local_share
        FROM allrev GROUP BY ship_year""",
 )
 def q8_market_share(spark, sf_dir):
@@ -2896,8 +2994,8 @@ def q8_market_share(spark, sf_dir):
         .groupBy(F.year("l_shipdate").alias("ship_year"))
         .agg(
             round_half_up(
-                F.sum(F.when(F.col("supp_region") == 0, rev).otherwise(0.0))
-                / F.sum(rev),
+                dsum(F.when(F.col("supp_region") == 0, rev).otherwise(0.0))
+                / dsum(rev),
                 6,
             ).alias("local_share")
         )
@@ -2907,8 +3005,7 @@ def q8_market_share(spark, sf_dir):
 @register(
     "q9_product_type_profit",
     """SELECT n_name AS supp_nation, year(l_shipdate) AS ship_year,
-              floor(sum(l_extendedprice * (1 - l_discount)
-                        - 0.6 * p_retailprice * l_quantity) * 100.0 + 0.5)
+              floor(CAST(sum(CAST((l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity) AS DECIMAL(27,4))) AS DOUBLE) * 100.0 + 0.5)
               / 100.0 AS profit
        FROM lineitem
        JOIN part     ON l_partkey = p_partkey
@@ -2938,7 +3035,7 @@ def q9_product_type_profit(spark, sf_dir):
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("supp_nation"), F.year("l_shipdate").alias("ship_year"))
-        .agg(round_half_up(F.sum(profit), 2).alias("profit"))
+        .agg(round_half_up(dsum(profit), 2).alias("profit"))
     )
 
 
@@ -2946,7 +3043,7 @@ def q9_product_type_profit(spark, sf_dir):
     "q15_top_supplier",
     """WITH srev AS (
          SELECT l_suppkey,
-                floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+                floor(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(27,4))) AS DOUBLE) * 100.0 + 0.5)
                 / 100.0 AS total_rev
          FROM lineitem GROUP BY l_suppkey)
        SELECT s_suppkey, s_name, total_rev
@@ -2966,7 +3063,7 @@ def q15_top_supplier(spark, sf_dir):
         .groupBy("l_suppkey")
         .agg(
             round_half_up(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_rev")
         )
     )
@@ -2980,7 +3077,7 @@ def q15_top_supplier(spark, sf_dir):
 
 @register(
     "q19_disjunctive_predicates",
-    """SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+    """SELECT floor(CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(27,4))) AS DOUBLE) * 100.0 + 0.5)
               / 100.0 AS revenue
        FROM lineitem JOIN part ON l_partkey = p_partkey
        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -3014,7 +3111,7 @@ def q19_disjunctive_predicates(spark, sf_dir):
         )
         .agg(
             round_half_up(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
     )
@@ -3369,7 +3466,8 @@ def events_group_sample(spark, sf_dir):
        tr AS (SELECT doc_id, g.gram, ev.gram AS hit
               FROM g LEFT JOIN ev USING (gram) WHERE source != 'src0')
        SELECT doc_id, count(*) AS n_grams,
-              sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated_grams,
+              CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_contaminated_grams,
               sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
        FROM tr GROUP BY doc_id""",
 )
@@ -3764,13 +3862,13 @@ def lang_mixture_stats(spark, sf_dir):
        r AS (
          SELECT user_id,
                 count(*) OVER w AS n,
-                sum(value) OVER w AS v
+                sum(CAST(value AS DECIMAL(27,4))) OVER w AS v
          FROM s
          WINDOW w AS (PARTITION BY user_id ORDER BY us
                       RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW))
        SELECT user_id,
               CAST(max(n) AS BIGINT) AS peak_window_events,
-              floor(max(v) * 10000.0 + 0.5) / 10000.0 AS peak_window_value
+              floor(CAST(max(v) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS peak_window_value
        FROM r GROUP BY 1""",
 )
 def rolling_user_activity(spark, sf_dir):
@@ -3785,8 +3883,12 @@ def rolling_user_activity(spark, sf_dir):
 
 @register(
     "events_zscore_outliers",
-    """WITH st AS (
-         SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+    f"""WITH st AS (
+         SELECT event_type,
+                {_dsum('value')} / count(*) AS m,
+                sqrt(greatest({_dsum('value * value', 8)} / count(*)
+                              - ({_dsum('value')} / count(*))
+                                * ({_dsum('value')} / count(*)), 0.0)) AS sd
          FROM events GROUP BY 1),
        sc AS (
          SELECT e.event_type,
@@ -3873,8 +3975,9 @@ j AS (
   FROM q JOIN documents d USING (doc_id)),
 a AS (SELECT lang, bucket, count(*) AS n_docs FROM j GROUP BY 1, 2)
 SELECT lang, bucket, n_docs,
-       sum(n_docs) OVER (PARTITION BY lang ORDER BY bucket DESC
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_survivors
+       CAST(sum(n_docs) OVER (PARTITION BY lang ORDER BY bucket DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_survivors
 FROM a
 """
 
@@ -3959,7 +4062,8 @@ def embedding_label_stats(spark, sf_dir):
          FROM pos),
        firsts AS (SELECT gram_h, min(doc_id) AS first_doc FROM grams GROUP BY 1)
        SELECT g.doc_id, count(*) AS n_grams,
-              sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel,
+              CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_novel,
               floor(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1.0
                     / count(*) * 1000000.0 + 0.5) / 1000000.0 AS novelty
        FROM grams g JOIN firsts f USING (gram_h) GROUP BY g.doc_id""",
@@ -3978,7 +4082,8 @@ def doc_novelty_profile(spark, sf_dir):
     "lineitem_column_profile",
     """WITH p AS (
          SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
-                sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_nulls,
                 count(DISTINCT l_orderkey) AS n_distinct,
                 CAST(min(l_orderkey) AS VARCHAR) AS min_value,
                 CAST(max(l_orderkey) AS VARCHAR) AS max_value
@@ -4002,7 +4107,9 @@ def doc_novelty_profile(spark, sf_dir):
                 count(DISTINCT l_linenumber),
                 CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
          FROM lineitem)
-       SELECT * FROM p""",
+       SELECT "column", n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+              n_distinct, min_value, max_value
+       FROM p""",
 )
 def lineitem_column_profile(spark, sf_dir):
     """ANALYZE-style column statistics (exact mode for the oracle; the

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import round_half_up
+from ..functions.numeric import dsum, round_half_up
 
 
 def read_events_stream(
@@ -109,7 +109,7 @@ def streaming_session_counts(
         .groupBy(F.session_window(F.col(ts_col), gap).alias("window"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            round_half_up(F.sum(value_col), 4).alias("sum_value"),
+            round_half_up(dsum(value_col), 4).alias("sum_value"),
         )
         .select(
             _fmt_utc(F.col("window.start")).alias("session_start"),
@@ -135,7 +135,7 @@ def streaming_tumbling_counts(
         .groupBy(F.window(F.col(ts_col), duration).alias("window"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            round_half_up(F.sum(value_col), 4).alias("sum_value"),
+            round_half_up(dsum(value_col), 4).alias("sum_value"),
         )
         .select(
             _fmt_utc(F.col("window.start")).alias("window_start"),

@@ -145,3 +145,28 @@ def test_env_file_dotenv_corners(tmp_path):
     assert got["SINGLE"] == "lit\\nerally"  # single quotes: no escapes
     assert got["ESCAPED"] == 'tab\there "quoted"'
     assert got["ANCHOR"] == "plain#notcomment"  # '#' only after whitespace
+
+
+def test_env_file_trailing_escaped_backslash(tmp_path):
+    """A double-quoted value ending in an escaped backslash closes at
+    that quote (the backslash escapes the backslash, not the quote) —
+    ADVICE r03: only the PARITY of the trailing backslash run decides.
+    Verified against python-dotenv itself."""
+    from neo4j_database_to_data_importer_package_spark.config import parse_env_file
+
+    import dotenv
+
+    cases = [
+        # even trailing run: the quote closes, NEXT is NOT swallowed
+        ('DIR="C:\\\\"\nNEXT=after\n', {"DIR": "C:\\", "NEXT": "after"}),
+        # odd run: the quote IS escaped, value continues to the real close
+        ('ODD="a\\"b"\nLAST=end\n', {"ODD": 'a"b', "LAST": "end"}),
+        # interior double backslash
+        ('X="mid\\\\path"\nY=1\n', {"X": "mid\\path", "Y": "1"}),
+    ]
+    for i, (text, expect) in enumerate(cases):
+        p = tmp_path / f"case{i}.env"
+        p.write_text(text)
+        got = parse_env_file(str(p))
+        assert got == expect, (text, got)
+        assert got == dict(dotenv.dotenv_values(str(p))), text

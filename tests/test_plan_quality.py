@@ -248,17 +248,44 @@ def test_q19_pushes_brand_disjunction_to_part_scan(spark):
     assert "GreaterThanOrEqual(l_quantity,1.0)" in pushed, pushed
 
 
-def test_bigram_topk_has_no_unpartitioned_window(spark):
+def test_bigram_topk_has_no_unpartitioned_window(spark, sf_dir):
     """The prefix ranking must be TakeOrderedAndProject (bounded per-task
     heap), never a row_number over a global window — an unpartitioned
-    window drags the whole vocabulary through one task at corpus scale."""
-    plan = _plan(spark, "bigram_next_token_topk")
+    window drags the whole vocabulary through one task at corpus scale.
+    Inspect the lazy plan (materialize=False): the registry entry
+    checkpoints the bounded result to release the pair-count cache
+    (ADVICE r03), which collapses its visible plan to a Scan ExistingRDD;
+    the checkpoint materializes exactly this lazy plan."""
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        bigram_next_token_topk,
+    )
+    from neo4j_database_to_data_importer_package_spark.registry import _view
+
+    docs = _view(spark, sf_dir).tables["documents"]
+    df = bigram_next_token_topk(docs, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     # any remaining Window operator must be partitioned (an empty
     # partition spec renders as "], [], [" in the plan line)
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "], [], [" not in line, f"unpartitioned window: {line}"
+
+
+def test_heavy_hitter_topk_is_take_ordered(spark):
+    """VERDICT r03 #3: the top-k must be TakeOrderedAndProject over the
+    full vocabulary (bounded per-task heap), with the ranking window
+    running only over the k survivors — its direct child must be the
+    TakeOrderedAndProject node, never the vocabulary-sized aggregate."""
+    plan = _plan(spark, "heavy_hitter_terms")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if "windowspecdefinition" in l]
+    assert win_idx, plan[:2000]
+    for i in win_idx:
+        assert "TakeOrderedAndProject" in lines[i + 1], "\n".join(
+            lines[i : i + 2]
+        )
 
 
 def test_sampled_schema_union_filter_reaches_scan(spark):
