@@ -95,6 +95,18 @@ _GATE_FIRST_50 = [
 assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)
 _GATE_PRIORITY = _GATE_FIRST_50
 
+# Queries added AFTER this round's window was frozen — they rotate into
+# the round-5 gate window; until then they are verified by the local
+# sf0.01 gate replica and tests/test_oracle_parity.py (the rotation
+# ledger in COVERAGE.md tracks this set).
+_NEXT_ROTATION = [
+    "bpe_apply_merge_stats",
+    "vocab_growth_curve",
+    "domain_quality_percentiles",
+    "part_copurchase_topk",
+    "graph_label_propagation",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, gate-priority

@@ -153,6 +153,12 @@ BENCH_QUERIES = [
     "q15_top_supplier",
     "embedding_kmeans_step",
     "dedup_incremental_batch",
+    # round-4 additions
+    "bpe_apply_merge_stats",
+    "vocab_growth_curve",
+    "domain_quality_percentiles",
+    "part_copurchase_topk",
+    "graph_label_propagation",
 ]
 
 

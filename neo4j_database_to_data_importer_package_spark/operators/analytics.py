@@ -99,6 +99,56 @@ def supplier_part_volume(view: GraphView) -> DataFrame:
     )
 
 
+def part_copurchase_topk(
+    view: GraphView, k: int = 5, min_orders: int = 2
+) -> DataFrame:
+    """Market-basket co-occurrence: for every part, the ``k`` parts most
+    often bought in the same order (ties broken on the partner key) —
+    the item-item collaborative-filtering primer.
+
+    Scale shape: per-order pair generation is a self-join of the
+    DISTINCT (order, part) table on the order key with p1 < p2 — output
+    bounded by Σ basket², not |lineitem|² (baskets are small and the
+    distinct collapses duplicate lines first). Pair counts partial-
+    aggregate before the one shuffle on (p1, p2); the per-part rank
+    window partitions by the part — per-group sorts, never global.
+    """
+    items = (
+        view.tables["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_co_orders"))
+        .filter(F.col("n_co_orders") >= min_orders)
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("p2").alias("p1"), F.col("p1").alias("p2"), "n_co_orders"
+        )
+    )
+    w = Window.partitionBy("p1").orderBy(
+        F.col("n_co_orders").desc(), F.col("p2")
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("p1").alias("part"),
+            F.col("p2").alias("co_part"),
+            "n_co_orders",
+            "rnk",
+        )
+    )
+
+
 def exact_quantiles(
     df: DataFrame, value_col: str, qs: list[float], n_partitions: int = 64
 ) -> list[tuple[float, float]]:

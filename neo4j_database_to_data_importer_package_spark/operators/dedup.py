@@ -285,8 +285,17 @@ def simhash_pairs(
     least one of 4 blocks exactly when d ≤ 3·block-mismatch bound — the
     standard pigeonhole trick), so the self-join is an equi-join on
     (block_idx, block) rather than a cross join.
+
+    The signature table is persisted before the self-join: without it
+    BOTH join sides re-run the whole |tokens|·64-row signature
+    aggregation (measured 2× the query's cost at sf0.1 — the r04 bench
+    flagged it). One row per doc, so the cache is corpus-linear and
+    MEMORY_ONLY: an evicted partition recomputes narrow lineage, same
+    policy as ``minhash_lsh_pairs``.
     """
-    sig = simhash_signatures(df, text_col, id_col)
+    sig = simhash_signatures(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_ONLY
+    )
     blocks = sig.select(
         F.col(id_col),
         F.col("simhash"),

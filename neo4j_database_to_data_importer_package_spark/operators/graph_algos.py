@@ -275,7 +275,11 @@ def triangle_counts(
 
 
 def k_core(
-    edges: DataFrame, k: int = 3, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    round_stats: list | None = None,
 ) -> DataFrame:
     """The k-core of the undirected graph: the maximal subgraph where
     every node has degree >= k, computed by iterative peeling (drop
@@ -320,6 +324,10 @@ def k_core(
             )
             drop = deg.filter(F.col("deg") < k).select("node").persist()
             n_drop = drop.count()
+            if round_stats is not None:
+                # per-round drop counts: the peel-depth probe (SCALING.md)
+                # reads rounds-to-fixpoint from here
+                round_stats.append(n_drop)
             if n_drop == 0:
                 drop.unpersist()
                 break
@@ -428,3 +436,57 @@ def shortest_paths(
     finally:
         und.unpersist()
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection), ``rounds``
+    fixed supersteps, fully deterministic: every node starts with its own
+    id as label and each round adopts the most frequent label among its
+    neighbors, ties broken on the smallest label; isolated-update nodes
+    keep their label. Fixed rounds + total tie order make the result a
+    well-defined quantity a SQL oracle can replay (the same contract as
+    ``pagerank``'s fixed iterations and ``shortest_paths``' bounded
+    hops).
+
+    Scale shape: per round one shuffle join (edges ⋈ labels on the
+    source endpoint), one count aggregate on (node, label), one rank
+    per node — all hash-partitioned on the vertex id so consecutive
+    rounds reuse the partitioning; ``localCheckpoint`` truncates lineage
+    per superstep. State is one row per node.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    try:
+        for _ in range(rounds):
+            votes = (
+                und.join(labels, und["b"] == labels["node"])
+                .select(F.col("a").alias("node"), "label")
+                .groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            winner = (
+                votes.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node", "label")
+            )
+            labels = winner.localCheckpoint(eager=True)
+        return labels
+    finally:
+        und.unpersist()

@@ -400,3 +400,142 @@ def bpe_merge_candidates(
         .orderBy(F.col("cnt").desc(), F.col("pair"))
         .limit(top_k)
     )
+
+
+def bpe_apply_merge_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Second BPE step: APPLY the corpus' ``top_k`` merge candidates
+    (``bpe_merge_candidates``) to every word with the tokenizer's greedy
+    left-to-right single-pass rule — a merged pair consumes both
+    characters, so the next candidate position is skipped — and report
+    the per-document compression: symbols before, merges applied,
+    symbols after.
+
+    The sequential greedy scan is a FOLD, not a join: per word,
+    ``aggregate`` over the candidate positions with an integer-encoded
+    accumulator (``acc = 2·count + skip``) runs inside whole-stage
+    codegen — no per-position explode, no window, no shuffle beyond the
+    one merge-table broadcast. State per row is one int; the same
+    expression runs unchanged on a 100 TB corpus.
+    """
+    merge_list = (
+        bpe_merge_candidates(df, text_col, id_col, top_k)
+        .agg(F.collect_list("pair").alias("__merges"))
+    )
+    # Per word w: fold i = 1..len(w)-1; skip-bit set ⇒ position consumed
+    # by the previous merge. Encoded acc: count*2 + skip.
+    with_m = df.crossJoin(F.broadcast(merge_list))
+    merges = F.col("__merges")
+    word_merges = lambda w: F.aggregate(
+        F.when(F.length(w) >= 2, F.sequence(F.lit(1), F.length(w) - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        F.lit(0),
+        lambda acc, i: F.when(acc % 2 == 1, acc - 1)
+        .when(F.array_contains(merges, w.substr(i, F.lit(2))), acc + 3)
+        .otherwise(acc),
+    )
+    t = F.col("__t")
+    per_word = F.transform(t, lambda w: F.floor(word_merges(w) / 2))
+    stats = with_m.withColumn("__t", tokens(text_col)).select(
+        F.col(id_col),
+        F.aggregate(
+            F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        ).alias("n_symbols"),
+        F.aggregate(per_word, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "n_merges"
+        ),
+    )
+    return stats.select(
+        id_col,
+        F.col("n_symbols").cast("bigint").alias("n_symbols"),
+        F.col("n_merges"),
+        (F.col("n_symbols") - F.col("n_merges")).cast("bigint").alias("n_after"),
+        round_half_up(
+            F.when(F.col("n_symbols") > 0, F.col("n_merges") / F.col("n_symbols"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("compression"),
+    )
+
+
+def vocab_growth_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Heaps'-law curve: cumulative distinct vocabulary after each
+    ingestion-order slice (``n_buckets`` equal doc-id ranges) — the
+    "is more crawl still buying new vocabulary?" read-out.
+
+    The naive formulation (count distinct terms over an expanding
+    window) is quadratic. This one is linear: a term's FIRST document
+    (min doc id — one shuffle on term) attributes each term to exactly
+    one bucket; new-terms-per-bucket + docs-per-bucket are tiny
+    aggregates, and the cumulative sum runs over ``n_buckets`` rows —
+    bounded output regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    mx = df.agg(F.max(F.col(id_col)).alias("__mx"))
+    bucket = lambda c: F.least(
+        F.lit(n_buckets - 1), F.floor(c * n_buckets / (F.col("__mx") + 1))
+    ).cast("int")
+    firsts = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.min(id_col).alias("first_doc"))
+    )
+    new_terms = (
+        firsts.crossJoin(F.broadcast(mx))
+        .groupBy(bucket(F.col("first_doc")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_new_terms"))
+    )
+    docs = (
+        df.crossJoin(F.broadcast(mx))
+        .groupBy(bucket(F.col(id_col)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    joined = docs.join(new_terms, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("n_new_terms", F.lit(0)).alias("n_new_terms"),
+    )
+    # unpartitioned window is safe here: input bounded at n_buckets rows
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.withColumn("cum_vocab", F.sum("n_new_terms").over(w))
+
+
+def domain_quality_percentiles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Per-domain quality calibration: each document's percent_rank of
+    the heuristic quality score WITHIN its domain — the normalization
+    that makes one global threshold meaningful across domains whose raw
+    score distributions differ (a 0.6 from a boilerplate-heavy domain is
+    not a 0.6 from curated text).
+
+    percent_rank partitions by domain — per-domain sorts, no global
+    window; ties (equal scores) share a rank in every engine.
+    """
+    from pyspark.sql import Window
+
+    q = quality_columns(text_col)
+    scored = df.select(
+        F.col(id_col), F.col(domain_col), q["quality"].alias("quality")
+    )
+    w = Window.partitionBy(domain_col).orderBy("quality")
+    return scored.select(
+        id_col,
+        domain_col,
+        "quality",
+        round_half_up(F.percent_rank().over(w), 6).alias("quality_pct"),
+    )

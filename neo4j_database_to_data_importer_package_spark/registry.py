@@ -4185,3 +4185,202 @@ def bpe_merge_candidates(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return op(view.tables["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Round 4: BPE merge application, Heaps'-law vocab growth, per-domain
+# quality calibration, market-basket co-occurrence.
+# ---------------------------------------------------------------------------
+
+@register(
+    "bpe_apply_merge_stats",
+    f"""WITH tok AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+       words AS (
+         SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+         FROM documents),
+       pos AS (
+         SELECT w, unnest(range(1, length(w))) AS i
+         FROM words WHERE length(w) >= 2),
+       topk AS (
+         SELECT substr(w, i, 2) AS pair, count(*) AS cnt FROM pos
+         GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20),
+       m AS (SELECT list(pair ORDER BY pair) AS merges FROM topk),
+       stats AS (
+         SELECT doc_id,
+                list_sum(list_transform(t, w -> length(w))) AS n_symbols,
+                list_sum(list_transform(t, w ->
+                  list_reduce(list_prepend(0, range(1, length(w))),
+                    (acc, i) -> CASE WHEN acc % 2 = 1 THEN acc - 1
+                                     WHEN list_contains(m.merges, substr(w, i, 2))
+                                     THEN acc + 3
+                                     ELSE acc END) // 2)) AS n_merges
+         FROM tok, m)
+       SELECT doc_id,
+              CAST(n_symbols AS BIGINT) AS n_symbols,
+              CAST(n_merges AS BIGINT) AS n_merges,
+              CAST(n_symbols - n_merges AS BIGINT) AS n_after,
+              CASE WHEN n_symbols > 0
+                   THEN floor(n_merges * 1.0 / n_symbols * 1000000.0 + 0.5) / 1000000.0
+                   ELSE 0.0 END AS compression
+       FROM stats""",
+)
+def bpe_apply_merge_stats(spark, sf_dir):
+    """Tokenizer induction, step two: apply the corpus' top-20 BPE merge
+    candidates with the greedy left-to-right rule (a merge consumes both
+    characters) and audit the per-doc compression. The greedy scan is an
+    integer-encoded fold inside codegen — no explode, no window; the
+    oracle reproduces it with DuckDB's list_reduce."""
+    from .operators.text_analysis import bpe_apply_merge_stats as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["documents"])
+
+
+@register(
+    "vocab_growth_curve",
+    f"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+       tok AS (
+         SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents),
+       firsts AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY term),
+       newt AS (
+         SELECT LEAST(19, CAST(floor(first_doc * 20.0 / (m + 1)) AS INT)) AS bucket,
+                count(*) AS n_new_terms
+         FROM firsts, mx GROUP BY 1),
+       docs AS (
+         SELECT LEAST(19, CAST(floor(doc_id * 20.0 / (m + 1)) AS INT)) AS bucket,
+                count(*) AS n_docs
+         FROM documents, mx GROUP BY 1),
+       j AS (
+         SELECT coalesce(d.bucket, n.bucket) AS bucket,
+                coalesce(n_docs, 0) AS n_docs,
+                coalesce(n_new_terms, 0) AS n_new_terms
+         FROM docs d FULL OUTER JOIN newt n ON d.bucket = n.bucket)
+       SELECT bucket, n_docs, n_new_terms,
+              CAST(sum(n_new_terms) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_vocab
+       FROM j""",
+)
+def vocab_growth_curve(spark, sf_dir):
+    """Heaps'-law read-out: cumulative distinct vocabulary per ingestion-
+    order slice, computed linearly via first-seen attribution (min doc id
+    per term), never an expanding distinct window. Bounded 20-row
+    output at any corpus size."""
+    from .operators.text_analysis import vocab_growth_curve as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["documents"])
+
+
+ORACLES["domain_quality_percentiles"] = f"""
+WITH q AS ({ORACLES["text_quality_score"]})
+SELECT q.doc_id, d.source, q.quality,
+       floor(percent_rank() OVER (PARTITION BY d.source ORDER BY q.quality)
+             * 1000000.0 + 0.5) / 1000000.0 AS quality_pct
+FROM q JOIN documents d ON q.doc_id = d.doc_id
+"""
+
+
+def domain_quality_percentiles(spark, sf_dir):
+    """Per-domain percent_rank of the quality score — cross-domain
+    threshold calibration. Window partitions by domain; per-domain
+    sorts only."""
+    from .operators.text_analysis import domain_quality_percentiles as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["documents"])
+
+
+QUERIES["domain_quality_percentiles"] = domain_quality_percentiles
+
+
+@register(
+    "part_copurchase_topk",
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       pairs AS (
+         SELECT a.p AS p1, b.p AS p2, count(*) AS n_co_orders
+         FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+         GROUP BY 1, 2
+         HAVING count(*) >= 2),
+       sym AS (
+         SELECT p1, p2, n_co_orders FROM pairs
+         UNION ALL
+         SELECT p2, p1, n_co_orders FROM pairs),
+       ranked AS (
+         SELECT p1 AS part, p2 AS co_part, n_co_orders,
+                CAST(row_number() OVER (PARTITION BY p1
+                     ORDER BY n_co_orders DESC, p2) AS INT) AS rnk
+         FROM sym)
+       SELECT part, co_part, n_co_orders, rnk FROM ranked WHERE rnk <= 5""",
+)
+def part_copurchase_topk(spark, sf_dir):
+    """Market-basket co-occurrence: per part, the 5 parts most often in
+    the same order (item-item CF primer). Pair generation bounded by
+    basket size squared; rank window partitions by part."""
+    from .operators.analytics import part_copurchase_topk as op
+
+    return op(_view(spark, sf_dir))
+
+
+_LPA_ROUND = """
+  SELECT node, label FROM (
+    SELECT u.a AS node, l.label, count(*) AS c,
+           row_number() OVER (PARTITION BY u.a
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM und u JOIN {prev} l ON u.b = l.node
+    GROUP BY u.a, l.label)
+  WHERE rn = 1
+"""
+
+
+@register(
+    "graph_label_propagation",
+    f"""WITH e AS (
+         SELECT 'O' || l_orderkey AS a, 'P' || l_partkey AS b
+         FROM lineitem WHERE year(l_shipdate) = 1998
+         UNION ALL
+         SELECT 'O' || l_orderkey, 'S' || l_suppkey
+         FROM lineitem WHERE year(l_shipdate) = 1998
+         UNION ALL
+         SELECT 'P' || l_partkey, 'S' || l_suppkey
+         FROM lineitem WHERE year(l_shipdate) = 1998),
+       und AS (
+         SELECT DISTINCT a, b FROM (
+           SELECT a, b FROM e UNION ALL SELECT b, a FROM e)
+         WHERE a != b),
+       lab0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+       r1 AS ({_LPA_ROUND.format(prev='lab0')}),
+       r2 AS ({_LPA_ROUND.format(prev='r1')}),
+       r3 AS ({_LPA_ROUND.format(prev='r2')})
+       SELECT node, label FROM r3""",
+)
+def graph_label_propagation(spark, sf_dir):
+    """3-round synchronous label propagation over the one-ship-year
+    order/part/supplier co-occurrence graph — deterministic communities
+    (majority neighbor label, ties to the smallest). Fixed rounds make
+    it SQL-replayable; see operators/graph_algos.py::label_propagation
+    for the per-superstep shuffle shape."""
+    from .operators.graph_algos import label_propagation
+
+    view = _view(spark, sf_dir)
+    li = view.tables["lineitem"].filter(F.year("l_shipdate") == 1998)
+    e = (
+        li.select(
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+                F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+                F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+    )
+    return label_propagation(e, rounds=3)

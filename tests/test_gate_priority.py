@@ -48,15 +48,22 @@ def test_every_registered_query_appears_exactly_once():
 def test_window_covers_all_never_gated_queries():
     """After this rotation, every registered query has been inside the
     50-slot window in some round: r01-r03 gated keys ∪ this window must
-    equal the full registry (minus entries newer than the snapshot
-    files, which must be IN the window)."""
+    equal the full registry, except queries added after the window froze
+    — those must be explicitly ledgered in ``_NEXT_ROTATION`` (and rotate
+    in next round)."""
     gated_before = set()
     for r in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
         with open(os.path.join(REPO, r)) as f:
             gated_before |= set(json.load(f))
     window = set(entrymod._GATE_FIRST_50)
     never = set(registry.QUERIES) - gated_before - window
-    assert not never, f"never driver-gated and not in this window: {sorted(never)}"
+    unledgered = never - set(entrymod._NEXT_ROTATION)
+    assert not unledgered, (
+        f"never driver-gated, not in this window, not ledgered for the "
+        f"next rotation: {sorted(unledgered)}"
+    )
+    stale = set(entrymod._NEXT_ROTATION) & (gated_before | window)
+    assert not stale, f"_NEXT_ROTATION entries already gated/windowed: {sorted(stale)}"
 
 
 def test_window_regates_all_round3_reds():
