@@ -105,6 +105,15 @@ _NEXT_ROTATION = [
     "domain_quality_percentiles",
     "part_copurchase_topk",
     "graph_label_propagation",
+    "streaming_moment_stats",
+    "dedup_incremental_near_dup",
+    "domain_mixture_weights",
+    "embedding_ivf_cell_stats",
+    "ann_recall_at_k",
+    "cms_term_estimates",
+    "events_retention_cohorts",
+    "customer_rfm_segments",
+    "bigram_perplexity_heldout",
 ]
 
 

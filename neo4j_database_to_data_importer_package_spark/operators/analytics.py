@@ -291,3 +291,67 @@ def histogram_quantiles(
             ),
         )
     )
+
+
+def customer_rfm_segments(view: GraphView) -> DataFrame:
+    """RFM segmentation: per customer recency (days since last order,
+    against the corpus max date), frequency (order count), monetary
+    (decimal-exact lifetime total), each scored 1-5 against exact
+    quintile thresholds.
+
+    Scale shape: the thresholds are FIVE numbers — computed once
+    (percentile over the per-customer aggregate; swap in
+    ``exact_quantiles`` or approx_percentile beyond validation scale)
+    and broadcast, so the scoring pass is map-side. No global ntile
+    window over the customer table (the round-3 lesson: rank windows
+    don't scale; threshold broadcasts do).
+    """
+    from ..functions.numeric import dsum, round_half_up
+
+    o = view.tables["orders"]
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("__maxd"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            round_half_up(dsum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.datediff("__maxd", "last_order").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    thresholds = per_cust.agg(
+        F.expr(f"percentile(recency_days, array({','.join(map(str, qs))}))").alias("rq"),
+        F.expr(f"percentile(frequency, array({','.join(map(str, qs))}))").alias("fq"),
+        F.expr(f"percentile(monetary, array({','.join(map(str, qs))}))").alias("mq"),
+    )
+
+    def score(col, q_col, invert=False):
+        # 1 + number of thresholds strictly exceeded; recency inverts
+        # (lower = better)
+        s = F.lit(1)
+        for i in range(4):
+            s = s + (F.col(col) > F.element_at(F.col(q_col), i + 1)).cast("int")
+        return (F.lit(6) - s if invert else s).alias(f"{col}_score")
+
+    return (
+        per_cust.crossJoin(F.broadcast(thresholds))
+        .select(
+            "c_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            score("recency_days", "rq", invert=True),
+            score("frequency", "fq"),
+            score("monetary", "mq"),
+        )
+        .withColumnRenamed("recency_days_score", "r_score")
+        .withColumnRenamed("frequency_score", "f_score")
+        .withColumnRenamed("monetary_score", "m_score")
+    )

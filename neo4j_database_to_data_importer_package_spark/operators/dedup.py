@@ -550,3 +550,89 @@ def snapshot_diff(
     return of.join(nf, id_col, "full_outer").select(
         F.col(id_col), status.alias("status")
     )
+
+
+def incremental_near_dup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental ingest NEAR-dup screen: flag each batch document whose
+    shingle Jaccard against some already-ingested corpus document clears
+    ``threshold`` — the daily-crawl twin of ``incremental_exact_dedup``
+    for paraphrase/boilerplate duplicates that fingerprints miss.
+
+    Scale shape: both sides project banded MinHash signatures (narrow,
+    shuffle-free); candidates are the (band, signature) equi-join of the
+    SMALL batch against the corpus signature table — at 100 TB the
+    corpus signatures are precomputed and bucketed by (band, signature),
+    so screening a batch is a bucket-pruned join, never a corpus scan.
+    Verification (exact Jaccard on shingle arrays) runs only on
+    candidate pairs.
+
+    Output: one row per batch doc — (id, has_near_dup, best_match,
+    best_jaccard); best = highest verified Jaccard, ties to the smallest
+    corpus id; NULLs when clean.
+    """
+    from pyspark.sql import Window
+
+    bs = doc_shingles(batch, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_ONLY
+    )
+    cs = doc_shingles(corpus, text_col, id_col, shingle_n)
+    sig_b = _signatures_from_doc_shingles(bs, id_col, num_hashes, band_size)
+    sig_c = _signatures_from_doc_shingles(cs, id_col, num_hashes, band_size)
+    cands = (
+        sig_b.select(
+            F.col(id_col).alias("batch_id"), "band", "signature"
+        )
+        .join(
+            sig_c.select(
+                F.col(id_col).alias("corpus_id"), "band", "signature"
+            ),
+            ["band", "signature"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    sb = bs.select(F.col(id_col).alias("batch_id"), F.col("shingles").alias("sh_b"))
+    sc = cs.select(F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh_c"))
+    inter = F.size(F.array_intersect(F.col("sh_b"), F.col("sh_c")))
+    union = F.size(F.col("sh_b")) + F.size(F.col("sh_c")) - inter
+    verified = (
+        cands.join(sb, "batch_id")
+        .join(sc, "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            round_half_up(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_id")
+    )
+    best = (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "batch_id",
+            F.col("corpus_id").alias("best_match"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(best, batch[id_col] == best["batch_id"], "left")
+        .select(
+            id_col,
+            F.col("best_match").isNotNull().alias("has_near_dup"),
+            "best_match",
+            "best_jaccard",
+        )
+    )

@@ -156,3 +156,51 @@ def mixture_stats(
             "sampled_chars"
         ),
     )
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    chars_col: str = "n_chars",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per domain: weight ∝
+    n_docs^alpha, normalized — the standard multinomial smoothing that
+    up-samples small domains (alpha < 1) when mixing corpora for
+    training. Also reports the effective epochs-per-domain the weight
+    implies (weight · total_docs / n_docs).
+
+    Two tiny aggregates (per-domain counts, then the normalizer over
+    #domains rows); everything after the first groupBy is
+    dimension-sized.
+    """
+    from ..functions.numeric import round_half_up
+
+    agg = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(chars_col).cast("bigint").alias("total_chars"),
+    )
+    # alpha=0.5 routes through sqrt: IEEE-correctly-rounded in every
+    # engine, unlike pow (libm vs JVM pow can differ in the last ulp,
+    # which an oracle comparison would see).
+    def _temp(c):
+        c = c.cast("double")
+        return F.sqrt(c) if alpha == 0.5 else F.pow(c, F.lit(alpha))
+
+    raw = _temp(F.col("n_docs"))
+    tot = agg.agg(
+        F.sum(_temp(F.col("n_docs"))).alias("__tot"),
+        F.sum("n_docs").alias("__all_docs"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            domain_col,
+            "n_docs",
+            "total_chars",
+            round_half_up(raw / F.col("__tot"), 6).alias("weight"),
+            round_half_up(
+                raw / F.col("__tot") * F.col("__all_docs") / F.col("n_docs"), 6
+            ).alias("effective_epochs"),
+        )
+    )

@@ -182,3 +182,66 @@ def heavy_hitter_terms(
         topk.withColumn("rank", F.row_number().over(w))
         .select("term", "n_occurrences", "rank")
     )
+
+
+def cms_term_estimates(
+    df: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Count-min sketch accuracy audit: build a depth×width CMS over the
+    corpus term stream (deterministic md5 row hashes — no seed state),
+    then read back the estimates for the ``top_k`` true heavy hitters
+    next to their exact counts. The sketch is the bounded-state
+    mergeable counter (depth·width longs total, regardless of corpus
+    size) that replaces exact per-term counts when the vocabulary
+    doesn't fit; the audit shows its overestimate directly.
+
+    Plan: one explode to (row, col) pairs (depth small, map-side
+    partial-agg collapses to ≤ depth·width rows before the shuffle), a
+    broadcast of the tiny probe set, min-over-rows per probed term.
+    """
+    stream = _term_stream(df, text_col, id_col)
+
+    def col_of(term_col, i_col):
+        h = F.md5(F.concat_ws("|", i_col.cast("string"), term_col))
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % width
+        ).cast("int")
+
+    rows = stream.select(
+        F.col("term"), F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
+    )
+    sketch = (
+        rows.select("i", col_of(F.col("term"), F.col("i")).alias("col"))
+        .groupBy("i", "col")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    true_counts = (
+        stream.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("term"))
+        .limit(top_k)
+    )
+    probes = true_counts.select(
+        "term",
+        "true_count",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"),
+    ).select(
+        "term", "true_count", "i", col_of(F.col("term"), F.col("i")).alias("col")
+    )
+    est = (
+        F.broadcast(probes)
+        .join(sketch, ["i", "col"])
+        .groupBy("term", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "term",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+    )

@@ -340,3 +340,90 @@ def kmeans_step(
             F.col("cid").alias("cluster_id"), "pos", "centroid_val", "n_assigned"
         )
     )
+
+
+def ivf_cell_stats(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF index health audit: per cell, member count and mean cosine of
+    members to their centroid — the balance/coherence read-out that
+    decides whether an ANN index needs re-clustering (empty or
+    incoherent cells degrade recall; giant cells degrade latency).
+
+    One broadcast of the n_cells centroids, one narrow scoring pass,
+    one cell-keyed aggregate. The per-vector cosine is rounded before
+    the mean and summed in exact decimal, so the stats are identical
+    under any partitioning (functions/numeric.dsum rationale).
+    """
+    from ..functions.numeric import dsum, round_half_up
+
+    assigned = ivf_assign(df, n_cells, vec_col, id_col)
+    cents = (
+        with_norm(df, vec_col, id_col)
+        .filter(F.col(id_col) < n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cn"),
+        )
+    )
+    cos = round_half_up(
+        _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")), 6
+    )
+    scored = assigned.join(F.broadcast(cents), "cell").select(
+        "cell", cos.alias("c")
+    )
+    return scored.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        round_half_up(dsum(F.col("c"), 6) / F.count(F.lit(1)), 6).alias(
+            "mean_cosine"
+        ),
+    )
+
+
+def ann_recall_at_k(
+    df: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN quality eval: recall@k of the IVF index against the exact
+    brute-force top-k, per query — the accept/reject metric for every
+    (n_cells, nprobe) configuration before it ships.
+
+    Both rankings are deterministic (rounded cosines, id tie-breaks), so
+    recall is a well-defined exact quantity: |ivf ∩ brute| / k. The join
+    is on (query, neighbor) pairs of two already-bounded top-k tables —
+    the eval costs nothing at any corpus scale beyond the two searches.
+    """
+    from ..functions.numeric import round_half_up
+
+    ivf = ivf_topk(df, k, n_cells, nprobe, n_queries, vec_col, id_col).select(
+        "query_id", "neighbor_id"
+    )
+    brute = brute_force_topk(
+        df, k=k, n_queries=n_queries, vec_col=vec_col, id_col=id_col
+    ).select(F.col("query_id").alias("bq"), F.col("neighbor_id").alias("bn"))
+    hits = ivf.join(
+        brute,
+        (F.col("query_id") == F.col("bq")) & (F.col("neighbor_id") == F.col("bn")),
+        "left_semi",
+    )
+    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    queries = ivf.select("query_id").distinct()
+    return (
+        queries.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            round_half_up(
+                F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall_at_k"),
+        )
+    )

@@ -539,3 +539,78 @@ def domain_quality_percentiles(
         "quality",
         round_half_up(F.percent_rank().over(w), 6).alias("quality_pct"),
     )
+
+
+def bigram_perplexity_heldout(
+    df: DataFrame,
+    heldout_source: str = "src0",
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-based quality scoring with a REAL train/heldout split:
+    an add-one-smoothed bigram LM is fit on every document whose
+    ``source_col`` != ``heldout_source``, then each held-out document is
+    scored — per doc: bigram count, mean negative log2 likelihood, and
+    perplexity. The standard model-based quality filter (docs the corpus
+    LM finds surprising are boilerplate, garbled, or off-domain).
+
+    Determinism contract: each bigram's -log2 P is rounded to 6dp (log2
+    ulp differences between engines sit ~9 orders below that grid), the
+    per-doc sum accumulates in exact decimal, and the perplexity rounds
+    at 4dp — every stage engine-portable. Scale shape: the LM tables are
+    vocabulary-sized aggregates joined back onto the held-out pair
+    stream (corpus-linear, two shuffles); V and N broadcast as 1-row
+    aggregates.
+    """
+    t = F.col("__t")
+    grams = F.transform(
+        F.slice(t, 1, F.greatest(F.lit(0), F.size(t) - 1)),
+        lambda x, i: F.struct(
+            x.alias("w1"), F.element_at(t, i + F.lit(2)).alias("w2")
+        ),
+    )
+
+    def pair_stream(frame):
+        return (
+            frame.withColumn("__t", tokens(text_col))
+            .select(F.col(id_col), F.explode(grams).alias("g"))
+            .select(F.col(id_col), F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        )
+
+    train = df.filter(F.col(source_col) != heldout_source)
+    heldout = df.filter(F.col(source_col) == heldout_source)
+
+    c12 = pair_stream(train).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    vocab = (
+        train.withColumn("__t", tokens(text_col))
+        .select(F.explode("__t").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+
+    pairs = (
+        pair_stream(heldout)
+        .join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + 1) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
+    )
+    nll = round_half_up(-F.log2(p), 6)
+    per_doc = pairs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(nll.cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        round_half_up(F.col("__avg"), 6).alias("avg_nll"),
+        round_half_up(F.pow(F.lit(2.0), F.col("__avg")), 4).alias("perplexity"),
+    )

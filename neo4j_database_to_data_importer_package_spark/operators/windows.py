@@ -168,3 +168,44 @@ def zscore_outliers(
         F.sum((F.col("__az") > threshold).cast("long")).alias("n_outliers"),
         round_half_up(F.max("__az"), 4).alias("max_abs_z"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    signup_type: str = "signup",
+    type_col: str = "event_type",
+    max_weeks: int = 5,
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-signup
+    week (weeks counted from ``epoch``), counted distinct in each
+    subsequent week they show ANY activity — the (cohort_week,
+    week_offset, n_active_users) table behind every retention curve.
+
+    Two shuffles (first-signup per user, then the distinct cohort cell
+    count); all date math on DATE values derived from the NTZ event
+    time, so the matrix is session-timezone-independent.
+    """
+    signups = (
+        events.filter(F.col(type_col) == signup_type)
+        .groupBy(user_col)
+        .agg(F.min(F.to_date(ts_col)).alias("signup_date"))
+    )
+    activity = events.select(
+        F.col(user_col), F.to_date(ts_col).alias("activity_date")
+    ).distinct()
+    joined = activity.join(signups, user_col)
+    cell = joined.select(
+        F.col(user_col),
+        F.floor(
+            F.datediff("signup_date", F.lit(epoch).cast("date")) / 7
+        ).cast("int").alias("cohort_week"),
+        F.floor(F.datediff("activity_date", "signup_date") / 7).cast("int").alias(
+            "week_offset"
+        ),
+    ).filter((F.col("week_offset") >= 0) & (F.col("week_offset") < max_weeks))
+    return cell.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct(user_col).alias("n_active_users")
+    )

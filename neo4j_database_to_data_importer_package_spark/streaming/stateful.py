@@ -191,3 +191,84 @@ def streaming_kmv_distinct(hashed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming first/second moments in INTEGER cents: the incremental
+# mean/stddev maintenance behind streaming anomaly scoring. Floats
+# accumulated across micro-batches would make the fixed point depend on
+# arrival order (and disagree with any SQL oracle at the last ulp);
+# integer cents (the data is 2-dp) make the state update exactly
+# commutative/associative, so the final emission is bit-identical to the
+# batch formula under ANY replay schedule.
+# ---------------------------------------------------------------------------
+
+MOMENTS_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("sum_cents", LongType()),
+        StructField("sum_sq", LongType()),
+    ]
+)
+
+MOMENTS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_events", LongType()),
+        StructField("mean_value", DoubleType()),
+        StructField("std_value", DoubleType()),
+    ]
+)
+
+
+def _update_moments(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    n, s, sq = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        cents = [int(c) for c in pdf["cents"]]
+        n += len(cents)
+        s += sum(cents)
+        sq += sum(c * c for c in cents)
+    state.update((n, s, sq))
+    mean = (s / 100.0) / n
+    m2 = (sq / 10000.0) / n
+    std = math.sqrt(max(m2 - mean * mean, 0.0))
+    # round-half-up at 6dp, matching functions.numeric.round_half_up
+    r6 = lambda x: math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_events": [n],
+            "mean_value": [r6(mean)],
+            "std_value": [r6(std)],
+        }
+    )
+
+
+def streaming_moment_stats(
+    events: DataFrame, key_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Per-key streaming mean/stddev via integer-cent moment state.
+
+    The cents conversion runs JVM-side before the shuffle (the Python
+    update only adds ints); state is 3 longs per key regardless of
+    stream length. The last emission per key equals the batch
+    population stats — the SQL oracle."""
+    from pyspark.sql import functions as F
+
+    src = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _update_moments,
+        outputStructType=MOMENTS_OUTPUT_SCHEMA,
+        stateStructType=MOMENTS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -116,3 +116,103 @@ def test_copurchase_rank_is_per_part_and_symmetric(spark, sf_dir):
     for (p, q), c in pair_counts.items():
         if (q, p) in pair_counts:
             assert pair_counts[(q, p)] == c
+
+
+def test_rfm_scores_in_range_and_quintile_balanced(spark, sf_dir):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        customer_rfm_segments,
+    )
+    from neo4j_database_to_data_importer_package_spark.registry import _view
+
+    rows = customer_rfm_segments(_view(spark, sf_dir)).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 and 1 <= r["m_score"] <= 5
+        assert r["recency_days"] >= 0 and r["frequency"] >= 1
+    # monetary quintiles: the exact-threshold rule puts ~20% in each
+    # bucket (ties can skew frequency, but monetary is near-continuous)
+    from collections import Counter
+
+    c = Counter(r["m_score"] for r in rows)
+    n = len(rows)
+    for s in range(1, 6):
+        assert 0.1 * n <= c[s] <= 0.3 * n, (s, c, n)
+
+
+def test_retention_cohort_week0_is_cohort_size(spark, sf_dir):
+    """Every signed-up user is active in their signup week (the signup
+    event itself), so week_offset=0 counts equal the cohort sizes."""
+    from pyspark.sql import functions as F
+
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        retention_cohorts,
+    )
+    from neo4j_database_to_data_importer_package_spark.registry import _view
+
+    ev = _view(spark, sf_dir).tables["events"]
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_active_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got
+    cohort_sizes = {
+        r["cw"]: r["n"]
+        for r in ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("sd"))
+        .select(
+            F.floor(
+                F.datediff("sd", F.lit("2024-01-01").cast("date")) / 7
+            ).cast("int").alias("cw")
+        )
+        .groupBy("cw")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for cw, size in cohort_sizes.items():
+        assert got.get((cw, 0)) == size, (cw, size, got.get((cw, 0)))
+
+
+def test_heldout_perplexity_positive_and_bounded(spark, sf_dir):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        bigram_perplexity_heldout,
+    )
+    from neo4j_database_to_data_importer_package_spark.registry import _view
+
+    docs = _view(spark, sf_dir).tables["documents"]
+    rows = bigram_perplexity_heldout(docs).collect()
+    assert rows
+    v_plus = 1e9  # ppl can never exceed c1+V (add-one smoothing floor)
+    for r in rows:
+        assert r["n_bigrams"] >= 1
+        assert 0 < r["avg_nll"]
+        assert 1.0 <= r["perplexity"] <= v_plus
+
+
+def test_ann_recall_between_zero_and_one(spark, sf_dir):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        ann_recall_at_k,
+    )
+    from neo4j_database_to_data_importer_package_spark.registry import _view
+
+    emb = _view(spark, sf_dir).tables["embeddings"]
+    rows = ann_recall_at_k(emb, k=10).collect()
+    assert len(rows) == 10  # one per query
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= 10
+        assert abs(r["recall_at_k"] - r["n_overlap"] / 10.0) < 1e-9
+
+
+def test_cms_estimate_never_underestimates(spark, sf_dir):
+    """The count-min guarantee: estimate >= true count, always."""
+    from neo4j_database_to_data_importer_package_spark.operators.retrieval import (
+        cms_term_estimates,
+    )
+    from neo4j_database_to_data_importer_package_spark.registry import _view
+
+    docs = _view(spark, sf_dir).tables["documents"]
+    rows = cms_term_estimates(docs).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_estimate"] >= r["true_count"]
+        assert r["overestimate"] == r["cms_estimate"] - r["true_count"]
