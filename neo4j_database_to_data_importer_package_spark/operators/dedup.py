@@ -581,10 +581,17 @@ def incremental_near_dup(
     """
     from pyspark.sql import Window
 
+    # Both shingle tables feed two consumers (signature projection +
+    # Jaccard verification) — persist so neither side re-tokenizes the
+    # corpus (the simhash_pairs lesson from the r04 bench; MEMORY_ONLY,
+    # narrow recompute on eviction). At 100 TB the corpus side is a
+    # precomputed bucketed table instead.
     bs = doc_shingles(batch, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_ONLY
     )
-    cs = doc_shingles(corpus, text_col, id_col, shingle_n)
+    cs = doc_shingles(corpus, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_ONLY
+    )
     sig_b = _signatures_from_doc_shingles(bs, id_col, num_hashes, band_size)
     sig_c = _signatures_from_doc_shingles(cs, id_col, num_hashes, band_size)
     cands = (
