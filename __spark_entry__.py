@@ -114,6 +114,8 @@ _NEXT_ROTATION = [
     "events_retention_cohorts",
     "customer_rfm_segments",
     "bigram_perplexity_heldout",
+    "basket_association_rules",
+    "embedding_pq_audit",
 ]
 
 

@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "events_retention_cohorts",
     "customer_rfm_segments",
     "bigram_perplexity_heldout",
+    "basket_association_rules",
+    "embedding_pq_audit",
 ]
 
 

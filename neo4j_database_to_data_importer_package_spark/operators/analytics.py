@@ -355,3 +355,61 @@ def customer_rfm_segments(view: GraphView) -> DataFrame:
         .withColumnRenamed("frequency_score", "f_score")
         .withColumnRenamed("monetary_score", "m_score")
     )
+
+
+def basket_association_rules(
+    view: GraphView, min_co_orders: int = 3
+) -> DataFrame:
+    """Association rules over order baskets: for every directed part
+    pair seen in >= ``min_co_orders`` common orders, support,
+    confidence and lift — the classical market-basket read-out on top
+    of the co-purchase counts.
+
+    All three metrics are ratios of exact integer counts (single IEEE
+    divisions — deterministic in any engine). Same scale shape as
+    ``part_copurchase_topk``: Σ basket² pair generation, then
+    dimension-sized joins of the per-part order counts.
+    """
+    from ..functions.numeric import round_half_up
+
+    items = view.tables["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    # 1-row broadcast, not a driver .count(): keeps the whole rule table
+    # one lazy plan
+    n_orders = items.select(
+        F.count_distinct("l_orderkey").alias("__n_orders")
+    )
+    per_part = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_orders_part")
+    )
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("p1") != F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_co_orders"))
+        .filter(F.col("n_co_orders") >= min_co_orders)
+    )
+    na = per_part.select(F.col("l_partkey").alias("p1"), F.col("n_orders_part").alias("n_a"))
+    nb = per_part.select(F.col("l_partkey").alias("p2"), F.col("n_orders_part").alias("n_b"))
+    return (
+        pairs.join(na, "p1")
+        .join(nb, "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("p1").alias("antecedent"),
+            F.col("p2").alias("consequent"),
+            "n_co_orders",
+            round_half_up(F.col("n_co_orders") / F.col("__n_orders"), 6).alias(
+                "support"
+            ),
+            round_half_up(F.col("n_co_orders") / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            round_half_up(
+                (F.col("n_co_orders") / F.col("n_a"))
+                / (F.col("n_b") / F.col("__n_orders")),
+                6,
+            ).alias("lift"),
+        )
+    )

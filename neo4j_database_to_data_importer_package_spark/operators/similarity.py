@@ -427,3 +427,63 @@ def ann_recall_at_k(
             ).alias("recall_at_k"),
         )
     )
+
+
+def pq_assign_audit(
+    df: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization assignment audit: split each vector into
+    ``n_subspaces`` contiguous sub-vectors, assign each to its nearest
+    code (codebook = the first ``n_codes`` vectors' sub-vectors —
+    deterministic seed choice, same contract as ``ivf_assign``), and
+    report the squared reconstruction error per (vector, subspace).
+    PQ is the memory side of large-scale ANN: 64 floats become
+    ``n_subspaces`` bytes; this audit measures what that costs.
+
+    One broadcast of the n_subspaces·n_codes codebook rows, one narrow
+    scoring pass, a (vector, subspace)-partitioned argmin window —
+    corpus-linear, no unbounded shuffle.
+    """
+    from ..functions.numeric import round_half_up
+
+    dim_probe = 64  # embeddings table contract (validated by tests)
+    sub = dim_probe // n_subspaces
+    base = with_norm(df, vec_col, id_col).select(id_col, "v")
+    m = F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("m")
+    sv = base.select(F.col(id_col), "v", m).select(
+        F.col(id_col),
+        "m",
+        F.slice(F.col("v"), F.col("m") * sub + 1, sub).alias("sv"),
+    )
+    codes = (
+        base.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("cid"), "v", m)
+        .select(
+            "cid",
+            "m",
+            F.slice(F.col("v"), F.col("m") * sub + 1, sub).alias("cv"),
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = sv.join(F.broadcast(codes), "m").select(
+        F.col(id_col), "m", F.col("cid"), dist2.alias("d2")
+    )
+    w = Window.partitionBy(id_col, "m").orderBy(F.col("d2").asc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("m").alias("subspace"),
+            F.col("cid").alias("code"),
+            round_half_up(F.col("d2"), 6).alias("sq_err"),
+        )
+    )

@@ -4731,3 +4731,71 @@ def bigram_perplexity_heldout(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return op(view.tables["documents"])
+
+
+@register(
+    "basket_association_rules",
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       n AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+       pp AS (SELECT p, count(*) AS n_orders_part FROM items GROUP BY 1),
+       pairs AS (
+         SELECT a.p AS p1, b.p AS p2, count(*) AS n_co_orders
+         FROM items a JOIN items b ON a.o = b.o AND a.p != b.p
+         GROUP BY 1, 2 HAVING count(*) >= 3)
+       SELECT p1 AS antecedent, p2 AS consequent, n_co_orders,
+              floor(n_co_orders * 1.0 / n.n_orders * 1000000.0 + 0.5)
+                / 1000000.0 AS support,
+              floor(n_co_orders * 1.0 / na.n_orders_part * 1000000.0 + 0.5)
+                / 1000000.0 AS confidence,
+              floor((n_co_orders * 1.0 / na.n_orders_part)
+                    / (nb.n_orders_part * 1.0 / n.n_orders)
+                    * 1000000.0 + 0.5) / 1000000.0 AS lift
+       FROM pairs
+       JOIN pp na ON pairs.p1 = na.p
+       JOIN pp nb ON pairs.p2 = nb.p
+       CROSS JOIN n""",
+)
+def basket_association_rules(spark, sf_dir):
+    """Market-basket association rules (support/confidence/lift) for
+    directed part pairs with >= 3 common orders — exact integer-ratio
+    metrics on top of the co-purchase counts. See
+    operators/analytics.py::basket_association_rules."""
+    from .operators.analytics import basket_association_rules as op
+
+    return op(_view(spark, sf_dir))
+
+
+@register(
+    "embedding_pq_audit",
+    """WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+         FROM embeddings),
+       sub AS (
+         SELECT vec_id, m.m, ed[m.m * 16 + 1 : m.m * 16 + 16] AS sv
+         FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m),
+       codes AS (
+         SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 16),
+       d AS (
+         SELECT s.vec_id, s.m, c.cid,
+                list_sum(list_transform(list_zip(s.sv, c.cv),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+         FROM sub s JOIN codes c ON s.m = c.m),
+       a AS (
+         SELECT vec_id, m, cid, d2,
+                row_number() OVER (PARTITION BY vec_id, m
+                                   ORDER BY d2, cid) AS rn
+         FROM d)
+       SELECT vec_id, CAST(m AS INT) AS subspace, cid AS code,
+              floor(d2 * 1000000.0 + 0.5) / 1000000.0 AS sq_err
+       FROM a WHERE rn = 1""",
+)
+def embedding_pq_audit(spark, sf_dir):
+    """Product-quantization assignment + reconstruction-error audit
+    (4 subspaces x 16 codes over the 64-dim embeddings; codebook = the
+    first 16 vectors' sub-vectors, deterministic). The memory side of
+    billion-scale ANN. See operators/similarity.py::pq_assign_audit."""
+    from .operators.similarity import pq_assign_audit
+
+    view = _view(spark, sf_dir)
+    return pq_assign_audit(view.tables["embeddings"])
