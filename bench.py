@@ -170,6 +170,14 @@ BENCH_QUERIES = [
     "bigram_perplexity_heldout",
     "basket_association_rules",
     "embedding_pq_audit",
+    "embedding_dim_stats",
+    "embedding_norm_outliers",
+    "weighted_corpus_sample",
+    "doc_length_buckets",
+    "part_name_linkage",
+    "events_scd2_state",
+    "events_mad_outliers",
+    "graph_hits_scores",
 ]
 
 

@@ -105,3 +105,52 @@ def sequence_packs(
             F.max(id_col).alias("last_doc"),
         )
     )
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 2048,
+) -> DataFrame:
+    """Length-bucketed batching audit: assign every document to the
+    power-of-two token bucket that covers it (16, 32, …, ``max_len``;
+    longer docs truncate into the top bucket) and report, per bucket,
+    how many padding tokens pad-to-bucket batching would burn. This is
+    the accounting step behind bucketed batching in a training loader —
+    the waste ratio tells you whether the bucket grid is worth its
+    complexity vs pack-to-max.
+
+    The bucket is a chain of integer comparisons (no log2 — float logs
+    disagree across engines exactly at powers of two), token count is
+    the same whitespace tokenizer as every text operator, and the whole
+    thing is one scan + a ≤9-row aggregate: map-side partials, no
+    skew-able key.
+    """
+    toks = F.size(tokens(text_col))
+    capped = F.least(toks, F.lit(max_len))
+    bucket = F.lit(16)
+    b = 16
+    while b < max_len:
+        b *= 2
+        bucket = F.when(capped > F.lit(b // 2), F.lit(b)).otherwise(bucket)
+    agg = (
+        df.select(capped.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    padded = F.col("n_docs") * F.col("bucket")
+    from ..functions.numeric import round_half_up
+
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        padded.cast("bigint").alias("padded_tokens"),
+        round_half_up(
+            (padded - F.col("total_tokens")) / padded.cast("double"), 6
+        ).alias("pad_waste_ratio"),
+    )

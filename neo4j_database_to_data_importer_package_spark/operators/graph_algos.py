@@ -490,3 +490,79 @@ def label_propagation(
         return labels
     finally:
         und.unpersist()
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    digits: int = 8,
+) -> DataFrame:
+    """HITS hub/authority scores, fixed synchronous iterations.
+
+    Kleinberg's mutual-reinforcement pair to PageRank: authority(v) =
+    Σ hub(u) over in-edges, hub(u) = Σ authority(v) over out-edges,
+    renormalized each half-step. Normalization divides by the MAX score
+    (L∞), not the sum — max of doubles is order-independent, so the
+    result is identical under any partitioning and reproducible in the
+    SQL oracle; an L1 norm would drift with double-summation order.
+
+    Each half-step is one equi-join of the edge list against a
+    node-score table followed by a groupBy on the receiving endpoint —
+    the same shuffle key every iteration, so at scale the edge list is
+    partitioned once on (src) [resp. (dst)] and reused; scores are
+    node-sized. Fixed iteration count (it's a power-iteration bound, not
+    a convergence loop), scores rounded to ``digits`` at the end only.
+    """
+    from ..functions.numeric import round_half_up
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    scores = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    for _ in range(iterations):
+        # authority step: sum incoming hub mass
+        contrib = (
+            e.join(scores.select(F.col("node").alias("u"), "hub"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("hub").alias("auth_raw"))
+        )
+        scores = (
+            scores.join(contrib, "node", "left")
+            .select(
+                "node",
+                "hub",
+                F.coalesce("auth_raw", F.lit(0.0)).alias("auth"),
+            )
+        )
+        amax = scores.agg(F.max("auth").alias("m"))
+        scores = scores.crossJoin(F.broadcast(amax)).select(
+            "node", "hub", (F.col("auth") / F.col("m")).alias("auth")
+        )
+        # hub step: sum outgoing authority mass
+        contrib = (
+            e.join(scores.select(F.col("node").alias("v"), "auth"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("auth").alias("hub_raw"))
+        )
+        scores = (
+            scores.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub_raw", F.lit(0.0)).alias("hub"),
+                "auth",
+            )
+        )
+        hmax = scores.agg(F.max("hub").alias("m"))
+        scores = scores.crossJoin(F.broadcast(hmax)).select(
+            "node", (F.col("hub") / F.col("m")).alias("hub"), "auth"
+        )
+    return scores.select(
+        "node",
+        round_half_up(F.col("hub"), digits).alias("hub_score"),
+        round_half_up(F.col("auth"), digits).alias("auth_score"),
+    )

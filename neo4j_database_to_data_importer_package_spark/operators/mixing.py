@@ -204,3 +204,39 @@ def domain_mixture_weights(
             ).alias("effective_epochs"),
         )
     )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    every row draws a key ``ln(u) / w`` from a DETERMINISTIC uniform u
+    (md5 of the id, offset by half a ulp so u > 0) and the k largest
+    keys win — each row's inclusion probability is proportional to its
+    weight, with no sequential reservoir state.
+
+    This is the distributed form of weighted reservoir sampling: the key
+    is a pure map-side expression and the top-k is ``orderBy().limit(k)``
+    — Spark compiles it to TakeOrderedAndProject (per-partition k-heaps,
+    merge of P·k rows), never a global sort. Deterministic u means the
+    sample is reproducible across runs/engines and auditable in SQL.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_HASH_DENOM)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    slim = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("bigint").alias("weight"),
+        key.alias("__key"),
+    )
+    picked = slim.orderBy(F.col("__key").desc(), F.col(id_col)).limit(k)
+    return picked.select(
+        id_col, "weight", round_half_up(F.col("__key"), 9).alias("es_key")
+    )

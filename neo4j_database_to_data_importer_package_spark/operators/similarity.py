@@ -487,3 +487,80 @@ def pq_assign_audit(
             round_half_up(F.col("d2"), 6).alias("sq_err"),
         )
     )
+
+
+def dim_stats(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-dimension distribution audit of an embedding column: n, mean,
+    population std, min, max for every coordinate. The feature-space
+    health check a training pipeline runs before normalization /
+    whitening — dead dimensions (std ~ 0) and scale outliers show up
+    here first.
+
+    ``posexplode`` fans each vector into (dim, value) rows — a narrow
+    map-side expansion (two small columns, never the full vector row) —
+    and the aggregate keys on the dimension index, so state is
+    O(dim · partitions) regardless of corpus size. Variance uses the
+    explicit sum/sum-of-squares formula (s2/n - mean²) on BOTH the Spark
+    and oracle sides, so the only engine difference is double-summation
+    order — absorbed by the 6-decimal rounding.
+    """
+    exploded = df.select(
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v")
+    )
+    agg = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    return agg.select(
+        "dim",
+        "n",
+        round_half_up(mean, 6).alias("mean_val"),
+        round_half_up(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_val"),
+        round_half_up(F.col("mn"), 6).alias("min_val"),
+        round_half_up(F.col("mx"), 6).alias("max_val"),
+    )
+
+
+def norm_outliers(
+    df: DataFrame,
+    pctl: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Norm-outlier screen: compute each vector's L2 norm, find the
+    global ``pctl`` quantile of norms EXACTLY (distributed
+    ``exact_quantiles`` — range-partitioned rank lookup, no single-node
+    percentile buffer), and report per-label how many vectors exceed it.
+    Embedding-norm outliers are the classic symptom of corrupt inputs or
+    untrained rows; this is the reject gate before cosine search (which
+    normalizes them invisibly).
+
+    Two passes over a two-column projection (norm is a codegen array
+    fold); the threshold returns to the plan as a broadcast literal, so
+    the flagging pass is a pure map + dimension-sized groupBy.
+    """
+    from .analytics import exact_quantiles
+
+    norm = F.sqrt(
+        F.aggregate(
+            _as_double(F.col(vec_col)),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    per_vec = df.select(F.col(label_col), norm.alias("nrm"))
+    ((_, thr),) = exact_quantiles(per_vec, "nrm", [pctl])
+    return per_vec.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("nrm") > F.lit(thr)).cast("long")).alias("n_outliers"),
+        round_half_up(F.avg("nrm"), 6).alias("mean_norm"),
+        round_half_up(F.lit(thr), 6).alias("norm_threshold"),
+    )

@@ -12,7 +12,7 @@ groups, and AQE coalesces small output partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, round_half_up
@@ -208,4 +208,90 @@ def retention_cohorts(
     ).filter((F.col("week_offset") >= 0) & (F.col("week_offset") < max_weeks))
     return cell.groupBy("cohort_week", "week_offset").agg(
         F.count_distinct(user_col).alias("n_active_users")
+    )
+
+
+def scd2_states(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    key's event stream into contiguous state intervals — one row per
+    state *run* with ``valid_from``/``valid_to`` (NULL = current) and a
+    per-key version number. This is the CDC-to-dimension-table step of a
+    warehouse load: the importer's per-entity event feed becomes a
+    point-in-time joinable history.
+
+    Run-length collapsing is the lag≠current trick: keep rows where the
+    state differs from the previous row, then stitch ``valid_to`` from
+    the NEXT kept row's timestamp. Both windows share one partitioning
+    (key, ordered by ts/id) — a single shuffle keyed on the entity id,
+    state bounded by a row per partition per window; no global sort at
+    any scale.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    changed = (
+        events.select(key_col, state_col, ts_col, id_col)
+        .withColumn("__prev", F.lag(state_col).over(w))
+        .filter(
+            F.col("__prev").isNull() | (F.col("__prev") != F.col(state_col))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    return changed.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.date_format(ts_col, _TS_FMT).alias("valid_from"),
+        F.date_format(F.lead(ts_col).over(w2), _TS_FMT).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def mad_outliers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group anomaly screen: flag values whose modified
+    z-score |x - median| / (1.4826·MAD) exceeds ``threshold``. Unlike
+    ``zscore_outliers``, the median/MAD stats are themselves immune to
+    the outliers being hunted — the estimator of choice for value
+    columns with heavy tails.
+
+    Three passes over a two-column projection: group medians, MAD
+    (median of absolute deviations), then the flagging aggregate; the
+    stats tables are dimension-sized, so passes 2–3 join them broadcast.
+    Group medians use exact ``percentile`` (sorted-middle semantics,
+    identical to the oracle's quantile_cont) — exact per-group medians
+    buffer the group in one aggregation buffer, so at 100 TB swap in
+    ``approx_percentile`` or ``histogram_quantiles`` (the mergeable
+    sketch path); kept exact here to stay bit-comparable in SQL.
+    """
+    slim = events.select(F.col(key_col), F.col(value_col).cast("double").alias("v"))
+    med = slim.groupBy(key_col).agg(
+        F.expr("percentile(v, 0.5)").alias("__med"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    dev = slim.join(F.broadcast(med), key_col).select(
+        F.col(key_col), F.col("n_events"), F.col("__med"),
+        F.abs(F.col("v") - F.col("__med")).alias("__ad"),
+    )
+    mad = dev.groupBy(key_col).agg(
+        F.expr("percentile(__ad, 0.5)").alias("__mad")
+    )
+    scored = dev.join(F.broadcast(mad), key_col).select(
+        F.col(key_col), F.col("n_events"), F.col("__med"), F.col("__mad"),
+        (F.col("__ad") > F.lit(threshold) * F.lit(1.4826) * F.col("__mad")).alias(
+            "__out"
+        ),
+    )
+    return scored.groupBy(key_col, "n_events").agg(
+        round_half_up(F.first("__med"), 6).alias("median_val"),
+        round_half_up(F.first("__mad"), 6).alias("mad_val"),
+        F.sum(F.col("__out").cast("long")).alias("n_outliers"),
     )

@@ -4799,3 +4799,275 @@ def embedding_pq_audit(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return pq_assign_audit(view.tables["embeddings"])
+
+
+# ---------------------------------------------------------------------------
+# Round-4 second batch: feature-space audits, weighted sampling, batching,
+# SCD2 history, robust outliers, record linkage, HITS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_stats",
+    """WITH e AS (
+         SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+         FROM embeddings),
+       px AS (
+         SELECT i - 1 AS dim, ed[i] AS v
+         FROM (SELECT ed, unnest(range(1, len(ed) + 1)) AS i FROM e) t),
+       a AS (
+         SELECT dim, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2,
+                min(v) AS mn, max(v) AS mx
+         FROM px GROUP BY 1)
+       SELECT CAST(dim AS INT) AS dim, n,
+              floor((s1 / n) * 1000000.0 + 0.5) / 1000000.0 AS mean_val,
+              floor(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))
+                    * 1000000.0 + 0.5) / 1000000.0 AS std_val,
+              floor(mn * 1000000.0 + 0.5) / 1000000.0 AS min_val,
+              floor(mx * 1000000.0 + 0.5) / 1000000.0 AS max_val
+       FROM a""",
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension mean/std/min/max of the embedding space — the
+    pre-normalization feature audit. posexplode keyed on the dimension
+    index: state O(dim), corpus-linear. See similarity.py::dim_stats."""
+    from .operators.similarity import dim_stats
+
+    view = _view(spark, sf_dir)
+    return dim_stats(view.tables["embeddings"])
+
+
+@register(
+    "embedding_norm_outliers",
+    """WITH n AS (
+         SELECT label,
+                sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       t AS (SELECT quantile_cont(nrm, 0.95) AS thr FROM n)
+       SELECT label, count(*) AS n_vecs,
+              CAST(sum(CASE WHEN nrm > (SELECT thr FROM t) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers,
+              floor(avg(nrm) * 1000000.0 + 0.5) / 1000000.0 AS mean_norm,
+              floor((SELECT thr FROM t) * 1000000.0 + 0.5) / 1000000.0
+                AS norm_threshold
+       FROM n GROUP BY label""",
+)
+def embedding_norm_outliers(spark, sf_dir):
+    """Norm-outlier reject gate: exact global p95 of L2 norms via the
+    distributed range-partitioned quantile (no single-node percentile
+    buffer), flag counts per label. See similarity.py::norm_outliers."""
+    from .operators.similarity import norm_outliers
+
+    view = _view(spark, sf_dir)
+    return norm_outliers(view.tables["embeddings"], pctl=0.95)
+
+
+@register(
+    "weighted_corpus_sample",
+    """WITH s AS (
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    + 0.5) / 4294967296.0)
+                  / CAST(n_chars AS DOUBLE) AS k
+         FROM documents)
+       SELECT doc_id, weight,
+              floor(k * 1000000000.0 + 0.5) / 1000000000.0 AS es_key
+       FROM s ORDER BY k DESC, doc_id LIMIT 100""",
+)
+def weighted_corpus_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (weight = document length), deterministic via the md5-uniform:
+    map-side keys + TakeOrderedAndProject top-k — the length-biased
+    corpus subsample, reproducible in any engine.
+    See mixing.py::weighted_reservoir_sample."""
+    from .operators.mixing import weighted_reservoir_sample
+
+    view = _view(spark, sf_dir)
+    return weighted_reservoir_sample(
+        view.tables["documents"], weight_col="n_chars", k=100
+    )
+
+
+@register(
+    "doc_length_buckets",
+    """WITH tok AS (
+         SELECT least(len(list_filter(string_split(lower(text), ' '),
+                                      x -> x != '')), 2048) AS nt
+         FROM documents),
+       b AS (
+         SELECT nt,
+                CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+                     WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+                     WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+                     WHEN nt <= 1024 THEN 1024 ELSE 2048 END AS bucket
+         FROM tok)
+       SELECT bucket, count(*) AS n_docs,
+              CAST(sum(nt) AS BIGINT) AS total_tokens,
+              CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+              floor((count(*) * bucket - sum(nt))
+                    / CAST(count(*) * bucket AS DOUBLE) * 1000000.0 + 0.5)
+                / 1000000.0 AS pad_waste_ratio
+       FROM b GROUP BY bucket""",
+)
+def doc_length_buckets(spark, sf_dir):
+    """Power-of-two length-bucket batching audit: per-bucket doc/token
+    counts and the padding waste pad-to-bucket batching would cost.
+    Integer bucket chain (no cross-engine log2), one scan, <=9 groups.
+    See chunking.py::length_bucket_stats."""
+    from .operators.chunking import length_bucket_stats
+
+    view = _view(spark, sf_dir)
+    return length_bucket_stats(view.tables["documents"])
+
+
+@register(
+    "part_name_linkage",
+    """WITH p AS (
+         SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk,
+                length(p_name) AS ln
+         FROM part)
+       SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+              a.p_name AS name_a, b.p_name AS name_b,
+              levenshtein(a.p_name, b.p_name) AS edit_dist
+       FROM p a JOIN p b
+         ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        AND abs(a.ln - b.ln) <= 2
+       WHERE levenshtein(a.p_name, b.p_name) <= 2
+       ORDER BY edit_dist, key_a, key_b LIMIT 200""",
+)
+def part_name_linkage(spark, sf_dir):
+    """Record linkage over the part catalog: first-token blocking +
+    length-band prune + Levenshtein <= 2, k closest pairs. The
+    dirty-catalog merge step; blocking keeps the candidate set an
+    equi-join, never O(n^2). See dedup.py::blocked_name_linkage."""
+    from .operators.dedup import blocked_name_linkage
+
+    view = _view(spark, sf_dir)
+    return blocked_name_linkage(
+        view.tables["part"], name_col="p_name", key_col="p_partkey",
+        max_dist=2, k=200,
+    )
+
+
+@register(
+    "events_scd2_state",
+    f"""WITH o AS (
+         SELECT user_id, event_type, ts, event_id,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+         FROM events),
+       c AS (SELECT user_id, event_type, ts, event_id FROM o
+             WHERE prev IS NULL OR prev != event_type),
+       s AS (
+         SELECT user_id, event_type AS state, ts,
+                lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS nxt,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS version
+         FROM c)
+       SELECT user_id, state,
+              strftime(ts, '{_TS_FMT_DUCK}') AS valid_from,
+              strftime(nxt, '{_TS_FMT_DUCK}') AS valid_to,
+              CAST(version AS BIGINT) AS version,
+              nxt IS NULL AS is_current
+       FROM s""",
+)
+def events_scd2_state(spark, sf_dir):
+    """SCD type-2 state history per user from the event stream:
+    run-length collapse (lag != current) + valid_from/valid_to
+    stitching, one shuffle on the entity key.
+    See windows.py::scd2_states."""
+    from .operators.windows import scd2_states
+
+    view = _view(spark, sf_dir)
+    return scd2_states(view.tables["events"])
+
+
+@register(
+    "events_mad_outliers",
+    """WITH s AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+       med AS (SELECT event_type, quantile_cont(v, 0.5) AS md,
+                      count(*) AS n_events
+               FROM s GROUP BY 1),
+       dev AS (SELECT s.event_type, med.n_events, med.md,
+                      abs(s.v - med.md) AS ad
+               FROM s JOIN med USING (event_type)),
+       mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS md2
+               FROM dev GROUP BY 1)
+       SELECT d.event_type, d.n_events,
+              floor(d.md * 1000000.0 + 0.5) / 1000000.0 AS median_val,
+              floor(m.md2 * 1000000.0 + 0.5) / 1000000.0 AS mad_val,
+              CAST(sum(CASE WHEN d.ad > 3.5 * 1.4826 * m.md2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM dev d JOIN mad m USING (event_type)
+       GROUP BY 1, 2, 3, 4""",
+)
+def events_mad_outliers(spark, sf_dir):
+    """Robust (median/MAD) anomaly screen per event type — the
+    heavy-tail-immune counterpart of events_zscore_outliers.
+    See windows.py::mad_outliers (incl. the approx_percentile scale
+    note)."""
+    from .operators.windows import mad_outliers
+
+    view = _view(spark, sf_dir)
+    return mad_outliers(view.tables["events"])
+
+
+@register(
+    "graph_hits_scores",
+    """WITH e AS (
+         SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst FROM customer
+         UNION ALL
+         SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation),
+       nodes AS (SELECT DISTINCT node FROM
+                 (SELECT src AS node FROM e UNION SELECT dst FROM e) u),
+       s0 AS (SELECT node, 1.0 AS hub, 1.0 AS auth FROM nodes),
+       a1r AS (SELECT e.dst AS node, sum(s.hub) AS x
+               FROM e JOIN s0 s ON s.node = e.src GROUP BY 1),
+       s1a AS (SELECT n.node, s.hub,
+                      coalesce(a.x, 0.0) / (SELECT max(x) FROM a1r) AS auth
+               FROM nodes n JOIN s0 s ON s.node = n.node
+               LEFT JOIN a1r a ON a.node = n.node),
+       h1r AS (SELECT e.src AS node, sum(s.auth) AS x
+               FROM e JOIN s1a s ON s.node = e.dst GROUP BY 1),
+       s1 AS (SELECT n.node,
+                     coalesce(h.x, 0.0) / (SELECT max(x) FROM h1r) AS hub,
+                     s.auth
+              FROM nodes n JOIN s1a s ON s.node = n.node
+              LEFT JOIN h1r h ON h.node = n.node),
+       a2r AS (SELECT e.dst AS node, sum(s.hub) AS x
+               FROM e JOIN s1 s ON s.node = e.src GROUP BY 1),
+       s2a AS (SELECT n.node, s.hub,
+                      coalesce(a.x, 0.0) / (SELECT max(x) FROM a2r) AS auth
+               FROM nodes n JOIN s1 s ON s.node = n.node
+               LEFT JOIN a2r a ON a.node = n.node),
+       h2r AS (SELECT e.src AS node, sum(s.auth) AS x
+               FROM e JOIN s2a s ON s.node = e.dst GROUP BY 1),
+       s2 AS (SELECT n.node,
+                     coalesce(h.x, 0.0) / (SELECT max(x) FROM h2r) AS hub,
+                     s.auth
+              FROM nodes n JOIN s2a s ON s.node = n.node
+              LEFT JOIN h2r h ON h.node = n.node)
+       SELECT node,
+              floor(hub * 100000000.0 + 0.5) / 100000000.0 AS hub_score,
+              floor(auth * 100000000.0 + 0.5) / 100000000.0 AS auth_score
+       FROM s2""",
+)
+def graph_hits_scores(spark, sf_dir):
+    """HITS hub/authority (2 synchronous iterations, L-inf normalized —
+    max is order-independent, so scores are partitioning-invariant) over
+    the customer->nation->region FK graph. Same shuffle key every
+    half-step. See graph_algos.py::hits."""
+    from .operators.graph_algos import hits
+
+    view = _view(spark, sf_dir)
+    cust = view.tables["customer"].select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    nat = view.tables["nation"].select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+    )
+    return hits(cust.unionByName(nat), iterations=2)

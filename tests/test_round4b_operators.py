@@ -1,0 +1,191 @@
+"""Semantics tests for the round-4 second batch: feature-space audits,
+weighted sampling, length-bucket batching, SCD2 history, robust
+outliers, blocked record linkage, and HITS. Oracle parity at sf0.001 is
+covered by test_oracle_parity.py; these pin the operator LAWS (the
+properties a refactor must preserve) on small constructed inputs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from neo4j_database_to_data_importer_package_spark.operators.chunking import (
+    length_bucket_stats,
+)
+from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+    blocked_name_linkage,
+)
+from neo4j_database_to_data_importer_package_spark.operators.graph_algos import hits
+from neo4j_database_to_data_importer_package_spark.operators.mixing import (
+    weighted_reservoir_sample,
+)
+from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+    dim_stats,
+    norm_outliers,
+)
+from neo4j_database_to_data_importer_package_spark.operators.windows import (
+    mad_outliers,
+    scd2_states,
+)
+
+
+# ---------------------------------------------------------------- dim_stats
+def test_dim_stats_flags_dead_dimension(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 5.0]) for i in range(4)]
+    )
+    rows = {r["dim"]: r for r in dim_stats(df).collect()}
+    assert rows[1]["std_val"] == 0.0 and rows[1]["mean_val"] == 5.0
+    assert rows[0]["min_val"] == 0.0 and rows[0]["max_val"] == 3.0
+    # population std of 0,1,2,3 = sqrt(1.25)
+    assert rows[0]["std_val"] == pytest.approx(math.sqrt(1.25), abs=1e-6)
+
+
+# ------------------------------------------------------------ norm_outliers
+def test_norm_outliers_threshold_and_counts(spark):
+    # 9 unit vectors + one huge one: p95 sits below the huge norm
+    rows = [Row(vec_id=i, label=0, embedding=[1.0, 0.0]) for i in range(9)]
+    rows.append(Row(vec_id=9, label=1, embedding=[100.0, 0.0]))
+    df = spark.createDataFrame(rows)
+    out = {r["label"]: r for r in norm_outliers(df, pctl=0.5).collect()}
+    assert out[1]["n_outliers"] == 1
+    assert out[0]["n_outliers"] == 0
+    assert out[0]["mean_norm"] == 1.0
+
+
+# ------------------------------------------------- weighted_reservoir_sample
+def test_weighted_sample_is_deterministic_and_bounded(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = weighted_reservoir_sample(docs, "n_chars", k=20).collect()
+    b = weighted_reservoir_sample(docs, "n_chars", k=20).collect()
+    assert a == b and len(a) == 20
+    # keys are ln(u)/w with u in (0,1): strictly negative
+    assert all(r["es_key"] < 0 for r in a)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # One row with overwhelming weight must always be selected: its key
+    # ln(u)/w approaches 0 from below as w grows.
+    rows = [Row(doc_id=i, w=1) for i in range(50)] + [Row(doc_id=99, w=10**9)]
+    df = spark.createDataFrame(rows)
+    picked = {r["doc_id"] for r in weighted_reservoir_sample(df, "w", k=5).collect()}
+    assert 99 in picked
+
+
+# ------------------------------------------------------- length_bucket_stats
+def test_length_buckets_cover_and_account(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c"),                       # 3 -> bucket 16
+            Row(doc_id=2, text=" ".join(["t"] * 17)),          # 17 -> 32
+            Row(doc_id=3, text=" ".join(["t"] * 3000)),        # trunc 2048
+        ]
+    )
+    rows = {r["bucket"]: r for r in length_bucket_stats(df).collect()}
+    assert set(rows) == {16, 32, 2048}
+    assert rows[16]["padded_tokens"] == 16 and rows[16]["total_tokens"] == 3
+    assert rows[2048]["total_tokens"] == 2048  # truncated into top bucket
+    assert rows[2048]["pad_waste_ratio"] == 0.0
+    w = rows[32]
+    assert w["pad_waste_ratio"] == pytest.approx((32 - 17) / 32, abs=1e-6)
+
+
+# ----------------------------------------------------------- scd2_states
+def test_scd2_collapses_runs_and_stitches_intervals(spark):
+    df = spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=1, event_type="a", ts="2024-01-01 00:00:00"),
+            Row(event_id=2, user_id=1, event_type="a", ts="2024-01-01 01:00:00"),
+            Row(event_id=3, user_id=1, event_type="b", ts="2024-01-01 02:00:00"),
+            Row(event_id=4, user_id=1, event_type="a", ts="2024-01-01 03:00:00"),
+            Row(event_id=5, user_id=2, event_type="x", ts="2024-01-01 00:30:00"),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_states(df)
+    u1 = [r.asDict() for r in out.filter("user_id = 1").orderBy("version").collect()]
+    # run-collapse: a,a,b,a -> 3 intervals (repeat 'a' at t1 is absorbed)
+    assert [r["state"] for r in u1] == ["a", "b", "a"]
+    assert u1[0]["valid_to"] == u1[1]["valid_from"] == "2024-01-01 02:00:00"
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"]
+    assert [r["version"] for r in u1] == [1, 2, 3]
+    u2 = out.filter("user_id = 2").collect()
+    assert len(u2) == 1 and u2[0]["is_current"]
+
+
+# ----------------------------------------------------------- mad_outliers
+def test_mad_is_robust_where_zscore_saturates(spark):
+    # 99 values at 10 +/- 1 and one at 1000: MAD flags exactly the spike
+    rows = [
+        Row(event_id=i, event_type="t", value=10.0 + (i % 3 - 1))
+        for i in range(99)
+    ] + [Row(event_id=99, event_type="t", value=1000.0)]
+    df = spark.createDataFrame(rows)
+    (r,) = mad_outliers(df).collect()
+    assert r["n_outliers"] == 1
+    assert r["median_val"] == 10.0
+    assert r["mad_val"] == 1.0
+    assert r["n_events"] == 100
+
+
+# ------------------------------------------------- blocked_name_linkage
+def test_linkage_blocks_and_ranks(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, name="cold widget"),
+            Row(k=2, name="cold widget"),   # exact dup of 1
+            Row(k=3, name="cold widgets"),  # 1 edit
+            Row(k=4, name="warm widget"),   # different block: never paired
+            Row(k=5, name="cold bolt"),     # same block, distance > 2
+        ]
+    )
+    out = blocked_name_linkage(df, "name", "k", max_dist=2, k=10).collect()
+    pairs = {(r["key_a"], r["key_b"]): r["edit_dist"] for r in out}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
+    assert all(4 not in p and 5 not in p for p in pairs)
+    # ranked output: distances non-decreasing
+    dists = [r["edit_dist"] for r in out]
+    assert dists == sorted(dists)
+
+
+# --------------------------------------------------------------------- hits
+def test_hits_scores_on_known_graph(spark):
+    # star: 3 hubs all pointing at one authority, one of them also at a
+    # minor authority
+    edges = spark.createDataFrame(
+        [
+            Row(src="h1", dst="A"),
+            Row(src="h2", dst="A"),
+            Row(src="h3", dst="A"),
+            Row(src="h3", dst="B"),
+        ]
+    )
+    rows = {r["node"]: r for r in hits(edges, iterations=2).collect()}
+    # A is the top authority, normalized to 1; B strictly smaller
+    assert rows["A"]["auth_score"] == 1.0
+    assert 0 < rows["B"]["auth_score"] < 1.0
+    # h3 links to both authorities: strictly the best hub
+    assert rows["h3"]["hub_score"] == 1.0
+    assert rows["h1"]["hub_score"] < 1.0
+    assert rows["h1"]["hub_score"] == rows["h2"]["hub_score"]
+    # pure authorities have zero hub mass; pure hubs zero authority
+    assert rows["A"]["hub_score"] == 0.0 and rows["h1"]["auth_score"] == 0.0
+
+
+def test_hits_partitioning_invariance(spark):
+    edges = spark.createDataFrame(
+        [Row(src=f"u{i}", dst=f"v{i % 7}") for i in range(100)]
+        + [Row(src=f"v{i}", dst="sink") for i in range(7)]
+    )
+    one = {
+        (r["node"], r["hub_score"], r["auth_score"])
+        for r in hits(edges.coalesce(1), iterations=2).collect()
+    }
+    many = {
+        (r["node"], r["hub_score"], r["auth_score"])
+        for r in hits(edges.repartition(13), iterations=2).collect()
+    }
+    assert one == many
