@@ -124,6 +124,10 @@ _NEXT_ROTATION = [
     "events_scd2_state",
     "events_mad_outliers",
     "graph_hits_scores",
+    "pmi_collocations",
+    "quality_classifier_score",
+    "embedding_centroid_outliers",
+    "dedup_prefix_survivorship",
 ]
 
 

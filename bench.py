@@ -178,6 +178,10 @@ BENCH_QUERIES = [
     "events_scd2_state",
     "events_mad_outliers",
     "graph_hits_scores",
+    "pmi_collocations",
+    "quality_classifier_score",
+    "embedding_centroid_outliers",
+    "dedup_prefix_survivorship",
 ]
 
 

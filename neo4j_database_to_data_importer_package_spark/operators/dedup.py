@@ -18,7 +18,7 @@ Scale design notes (100 TB):
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round_half_up
@@ -658,48 +658,133 @@ def blocked_name_linkage(
     dirty-catalog merge step (same product, typo'd name) the reference's
     import pipeline leaves to the user.
 
-    Blocking is what makes this survive scale: the candidate set is an
-    equi-join on the block key, never the O(n²) cross product, and the
-    length-difference lower bound (|len a − len b| ≤ max_dist) prunes
-    before the edit-distance kernel runs. Levenshtein itself is the
-    JVM built-in (codegen, no UDF). Output is the k closest pairs via
-    ``orderBy().limit(k)`` — TakeOrderedAndProject, per-partition heaps,
-    no global sort. A skew-prone block key (one giant brand) should be
-    salted or capped upstream; the name-token key here is
-    dictionary-distributed.
+    The scale structure is two-level:
+
+    1. **Edit distance runs on DISTINCT names, never on records.** The
+       kernel cost is |vocab in block|² per block, independent of row
+       count — the decisive reduction when names repeat (the first cut
+       of this operator ran record-level pairs: 50M levenshtein calls at
+       sf0.1 where the name vocabulary supports 4096). Candidates are an
+       equi-join on the block key (first token), pruned by the
+       length-difference lower bound before the kernel.
+    2. **Join-back is capped exactly.** A pair can only reach the global
+       top-k (ranked by edit_dist, key_a, key_b) if each key is among
+       the k smallest keys of its name — ≥k same-name-pair pairs with
+       smaller keys precede any other. So each name keeps only its k
+       smallest keys (window partitioned by name; for a planet-hot name
+       use the two-level bounded-agg shape of ``mixing.cap_per_group``)
+       before the record-level join, bounding it at k² per name pair.
+
+    Levenshtein is the JVM built-in (codegen, no UDF); the final top-k
+    is ``orderBy().limit(k)`` — TakeOrderedAndProject, per-partition
+    heaps, no global sort.
     """
-    blk = F.split(F.col(name_col), " ")[0]
-    slim = df.select(
-        blk.alias("__blk"),
-        F.col(name_col).alias("__name"),
-        F.length(name_col).alias("__len"),
-        F.col(key_col),
+    names = df.select(F.col(name_col).alias("__name")).distinct()
+    blk = F.split(F.col("__name"), " ")[0]
+    vocab = names.select(
+        blk.alias("__blk"), F.col("__name"), F.length("__name").alias("__len")
     )
-    a = slim.select(
-        F.col("__blk"),
-        F.col("__name").alias("name_a"),
-        F.col("__len").alias("len_a"),
-        F.col(key_col).alias("key_a"),
+    va = vocab.select(
+        "__blk", F.col("__name").alias("name_a"), F.col("__len").alias("len_a")
     )
-    b = slim.select(
-        F.col("__blk"),
-        F.col("__name").alias("name_b"),
-        F.col("__len").alias("len_b"),
-        F.col(key_col).alias("key_b"),
+    vb = vocab.select(
+        "__blk", F.col("__name").alias("name_b"), F.col("__len").alias("len_b")
     )
-    pairs = (
-        a.join(b, "__blk")
-        .filter(F.col("key_a") < F.col("key_b"))
+    # name_a <= name_b keeps the self-pair (distinct records sharing one
+    # name link at distance 0) exactly once.
+    name_pairs = (
+        va.join(vb, "__blk")
+        .filter(F.col("name_a") <= F.col("name_b"))
         .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
         .select(
-            "key_a",
-            "key_b",
             "name_a",
             "name_b",
             F.levenshtein("name_a", "name_b").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
-    return pairs.orderBy(
-        F.col("edit_dist"), F.col("key_a"), F.col("key_b")
-    ).limit(k)
+    w = Window.partitionBy(name_col).orderBy(F.col(key_col))
+    reps = (
+        df.select(F.col(name_col), F.col(key_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(F.col(name_col).alias("__rname"), F.col(key_col).alias("__rkey"))
+    )
+    joined = name_pairs.join(
+        reps.select(
+            F.col("__rname").alias("name_a"), F.col("__rkey").alias("key_a")
+        ),
+        "name_a",
+    ).join(
+        reps.select(
+            F.col("__rname").alias("name_b"), F.col("__rkey").alias("key_b")
+        ),
+        "name_b",
+    )
+    # Orient every record pair as (smaller key, larger key). A cross-name
+    # pair exists in ONE name orientation, so swap keys (and their names)
+    # when the smaller key sits on the name_b side; a same-name pair
+    # exists in BOTH key orientations, so the key_a < key_b filter alone
+    # dedups it.
+    lo_first = F.col("key_a") < F.col("key_b")
+    cross = joined.filter(F.col("name_a") != F.col("name_b")).select(
+        F.when(lo_first, F.col("key_a")).otherwise(F.col("key_b")).alias("key_a"),
+        F.when(lo_first, F.col("key_b")).otherwise(F.col("key_a")).alias("key_b"),
+        F.when(lo_first, F.col("name_a")).otherwise(F.col("name_b")).alias("name_a"),
+        F.when(lo_first, F.col("name_b")).otherwise(F.col("name_a")).alias("name_b"),
+        "edit_dist",
+    )
+    same = joined.filter(
+        (F.col("name_a") == F.col("name_b")) & lo_first
+    ).select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    return (
+        cross.unionByName(same)
+        .orderBy(F.col("edit_dist"), F.col("key_a"), F.col("key_b"))
+        .limit(k)
+    )
+
+
+def prefix_survivorship(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+    prefix_tokens: int = 8,
+) -> DataFrame:
+    """Truncation-dedup with a survivorship policy: documents sharing
+    the same leading ``prefix_tokens`` tokens are treated as variants of
+    one source (the same page crawled with different truncation points),
+    and the KEPT record is the longest text, ties to the smallest id —
+    the keep-longest policy C4/CCNet apply to truncated duplicates,
+    where exact-fingerprint dedup (identical full text) sees nothing.
+
+    One fingerprint projection (md5 of the joined prefix — narrow,
+    uniform key) + one window partitioned by that fingerprint: the
+    shuffle carries (fp, length, id), never document payloads, and no
+    group is larger than its duplicate cluster.
+    """
+    t = tokens(text_col)
+    fp = F.md5(
+        F.array_join(F.slice(t, 1, prefix_tokens), " ")
+    )
+    slim = df.select(
+        F.col(id_col), F.col(chars_col), fp.alias("__fp")
+    )
+    w = Window.partitionBy("__fp").orderBy(
+        F.col(chars_col).desc(), F.col(id_col)
+    )
+    ranked = slim.withColumn("__rn", F.row_number().over(w))
+    canon = ranked.filter(F.col("__rn") == 1).select(
+        F.col("__fp"), F.col(id_col).alias("canonical_id")
+    )
+    sizes = slim.groupBy("__fp").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        slim.join(canon, "__fp")
+        .join(sizes, "__fp")
+        .select(
+            id_col,
+            "canonical_id",
+            "group_size",
+            (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )

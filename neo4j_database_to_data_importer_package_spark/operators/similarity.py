@@ -564,3 +564,53 @@ def norm_outliers(
         round_half_up(F.avg("nrm"), 6).alias("mean_norm"),
         round_half_up(F.lit(thr), 6).alias("norm_threshold"),
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise screen: distance of every vector to its own label's
+    centroid, reporting the ``k`` farthest per label — the candidates a
+    curation pass reviews for mislabeling or contamination (the
+    confident-learning heuristic, distance form).
+
+    Centroids come from one posexplode + (label, dim) mean — state
+    O(labels·dim) — reassembled into arrays and broadcast back, so the
+    scoring pass is a map-side join + codegen array fold. Per-label
+    top-k is a window PARTITIONED by label (never global); ties break
+    on id.
+    """
+    ed = _as_double(F.col(vec_col))
+    px = df.select(F.col(label_col), F.posexplode(ed).alias("dim", "v"))
+    cent = px.groupBy(label_col, "dim").agg(F.avg("v").alias("c"))
+    carr = cent.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("__cent")
+    )
+    d2 = F.aggregate(
+        F.zip_with(ed, F.col("__cent"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # Rank on the ROUNDED distance (matching the output precision): the
+    # unrounded double differs across engines in the last ulp (centroid
+    # means sum in different orders), and a rank must not hinge on it.
+    scored = df.join(F.broadcast(carr), label_col).select(
+        F.col(label_col),
+        F.col(id_col),
+        round_half_up(F.sqrt(d2), 6).alias("centroid_dist"),
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("centroid_dist").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(label_col, id_col, "centroid_dist", "rank")
+    )

@@ -614,3 +614,129 @@ def bigram_perplexity_heldout(
         round_half_up(F.col("__avg"), 6).alias("avg_nll"),
         round_half_up(F.pow(F.lit(2.0), F.col("__avg")), 4).alias("perplexity"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 30,
+) -> DataFrame:
+    """Collocation mining: top-``k`` adjacent token pairs by pointwise
+    mutual information, PMI = ln(p(w1,w2) / (p(w1)·p(w2))), restricted
+    to pairs seen at least ``min_count`` times (unsmoothed PMI explodes
+    on hapax pairs). The phrase-discovery pass a tokenizer/vocab
+    pipeline runs to decide what deserves a single token.
+
+    Two corpus scans (unigram and bigram counts), both hash-aggregated
+    map-side before their single shuffle; the PMI join keys on the
+    vocabulary-sized count tables (shuffle equi-joins on w1/w2 — never
+    corpus-sized), totals return as one broadcast row, and the read-out
+    is orderBy().limit(k) — TakeOrderedAndProject, no global window.
+    """
+    t = F.col("__t")
+    grams = F.transform(
+        F.slice(t, 1, F.greatest(F.lit(0), F.size(t) - 1)),
+        lambda x, i: F.struct(
+            x.alias("w1"), F.element_at(t, i + F.lit(2)).alias("w2")
+        ),
+    )
+    pairs = (
+        df.withColumn("__t", tokens(text_col))
+        .select(F.explode(grams).alias("g"))
+        .select("g.w1", "g.w2")
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    uc = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    totals = pc.agg(F.sum("pair_count").alias("n2")).crossJoin(
+        uc.agg(F.sum("wc").alias("n1"))
+    )
+    scored = (
+        pc.filter(F.col("pair_count") >= min_count)
+        .join(uc.select(F.col("w").alias("w1"), F.col("wc").alias("c1")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("wc").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.log(
+                (F.col("pair_count") / F.col("n2"))
+                / ((F.col("c1") / F.col("n1")) * (F.col("c2") / F.col("n1")))
+            ).alias("__pmi"),
+        )
+    )
+    from ..functions.numeric import round_half_up
+
+    return scored.orderBy(
+        F.col("__pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(k).select(
+        "w1", "w2", "pair_count", round_half_up(F.col("__pmi"), 6).alias("pmi")
+    )
+
+
+_QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# Hand-set logistic weights: (bias, mean_word_len, stopword_ratio,
+# digit_ratio, long_word_ratio). Stands in for a trained fastText-style
+# quality classifier — the SHAPE (featurize + linear + sigmoid, all
+# codegen) is what scales; swap the constants for learned ones.
+_QUALITY_WEIGHTS = (-1.0, 0.3, 2.0, -4.0, -1.5)
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality scoring at corpus scale: a logistic
+    classifier over cheap lexical features (mean word length, stopword
+    ratio, digit-character ratio, long-word ratio), scored entirely in
+    JVM codegen — the distributed-inference pattern for any linear/GLM
+    text filter. One scan, no shuffle, no UDF: featurization is array
+    aggregates over the token column, the model is a dot product.
+    """
+    from ..functions.numeric import round_half_up
+
+    t = F.col("__t")
+    n_tok = F.size(t)
+    char_sum = F.aggregate(
+        t, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in _QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    n_long = F.size(F.filter(t, lambda x: F.length(x) > 7))
+    n_digit = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+    n_chars = F.length(F.col(text_col))
+    b, w_len, w_stop, w_dig, w_long = _QUALITY_WEIGHTS
+    feats = df.filter(F.size(tokens(text_col)) > 0).withColumn(
+        "__t", tokens(text_col)
+    ).select(
+        F.col(id_col),
+        (char_sum / n_tok).alias("mean_word_len"),
+        (n_stop / n_tok.cast("double")).alias("stopword_ratio"),
+        (n_digit / n_chars.cast("double")).alias("digit_ratio"),
+        (n_long / n_tok.cast("double")).alias("long_word_ratio"),
+    )
+    z = (
+        F.lit(b)
+        + F.lit(w_len) * F.col("mean_word_len")
+        + F.lit(w_stop) * F.col("stopword_ratio")
+        + F.lit(w_dig) * F.col("digit_ratio")
+        + F.lit(w_long) * F.col("long_word_ratio")
+    )
+    return feats.select(
+        id_col,
+        round_half_up(F.col("mean_word_len"), 6).alias("mean_word_len"),
+        round_half_up(F.col("stopword_ratio"), 6).alias("stopword_ratio"),
+        round_half_up(F.col("digit_ratio"), 6).alias("digit_ratio"),
+        round_half_up(F.col("long_word_ratio"), 6).alias("long_word_ratio"),
+        round_half_up(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias(
+            "quality_prob"
+        ),
+    )

@@ -5071,3 +5071,144 @@ def graph_hits_scores(spark, sf_dir):
         F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
     )
     return hits(cust.unionByName(nat), iterations=2)
+
+
+@register(
+    "pmi_collocations",
+    """WITH tok AS (
+         SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+         FROM documents),
+       uni AS (SELECT unnest(t) AS w FROM tok),
+       uc AS (SELECT w, count(*) AS wc FROM uni GROUP BY 1),
+       pr AS (SELECT t[i] AS w1, t[i + 1] AS w2
+              FROM (SELECT t, unnest(range(1, len(t))) AS i
+                    FROM tok WHERE len(t) >= 2) p),
+       pc AS (SELECT w1, w2, count(*) AS pair_count FROM pr GROUP BY 1, 2),
+       tot AS (SELECT (SELECT sum(pair_count) FROM pc) AS n2,
+                      (SELECT sum(wc) FROM uc) AS n1),
+       s AS (
+         SELECT pc.w1, pc.w2, pc.pair_count,
+                ln((pc.pair_count / t.n2)
+                   / ((c1.wc / t.n1) * (c2.wc / t.n1))) AS pmi
+         FROM pc
+         JOIN uc c1 ON c1.w = pc.w1
+         JOIN uc c2 ON c2.w = pc.w2, tot t
+         WHERE pc.pair_count >= 5)
+       SELECT w1, w2, pair_count,
+              floor(pmi * 1000000.0 + 0.5) / 1000000.0 AS pmi
+       FROM s ORDER BY s.pmi DESC, w1, w2 LIMIT 30""",
+)
+def pmi_collocations_query(spark, sf_dir):
+    """Top-30 adjacent-pair collocations by PMI (min pair count 5) —
+    phrase discovery for tokenizer/vocab induction.
+    See text_analysis.py::pmi_collocations."""
+    from .operators.text_analysis import pmi_collocations
+
+    view = _view(spark, sf_dir)
+    return pmi_collocations(view.tables["documents"], min_count=5, k=30)
+
+
+@register(
+    "quality_classifier_score",
+    """WITH tok AS (
+         SELECT doc_id, text,
+                list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+         FROM documents),
+       f AS (
+         SELECT doc_id,
+                list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+                  AS ml,
+                len(list_filter(t, x -> list_contains(
+                    ['the', 'a', 'of', 'and', 'to', 'in', 'is'], x)))
+                  * 1.0 / len(t) AS sr,
+                length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                  / length(text) AS dr,
+                len(list_filter(t, x -> length(x) > 7)) * 1.0 / len(t) AS lwr
+         FROM tok WHERE len(t) > 0)
+       SELECT doc_id,
+              floor(ml * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+              floor(sr * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+              floor(dr * 1000000.0 + 0.5) / 1000000.0 AS digit_ratio,
+              floor(lwr * 1000000.0 + 0.5) / 1000000.0 AS long_word_ratio,
+              floor((1.0 / (1.0 + exp(-(-1.0 + 0.3 * ml + 2.0 * sr
+                                        - 4.0 * dr - 1.5 * lwr))))
+                    * 1000000.0 + 0.5) / 1000000.0 AS quality_prob
+       FROM f""",
+)
+def quality_classifier_score(spark, sf_dir):
+    """Logistic quality classifier over lexical features, scored in
+    codegen (the fastText-filter shape, deterministic weights).
+    See text_analysis.py::quality_classifier_score."""
+    from .operators.text_analysis import quality_classifier_score as qcs
+
+    view = _view(spark, sf_dir)
+    return qcs(view.tables["documents"])
+
+
+@register(
+    "embedding_centroid_outliers",
+    """WITH e AS (
+         SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+         FROM embeddings),
+       px AS (SELECT label, i - 1 AS dim, ed[i] AS v
+              FROM (SELECT label, ed, unnest(range(1, len(ed) + 1)) AS i
+                    FROM e) t),
+       cent AS (SELECT label, dim, avg(v) AS c FROM px GROUP BY 1, 2),
+       carr AS (SELECT label, list(c ORDER BY dim) AS arr
+                FROM cent GROUP BY label),
+       d AS (
+         SELECT e.vec_id, e.label,
+                floor(sqrt(list_sum(list_transform(list_zip(e.ed, c.arr),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))))
+                      * 1000000.0 + 0.5) / 1000000.0 AS centroid_dist
+         FROM e JOIN carr c USING (label)),
+       r AS (SELECT label, vec_id, centroid_dist,
+                    row_number() OVER (PARTITION BY label
+                                       ORDER BY centroid_dist DESC, vec_id)
+                      AS rank
+             FROM d)
+       SELECT label, vec_id, centroid_dist, CAST(rank AS INT) AS rank
+       FROM r WHERE rank <= 3""",
+)
+def embedding_centroid_outliers(spark, sf_dir):
+    """k farthest vectors from their own label centroid — the
+    label-noise / contamination review queue. Ranks on the rounded
+    distance so cross-engine ulp drift cannot flip a rank.
+    See similarity.py::centroid_outliers."""
+    from .operators.similarity import centroid_outliers
+
+    view = _view(spark, sf_dir)
+    return centroid_outliers(view.tables["embeddings"], k=3)
+
+
+@register(
+    "dedup_prefix_survivorship",
+    """WITH tok AS (
+         SELECT doc_id, n_chars,
+                list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+         FROM documents),
+       fp AS (SELECT doc_id, n_chars,
+                     md5(array_to_string(list_slice(t, 1, 8), ' ')) AS f
+              FROM tok),
+       r AS (SELECT doc_id, f,
+                    row_number() OVER (PARTITION BY f
+                                       ORDER BY n_chars DESC, doc_id) AS rn
+             FROM fp),
+       canon AS (SELECT f, doc_id AS canonical_id FROM r WHERE rn = 1),
+       sz AS (SELECT f, count(*) AS group_size FROM fp GROUP BY 1)
+       SELECT fp.doc_id, c.canonical_id, sz.group_size,
+              fp.doc_id = c.canonical_id AS is_canonical
+       FROM fp
+       JOIN canon c ON c.f = fp.f
+       JOIN sz ON sz.f = fp.f""",
+)
+def dedup_prefix_survivorship(spark, sf_dir):
+    """Truncation-dedup survivorship: same leading 8 tokens => one
+    source; keep the longest variant (ties to smallest id) — the
+    C4/CCNet keep-longest policy exact-fingerprint dedup cannot see.
+    See dedup.py::prefix_survivorship."""
+    from .operators.dedup import prefix_survivorship
+
+    view = _view(spark, sf_dir)
+    return prefix_survivorship(view.tables["documents"])
