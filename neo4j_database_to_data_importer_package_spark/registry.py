@@ -1081,6 +1081,7 @@ def streaming_tumbling_events(spark, sf_dir):
         streaming_tumbling_counts(stream),
         f"q_stream_tumbling_{_STREAM_SEQ[0]}",
         output_mode="complete",
+        state_partitions=8,
     )
 
 
@@ -1105,7 +1106,8 @@ def streaming_running_totals(spark, sf_dir):
     stream = _replayed_events_stream(spark, sf_dir, max_files_per_trigger=1)
     _STREAM_SEQ[0] += 1
     got = run_stream_to_memory(
-        op(stream), f"q_stream_running_{_STREAM_SEQ[0]}", output_mode="update"
+        op(stream), f"q_stream_running_{_STREAM_SEQ[0]}", output_mode="update",
+        state_partitions=8,
     )
     w = Window.partitionBy("key").orderBy(F.desc("n_events"))
     return (
@@ -1933,7 +1935,8 @@ def streaming_signup_purchase_pairs(spark, sf_dir):
     ).select(F.col("event_id").alias("signup_id"), "purchase_id")
     _STREAM_SEQ[0] += 1
     return run_stream_to_memory(
-        joined, f"q_stream_ssj_{_STREAM_SEQ[0]}", output_mode="append"
+        joined, f"q_stream_ssj_{_STREAM_SEQ[0]}", output_mode="append",
+        state_partitions=8,
     )
 
 
@@ -2475,6 +2478,7 @@ def streaming_session_events(spark, sf_dir):
         streaming_session_counts(stream),
         f"q_stream_session_{_STREAM_SEQ[0]}",
         output_mode="complete",
+        state_partitions=8,
     )
 
 
@@ -2635,6 +2639,7 @@ def streaming_dedup_user_type(spark, sf_dir):
     return run_stream_to_memory(
         deduped.select("user_id", "event_type"),
         f"q_stream_dedup_{_STREAM_SEQ[0]}",
+        state_partitions=8,
     ).select("user_id", "event_type")
 
 
@@ -3709,6 +3714,7 @@ def streaming_kmv_distinct_users(spark, sf_dir):
         streaming_kmv_distinct(hashed),
         f"q_stream_kmv_{_STREAM_SEQ[0]}",
         output_mode="update",
+        state_partitions=8,
     )
     w = Window.partitionBy("key").orderBy(F.desc("n_batches"))
     return (
@@ -4418,7 +4424,8 @@ def streaming_moment_stats(spark, sf_dir):
     stream = _replayed_events_stream(spark, sf_dir, max_files_per_trigger=1)
     _STREAM_SEQ[0] += 1
     got = run_stream_to_memory(
-        op(stream), f"q_stream_moments_{_STREAM_SEQ[0]}", output_mode="update"
+        op(stream), f"q_stream_moments_{_STREAM_SEQ[0]}", output_mode="update",
+        state_partitions=8,
     )
     w = Window.partitionBy("key").orderBy(F.desc("n_events"))
     return (
