@@ -57,38 +57,47 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    comp = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
-    )
-    # Delta propagation: only nodes whose label just improved message
-    # their neighbors (a node whose label is stable already delivered it).
-    # The frontier shrinks every superstep, so late iterations join a
-    # handful of rows instead of the full vertex set.
-    frontier = comp
+    # One count up front: warms the persisted edge cache AND sizes the
+    # superstep shuffles to the state (see partitioning.superstep_scope —
+    # the checkpoint path bypasses AQE coalescing, so small-graph loops
+    # otherwise pay full-width exchanges every superstep).
+    n_edges = und.count()
+    from ..partitioning import superstep_scope
+
     try:
-        for i in range(max_iter):
-            msgs = (
-                und.join(frontier, und["a"] == frontier["node"])
-                .select(F.col("b").alias("node"), F.col("component"))
+        with superstep_scope(edges.sparkSession, n_edges):
+            comp = (
+                und.select(F.col("a").alias("node"))
+                .distinct()
+                .select("node", F.col("node").alias("component"))
+                .localCheckpoint(eager=True)
             )
-            cand = msgs.groupBy("node").agg(F.min("component").alias("cand"))
-            joined = (
-                comp.join(cand, "node", "left")
-                .select("node", "component", "cand")
-                .localCheckpoint(eager=True)  # the superstep's only big job
-            )
-            frontier = joined.filter(
-                F.col("cand") < F.col("component")
-            ).select("node", F.col("cand").alias("component"))
-            comp = joined.select(
-                "node",
-                F.least(F.col("component"), F.coalesce(F.col("cand"), F.col("component"))).alias("component"),
-            )
-            if frontier.limit(1).count() == 0:  # tiny probe on checkpointed rows
-                break
+            # Delta propagation: only nodes whose label just improved
+            # message their neighbors (a node whose label is stable
+            # already delivered it). The frontier shrinks every
+            # superstep, so late iterations join a handful of rows
+            # instead of the full vertex set.
+            frontier = comp
+            for i in range(max_iter):
+                msgs = (
+                    und.join(frontier, und["a"] == frontier["node"])
+                    .select(F.col("b").alias("node"), F.col("component"))
+                )
+                cand = msgs.groupBy("node").agg(F.min("component").alias("cand"))
+                joined = (
+                    comp.join(cand, "node", "left")
+                    .select("node", "component", "cand")
+                    .localCheckpoint(eager=True)  # the superstep's only big job
+                )
+                frontier = joined.filter(
+                    F.col("cand") < F.col("component")
+                ).select("node", F.col("cand").alias("component"))
+                comp = joined.select(
+                    "node",
+                    F.least(F.col("component"), F.coalesce(F.col("cand"), F.col("component"))).alias("component"),
+                )
+                if frontier.limit(1).count() == 0:  # tiny probe on checkpointed rows
+                    break
     finally:
         und.unpersist()
     return comp.select("node", "component")
@@ -130,41 +139,48 @@ def pagerank(
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("dst_node")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint(
-        eager=True
-    )
+    from ..partitioning import superstep_scope
+
     try:
-        for _ in range(iterations):
-            with_deg = ranks.join(out_deg, "node", "left")
-            contribs = (
-                e.join(with_deg, "node")
-                .select(F.col("dst_node").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-                .groupBy("node")
-                .agg(F.sum("c").alias("contrib"))
-            )
-            # Dangling mass as a broadcast 1-row aggregate folded into the
-            # same superstep job — no separate driver action per iteration
-            # (the only action is the eager localCheckpoint below).
-            dangling_df = (
-                with_deg.filter(F.col("deg").isNull())
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
-            )
-            ranks = (
-                nodes.join(contribs, "node", "left")
-                .crossJoin(F.broadcast(dangling_df))
-                .select(
-                    "node",
-                    (
-                        F.lit((1.0 - damping) / n_nodes)
-                        + F.lit(damping)
-                        * (
-                            F.col("__dangling") / F.lit(float(n_nodes))
-                            + F.coalesce(F.col("contrib"), F.lit(0.0))
-                        )
-                    ).alias("rank"),
+        # Superstep shuffles sized to the state (node count): the
+        # checkpoint path bypasses AQE coalescing, so a small graph
+        # otherwise pays full-width exchanges 10 times over.
+        with superstep_scope(edges.sparkSession, n_nodes):
+            ranks = nodes.select(
+                "node", F.lit(1.0 / n_nodes).alias("rank")
+            ).localCheckpoint(eager=True)
+            for _ in range(iterations):
+                with_deg = ranks.join(out_deg, "node", "left")
+                contribs = (
+                    e.join(with_deg, "node")
+                    .select(F.col("dst_node").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+                    .groupBy("node")
+                    .agg(F.sum("c").alias("contrib"))
                 )
-                .localCheckpoint(eager=True)
-            )
+                # Dangling mass as a broadcast 1-row aggregate folded into
+                # the same superstep job — no separate driver action per
+                # iteration (the only action is the eager localCheckpoint
+                # below).
+                dangling_df = (
+                    with_deg.filter(F.col("deg").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
+                )
+                ranks = (
+                    nodes.join(contribs, "node", "left")
+                    .crossJoin(F.broadcast(dangling_df))
+                    .select(
+                        "node",
+                        (
+                            F.lit((1.0 - damping) / n_nodes)
+                            + F.lit(damping)
+                            * (
+                                F.col("__dangling") / F.lit(float(n_nodes))
+                                + F.coalesce(F.col("contrib"), F.lit(0.0))
+                            )
+                        ).alias("rank"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
     finally:
         for df in (nodes, out_deg, e):
             df.unpersist()
@@ -193,27 +209,31 @@ def bfs_distances(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dist = (
-        sources.select(F.col(node_col).alias("node"))
-        .distinct()
-        .withColumn("dist", F.lit(0))
-        .localCheckpoint(eager=True)
-    )
-    frontier = dist.select("node")
+    n_edges = und.count()  # warms the cache; sizes superstep shuffles
+    from ..partitioning import superstep_scope
+
     try:
-        for hop in range(1, max_hops + 1):
-            nxt = (
-                und.join(frontier, und["a"] == frontier["node"])
-                .select(F.col("b").alias("node"))
+        with superstep_scope(edges.sparkSession, n_edges):
+            dist = (
+                sources.select(F.col(node_col).alias("node"))
                 .distinct()
-                .join(dist.select("node"), "node", "left_anti")
-                .withColumn("dist", F.lit(hop))
+                .withColumn("dist", F.lit(0))
                 .localCheckpoint(eager=True)
             )
-            if nxt.limit(1).count() == 0:
-                break
-            dist = dist.union(nxt).localCheckpoint(eager=True)
-            frontier = nxt.select("node")
+            frontier = dist.select("node")
+            for hop in range(1, max_hops + 1):
+                nxt = (
+                    und.join(frontier, und["a"] == frontier["node"])
+                    .select(F.col("b").alias("node"))
+                    .distinct()
+                    .join(dist.select("node"), "node", "left_anti")
+                    .withColumn("dist", F.lit(hop))
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.limit(1).count() == 0:
+                    break
+                dist = dist.union(nxt).localCheckpoint(eager=True)
+                frontier = nxt.select("node")
     finally:
         und.unpersist()
     return dist
@@ -313,32 +333,36 @@ def k_core(
     # sized; beyond that AQE's plain join is the fallback. 5M ids ≈
     # a few hundred MB — the first peel round of a pathological graph.
     _BCAST_DROP_MAX = 5_000_000
-    cur = und.localCheckpoint()
+    n_edges = und.count()  # warms the cache; sizes superstep shuffles
+    from ..partitioning import superstep_scope
+
     try:
-        while True:
-            deg = (
-                cur.select(F.col("u").alias("node"))
-                .unionAll(cur.select(F.col("v").alias("node")))
-                .groupBy("node")
-                .agg(F.count(F.lit(1)).alias("deg"))
-            )
-            drop = deg.filter(F.col("deg") < k).select("node").persist()
-            n_drop = drop.count()
-            if round_stats is not None:
-                # per-round drop counts: the peel-depth probe (SCALING.md)
-                # reads rounds-to-fixpoint from here
-                round_stats.append(n_drop)
-            if n_drop == 0:
+        with superstep_scope(edges.sparkSession, n_edges):
+            cur = und.localCheckpoint()
+            while True:
+                deg = (
+                    cur.select(F.col("u").alias("node"))
+                    .unionAll(cur.select(F.col("v").alias("node")))
+                    .groupBy("node")
+                    .agg(F.count(F.lit(1)).alias("deg"))
+                )
+                drop = deg.filter(F.col("deg") < k).select("node").persist()
+                n_drop = drop.count()
+                if round_stats is not None:
+                    # per-round drop counts: the peel-depth probe
+                    # (SCALING.md) reads rounds-to-fixpoint from here
+                    round_stats.append(n_drop)
+                if n_drop == 0:
+                    drop.unpersist()
+                    break
+                d = F.broadcast(drop) if n_drop <= _BCAST_DROP_MAX else drop
+                nxt = (
+                    cur.join(d, cur.u == d.node, "left_anti")
+                    .join(d, cur.v == d.node, "left_anti")
+                    .localCheckpoint()
+                )
                 drop.unpersist()
-                break
-            d = F.broadcast(drop) if n_drop <= _BCAST_DROP_MAX else drop
-            nxt = (
-                cur.join(d, cur.u == d.node, "left_anti")
-                .join(d, cur.v == d.node, "left_anti")
-                .localCheckpoint()
-            )
-            drop.unpersist()
-            cur = nxt
+                cur = nxt
         return (
             cur.select(F.col("u").alias("node"))
             .unionAll(cur.select(F.col("v").alias("node")))
@@ -392,47 +416,52 @@ def shortest_paths(
         .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dist = (
-        sources.select(F.col(node_col).alias("node"))
-        .distinct()
-        .withColumn("dist", F.lit(0.0))
-        .localCheckpoint(eager=True)
-    )
-    frontier = dist
+    n_edges = und.count()  # warms the cache; sizes superstep shuffles
+    from ..partitioning import superstep_scope
+
     try:
-        for _ in range(rounds):
-            relax = (
-                und.join(frontier, und["a"] == frontier["node"])
-                .select(F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("cand"))
-                .groupBy("node")
-                .agg(F.min("cand").alias("cand"))
-            )
-            joined = (
-                dist.join(relax, "node", "full_outer")
-                .select(
-                    "node",
-                    F.col("dist"),
-                    F.col("cand"),
-                )
+        with superstep_scope(edges.sparkSession, n_edges):
+            dist = (
+                sources.select(F.col(node_col).alias("node"))
+                .distinct()
+                .withColumn("dist", F.lit(0.0))
                 .localCheckpoint(eager=True)
             )
-            frontier = joined.filter(
-                F.col("dist").isNull() | (F.col("cand") < F.col("dist"))
-            ).select("node", F.col("cand").alias("dist"))
-            dist = joined.select(
-                "node",
-                F.least(
-                    F.coalesce(F.col("dist"), F.col("cand")),
-                    F.coalesce(F.col("cand"), F.col("dist")),
-                ).alias("dist"),
-            )
-            # Probe AFTER the superstep (as connected_components does):
-            # the frontier can only shrink to empty once relaxation has
-            # run, so a head-of-loop probe just pays an extra job on
-            # round one. frontier derives from the checkpointed `joined`,
-            # so the emptiness probe is a cheap local scan.
-            if frontier.limit(1).count() == 0:
-                break
+            frontier = dist
+            for _ in range(rounds):
+                relax = (
+                    und.join(frontier, und["a"] == frontier["node"])
+                    .select(F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("cand"))
+                    .groupBy("node")
+                    .agg(F.min("cand").alias("cand"))
+                )
+                joined = (
+                    dist.join(relax, "node", "full_outer")
+                    .select(
+                        "node",
+                        F.col("dist"),
+                        F.col("cand"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                frontier = joined.filter(
+                    F.col("dist").isNull() | (F.col("cand") < F.col("dist"))
+                ).select("node", F.col("cand").alias("dist"))
+                dist = joined.select(
+                    "node",
+                    F.least(
+                        F.coalesce(F.col("dist"), F.col("cand")),
+                        F.coalesce(F.col("cand"), F.col("dist")),
+                    ).alias("dist"),
+                )
+                # Probe AFTER the superstep (as connected_components
+                # does): the frontier can only shrink to empty once
+                # relaxation has run, so a head-of-loop probe just pays
+                # an extra job on round one. frontier derives from the
+                # checkpointed `joined`, so the emptiness probe is a
+                # cheap local scan.
+                if frontier.limit(1).count() == 0:
+                    break
     finally:
         und.unpersist()
     return dist
@@ -469,24 +498,30 @@ def label_propagation(
         .persist()
     )
     nodes = und.select(F.col("a").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    n_edges = und.count()  # warms the cache; sizes superstep shuffles
     w = Window.partitionBy("node").orderBy(
         F.col("c").desc(), F.col("label").asc()
     )
+    from ..partitioning import superstep_scope
+
     try:
-        for _ in range(rounds):
-            votes = (
-                und.join(labels, und["b"] == labels["node"])
-                .select(F.col("a").alias("node"), "label")
-                .groupBy("node", "label")
-                .agg(F.count(F.lit(1)).alias("c"))
+        with superstep_scope(edges.sparkSession, n_edges):
+            labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
+                eager=True
             )
-            winner = (
-                votes.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("node", "label")
-            )
-            labels = winner.localCheckpoint(eager=True)
+            for _ in range(rounds):
+                votes = (
+                    und.join(labels, und["b"] == labels["node"])
+                    .select(F.col("a").alias("node"), "label")
+                    .groupBy("node", "label")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                )
+                winner = (
+                    votes.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .select("node", "label")
+                )
+                labels = winner.localCheckpoint(eager=True)
         return labels
     finally:
         und.unpersist()

@@ -66,3 +66,39 @@ def salted_join(
     )
     out = s.join(d, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def superstep_scope(spark, n_rows: int, rows_per_partition: int = 250_000,
+                    min_parts: int = 8):
+    """Size shuffle parallelism to the STATE of an iterative algorithm
+    for the duration of its superstep loop (restored on exit).
+
+    Iterative graph algorithms materialize node/frontier-sized state
+    every superstep (eager localCheckpoint). The materialization path
+    goes through the RDD conversion, which bypasses AQE's post-shuffle
+    coalescing — so every superstep of a 15k-node graph was paying 32
+    shuffle partitions of scheduler/exchange fixed cost per join
+    (measured at sf0.1: PageRank 7.9s → 3.8s, k-core 10.3s → 3.0s when
+    sized to the state). The target is ``n_rows / rows_per_partition``
+    clamped to [min_parts, session setting] — a billion-edge graph on a
+    cluster keeps the session's full parallelism; only overhead-bound
+    small state shrinks. Rounded outputs are partitioning-independent
+    (pinned by tests/test_partition_independence.py), so this is a pure
+    wall-clock knob.
+
+    The conf is session-scoped while the loop runs: concurrent queries
+    on the SAME SparkSession would plan under the reduced setting —
+    acceptable for this engine's one-query-at-a-time registry/bench
+    contract, noted here for embedders.
+    """
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    target = max(min_parts, min(int(saved), n_rows // rows_per_partition + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield target
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
