@@ -128,6 +128,9 @@ _NEXT_ROTATION = [
     "quality_classifier_score",
     "embedding_centroid_outliers",
     "dedup_prefix_survivorship",
+    "dedup_minhash_calibration",
+    "language_confusion_matrix",
+    "split_leakage_check",
 ]
 
 

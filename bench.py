@@ -182,6 +182,9 @@ BENCH_QUERIES = [
     "quality_classifier_score",
     "embedding_centroid_outliers",
     "dedup_prefix_survivorship",
+    "dedup_minhash_calibration",
+    "language_confusion_matrix",
+    "split_leakage_check",
 ]
 
 

@@ -788,3 +788,77 @@ def prefix_survivorship(
             (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
         )
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash quality eval: for every LSH candidate pair, the Jaccard
+    ESTIMATE the signatures imply (fraction of agreeing minhashes)
+    against the EXACT shingle Jaccard — the calibration evidence behind
+    choosing (num_hashes, band_size) for a dedup run, the text twin of
+    ``ann_recall_at_k``.
+
+    Same scale shape as ``minhash_lsh_pairs`` (narrow signature
+    projection, band equi-join candidates, per-pair array verification);
+    the only addition is carrying the per-seed minima through the pair
+    hydration, which widens the join payload by num_hashes hex strings.
+    """
+    ds = doc_shingles(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_ONLY
+    ).filter(F.size("shingles") > 0)
+    mins = ds.select(
+        F.col(id_col),
+        F.col("shingles"),
+        *[
+            F.array_min(F.transform(F.col("shingles"), _seeded_md5(s))).alias(
+                f"mh{s}"
+            )
+            for s in range(num_hashes)
+        ],
+    )
+    sig = _signatures_from_doc_shingles(ds, id_col, num_hashes, band_size)
+    a, b = sig.alias("a"), sig.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.signature") == F.col("b.signature"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    ma = mins.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(num_hashes)],
+    )
+    mb = mins.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(num_hashes)],
+    )
+    agree = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(num_hashes)
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    est = agree / F.lit(float(num_hashes))
+    exact = inter / union
+    return (
+        cands.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round_half_up(est, 6).alias("est_jaccard"),
+            round_half_up(exact, 6).alias("exact_jaccard"),
+            round_half_up(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )

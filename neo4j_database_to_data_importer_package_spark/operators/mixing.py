@@ -240,3 +240,45 @@ def weighted_reservoir_sample(
     return picked.select(
         id_col, "weight", round_half_up(F.col("__key"), 9).alias("es_key")
     )
+
+
+def split_leakage_check(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+) -> DataFrame:
+    """Eval-integrity audit: do near-duplicate documents straddle the
+    train/val/test boundary? Every verified near-dup pair (banded
+    MinHash candidates + exact Jaccard ≥ 0.5 — the same machinery as
+    ``dedup_near_dup_clusters``) is labeled with its endpoints' hash
+    splits; any pair whose splits differ is test-set leakage that would
+    inflate eval numbers. Returns (split_a, split_b, n_pairs,
+    mean_jaccard) — the off-diagonal rows are the finding.
+
+    The split is the map-side hash expression (no join against an
+    assignment table), so the only work beyond the dedup pass itself is
+    relabeling the bounded pair list.
+    """
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(df, text_col, id_col)
+
+    def _split(col: Column) -> Column:
+        frac = hash_frac(col)
+        return (
+            F.when(frac < train, F.lit("train"))
+            .when(frac < train + val, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    labeled = pairs.select(
+        _split(F.col("id_a")).alias("split_a"),
+        _split(F.col("id_b")).alias("split_b"),
+        F.col("jaccard"),
+    )
+    return labeled.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        round_half_up(F.avg("jaccard"), 6).alias("mean_jaccard"),
+    )

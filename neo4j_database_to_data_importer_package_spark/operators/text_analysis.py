@@ -740,3 +740,36 @@ def quality_classifier_score(
             "quality_prob"
         ),
     )
+
+
+def language_confusion(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Language-ID eval against labeled ground truth: the confusion
+    matrix (true lang × detected lang) with each cell's share of its
+    true language — the accept/reject evidence for the lang-id heuristic
+    before it routes a corpus mixture. One scan (the detector is a pure
+    codegen expression), one dimension-sized groupBy, and a broadcast
+    join against per-language totals for the shares.
+    """
+    from ..functions.numeric import round_half_up
+
+    cols = language_columns(text_col)
+    scored = df.select(
+        F.col(lang_col), cols["detected_lang"].alias("detected_lang")
+    )
+    cell = scored.groupBy(lang_col, "detected_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = scored.groupBy(lang_col).agg(F.count(F.lit(1)).alias("__tot"))
+    return cell.join(F.broadcast(totals), lang_col).select(
+        lang_col,
+        "detected_lang",
+        "n_docs",
+        round_half_up(F.col("n_docs") / F.col("__tot"), 6).alias(
+            "share_of_lang"
+        ),
+    )

@@ -5219,3 +5219,122 @@ def dedup_prefix_survivorship(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return prefix_survivorship(view.tables["documents"])
+
+
+_MINHASH_CAND_DUCK = f"""toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM toks),
+        h AS (
+          SELECT doc_id, seed, md5(seed || '|' || shingle) AS h
+          FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s),
+        mh AS (SELECT doc_id, seed, min(h) AS mh FROM h GROUP BY 1, 2),
+        sig AS (
+          SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                 md5(string_agg(mh, ',' ORDER BY seed)) AS signature
+          FROM mh GROUP BY doc_id, CAST(seed // 4 AS INT)),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a JOIN sig b
+            ON a.band = b.band AND a.signature = b.signature AND a.doc_id < b.doc_id)"""
+
+
+@register(
+    "dedup_minhash_calibration",
+    f"""WITH {_MINHASH_CAND_DUCK},
+        agree AS (
+          SELECT c.id_a, c.id_b,
+                 sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0 AS est
+          FROM cands c
+          JOIN mh a ON a.doc_id = c.id_a
+          JOIN mh b ON b.doc_id = c.id_b AND b.seed = a.seed
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS i
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+        SELECT g.id_a, g.id_b,
+               floor(g.est * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard,
+               floor((coalesce(i.i, 0) * 1.0 / (sa.n + sb.n - coalesce(i.i, 0)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS exact_jaccard,
+               floor(abs(g.est - coalesce(i.i, 0) * 1.0
+                                 / (sa.n + sb.n - coalesce(i.i, 0)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS abs_err
+        FROM agree g
+        LEFT JOIN inter i ON i.id_a = g.id_a AND i.id_b = g.id_b
+        JOIN sizes sa ON g.id_a = sa.doc_id
+        JOIN sizes sb ON g.id_b = sb.doc_id""",
+)
+def dedup_minhash_calibration(spark, sf_dir):
+    """Estimated (signature-agreement) vs exact Jaccard per LSH
+    candidate pair — the (num_hashes, band_size) calibration eval, text
+    twin of ann_recall_at_k. See dedup.py::minhash_calibration."""
+    from .operators.dedup import minhash_calibration
+
+    view = _view(spark, sf_dir)
+    return minhash_calibration(view.tables["documents"])
+
+
+@register(
+    "language_confusion_matrix",
+    f"""WITH scored AS (
+          SELECT lang,
+                 {", ".join(f"len(list_intersect(list_distinct({_TOKS_DUCK}), {lst})) AS score_{lang}" for lang, lst in _LANG_LISTS_DUCK.items())}
+          FROM documents),
+        pred AS (
+          SELECT lang,
+                 CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+                      WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+                      WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+                      WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+                      WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+                      ELSE 'zh' END AS detected_lang
+          FROM scored),
+        cell AS (SELECT lang, detected_lang, count(*) AS n_docs
+                 FROM pred GROUP BY 1, 2),
+        tot AS (SELECT lang, count(*) AS t FROM pred GROUP BY 1)
+        SELECT c.lang, c.detected_lang, c.n_docs,
+               floor((c.n_docs * 1.0 / t.t) * 1000000.0 + 0.5) / 1000000.0
+                 AS share_of_lang
+        FROM cell c JOIN tot t ON t.lang = c.lang""",
+)
+def language_confusion_matrix(spark, sf_dir):
+    """Lang-id confusion matrix against the labeled lang column — the
+    detector's eval before it routes a corpus mixture.
+    See text_analysis.py::language_confusion."""
+    from .operators.text_analysis import language_confusion
+
+    view = _view(spark, sf_dir)
+    return language_confusion(view.tables["documents"])
+
+
+@register(
+    "split_leakage_check",
+    f"""WITH pairs AS ({{MINHASH_PAIRS}}),
+        lab AS (
+          SELECT CASE WHEN (('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) < 0.9 THEN 'train'
+                      WHEN (('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) < 0.95 THEN 'val'
+                      ELSE 'test' END AS split_a,
+                 CASE WHEN (('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) < 0.9 THEN 'train'
+                      WHEN (('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) < 0.95 THEN 'val'
+                      ELSE 'test' END AS split_b,
+                 jaccard
+          FROM pairs)
+        SELECT split_a, split_b, count(*) AS n_pairs,
+               floor(avg(jaccard) * 1000000.0 + 0.5) / 1000000.0 AS mean_jaccard
+        FROM lab GROUP BY 1, 2""",
+)
+def split_leakage_check(spark, sf_dir):
+    """Near-dup pairs straddling the train/val/test hash split — the
+    eval-integrity audit (off-diagonal rows = leakage).
+    See mixing.py::split_leakage_check."""
+    from .operators.mixing import split_leakage_check as slc
+
+    view = _view(spark, sf_dir)
+    return slc(view.tables["documents"])
+
+
+ORACLES["split_leakage_check"] = ORACLES["split_leakage_check"].replace(
+    "{MINHASH_PAIRS}", ORACLES["dedup_minhash_lsh_pairs"]
+)

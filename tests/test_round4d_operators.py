@@ -1,0 +1,94 @@
+"""Semantics tests for the round-4 fourth batch: MinHash calibration,
+the language-ID confusion matrix, and the train/test split leakage
+audit. Oracle parity at sf0.001 is covered by test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+    minhash_calibration,
+)
+from neo4j_database_to_data_importer_package_spark.operators.mixing import (
+    assign_split,
+    split_leakage_check,
+)
+from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+    language_confusion,
+)
+
+
+def test_minhash_calibration_exact_duplicates_agree_fully(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=text),
+            Row(doc_id=2, text=text),  # identical: est = exact = 1.0
+            Row(doc_id=3, text="unrelated words entirely different content here now"),
+        ]
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in minhash_calibration(df).collect()}
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r["est_jaccard"] == 1.0 and r["exact_jaccard"] == 1.0
+    assert r["abs_err"] == 0.0
+    # the unrelated doc shares no band signature with anything
+    assert all(3 not in p for p in rows)
+
+
+def test_minhash_estimate_bounded_and_err_consistent(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = minhash_calibration(docs).collect()
+    assert rows, "expected candidate pairs in the fixture corpus"
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert r["abs_err"] == pytest.approx(
+            abs(r["est_jaccard"] - r["exact_jaccard"]), abs=2e-6
+        )
+
+
+def test_language_confusion_diagonal_on_clear_text(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="the cat is in the hat and it is fine"),
+            Row(doc_id=2, lang="de", text="der hund und die katze ist ein tier"),
+            Row(doc_id=3, lang="en", text="xyzzy plugh"),  # no stopwords -> und
+        ]
+    )
+    cells = {
+        (r["lang"], r["detected_lang"]): r for r in language_confusion(df).collect()
+    }
+    assert cells[("en", "en")]["n_docs"] == 1
+    assert cells[("de", "de")]["n_docs"] == 1
+    assert cells[("en", "und")]["n_docs"] == 1
+    assert cells[("en", "en")]["share_of_lang"] == 0.5
+    assert cells[("de", "de")]["share_of_lang"] == 1.0
+
+
+def test_split_leakage_labels_match_assign_split(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = split_leakage_check(docs).collect()
+    assert out, "fixture corpus has near-dup pairs"
+    # cells partition the verified near-dup pair set
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    n_pairs = minhash_lsh_pairs(docs).count()
+    assert sum(r["n_pairs"] for r in out) == n_pairs
+    # label spot-check: recompute one pair's splits via assign_split
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs.select("doc_id")).collect()
+    }
+    pair = minhash_lsh_pairs(docs).limit(1).collect()[0]
+    cell = [
+        r
+        for r in out
+        if r["split_a"] == splits[pair["id_a"]]
+        and r["split_b"] == splits[pair["id_b"]]
+    ]
+    assert cell, "the labeled cell for a known pair must exist"
