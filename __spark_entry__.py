@@ -131,6 +131,7 @@ _NEXT_ROTATION = [
     "dedup_minhash_calibration",
     "language_confusion_matrix",
     "split_leakage_check",
+    "streaming_sliding_events",
 ]
 
 

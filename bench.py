@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "dedup_minhash_calibration",
     "language_confusion_matrix",
     "split_leakage_check",
+    "streaming_sliding_events",
 ]
 
 

@@ -5338,3 +5338,37 @@ def split_leakage_check(spark, sf_dir):
 ORACLES["split_leakage_check"] = ORACLES["split_leakage_check"].replace(
     "{MINHASH_PAIRS}", ORACLES["dedup_minhash_lsh_pairs"]
 )
+
+
+@register(
+    "streaming_sliding_events",
+    f"""WITH grid AS (
+          SELECT *, date_trunc('hour', ts)
+                 + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS s1
+          FROM events
+        ), expanded AS (
+          SELECT event_type, value, s1 AS ws FROM grid
+          UNION ALL
+          SELECT event_type, value, s1 - INTERVAL 30 MINUTE AS ws FROM grid
+        )
+        SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+               strftime(ws + INTERVAL 1 HOUR, '{_TS_FMT_DUCK}') AS window_end,
+               event_type, count(*) AS n_events,
+               floor(({_dsum('value')}) * 10000.0 + 0.5) / 10000.0 AS sum_value
+        FROM expanded GROUP BY 1, 2, 3""",
+)
+def streaming_sliding_events(spark, sf_dir):
+    """Watermarked hopping windows over the replayed event stream —
+    the streaming twin of window_sliding_events (same oracle). Complete
+    mode so the finite replay emits every window exactly once.
+    See streaming/events.py::streaming_sliding_counts."""
+    from .streaming.events import run_stream_to_memory, streaming_sliding_counts
+
+    stream = _replayed_events_stream(spark, sf_dir)
+    _STREAM_SEQ[0] += 1
+    return run_stream_to_memory(
+        streaming_sliding_counts(stream),
+        f"q_stream_sliding_{_STREAM_SEQ[0]}",
+        output_mode="complete",
+        state_partitions=8,
+    )

@@ -146,6 +146,39 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    keys: tuple = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked hopping (sliding) windows: each event lands in
+    duration/slide overlapping windows. Same bounded-state contract as
+    the tumbling variant — the watermark evicts closed windows — with
+    duration/slide times the window state."""
+    return (
+        _as_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), duration, slide).alias("window"), *keys
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(dsum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            _fmt_utc(F.col("window.start")).alias("window_start"),
+            _fmt_utc(F.col("window.end")).alias("window_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_session_windows(
     events: DataFrame,
     ts_col: str = "ts",
