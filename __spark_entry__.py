@@ -132,6 +132,7 @@ _NEXT_ROTATION = [
     "language_confusion_matrix",
     "split_leakage_check",
     "streaming_sliding_events",
+    "streaming_topk_users",
 ]
 
 

@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "language_confusion_matrix",
     "split_leakage_check",
     "streaming_sliding_events",
+    "streaming_topk_users",
 ]
 
 

@@ -5372,3 +5372,44 @@ def streaming_sliding_events(spark, sf_dir):
         output_mode="complete",
         state_partitions=8,
     )
+
+
+@register(
+    "streaming_topk_users",
+    """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key, user_id,
+                         count(*) AS cnt
+                  FROM events GROUP BY 1, 2),
+       t AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS n_total
+             FROM c GROUP BY 1),
+       r AS (SELECT key, user_id, cnt,
+                    row_number() OVER (PARTITION BY key
+                                       ORDER BY cnt DESC, user_id) AS rn
+             FROM c)
+       SELECT r.key, r.user_id, CAST(r.cnt AS BIGINT) AS user_count,
+              CAST(r.rn AS BIGINT) AS rank, t.n_total
+       FROM r JOIN t USING (key) WHERE rn <= 3""",
+)
+def streaming_topk_users(spark, sf_dir):
+    """Custom stateful top-k (applyInPandasWithState): per event type,
+    the running 3 most frequent users; the final emission per key equals
+    the batch top-k (commutative update), which is the oracle.
+    See streaming/stateful.py::streaming_topk_users."""
+    from pyspark.sql import Window
+
+    from .streaming.events import run_stream_to_memory
+    from .streaming.stateful import streaming_topk_users as op
+
+    stream = _replayed_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    _STREAM_SEQ[0] += 1
+    got = run_stream_to_memory(
+        op(stream),
+        f"q_stream_topk_{_STREAM_SEQ[0]}",
+        output_mode="update",
+        state_partitions=8,
+    )
+    w = Window.partitionBy("key")
+    return (
+        got.withColumn("__m", F.max("n_total").over(w))
+        .filter(F.col("n_total") == F.col("__m"))
+        .select("key", "user_id", "user_count", "rank", "n_total")
+    )

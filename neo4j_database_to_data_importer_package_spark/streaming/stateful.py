@@ -272,3 +272,87 @@ def streaming_moment_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TOPK_STATE_SCHEMA = StructType(
+    [
+        StructField("users", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_total", LongType()),
+    ]
+)
+
+TOPK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("user_id", LongType()),
+        StructField("user_count", LongType()),
+        StructField("rank", LongType()),
+        StructField("n_total", LongType()),
+    ]
+)
+
+
+def _make_topk_update(k: int):
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            users, counts, n_total = state.get
+            tally = dict(zip(users, counts))
+        else:
+            tally, n_total = {}, 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n_total += int(len(pdf))
+            for uid, c in pdf["user_id"].value_counts().items():
+                tally[int(uid)] = tally.get(int(uid), 0) + int(c)
+        state.update((list(tally), list(tally.values()), n_total))
+        top = sorted(tally.items(), key=lambda uc: (-uc[1], uc[0]))[:k]
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(top),
+                "user_id": [u for u, _ in top],
+                "user_count": [c for _, c in top],
+                "rank": list(range(1, len(top) + 1)),
+                "n_total": [n_total] * len(top),
+            }
+        )
+
+    return _update
+
+
+def streaming_topk_users(
+    events: DataFrame,
+    k: int = 3,
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Incrementally maintained per-key top-k contributors: after every
+    micro-batch, each touched key re-emits its k most frequent users so
+    far (ties to the smallest id) plus the key's running event total.
+    The streaming form of "which sources dominate each event class" —
+    the monitor a training-data ingest keeps on contributor skew.
+
+    Exact counts (state = per-user tallies, O(distinct users per key) —
+    the same boundedness contract as ``streaming_running_totals``; swap
+    the dict for a space-saving sketch when the user space is unbounded,
+    at the cost of the exact-oracle property: sketch contents are
+    arrival-order-dependent, exact tallies are not). Because the update
+    is commutative, the FINAL emission per key equals the batch top-k —
+    the oracle — regardless of how the replay was micro-batched.
+    """
+    from pyspark.sql import functions as F
+
+    src = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(user_col).cast("long").alias("user_id"),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _make_topk_update(k),
+        outputStructType=TOPK_OUTPUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
