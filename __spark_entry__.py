@@ -133,6 +133,7 @@ _NEXT_ROTATION = [
     "split_leakage_check",
     "streaming_sliding_events",
     "streaming_topk_users",
+    "hybrid_rrf_retrieval",
 ]
 
 

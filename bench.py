@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "split_leakage_check",
     "streaming_sliding_events",
     "streaming_topk_users",
+    "hybrid_rrf_retrieval",
 ]
 
 

@@ -245,3 +245,67 @@ def cms_term_estimates(
         "cms_estimate",
         (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: fuse the lexical
+    (BM25) top-``k_each`` for a bag-of-words query with the dense
+    (cosine) top-``k_each`` for a query vector, scoring each candidate
+    ``Σ 1/(rrf_k + rank)`` over the lists it appears in — the standard
+    hybrid-search merge, done entirely on the two bounded rank lists
+    (document ids align with vector ids in the corpus contract).
+
+    The expensive parts are the two retrievals, each already scale-shaped
+    (BM25 shuffles only query-term occurrences; dense top-k is the
+    brute/IVF operator); the fusion itself is a full-outer join of two
+    ≤ k_each-row tables and a TakeOrdered — free at any corpus size.
+    RRF scores are sums of exact rational doubles (1/(60+r)), so the
+    fused ranking is bit-identical in any engine — no rounding needed
+    before the rank.
+    """
+    from .similarity import brute_force_topk
+
+    lex = bm25_topk(docs, query_terms, k=k_each, id_col=id_col).select(
+        F.col(id_col), F.col("rank").alias("lex_rank")
+    )
+    vec = (
+        brute_force_topk(
+            embeddings, k=k_each, n_queries=query_vec_id + 1, id_col=vec_id_col
+        )
+        .filter(F.col("query_id") == query_vec_id)
+        .select(
+            F.col("neighbor_id").alias(id_col), F.col("rank").alias("vec_rank")
+        )
+    )
+    fused = lex.join(vec, id_col, "full_outer").select(
+        F.col(id_col),
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0))
+        ).alias("__score"),
+    )
+    topk = fused.orderBy(F.col("__score").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("__score").desc(), F.col(id_col))
+    from ..functions.numeric import round_half_up
+
+    return topk.withColumn(
+        "fused_rank", F.row_number().over(w).cast("int")
+    ).select(
+        id_col,
+        "lex_rank",
+        "vec_rank",
+        round_half_up(F.col("__score"), 6).alias("rrf_score"),
+        "fused_rank",
+    )

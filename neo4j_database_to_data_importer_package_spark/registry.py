@@ -5413,3 +5413,44 @@ def streaming_topk_users(spark, sf_dir):
         .filter(F.col("n_total") == F.col("__m"))
         .select("key", "user_id", "user_count", "rank", "n_total")
     )
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    f"""WITH lex AS (SELECT doc_id, rank FROM ({ORACLES["bm25_rank_spark_hash_join"]})),
+        vec AS (
+          SELECT b.vec_id AS doc_id,
+                 CAST(row_number() OVER (
+                   ORDER BY floor(({_COS_DUCK}) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                            b.vec_id) AS INT) AS vec_rank
+          FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+          WHERE a.vec_id = 0
+          QUALIFY vec_rank <= 20),
+        f AS (
+          SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                 l.rank AS lex_rank, v.vec_rank,
+                 coalesce(1.0 / (60 + l.rank), 0.0)
+                   + coalesce(1.0 / (60 + v.vec_rank), 0.0) AS s
+          FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id),
+        r AS (SELECT doc_id, lex_rank, vec_rank, s,
+                     row_number() OVER (ORDER BY s DESC, doc_id) AS fr
+              FROM f)
+        SELECT doc_id, lex_rank, vec_rank,
+               floor(s * 1000000.0 + 0.5) / 1000000.0 AS rrf_score,
+               CAST(fr AS INT) AS fused_rank
+        FROM r WHERE fr <= 10""",
+)
+def hybrid_rrf_retrieval(spark, sf_dir):
+    """Reciprocal-rank fusion of BM25 ('spark hash join') and dense
+    (query vector 0) top-20 lists — hybrid search's merge step, fused
+    over two bounded rank tables. RRF scores are exact rationals, so the
+    fused order needs no pre-rank rounding.
+    See retrieval.py::hybrid_rrf_topk."""
+    from .operators.retrieval import hybrid_rrf_topk
+
+    view = _view(spark, sf_dir)
+    return hybrid_rrf_topk(
+        view.tables["documents"],
+        view.tables["embeddings"],
+        ["spark", "hash", "join"],
+    )
