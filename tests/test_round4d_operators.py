@@ -92,3 +92,31 @@ def test_split_leakage_labels_match_assign_split(spark, sf_dir):
         and r["split_b"] == splits[pair["id_b"]]
     ]
     assert cell, "the labeled cell for a known pair must exist"
+
+
+def test_hybrid_rrf_fusion_law(spark, sf_dir):
+    from neo4j_database_to_data_importer_package_spark.operators.retrieval import (
+        bm25_topk,
+        hybrid_rrf_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = hybrid_rrf_topk(docs, emb, ["spark", "hash", "join"]).collect()
+    assert 0 < len(out) <= 10
+    ranks = [r["fused_rank"] for r in out]
+    assert ranks == list(range(1, len(out) + 1))
+    for r in out:
+        # at least one list contributed; the score is exactly the RRF sum
+        assert r["lex_rank"] is not None or r["vec_rank"] is not None
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (60 + r["lex_rank"])
+        if r["vec_rank"] is not None:
+            expect += 1.0 / (60 + r["vec_rank"])
+        assert r["rrf_score"] == pytest.approx(expect, abs=2e-6)
+    # a doc on both lists must outrank one with only the weaker of its two
+    both = [r for r in out if r["lex_rank"] and r["vec_rank"]]
+    lex = {r["doc_id"]: r["rank"] for r in
+           bm25_topk(docs, ["spark", "hash", "join"], k=20).collect()}
+    assert set(lex) & {r["doc_id"] for r in out}, "lexical hits must surface"
