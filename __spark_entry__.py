@@ -134,6 +134,9 @@ _NEXT_ROTATION = [
     "streaming_sliding_events",
     "streaming_topk_users",
     "hybrid_rrf_retrieval",
+    "streaming_funnel_state",
+    "epoch_mixture_plan",
+    "length_drift_psi",
 ]
 
 

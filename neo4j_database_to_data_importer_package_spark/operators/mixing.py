@@ -282,3 +282,67 @@ def split_leakage_check(
         F.count(F.lit(1)).alias("n_pairs"),
         round_half_up(F.avg("jaccard"), 6).alias("mean_jaccard"),
     )
+
+
+def epoch_mixture_plan(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Turn temperature-scaled mixture weights into a CONCRETE sampling
+    plan: each domain's effective epochs e (from
+    ``domain_mixture_weights``) becomes per-document planned copies
+    ``floor(e) + Bernoulli(frac(e))``, with the Bernoulli decided by the
+    document's own hash — deterministic, so two runs (or two engines)
+    plan the identical corpus. This is the step between "weights" and
+    "what the loader actually reads": fractional epochs materialize as a
+    stable subset of the domain getting one extra copy.
+
+    Per-domain accounting out: n_docs, planned_doc_copies,
+    planned_chars, realized_epochs (= planned/n, which converges to e).
+    One scan + dimension-sized aggregates; the per-doc decision is a
+    map-side expression against broadcast per-domain epochs.
+    """
+    from ..functions.numeric import round_half_up
+
+    agg = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+
+    def _temp(c):
+        c = c.cast("double")
+        return F.sqrt(c) if alpha == 0.5 else F.pow(c, F.lit(alpha))
+
+    tot = agg.agg(
+        F.sum(_temp(F.col("n_docs"))).alias("__tot"),
+        F.sum("n_docs").alias("__all"),
+    )
+    epochs = (
+        _temp(F.col("n_docs")) / F.col("__tot") * F.col("__all") / F.col("n_docs")
+    )
+    dom = agg.crossJoin(F.broadcast(tot)).select(
+        domain_col, "n_docs", epochs.alias("__e")
+    )
+    planned = (
+        df.select(F.col(domain_col), F.col(id_col), F.col(chars_col))
+        .join(F.broadcast(dom), domain_col)
+        .select(
+            F.col(domain_col),
+            F.col("n_docs"),
+            F.col(chars_col),
+            (
+                F.floor(F.col("__e"))
+                + (hash_frac(F.col(id_col)) < (F.col("__e") - F.floor(F.col("__e"))))
+                .cast("long")
+            ).alias("__copies"),
+        )
+    )
+    return planned.groupBy(domain_col, "n_docs").agg(
+        F.sum("__copies").cast("bigint").alias("planned_doc_copies"),
+        F.sum(F.col("__copies") * F.col(chars_col)).cast("bigint").alias(
+            "planned_chars"
+        ),
+        round_half_up(F.sum("__copies") / F.col("n_docs"), 6).alias(
+            "realized_epochs"
+        ),
+    )

@@ -51,3 +51,67 @@ def column_profile(
         ]
     )
     return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def length_drift_psi(
+    df,
+    ref_domain: str = "src0",
+    domain_col: str = "source",
+    text_col: str = "text",
+    max_len: int = 2048,
+):
+    """Distribution-drift screen (population stability index) between a
+    reference domain and every other domain, over the power-of-two
+    token-length buckets: PSI = Σ_b (p_b − q_b)·ln(p_b / q_b) with
+    add-one smoothing (so empty buckets stay finite). PSI is the
+    standard "did this source's length profile move" monitor — the
+    corpus twin of a model-feature drift check; > 0.2 is the usual
+    investigate threshold.
+
+    One scan to bucket (integer CASE chain — no cross-engine log2), one
+    (domain, bucket) aggregate, then the PSI fold runs over the
+    dimension-sized bucket table with the reference profile broadcast.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import round_half_up
+    from ..functions.text import tokens
+
+    toks = F.least(F.size(tokens(text_col)), F.lit(max_len))
+    bucket = F.lit(16)
+    b = 16
+    while b < max_len:
+        b *= 2
+        bucket = F.when(toks > F.lit(b // 2), F.lit(b)).otherwise(bucket)
+    binned = df.select(F.col(domain_col), bucket.alias("bucket"))
+    counts = binned.groupBy(domain_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_buckets = 8  # 16..2048 in powers of two
+    totals = counts.groupBy(domain_col).agg(F.sum("n").alias("tot"))
+    full = (
+        totals.crossJoin(
+            F.broadcast(
+                binned.sparkSession.range(4, 12).select(
+                    F.pow(F.lit(2.0), F.col("id")).cast("int").alias("bucket")
+                )
+            )
+        )
+        .join(counts, [domain_col, "bucket"], "left")
+        .select(
+            F.col(domain_col),
+            "bucket",
+            ((F.coalesce(F.col("n"), F.lit(0)) + 1)
+             / (F.col("tot") + F.lit(n_buckets)).cast("double")).alias("p"),
+        )
+    )
+    ref = full.filter(F.col(domain_col) == ref_domain).select(
+        F.col("bucket"), F.col("p").alias("q")
+    )
+    rest = full.filter(F.col(domain_col) != ref_domain)
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return (
+        rest.join(F.broadcast(ref), "bucket")
+        .groupBy(domain_col)
+        .agg(round_half_up(F.sum(term), 6).alias("psi"))
+    )

@@ -5454,3 +5454,134 @@ def hybrid_rrf_retrieval(spark, sf_dir):
         view.tables["embeddings"],
         ["spark", "hash", "join"],
     )
+
+
+@register(
+    "streaming_funnel_state",
+    f"""WITH f AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_views,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_purchases,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+                 max(CASE WHEN event_type = 'purchase' THEN ts END) AS lp
+          FROM events WHERE event_type IN ('view', 'purchase')
+          GROUP BY 1)
+        SELECT user_id, n_views, n_purchases,
+               strftime(fv, '{_TS_FMT_DUCK}') AS first_view,
+               strftime(lp, '{_TS_FMT_DUCK}') AS last_purchase,
+               fv IS NOT NULL AND lp IS NOT NULL AND lp > fv AS converted
+        FROM f""",
+)
+def streaming_funnel_state(spark, sf_dir):
+    """Custom stateful funnel (applyInPandasWithState): per-user
+    view/purchase counts, first view, last purchase, conversion flag —
+    all commutative statistics, so the final emission equals the batch
+    aggregate (the oracle) under any micro-batching.
+    See streaming/stateful.py::streaming_funnel_state."""
+    from pyspark.sql import Window
+
+    from .streaming.events import run_stream_to_memory
+    from .streaming.stateful import streaming_funnel_state as op
+
+    stream = _replayed_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    _STREAM_SEQ[0] += 1
+    got = run_stream_to_memory(
+        op(stream),
+        f"q_stream_funnel_{_STREAM_SEQ[0]}",
+        output_mode="update",
+        state_partitions=8,
+    )
+    w = Window.partitionBy("user_id")
+    total = F.col("n_views") + F.col("n_purchases")
+    return (
+        got.withColumn("__t", total)
+        .withColumn("__m", F.max(total).over(w))
+        .filter(F.col("__t") == F.col("__m"))
+        .select(
+            "user_id",
+            "n_views",
+            "n_purchases",
+            F.date_format("first_view", "yyyy-MM-dd HH:mm:ss").alias(
+                "first_view"
+            ),
+            F.date_format("last_purchase", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_purchase"
+            ),
+            "converted",
+        )
+    )
+
+
+@register(
+    "epoch_mixture_plan",
+    f"""WITH agg AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        tot AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS t,
+                       CAST(sum(n_docs) AS BIGINT) AS a
+                FROM agg),
+        dom AS (SELECT agg.source, agg.n_docs,
+                       sqrt(CAST(agg.n_docs AS DOUBLE)) / tot.t * tot.a
+                         / agg.n_docs AS e
+                FROM agg, tot),
+        p AS (
+          SELECT d.source, dom.n_docs, d.n_chars,
+                 CAST(floor(dom.e) AS BIGINT)
+                   + CASE WHEN {_FRAC_DUCK} < dom.e - floor(dom.e)
+                          THEN 1 ELSE 0 END AS copies
+          FROM documents d JOIN dom ON dom.source = d.source)
+        SELECT source, n_docs,
+               CAST(sum(copies) AS BIGINT) AS planned_doc_copies,
+               CAST(sum(copies * n_chars) AS BIGINT) AS planned_chars,
+               floor(sum(copies) * 1.0 / n_docs * 1000000.0 + 0.5) / 1000000.0
+                 AS realized_epochs
+        FROM p GROUP BY 1, 2""",
+)
+def epoch_mixture_plan(spark, sf_dir):
+    """Temperature weights -> concrete deterministic sampling plan:
+    fractional epochs become a stable hash-chosen extra copy per
+    document. See mixing.py::epoch_mixture_plan."""
+    from .operators.mixing import epoch_mixture_plan as emp
+
+    view = _view(spark, sf_dir)
+    return emp(view.tables["documents"])
+
+
+@register(
+    "length_drift_psi",
+    """WITH tok AS (
+         SELECT source,
+                least(len(list_filter(string_split(lower(text), ' '),
+                                      x -> x != '')), 2048) AS nt
+         FROM documents),
+       b AS (
+         SELECT source,
+                CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+                     WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+                     WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+                     WHEN nt <= 1024 THEN 1024 ELSE 2048 END AS bucket
+         FROM tok),
+       c AS (SELECT source, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+       t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1),
+       grid AS (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048]) AS bucket),
+       profl AS (
+         SELECT t.source, grid.bucket,
+                (coalesce(c.n, 0) + 1) / CAST(t.tot + 8 AS DOUBLE) AS p
+         FROM t CROSS JOIN grid
+         LEFT JOIN c ON c.source = t.source AND c.bucket = grid.bucket),
+       ref AS (SELECT bucket, p AS q FROM profl WHERE source = 'src0')
+       SELECT f.source,
+              floor(sum((f.p - ref.q) * ln(f.p / ref.q)) * 1000000.0 + 0.5)
+                / 1000000.0 AS psi
+       FROM profl f JOIN ref USING (bucket)
+       WHERE f.source != 'src0'
+       GROUP BY 1""",
+)
+def length_drift_psi(spark, sf_dir):
+    """Population-stability-index drift of each source's token-length
+    profile vs the 'src0' reference (add-one smoothed power-of-two
+    buckets). See profiling.py::length_drift_psi."""
+    from .operators.profiling import length_drift_psi as psi
+
+    view = _view(spark, sf_dir)
+    return psi(view.tables["documents"])

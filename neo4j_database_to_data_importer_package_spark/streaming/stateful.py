@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -353,6 +354,97 @@ def streaming_topk_users(
         _make_topk_update(k),
         outputStructType=TOPK_OUTPUT_SCHEMA,
         stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("n_views", LongType()),
+        StructField("n_purchases", LongType()),
+        StructField("first_view", TimestampNTZType()),
+        StructField("last_purchase", TimestampNTZType()),
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_views", LongType()),
+        StructField("n_purchases", LongType()),
+        StructField("first_view", TimestampNTZType()),
+        StructField("last_purchase", TimestampNTZType()),
+        StructField("converted", BooleanType()),
+    ]
+)
+
+
+def _update_funnel(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        nv, np_, fv, lp = state.get
+    else:
+        nv, np_, fv, lp = 0, 0, None, None
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        views = pdf[pdf["event_type"] == "view"]
+        purch = pdf[pdf["event_type"] == "purchase"]
+        nv += int(len(views))
+        np_ += int(len(purch))
+        if len(views):
+            bmn = views["ts"].min()
+            fv = bmn if fv is None else min(fv, bmn)
+        if len(purch):
+            bmx = purch["ts"].max()
+            lp = bmx if lp is None else max(lp, bmx)
+    state.update((nv, np_, fv, lp))
+    conv = fv is not None and lp is not None and lp > fv
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_views": [nv],
+            "n_purchases": [np_],
+            "first_view": [fv],
+            "last_purchase": [lp],
+            "converted": [conv],
+        }
+    )
+
+
+def streaming_funnel_state(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Incrementally maintained per-user funnel state: view/purchase
+    counts, first view, last purchase, and the conversion flag (any
+    purchase strictly after the first view). Every statistic is a
+    commutative min/max/count — deliberately chosen so the state stays
+    FOUR scalars per user and the final emission equals the batch
+    answer under ANY arrival order and micro-batching ("first purchase
+    after first view" would need unbounded purchase history to stay
+    exact under out-of-order arrival; "last purchase after first view"
+    does not).
+
+    State is O(active users); for unbounded user spaces configure the
+    GroupStateTimeout eviction exactly as streaming_running_totals
+    documents.
+    """
+    from pyspark.sql import functions as F
+
+    src = events.filter(F.col(type_col).isin("view", "purchase")).select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("event_type"),
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

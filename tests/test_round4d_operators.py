@@ -120,3 +120,82 @@ def test_hybrid_rrf_fusion_law(spark, sf_dir):
     lex = {r["doc_id"]: r["rank"] for r in
            bm25_topk(docs, ["spark", "hash", "join"], k=20).collect()}
     assert set(lex) & {r["doc_id"] for r in out}, "lexical hits must surface"
+
+
+def test_streaming_funnel_conversion_flag_semantics(spark):
+    # pure batch check of the conversion law on the stateful operator's
+    # statistics: converted <=> last_purchase strictly after first view
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    rows = [
+        Row(event_id=1, user_id=1, event_type="view", ts="2024-01-01 10:00:00"),
+        Row(event_id=2, user_id=1, event_type="purchase", ts="2024-01-01 11:00:00"),
+        Row(event_id=3, user_id=2, event_type="purchase", ts="2024-01-01 09:00:00"),
+        Row(event_id=4, user_id=2, event_type="view", ts="2024-01-01 10:00:00"),
+        Row(event_id=5, user_id=3, event_type="view", ts="2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    from neo4j_database_to_data_importer_package_spark.streaming.stateful import (
+        streaming_funnel_state,
+    )
+
+    # applyInPandasWithState requires a stream; exercise the update fn
+    # directly on a single "batch" per user instead.
+    import pandas as pd
+
+    from neo4j_database_to_data_importer_package_spark.streaming.stateful import (
+        _update_funnel,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.v = v
+
+    pdf = df.filter("user_id = 2").toPandas()
+    (out,) = _update_funnel((2,), iter([pdf]), FakeState())
+    assert not out["converted"][0]  # purchase BEFORE the first view
+    pdf1 = df.filter("user_id = 1").toPandas()
+    (out1,) = _update_funnel((1,), iter([pdf1]), FakeState())
+    assert out1["converted"][0]
+
+
+def test_epoch_mixture_plan_realizes_epochs(spark, sf_dir):
+    from neo4j_database_to_data_importer_package_spark.operators.mixing import (
+        domain_mixture_weights,
+        epoch_mixture_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = {r["source"]: r for r in epoch_mixture_plan(docs).collect()}
+    weights = {r["source"]: r for r in domain_mixture_weights(docs).collect()}
+    assert set(plan) == set(weights)
+    for s, p in plan.items():
+        e = weights[s]["effective_epochs"]
+        # realized epochs within 1 copy/doc of the target (Bernoulli rounding)
+        assert abs(p["realized_epochs"] - e) < 1.0
+        assert p["planned_doc_copies"] >= p["n_docs"] * int(e)
+
+
+def test_length_drift_psi_zero_for_identical_profile(spark):
+    from pyspark.sql import Row
+
+    from neo4j_database_to_data_importer_package_spark.operators.profiling import (
+        length_drift_psi,
+    )
+
+    text_a = " ".join(["w"] * 20)
+    text_b = " ".join(["w"] * 300)
+    rows = []
+    for i in range(50):
+        rows.append(Row(doc_id=i, source="src0", text=text_a if i % 2 else text_b))
+        rows.append(Row(doc_id=100 + i, source="same", text=text_a if i % 2 else text_b))
+        rows.append(Row(doc_id=200 + i, source="shifted", text=text_b))
+    df = spark.createDataFrame(rows)
+    out = {r["source"]: r["psi"] for r in length_drift_psi(df).collect()}
+    assert out["same"] == 0.0          # identical distribution: PSI exactly 0
+    assert out["shifted"] > 0.2        # concentrated profile drifts
