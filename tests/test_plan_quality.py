@@ -296,3 +296,29 @@ def test_sampled_schema_union_filter_reaches_scan(spark):
     assert "Exchange" in plan  # the distinct agg still shuffles (tiny)
     scan_part, _, post = plan.partition("Scan parquet")
     assert "Filter" in scan_part, "sample filter should sit above the scans"
+
+
+def test_round4_topk_operators_use_take_ordered(spark):
+    """The round-4 bounded-output operators must compile their top-k to
+    TakeOrderedAndProject (per-partition heaps), never a global sort:
+    record linkage, weighted reservoir sampling, PMI read-out, RRF
+    fusion."""
+    for name in (
+        "part_name_linkage",
+        "weighted_corpus_sample",
+        "pmi_collocations",
+        "hybrid_rrf_retrieval",
+    ):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, (name, plan[:1500])
+
+
+def test_centroid_outliers_broadcasts_centroids(spark):
+    """The label-centroid table is dimension-sized and must return to
+    the scoring pass as a broadcast join, and the ranking window must be
+    partitioned (by label)."""
+    plan = _plan(spark, "embedding_centroid_outliers")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "], [], [" not in line, f"unpartitioned window: {line}"
