@@ -191,6 +191,9 @@ BENCH_QUERIES = [
     "streaming_funnel_state",
     "epoch_mixture_plan",
     "length_drift_psi",
+    "graph_personalized_pagerank",
+    "quality_signal_ensemble",
+    "events_hourly_profile",
 ]
 
 

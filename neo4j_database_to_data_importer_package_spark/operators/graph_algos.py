@@ -601,3 +601,97 @@ def hits(
         round_half_up(F.col("hub"), digits).alias("hub_score"),
         round_half_up(F.col("auth"), digits).alias("auth_score"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    iterations: int = 6,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: random walks restart at the SEED
+    distribution (uniform over ``seeds``) instead of uniformly — the
+    proximity-to-seeds ranking behind "related entities" and
+    recommendation candidates. Dangling mass also returns to the seeds
+    (the standard PPR convention: the walk teleports, and every
+    teleport is seed-directed).
+
+    Same superstep shape and contracts as ``pagerank``: fixed iteration
+    count, one edge⋈rank join + destination aggregate per step, state
+    one row per node, shuffles sized by ``superstep_scope``, results
+    rounded so the fixed-depth SQL recursion is the oracle.
+    """
+    from pyspark import StorageLevel
+
+    from ..functions.numeric import round_half_up
+    from ..partitioning import superstep_scope
+
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()
+    seed_set = (
+        seeds.select(F.col(node_col).alias("node")).distinct().persist()
+    )
+    n_seeds = seed_set.count()
+    base = nodes.join(
+        seed_set.withColumn("__is_seed", F.lit(True)), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("__is_seed"), F.lit(1.0 / n_seeds))
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out_deg = (
+        edges.groupBy(F.col(src).alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("dst_node")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        with superstep_scope(edges.sparkSession, n_nodes):
+            ranks = base.select("node", F.col("v").alias("rank")).localCheckpoint(
+                eager=True
+            )
+            for _ in range(iterations):
+                with_deg = ranks.join(out_deg, "node", "left")
+                contribs = (
+                    e.join(with_deg, "node")
+                    .select(
+                        F.col("dst_node").alias("node"),
+                        (F.col("rank") / F.col("deg")).alias("c"),
+                    )
+                    .groupBy("node")
+                    .agg(F.sum("c").alias("contrib"))
+                )
+                dangling_df = with_deg.filter(F.col("deg").isNull()).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
+                )
+                ranks = (
+                    base.join(contribs, "node", "left")
+                    .crossJoin(F.broadcast(dangling_df))
+                    .select(
+                        "node",
+                        (
+                            F.lit(1.0 - damping) * F.col("v")
+                            + F.lit(damping)
+                            * (
+                                F.col("__dangling") * F.col("v")
+                                + F.coalesce(F.col("contrib"), F.lit(0.0))
+                            )
+                        ).alias("rank"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+    finally:
+        for df in (nodes, seed_set, base, out_deg, e):
+            df.unpersist()
+    return ranks.select("node", round_half_up("rank", 8).alias("ppr"))

@@ -773,3 +773,69 @@ def language_confusion(
             "share_of_lang"
         ),
     )
+
+
+def quality_signal_ensemble(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Ensemble two independent quality signals — the logistic
+    classifier (``quality_classifier_score``) and the unigram LM
+    log-probability — by PER-DOMAIN rank normalization: each signal
+    becomes its percent_rank within the document's domain, and the
+    blend is their mean. Rank-blending is how production filters
+    combine heuristic + model scores without calibrating either; the
+    per-domain partitioning both matches how thresholds get applied
+    (within a source) and keeps every ranking window PARTITIONED — no
+    global sort at any corpus size.
+
+    Ties are broken by doc id inside the window ordering, so
+    percent_rank is a total order and the blend is deterministic.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.numeric import round_half_up
+
+    clf = quality_classifier_score(df, text_col, id_col).select(
+        F.col(id_col), F.col("quality_prob")
+    )
+    t = F.col("__t")
+    base = df.withColumn("__t", tokens(text_col)).filter(F.size(t) > 0)
+    # unigram logprob: mean ln(corpus_freq / corpus_total) over tokens
+    uni = base.select(F.col(id_col), F.explode(t).alias("w"))
+    counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("tot"))
+    lp = (
+        uni.join(counts, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            round_half_up(
+                F.avg(F.log(F.col("c") / F.col("tot"))), 6
+            ).alias("mean_logprob")
+        )
+    )
+    doms = df.select(F.col(id_col), F.col(domain_col))
+    scored = doms.join(clf, id_col).join(lp, id_col)
+    w_clf = Window.partitionBy(domain_col).orderBy(
+        F.col("quality_prob"), F.col(id_col)
+    )
+    w_lm = Window.partitionBy(domain_col).orderBy(
+        F.col("mean_logprob"), F.col(id_col)
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col(domain_col),
+        round_half_up(F.percent_rank().over(w_clf), 6).alias("clf_rank"),
+        round_half_up(F.percent_rank().over(w_lm), 6).alias("lm_rank"),
+    ).select(
+        id_col,
+        domain_col,
+        "clf_rank",
+        "lm_rank",
+        round_half_up((F.col("clf_rank") + F.col("lm_rank")) / 2.0, 6).alias(
+            "blended_rank"
+        ),
+    )

@@ -295,3 +295,40 @@ def mad_outliers(
         round_half_up(F.first("__mad"), 6).alias("mad_val"),
         F.sum(F.col("__out").cast("long")).alias("n_outliers"),
     )
+
+
+def hourly_seasonal_profile(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-of-day seasonal baseline per event type: event share and
+    mean value for each of the 24 wall-clock hours, with each hour's
+    deviation from the type's flat-profile expectation (share × 24 — a
+    ratio of 1.0 means no seasonality in that hour). The time-dimension
+    complement of the value-dimension anomaly screens
+    (``zscore_outliers`` / ``mad_outliers``): together they answer
+    "is this hour's traffic unusual" and "are these values unusual".
+
+    One scan, one (type, hour) aggregate (≤ 24·|types| rows), exact
+    decimal value sums; hour comes from the NTZ wall time, so the
+    profile is session-timezone-independent.
+    """
+    hr = F.hour(ts_col)
+    cell = events.groupBy(F.col(key_col), hr.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round_half_up(dsum(value_col) / F.count(F.lit(1)), 6).alias(
+            "mean_value"
+        ),
+    )
+    tot = cell.groupBy(key_col).agg(F.sum("n_events").alias("__tot"))
+    return cell.join(F.broadcast(tot), key_col).select(
+        key_col,
+        "hour",
+        "n_events",
+        "mean_value",
+        round_half_up(
+            F.col("n_events") / F.col("__tot") * F.lit(24.0), 6
+        ).alias("load_ratio"),
+    )

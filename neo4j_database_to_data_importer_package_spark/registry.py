@@ -5585,3 +5585,136 @@ def length_drift_psi(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return psi(view.tables["documents"])
+
+
+@register(
+    "graph_personalized_pagerank",
+    """WITH RECURSIVE
+edges AS (
+  SELECT 'N' || c_nationkey AS src, 'C' || c_custkey AS dst FROM customer
+  UNION ALL
+  SELECT 'R' || n_regionkey, 'N' || n_nationkey FROM nation),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION SELECT dst FROM edges) u),
+seeds AS (SELECT DISTINCT 'R' || r_regionkey AS node FROM region),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+base AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN 1.0 / (SELECT n FROM ns)
+              ELSE 0.0 END AS v
+  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+out_deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
+            FROM edges GROUP BY 1),
+pr AS (
+  SELECT node, v AS rank, 0 AS i FROM base
+  UNION ALL
+  SELECT b.node,
+         CAST((1.0 - 0.85) * b.v
+              + 0.85 * ((SELECT coalesce(sum(CASE WHEN od.deg IS NULL
+                                              THEN p.rank END), 0.0)
+                         FROM pr p LEFT JOIN out_deg od ON od.node = p.node)
+                          * b.v
+                        + coalesce(c.contrib, 0.0)) AS DOUBLE) AS rank,
+         (SELECT min(i) FROM pr) + 1 AS i
+  FROM base b
+  LEFT JOIN (SELECT e.dst AS node, sum(p.rank / od.deg) AS contrib
+             FROM pr p JOIN edges e ON e.src = p.node
+             JOIN out_deg od ON od.node = p.node
+             GROUP BY e.dst) c ON c.node = b.node
+  WHERE (SELECT min(i) FROM pr) < 6
+)
+SELECT node, floor(rank * 100000000.0 + 0.5) / 100000000.0 AS ppr
+FROM pr WHERE i = 6""",
+)
+def graph_personalized_pagerank(spark, sf_dir):
+    """Seed-restarted PageRank over the REVERSED FK graph (regions seed
+    the walk; mass flows region -> nation -> customer) — proximity-to-
+    seeds ranking, 6 fixed iterations replayed by the recursive-CTE
+    oracle. See graph_algos.py::personalized_pagerank."""
+    from .operators.graph_algos import personalized_pagerank
+
+    view = _view(spark, sf_dir)
+    cust = view.tables["customer"].select(
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("src"),
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("dst"),
+    )
+    nat = view.tables["nation"].select(
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("dst"),
+    )
+    seeds = view.tables["region"].select(
+        F.concat(F.lit("R"), F.col("r_regionkey")).alias("node")
+    )
+    return personalized_pagerank(
+        cust.unionByName(nat), seeds, iterations=6
+    )
+
+
+@register(
+    "quality_signal_ensemble",
+    f"""WITH clf AS (SELECT doc_id, quality_prob
+                     FROM ({ORACLES["quality_classifier_score"]})),
+        tok AS (
+          SELECT doc_id, source, {_TOKS_DUCK} AS t FROM documents),
+        uni AS (SELECT doc_id, unnest(t) AS w FROM tok WHERE len(t) > 0),
+        counts AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+        tot AS (SELECT sum(c) AS tt FROM counts),
+        lp AS (
+          SELECT uni.doc_id,
+                 floor(avg(ln(counts.c / tot.tt)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS mean_logprob
+          FROM uni JOIN counts USING (w) CROSS JOIN tot
+          GROUP BY 1),
+        scored AS (
+          SELECT d.doc_id, d.source, clf.quality_prob, lp.mean_logprob
+          FROM documents d JOIN clf USING (doc_id) JOIN lp USING (doc_id)),
+        ranked AS (
+          SELECT doc_id, source,
+                 floor(percent_rank() OVER (PARTITION BY source
+                       ORDER BY quality_prob, doc_id) * 1000000.0 + 0.5)
+                   / 1000000.0 AS clf_rank,
+                 floor(percent_rank() OVER (PARTITION BY source
+                       ORDER BY mean_logprob, doc_id) * 1000000.0 + 0.5)
+                   / 1000000.0 AS lm_rank
+          FROM scored)
+        SELECT doc_id, source, clf_rank, lm_rank,
+               floor((clf_rank + lm_rank) / 2.0 * 1000000.0 + 0.5)
+                 / 1000000.0 AS blended_rank
+        FROM ranked""",
+)
+def quality_signal_ensemble(spark, sf_dir):
+    """Rank-blend of the logistic quality classifier and the unigram LM
+    score, percent-ranked WITHIN each domain (partitioned windows — no
+    global sort) — the uncalibrated-signal ensembling step of a
+    production quality filter.
+    See text_analysis.py::quality_signal_ensemble."""
+    from .operators.text_analysis import quality_signal_ensemble as qse
+
+    view = _view(spark, sf_dir)
+    return qse(view.tables["documents"])
+
+
+@register(
+    "events_hourly_profile",
+    f"""WITH cell AS (
+          SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+                 count(*) AS n_events,
+                 floor(({_dsum('value')}) / count(*) * 1000000.0 + 0.5)
+                   / 1000000.0 AS mean_value
+          FROM events GROUP BY 1, 2),
+        tot AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS t
+                FROM cell GROUP BY 1)
+        SELECT c.event_type, c.hour, c.n_events, c.mean_value,
+               floor(c.n_events / CAST(t.t AS DOUBLE) * 24.0 * 1000000.0
+                     + 0.5) / 1000000.0 AS load_ratio
+        FROM cell c JOIN tot t USING (event_type)""",
+)
+def events_hourly_profile(spark, sf_dir):
+    """Hour-of-day seasonal baseline per event type (share x 24 load
+    ratio + exact-decimal mean values) — the time-dimension anomaly
+    complement of the z-score/MAD value screens.
+    See windows.py::hourly_seasonal_profile."""
+    from .operators.windows import hourly_seasonal_profile
+
+    view = _view(spark, sf_dir)
+    return hourly_seasonal_profile(view.tables["events"])
