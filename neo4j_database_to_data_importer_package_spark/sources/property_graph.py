@@ -166,3 +166,55 @@ def read_apoc_jsonl_graph(spark, path: str) -> tuple[DataFrame, DataFrame]:
         to_map(F.col("properties")).alias("props"),
     )
     return nodes, edges
+
+
+def read_exported_graph(
+    spark,
+    export_dir: str,
+    manifest,
+) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+    """Round-trip reader for the engine's own CSV export: given the
+    export directory and its ``ExportManifest``, load every node label
+    and relationship pattern back as DataFrames — the "re-import what
+    you exported" path a Data-Importer-shaped pipeline needs for
+    verification, incremental re-export diffs, and downstream Spark
+    jobs over already-exported data.
+
+    Columns come back as strings with the export's ``NULL`` sentinel
+    restored to real nulls (the export stringifies every value — type
+    recovery is the importer's job, mirroring the reference's contract).
+    Works identically for single-file and sharded exports: the sharded
+    layout is a directory of part files with one header each, which the
+    Spark CSV reader consumes as-is. Scans stay lazy and schema-pinned
+    (no inferSchema pass over 100 TB of CSV).
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    def _read(path: str, columns: list[str]) -> DataFrame:
+        schema = T.StructType(
+            [T.StructField(c, T.StringType()) for c in columns]
+        )
+        return (
+            spark.read.schema(schema)
+            .option("header", True)
+            .option("nullValue", "NULL")
+            .csv(path)
+        )
+
+    nodes = {}
+    for label, entry in manifest.nodes.items():
+        single = os.path.join(export_dir, f"{label}.csv")
+        path = single if os.path.exists(single) else os.path.join(
+            export_dir, label
+        )
+        nodes[label] = _read(path, entry.columns)
+    rels = {}
+    for key, entry in manifest.rels.items():
+        single = os.path.join(export_dir, f"{key}.csv")
+        path = single if os.path.exists(single) else os.path.join(
+            export_dir, key
+        )
+        rels[key] = _read(path, entry.all_properties)
+    return nodes, rels
