@@ -83,18 +83,32 @@ def edges_from_view(view: GraphView) -> DataFrame:
     return out
 
 
-def write_partitioned_graph(nodes: DataFrame, edges: DataFrame, path: str) -> None:
-    """Persist a canonical graph partitioned for label/type pruning."""
-    nodes.write.mode("overwrite").partitionBy("label").parquet(f"{path}/nodes")
-    edges.write.mode("overwrite").partitionBy("rel_type").parquet(f"{path}/edges")
+def write_partitioned_graph(
+    nodes: DataFrame, edges: DataFrame, path: str, fmt: str = "parquet"
+) -> None:
+    """Persist a canonical graph partitioned for label/type pruning.
+
+    ``fmt`` is any Spark-built-in columnar format — parquet (default)
+    or orc; both carry the map-typed property column and both
+    partition-prune identically, so the choice is an ecosystem fit
+    (Hive/ORC shops), not a semantics one.
+    """
+    nodes.write.mode("overwrite").partitionBy("label").format(fmt).save(
+        f"{path}/nodes"
+    )
+    edges.write.mode("overwrite").partitionBy("rel_type").format(fmt).save(
+        f"{path}/edges"
+    )
 
 
-def read_partitioned_graph(spark, path: str) -> tuple[DataFrame, DataFrame]:
+def read_partitioned_graph(
+    spark, path: str, fmt: str = "parquet"
+) -> tuple[DataFrame, DataFrame]:
     """Read back a ``write_partitioned_graph`` layout. Per-label /
     per-type filters partition-prune (the scan lists only the matching
     ``label=``/``rel_type=`` directories)."""
-    nodes = spark.read.parquet(f"{path}/nodes").select(*NODE_SCHEMA_COLS)
-    edges = spark.read.parquet(f"{path}/edges").select(*EDGE_SCHEMA_COLS)
+    nodes = spark.read.format(fmt).load(f"{path}/nodes").select(*NODE_SCHEMA_COLS)
+    edges = spark.read.format(fmt).load(f"{path}/edges").select(*EDGE_SCHEMA_COLS)
     return nodes, edges
 
 

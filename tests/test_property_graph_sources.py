@@ -79,3 +79,46 @@ def test_apoc_jsonl_roundtrip(spark, sf_dir, tmp_path):
     ea = sorted((r["src"], r["rel_type"], r["dst"]) for r in edges.collect())
     eb = sorted((r["src"], r["rel_type"], r["dst"]) for r in re_.collect())
     assert ea == eb
+
+
+def test_partitioned_graph_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC is the second built-in columnar format: same layout, same
+    pruning, same map-typed property column."""
+    from neo4j_database_to_data_importer_package_spark.sources.property_graph import (
+        edges_from_view,
+        nodes_from_view,
+        read_partitioned_graph,
+        write_partitioned_graph,
+    )
+    from neo4j_database_to_data_importer_package_spark.sources.star_schema import (
+        load_graph_view,
+    )
+
+    view = load_graph_view(spark, sf_dir)
+    nodes, edges = nodes_from_view(view), edges_from_view(view)
+    path = str(tmp_path / "g_orc")
+    write_partitioned_graph(nodes, edges, path, fmt="orc")
+    rn, re_ = read_partitioned_graph(spark, path, fmt="orc")
+    assert rn.count() == nodes.count()
+    assert re_.count() == edges.count()
+    one = rn.filter("label = 'Customer'")
+    assert one.count() == view.nodes["Customer"].count()
+
+
+def test_missing_sf_dir_raises_clean_analysis_exception(spark):
+    """A bad data directory must surface as Spark's PATH_NOT_FOUND
+    AnalysisException at first action — never a partial result."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from neo4j_database_to_data_importer_package_spark import registry
+
+    df = None
+    with pytest.raises(AnalysisException) as ei:
+        df = registry.QUERIES["q1_pricing_summary"](
+            spark, "/root/testdata/sf_does_not_exist"
+        )
+        df.count()
+    assert "PATH_NOT_FOUND" in str(ei.value) or "Path does not exist" in str(
+        ei.value
+    )
