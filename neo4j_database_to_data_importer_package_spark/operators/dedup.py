@@ -670,10 +670,12 @@ def blocked_name_linkage(
     2. **Join-back is capped exactly.** A pair can only reach the global
        top-k (ranked by edit_dist, key_a, key_b) if each key is among
        the k smallest keys of its name — ≥k same-name-pair pairs with
-       smaller keys precede any other. So each name keeps only its k
-       smallest keys (window partitioned by name; for a planet-hot name
-       use the two-level bounded-agg shape of ``mixing.cap_per_group``)
-       before the record-level join, bounding it at k² per name pair.
+       smaller keys precede any other. Each name's k smallest keys come
+       from the two-level bounded aggregation (per-(name, input
+       partition) sorted slice, then merge-and-reslice — the
+       ``mixing.cap_per_group`` shape): a planet-hot name merges
+       ≤ k·partitions keys, never its full record set through one
+       ranking window task.
 
     Levenshtein is the JVM built-in (codegen, no UDF); the final top-k
     is ``orderBy().limit(k)`` — TakeOrderedAndProject, per-partition
@@ -703,12 +705,21 @@ def blocked_name_linkage(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
-    w = Window.partitionBy(name_col).orderBy(F.col(key_col))
+    slim = df.select(F.col(name_col), F.col(key_col))
+    partials = slim.groupBy(
+        name_col, F.spark_partition_id().alias("__pid")
+    ).agg(F.slice(F.array_sort(F.collect_list(key_col)), 1, k).alias("__top"))
     reps = (
-        df.select(F.col(name_col), F.col(key_col))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(F.col(name_col).alias("__rname"), F.col(key_col).alias("__rkey"))
+        partials.groupBy(name_col)
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("__top"))), 1, k
+            ).alias("__top")
+        )
+        .select(
+            F.col(name_col).alias("__rname"),
+            F.explode("__top").alias("__rkey"),
+        )
     )
     joined = name_pairs.join(
         reps.select(

@@ -322,3 +322,11 @@ def test_centroid_outliers_broadcasts_centroids(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "], [], [" not in line, f"unpartitioned window: {line}"
+
+
+def test_linkage_rep_cap_has_no_ranking_window(spark):
+    """The per-name k-smallest-keys cap must be the two-level bounded
+    aggregation, not a per-name ranking window (a planet-hot name would
+    single-task-sort its whole record set through row_number)."""
+    plan = _plan(spark, "part_name_linkage")
+    assert "windowspecdefinition" not in plan, plan[:1500]
