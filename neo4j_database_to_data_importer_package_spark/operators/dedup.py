@@ -770,9 +770,12 @@ def prefix_survivorship(
     where exact-fingerprint dedup (identical full text) sees nothing.
 
     One fingerprint projection (md5 of the joined prefix — narrow,
-    uniform key) + one window partitioned by that fingerprint: the
-    shuffle carries (fp, length, id), never document payloads, and no
-    group is larger than its duplicate cluster.
+    uniform key) + one AGGREGATE per fingerprint: the survivorship
+    policy (longest, then smallest id) is an argmax —
+    ``max(struct(n_chars, −id))`` — so it partial-aggregates map-side
+    and a pathological hot cluster (10⁹ docs sharing a prefix) never
+    funnels through a single ranking-window task. The shuffle carries
+    (fp, length, id), never document payloads.
     """
     t = tokens(text_col)
     fp = F.md5(
@@ -781,17 +784,20 @@ def prefix_survivorship(
     slim = df.select(
         F.col(id_col), F.col(chars_col), fp.alias("__fp")
     )
-    w = Window.partitionBy("__fp").orderBy(
-        F.col(chars_col).desc(), F.col(id_col)
+    canon = slim.groupBy("__fp").agg(
+        F.max(
+            F.struct(
+                F.col(chars_col).alias("c"), (-F.col(id_col)).alias("nid")
+            )
+        ).alias("__best"),
+        F.count(F.lit(1)).alias("group_size"),
+    ).select(
+        "__fp",
+        (-F.col("__best.nid")).alias("canonical_id"),
+        "group_size",
     )
-    ranked = slim.withColumn("__rn", F.row_number().over(w))
-    canon = ranked.filter(F.col("__rn") == 1).select(
-        F.col("__fp"), F.col(id_col).alias("canonical_id")
-    )
-    sizes = slim.groupBy("__fp").agg(F.count(F.lit(1)).alias("group_size"))
     return (
         slim.join(canon, "__fp")
-        .join(sizes, "__fp")
         .select(
             id_col,
             "canonical_id",

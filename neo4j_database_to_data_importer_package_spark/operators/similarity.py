@@ -606,11 +606,37 @@ def centroid_outliers(
         F.col(id_col),
         round_half_up(F.sqrt(d2), 6).alias("centroid_dist"),
     )
-    w = Window.partitionBy(label_col).orderBy(
-        F.col("centroid_dist").desc(), F.col(id_col)
+    # Per-label top-k via the two-level bounded aggregation (sort key =
+    # (−dist, id) so the ascending array slice is (dist desc, id asc)):
+    # a hot label merges ≤ k·partitions candidates, never its full
+    # vector set through one ranking-window task. The k survivors then
+    # rank inside a k-row array — no window over unbounded input.
+    partials = scored.groupBy(
+        label_col, F.spark_partition_id().alias("__pid")
+    ).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("centroid_dist")).alias("nd"),
+                        F.col(id_col).alias("i"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("__top")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(label_col, id_col, "centroid_dist", "rank")
+    merged = partials.groupBy(label_col).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__top"))), 1, k
+        ).alias("__top")
+    )
+    return merged.select(
+        F.col(label_col), F.posexplode("__top").alias("__pos", "__e")
+    ).select(
+        label_col,
+        F.col("__e.i").alias(id_col),
+        (-F.col("__e.nd")).alias("centroid_dist"),
+        (F.col("__pos") + 1).cast("int").alias("rank"),
     )

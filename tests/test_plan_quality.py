@@ -330,3 +330,12 @@ def test_linkage_rep_cap_has_no_ranking_window(spark):
     single-task-sort its whole record set through row_number)."""
     plan = _plan(spark, "part_name_linkage")
     assert "windowspecdefinition" not in plan, plan[:1500]
+
+
+def test_hot_group_safe_aggregation_shapes(spark):
+    """Survivorship and centroid-outlier top-k must be aggregation-based
+    (argmax / two-level bounded slice), never a per-group ranking window
+    — a hot duplicate cluster or hot label must not single-task-sort."""
+    for name in ("dedup_prefix_survivorship", "embedding_centroid_outliers"):
+        plan = _plan(spark, name)
+        assert "windowspecdefinition" not in plan, (name, plan[:1500])
