@@ -25,81 +25,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate evaluates the FIRST 50 entries of this
-# dict (rounds 1-3 each produced rows for exactly list(queries())[:50],
-# bit-identical key sets — see COVERAGE.md for the evidence). Round-4
-# rotation: the 5 round-3 red rows (oracle HUGEINT/double-sum fixes —
-# VERDICT r03 #1) re-gate first, then every never-gated query (the 23
-# deferred entries + the new graph_shortest_hops), then a 21-query canary
-# spread of r01/r02-green queries so rotated-out families keep an
-# enforced driver regression signal (ADVICE r03). Every entry, regardless
-# of position, is oracle-verified locally at sf0.01 by
-# tools/local_gate.py and at sf0.001 by tests/test_oracle_parity.py.
+# dict (rounds 1-4 each produced rows for exactly list(queries())[:50],
+# bit-identical key sets — see COVERAGE.md for the evidence). Round-5
+# rotation (VERDICT r04 directive #1): the 40 round-4 additions that
+# post-dated the round-4 window freeze (the r04 `_NEXT_ROTATION` ledger,
+# all local-green in CORRECTNESS_local_r04.json) gate first — closing the
+# cumulative driver-green ledger at 163/163 — followed by 10 canaries
+# spanning every rotated-out family. Every entry, regardless of position,
+# is oracle-verified locally at sf0.01 by tools/local_gate.py and at
+# sf0.001 by tests/test_oracle_parity.py.
 _GATE_FIRST_50 = [
-    # round-3 red rows, fixed this round (re-gate for green evidence)
-    "q7_nation_volume_shipping",
-    "q12_shipping_delay_class",
-    "dedup_span_stats",
-    "contamination_check",
-    "vocabulary_oov_rate",
-    # never gated: missed the r03 cut at position 51 (ADVICE off-by-one)
-    "skewed_join_hot_suppliers",
-    # never gated: deferred analytics variants
-    "cube_orders_by_priority_status",
-    "grouping_sets_revenue",
-    "pivot_orders_priority_status",
-    "orders_running_total",
-    "customer_balance_deciles",
-    "part_brand_families",
-    "events_hourly_daily_rollup",
-    "corpus_hash_sample",
-    "events_stratified_sample",
-    "events_group_sample",
-    "top_parts_per_nation",
-    "motif_customer_order_part",
-    "signup_purchases_24h",
-    "rolling_user_activity",
-    "events_zscore_outliers",
-    # never gated: round-3 additions
-    "corpus_shard_manifest",
-    "quality_survival_curve",
-    "embedding_label_stats",
-    "doc_novelty_profile",
-    "lineitem_column_profile",
-    "corpus_snapshot_diff",
-    "bpe_merge_candidates",
-    # new this round
-    "graph_shortest_hops",
-    # canaries: r01/r02-green representatives of every rotated-out family
-    "schema_union",
-    "pattern_discovery",
-    "identifier_detection",
-    "type_inference_samples",
-    "rel_export_order_contains_part",
-    "node_export_customer",
-    "uniqueness_profile_customer",
-    "q1_pricing_summary",
-    "q3_top_orders_by_revenue",
-    "q5_revenue_by_segment_nation",
-    "q6_forecast_revenue",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "embedding_topk",
-    "embedding_lsh_pairs",
-    "text_token_stats",
-    "text_quality_score",
-    "graph_pagerank",
-    "graph_connected_components",
-    "asof_latest_high_value",
-    "streaming_tumbling_events",
-]
-assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)
-_GATE_PRIORITY = _GATE_FIRST_50
-
-# Queries added AFTER this round's window was frozen — they rotate into
-# the round-5 gate window; until then they are verified by the local
-# sf0.01 gate replica and tests/test_oracle_parity.py (the rotation
-# ledger in COVERAGE.md tracks this set).
-_NEXT_ROTATION = [
+    # the 40 round-4 post-freeze additions (r04 _NEXT_ROTATION, verbatim)
     "bpe_apply_merge_stats",
     "vocab_growth_curve",
     "domain_quality_percentiles",
@@ -140,7 +76,30 @@ _NEXT_ROTATION = [
     "graph_personalized_pagerank",
     "quality_signal_ensemble",
     "events_hourly_profile",
+    # 10 canaries: driver-green representatives of every rotated-out
+    # family (exports/discovery, identifier cascade, TPC-H analytics,
+    # decimal-exact sums, dedup, similarity — incl. the timing-watch
+    # embedding_lsh_pairs — text, graph, as-of joins, streaming)
+    "rel_export_order_contains_part",
+    "schema_union",
+    "identifier_detection",
+    "q1_pricing_summary",
+    "q7_nation_volume_shipping",
+    "dedup_minhash_lsh_pairs",
+    "embedding_lsh_pairs",
+    "text_token_stats",
+    "graph_pagerank",
+    "streaming_tumbling_events",
 ]
+assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)
+_GATE_PRIORITY = _GATE_FIRST_50
+
+# Queries added AFTER this round's window was frozen — they rotate into
+# the round-6 gate window; until then they are verified by the local
+# sf0.01 gate replica and tests/test_oracle_parity.py (the rotation
+# ledger in COVERAGE.md tracks this set; the standing freeze discipline
+# is documented there too).
+_NEXT_ROTATION: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -826,9 +826,15 @@ def minhash_calibration(
     the only addition is carrying the per-seed minima through the pair
     hydration, which widens the join payload by num_hashes hex strings.
     """
-    ds = doc_shingles(df, text_col, id_col, shingle_n).persist(
-        StorageLevel.MEMORY_ONLY
-    ).filter(F.size("shingles") > 0)
+    # Persist the FILTERED table and keep the handle (ADVICE r04: the
+    # previous persist-then-filter chained away the persisted handle, so
+    # the pre-filter cache could never be unpersisted and covered rows
+    # the two consumers below never read).
+    ds = (
+        doc_shingles(df, text_col, id_col, shingle_n)
+        .filter(F.size("shingles") > 0)
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
     mins = ds.select(
         F.col(id_col),
         F.col("shingles"),

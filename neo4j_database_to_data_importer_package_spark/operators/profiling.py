@@ -77,26 +77,28 @@ def length_drift_psi(
     from ..functions.numeric import round_half_up
     from ..functions.text import tokens
 
+    # One grid drives the CASE chain, the smoothing denominator, AND the
+    # dense bucket table — with any max_len they stay consistent (ADVICE
+    # r04: the 16..2048 grid was hard-coded, so max_len != 2048 produced
+    # phantom empty buckets whose add-one smoothing injected spurious
+    # nonzero PSI terms).
+    grid = [16]
+    while grid[-1] < max_len:
+        grid.append(grid[-1] * 2)
     toks = F.least(F.size(tokens(text_col)), F.lit(max_len))
-    bucket = F.lit(16)
-    b = 16
-    while b < max_len:
-        b *= 2
+    bucket = F.lit(grid[0])
+    for b in grid[1:]:
         bucket = F.when(toks > F.lit(b // 2), F.lit(b)).otherwise(bucket)
     binned = df.select(F.col(domain_col), bucket.alias("bucket"))
     counts = binned.groupBy(domain_col, "bucket").agg(
         F.count(F.lit(1)).alias("n")
     )
-    n_buckets = 8  # 16..2048 in powers of two
+    n_buckets = len(grid)
     totals = counts.groupBy(domain_col).agg(F.sum("n").alias("tot"))
+    spark = binned.sparkSession
+    grid_df = spark.createDataFrame([(b,) for b in grid], "bucket int")
     full = (
-        totals.crossJoin(
-            F.broadcast(
-                binned.sparkSession.range(4, 12).select(
-                    F.pow(F.lit(2.0), F.col("id")).cast("int").alias("bucket")
-                )
-            )
-        )
+        totals.crossJoin(F.broadcast(grid_df))
         .join(counts, [domain_col, "bucket"], "left")
         .select(
             F.col(domain_col),

@@ -93,10 +93,17 @@ def superstep_scope(spark, n_rows: int, rows_per_partition: int = 250_000,
     The conf is session-scoped while the loop runs: concurrent queries
     on the SAME SparkSession would plan under the reduced setting —
     acceptable for this engine's one-query-at-a-time registry/bench
-    contract, noted here for embedders.
+    contract, noted here for embedders. Platforms that set the conf to
+    a non-numeric value (e.g. ``auto``) fall back to the default
+    parallelism ceiling instead of crashing, and the original value —
+    whatever it was — is restored on exit (ADVICE r04).
     """
     saved = spark.conf.get("spark.sql.shuffle.partitions")
-    target = max(min_parts, min(int(saved), n_rows // rows_per_partition + 1))
+    try:
+        ceiling = int(saved)
+    except (TypeError, ValueError):
+        ceiling = spark.sparkContext.defaultParallelism
+    target = max(min_parts, min(ceiling, n_rows // rows_per_partition + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(target))
     try:
         yield target

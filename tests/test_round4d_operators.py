@@ -199,3 +199,29 @@ def test_length_drift_psi_zero_for_identical_profile(spark):
     out = {r["source"]: r["psi"] for r in length_drift_psi(df).collect()}
     assert out["same"] == 0.0          # identical distribution: PSI exactly 0
     assert out["shifted"] > 0.2        # concentrated profile drifts
+
+
+def test_length_drift_psi_grid_follows_max_len(spark):
+    """ADVICE r04: with max_len != 2048 the bucket CASE chain and the
+    smoothing grid must still agree — an identical distribution stays
+    PSI == 0 under any max_len (phantom empty buckets used to inject
+    spurious nonzero terms)."""
+    from pyspark.sql import Row
+
+    from neo4j_database_to_data_importer_package_spark.operators.profiling import (
+        length_drift_psi,
+    )
+
+    text_a = " ".join(["w"] * 20)
+    text_b = " ".join(["w"] * 90)
+    rows = []
+    for i in range(40):
+        rows.append(Row(doc_id=i, source="src0", text=text_a if i % 2 else text_b))
+        rows.append(Row(doc_id=100 + i, source="same", text=text_a if i % 2 else text_b))
+    df = spark.createDataFrame(rows)
+    for max_len in (128, 512, 8192):
+        out = {
+            r["source"]: r["psi"]
+            for r in length_drift_psi(df, max_len=max_len).collect()
+        }
+        assert out["same"] == 0.0, (max_len, out)

@@ -99,3 +99,27 @@ def test_hourly_profile_load_ratio_averages_to_one(spark):
     assert all(r["load_ratio"] == 6.0 for r in flat)  # 1/4 of traffic x 24
     (s,) = spiky
     assert s["hour"] == 9 and s["load_ratio"] == 24.0 and s["mean_value"] == 2.0
+
+
+def test_ppr_off_graph_seeds_do_not_deflate_ranks(spark):
+    """ADVICE r04: seeds absent from the edge list carry no mass, so
+    they must not be counted in the restart denominator — seeding
+    {s, ghost} must equal seeding {s} exactly."""
+    edges = spark.createDataFrame(
+        [Row(src="s", dst="a"), Row(src="a", dst="b")]
+    )
+    only_s = spark.createDataFrame([Row(node="s")])
+    with_ghost = spark.createDataFrame([Row(node="s"), Row(node="ghost")])
+    a = {r["node"]: r["ppr"] for r in personalized_pagerank(edges, only_s).collect()}
+    b = {r["node"]: r["ppr"] for r in personalized_pagerank(edges, with_ghost).collect()}
+    assert a == b
+
+
+def test_ppr_no_effective_seeds_raises(spark):
+    edges = spark.createDataFrame([Row(src="s", dst="a")])
+    ghosts = spark.createDataFrame([Row(node="ghost")])
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(edges, ghosts)
+    empty = ghosts.filter(F.lit(False))
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(edges, empty)
