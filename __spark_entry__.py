@@ -99,7 +99,9 @@ _GATE_PRIORITY = _GATE_FIRST_50
 # sf0.01 gate replica and tests/test_oracle_parity.py (the rotation
 # ledger in COVERAGE.md tracks this set; the standing freeze discipline
 # is documented there too).
-_NEXT_ROTATION: list[str] = []
+_NEXT_ROTATION: list[str] = [
+    "model_v3_table_schemas",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

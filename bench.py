@@ -241,6 +241,21 @@ def main() -> None:
         "sf": sf_val,
     }
     print(json.dumps(detail))
+    # Durable per-query detail (VERDICT r04 missing #3): the driver's
+    # tail-capture window truncates the detailed stdout line, so the
+    # round-over-round regression comparison needs a committed file.
+    # Each round's copy is committed as BENCH_local_rNN.json.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_local_latest.json"),
+    )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries the summary
     # The detailed line above can exceed the driver's tail-capture window
     # (round 2's 83-query line lost its head and parsed as null) — the
     # LAST line is a short, always-parseable summary.

@@ -351,6 +351,87 @@ def type_inference_samples(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Model generation (C5) — the v3.0 importer-model's tableSchemas surface,
+# materialized as rows so the driver-side generator earns a driver-gated
+# CORRECTNESS row (VERDICT r04 directive #6). The oracle re-derives each
+# field's recommendedType/nullable from the SAME parquet fixture: the
+# deterministic sample row (min identifier) rendered to VARCHAR, pushed
+# through the reference's type-inference grammar (the same regexes the
+# engine's JVM twin uses, neo4j_export.py:1221-1244).
+# ---------------------------------------------------------------------------
+
+def _model_v3_oracle() -> str:
+    from .functions.type_inference import _FLOAT_RE, _INT_RE
+
+    parts = []
+    for n in TPCH_GRAPH_SPEC.nodes:
+        parts.append(f"""
+SELECT '{n.label}.csv' AS table_name, field,
+       CASE WHEN val = '' OR val = 'NULL' THEN 'string'
+            WHEN regexp_matches(val, '{_INT_RE}') THEN 'integer'
+            WHEN regexp_matches(val, '{_FLOAT_RE}') THEN 'float'
+            WHEN lower(val) IN ('true', 'false') THEN 'boolean'
+            ELSE 'string' END AS recommended_type,
+       (val = '' OR val = 'NULL') AS nullable
+FROM (
+  UNPIVOT (SELECT COALESCE(CAST(COLUMNS(*) AS VARCHAR), 'None') FROM
+           (SELECT * FROM {n.table} ORDER BY {n.id_col} LIMIT 1))
+  ON COLUMNS(*) INTO NAME field VALUE val
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("model_v3_table_schemas", _model_v3_oracle())
+def model_v3_table_schemas(spark, sf_dir):
+    """Flattened v3.0 model: one row per (tableSchema, field) with the
+    field's recommendedType and the matching nodeLabel property's
+    nullable flag. Runs the REAL driver-side generator
+    (``plans.models.generate_model_v3_0``, reference
+    neo4j_export.py:460-729) over a manifest whose sample rows are
+    deterministic (min-identifier row, exporter ``str()`` rendering), so
+    both engines see the same sample. Per-label 1-row collects are
+    bounded driver fetches (6 labels), same class as the documented
+    manifest scalars."""
+    from .operators.node_export import ordered_columns
+    from .plans.manifest import ExportManifest, NodeEntry
+    from .plans.models import generate_model_v3_0
+
+    view = _view(spark, sf_dir)
+    idents = view.declared_identifiers()
+    entries: dict[str, object] = {}
+    for label in sorted(view.nodes):
+        df = view.nodes[label]
+        ident = idents[label]
+        cols = ordered_columns(df.columns, ident)
+        head = df.orderBy(ident).limit(1).select(*cols).collect()
+        sample = {c: str(v) for c, v in zip(cols, head[0])} if head else {}
+        entries[label] = NodeEntry(label, cols, ident, sample)
+    manifest = ExportManifest(nodes=entries, rels={})
+    model = generate_model_v3_0(manifest, view.catalog.unique_constraints)
+    dm = model["dataModel"]
+    nullable_by: dict[tuple[str, str], bool] = {}
+    for nl in dm["graphSchemaRepresentation"]["graphSchema"]["nodeLabels"]:
+        for p in nl["properties"]:
+            nullable_by[(nl["token"], p["token"])] = bool(p["nullable"])
+    rows = []
+    for ts in dm["graphMappingRepresentation"]["dataSourceSchema"]["tableSchemas"]:
+        label = ts["name"][: -len(".csv")]
+        for f in ts["fields"]:
+            rows.append(
+                (
+                    ts["name"],
+                    f["name"],
+                    f["recommendedType"]["type"],
+                    nullable_by[(label, f["name"])],
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "table_name string, field string, recommended_type string, nullable boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Relational analytics (headline bench queries)
 # ---------------------------------------------------------------------------
 

@@ -218,3 +218,37 @@ def test_hits_more_iterations_still_converges(spark):
     assert rows["A"]["auth_score"] == 1.0
     assert rows["h3"]["hub_score"] == 1.0
     assert 0 < rows["B"]["auth_score"] < 1.0
+
+
+def test_linkage_length_bucket_key_matches_bruteforce(spark):
+    """The compound (first token, length bucket) block key must not lose
+    pairs that straddle a bucket boundary: compare against a brute-force
+    same-first-token Levenshtein sweep over a vocab with many lengths."""
+    import itertools
+
+    names = [
+        "alpha " + "x" * n for n in range(1, 20)
+    ] + ["alpha " + "y" * n for n in (3, 4, 5)] + ["beta zz", "beta zzz"]
+    df = spark.createDataFrame([Row(k=i, name=nm) for i, nm in enumerate(names)])
+    out = blocked_name_linkage(df, "name", "k", max_dist=2, k=1000).collect()
+    got = {(r["name_a"], r["name_b"], r["edit_dist"]) for r in out}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for x, y in itertools.combinations(sorted(names), 2):
+        if x.split(" ")[0] != y.split(" ")[0]:
+            continue
+        d = lev(x, y)
+        if d <= 2:
+            want.add((x, y, d))
+    got_names = {(a, b, d) for a, b, d in got if a != b}
+    assert got_names == want
