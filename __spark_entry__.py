@@ -101,6 +101,15 @@ _GATE_PRIORITY = _GATE_FIRST_50
 # is documented there too).
 _NEXT_ROTATION: list[str] = [
     "model_v3_table_schemas",
+    "term_zipf_fit",
+    "language_script_stats",
+    "domain_term_entropy",
+    "events_cusum_drift",
+    "curriculum_order_plan",
+    "cross_domain_neardup_matrix",
+    "embedding_dim_quantiles",
+    "dataset_card_stats",
+    "graph_closeness_sampled",
 ]
 
 

@@ -194,6 +194,17 @@ BENCH_QUERIES = [
     "graph_personalized_pagerank",
     "quality_signal_ensemble",
     "events_hourly_profile",
+    # round-5 additions
+    "model_v3_table_schemas",
+    "term_zipf_fit",
+    "language_script_stats",
+    "domain_term_entropy",
+    "events_cusum_drift",
+    "curriculum_order_plan",
+    "cross_domain_neardup_matrix",
+    "embedding_dim_quantiles",
+    "dataset_card_stats",
+    "graph_closeness_sampled",
 ]
 
 

@@ -928,3 +928,50 @@ def minhash_calibration(
             round_half_up(F.abs(est - exact), 6).alias("abs_err"),
         )
     )
+
+
+def cross_domain_neardup_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Domain×domain near-duplication matrix: verified MinHash-LSH pairs
+    rolled up by (unordered) domain pair — the provenance view of
+    near-duplication. The diagonal (same-domain mass) says which source
+    re-publishes itself; off-diagonal cells say which sources mirror
+    each other — the evidence behind "drop the mirror, keep the
+    original" mixture decisions, and the cross-SPLIT version of this
+    matrix is exactly ``split_leakage_check``.
+
+    Pure composition: the banded LSH pair generator (never all-pairs)
+    plus two broadcast-friendly id→domain hydration joins and a
+    dimension-sized (domains²) aggregate.
+    """
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, band_size, shingle_n, threshold
+    )
+    doms = df.select(F.col(id_col), F.col(domain_col).alias("__dom"))
+    hydrated = (
+        pairs.join(
+            doms.select(F.col(id_col).alias("id_a"), F.col("__dom").alias("da")),
+            "id_a",
+        )
+        .join(
+            doms.select(F.col(id_col).alias("id_b"), F.col("__dom").alias("db")),
+            "id_b",
+        )
+        .select(
+            F.least("da", "db").alias("domain_a"),
+            F.greatest("da", "db").alias("domain_b"),
+            "jaccard",
+        )
+    )
+    return hydrated.groupBy("domain_a", "domain_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        round_half_up(F.avg("jaccard"), 4).alias("mean_jaccard"),
+    )

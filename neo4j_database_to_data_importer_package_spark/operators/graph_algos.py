@@ -728,3 +728,75 @@ def personalized_pagerank(
         for df in (nodes, seed_set, base, out_deg, e):
             df.unpersist()
     return ranks.select("node", round_half_up("rank", 8).alias("ppr"))
+
+
+def closeness_sampled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 6,
+    digits: int = 6,
+) -> DataFrame:
+    """Bounded-hop closeness centrality from a SAMPLED seed set: for each
+    seed, BFS hop distances to everything reachable within ``max_hops``,
+    then closeness = (reached − 1) / Σ dist — the landmark/pivot scheme
+    every at-scale centrality system uses (exact all-pairs closeness is
+    O(V·E); k seeds cost k·O(E·diameter) and rank the hubs just as
+    well).
+
+    Same frontier shape as ``bfs_distances`` with the state keyed by
+    (seed, node): per hop one edge⋈frontier join, a distinct, and an
+    anti-join against the visited set; every superstep ends in an eager
+    ``localCheckpoint`` under ``superstep_scope``. State is
+    O(seeds × reachable nodes) — the caller bounds it by choosing the
+    seed count; hop-bounding keeps each expansion one shuffle of
+    frontier-sized rows.
+    """
+    from pyspark import StorageLevel
+
+    from ..functions.numeric import round_half_up
+    from ..partitioning import superstep_scope
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_edges = und.count()  # warms the cache; sizes superstep shuffles
+    try:
+        with superstep_scope(edges.sparkSession, n_edges):
+            dist = (
+                seeds.select(F.col(node_col).alias("seed"))
+                .distinct()
+                .select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            frontier = dist.select("seed", "node")
+            for hop in range(1, max_hops + 1):
+                nxt = (
+                    frontier.join(und, frontier["node"] == und["a"])
+                    .select("seed", F.col("b").alias("node"))
+                    .distinct()
+                    .join(dist.select("seed", "node"), ["seed", "node"], "left_anti")
+                    .withColumn("dist", F.lit(hop))
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.limit(1).count() == 0:
+                    break
+                dist = dist.union(nxt).localCheckpoint(eager=True)
+                frontier = nxt.select("seed", "node")
+    finally:
+        und.unpersist()
+    reached = F.count(F.lit(1)) - 1
+    total = F.sum("dist")
+    return dist.groupBy("seed").agg(
+        reached.alias("n_reached"),
+        total.alias("sum_dist"),
+        round_half_up(
+            F.when(total > 0, reached.cast("double") / total).otherwise(F.lit(0.0)),
+            digits,
+        ).alias("closeness"),
+    )

@@ -346,3 +346,71 @@ def epoch_mixture_plan(
             "realized_epochs"
         ),
     )
+
+
+def curriculum_phases(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_phases: int = 4,
+    n_partitions: int = 64,
+) -> DataFrame:
+    """Curriculum-learning order plan: every document gets a global
+    training POSITION (rank over (score, id) — a total order, so no tie
+    ambiguity) and a PHASE = 1 + ⌊n_phases·(position−1)/n⌋, i.e. equal-
+    size difficulty bands from easiest (lowest score) to hardest. The
+    deterministic "feed easy data first" schedule of a curriculum
+    trainer, reproducible across engines and runs.
+
+    The global rank never runs a global window: like
+    ``analytics.exact_quantiles``, the rows are range-repartitioned on
+    the sort key, sorted within partitions, and each row's global rank
+    is (cumulative partition offset + within-partition row_number) —
+    the offsets are one bounded driver fetch of the partition counts
+    (≤ n_partitions scalars). Every task holds only its own range; the
+    plan survives any corpus size by raising ``n_partitions``.
+    """
+    slim = (
+        df.select(F.col(id_col), F.col(score_col).cast("double").alias("__score"))
+        .repartitionByRange(n_partitions, F.col("__score"), F.col(id_col))
+        .sortWithinPartitions("__score", id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = dict(
+            (r["__pid"], r["cnt"])
+            for r in slim.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        n = sum(counts.values())
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_expr = F.lit(0)
+        for pid, off in offsets.items():
+            off_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(off_expr)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__pid").orderBy("__score", id_col)
+        ranked = slim.withColumn(
+            "position", (off_expr + F.row_number().over(w)).cast("long")
+        )
+        out = ranked.select(
+            id_col,
+            round_half_up(F.col("__score"), 6).alias("score"),
+            "position",
+            (
+                1
+                + F.floor(
+                    F.lit(n_phases) * (F.col("position") - 1) / F.lit(n)
+                )
+            ).cast("int").alias("phase"),
+        )
+        # Materialize before unpersist so the returned plan does not
+        # recompute the ranked table against an evicted cache.
+        return out.localCheckpoint(eager=True)
+    finally:
+        slim.unpersist()

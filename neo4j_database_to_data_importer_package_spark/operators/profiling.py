@@ -117,3 +117,85 @@ def length_drift_psi(
         .groupBy(domain_col)
         .agg(round_half_up(F.sum(term), 6).alias("psi"))
     )
+
+
+def dataset_card_stats(
+    df,
+    domain_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source "dataset card" row: the one-line summary a corpus
+    release ships per subset — document/token volume, mean document
+    length, language spread (distinct languages + dominant language and
+    its share), and the within-source exact-duplication rate. The
+    operator-level composition of signals the pipeline already computes
+    one query at a time, assembled in three dimension-sized aggregates.
+
+    Scale shape: one scan projects (domain, lang, fingerprint, token
+    count); the volume and language aggregates are map-side combined
+    into domain- and (domain, lang)-sized states; the duplication rate
+    reuses the exact-dedup groupBy on (domain, fingerprint). Everything
+    joins back broadcast (rows = |domains|).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.numeric import round_half_up
+    from ..functions.text import fingerprint_md5, tokens
+
+    base = df.select(
+        F.col(domain_col),
+        F.col(lang_col),
+        fingerprint_md5(text_col).alias("__fp"),
+        F.size(tokens(text_col)).alias("__ntok"),
+        F.length(text_col).alias("__nchars"),
+    )
+    vol = base.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__ntok").alias("n_tokens"),
+        round_half_up(F.avg("__nchars"), 2).alias("mean_chars"),
+    )
+    dups = (
+        base.groupBy(domain_col, "__fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(domain_col)
+        .agg(F.sum(F.col("c") - 1).alias("n_dup_docs"))
+    )
+    langs = base.groupBy(domain_col, lang_col).agg(
+        F.count(F.lit(1)).alias("lc")
+    )
+    n_langs = langs.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_langs")
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("lc").desc(), F.col(lang_col)
+    )
+    top = (
+        langs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(domain_col),
+            F.col(lang_col).alias("top_lang"),
+            F.col("lc").alias("__top_c"),
+        )
+    )
+    return (
+        vol.join(F.broadcast(dups), domain_col)
+        .join(F.broadcast(n_langs), domain_col)
+        .join(F.broadcast(top), domain_col)
+        .select(
+            domain_col,
+            "n_docs",
+            "n_tokens",
+            "mean_chars",
+            "n_langs",
+            "top_lang",
+            round_half_up(F.col("__top_c") / F.col("n_docs"), 6).alias(
+                "top_lang_share"
+            ),
+            round_half_up(F.col("n_dup_docs") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+        )
+    )

@@ -640,3 +640,42 @@ def centroid_outliers(
         (-F.col("__e.nd")).alias("centroid_dist"),
         (F.col("__pos") + 1).cast("int").alias("rank"),
     )
+
+
+def dim_quantiles(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    qs: tuple = (0.25, 0.5, 0.75),
+    digits: int = 6,
+) -> DataFrame:
+    """Per-dimension quantile audit (median + IQR by default) — the
+    robust companion to ``dim_stats``: heavy-tailed or clipped
+    coordinates move the mean/std audit but hide in it; quartiles
+    expose them directly and feed robust scalers (median/IQR
+    whitening).
+
+    Same narrow ``posexplode`` fan-out as ``dim_stats``; per-dimension
+    EXACT ``percentile`` (quantile_cont semantics, rank 1+(n−1)q —
+    identical to the DuckDB oracle). Exact per-group percentiles buffer
+    a dimension's values in one aggregation buffer — fine for corpus
+    audits (state is n_rows per dimension task, dims spread across the
+    cluster); at 100 TB swap in ``approx_percentile`` or the mergeable
+    ``histogram_quantiles`` sketch, same output shape.
+    """
+    exploded = df.select(
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v")
+    )
+    q_arr = "array({})".format(",".join(repr(float(q)) for q in qs))
+    agg = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"percentile(v, {q_arr})").alias("__qs"),
+    )
+    lo, mid, hi = (F.col("__qs")[i] for i in range(3))
+    return agg.select(
+        "dim",
+        "n",
+        round_half_up(lo, digits).alias("q25"),
+        round_half_up(mid, digits).alias("median"),
+        round_half_up(hi, digits).alias("q75"),
+        round_half_up(hi - lo, digits).alias("iqr"),
+    )

@@ -839,3 +839,136 @@ def quality_signal_ensemble(
             "blended_rank"
         ),
     )
+
+
+def term_zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve: least-squares
+    slope/intercept of ln(freq) ~ ln(rank) over the ``top_n`` most
+    frequent terms, plus Pearson r — the standard sanity probe that a
+    scraped corpus has natural-language token statistics (machine-
+    generated or template spam bends the curve; |slope| far from ~1 is
+    the red flag).
+
+    Scale shape: one token-count aggregate (map-side combined), then
+    ``orderBy().limit(top_n)`` — TakeOrderedAndProject, per-partition
+    heaps, never a global sort — then rank over the top_n-row slice and
+    a single closed-form regression aggregate (cov/var, no iteration).
+    Ties rank deterministically by (freq desc, term asc) in both
+    engines.
+    """
+    freqs = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(top_n)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("c").desc(), F.col("w"))
+    # The window runs over the top_n-row LIMIT result (bounded, driver-
+    # sized) — not over the full vocab.
+    ranked = freqs.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lnr"),
+        F.log(F.col("c").cast("double")).alias("lnf"),
+    )
+    # Pearson r is guarded explicitly: a degenerate corpus with all-equal
+    # frequencies has var(lnf) = 0, where built-in corr() raises under
+    # ANSI mode — the guard returns NULL, matching DuckDB's corr().
+    pearson = F.when(
+        F.var_pop("lnf") > 0,
+        F.covar_pop("lnr", "lnf")
+        / F.sqrt(F.var_pop("lnr") * F.var_pop("lnf")),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        round_half_up(
+            F.covar_pop("lnr", "lnf") / F.var_pop("lnr"), 6
+        ).alias("slope"),
+        round_half_up(
+            F.avg("lnf") - F.covar_pop("lnr", "lnf") / F.var_pop("lnr") * F.avg("lnr"),
+            6,
+        ).alias("intercept"),
+        round_half_up(pearson, 6).alias("pearson_r"),
+    )
+
+
+def script_char_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group character-class profile: mean fraction of letters,
+    digits, whitespace, punctuation/other — the cheap script/encoding
+    screen that catches mojibake, base64 blobs, and wrong-language
+    buckets before any model-based language ID runs.
+
+    Pure codegen: each class count is a regexp_replace length delta on
+    the raw text (one scan, no explode); the group aggregate is
+    map-side combined. Class definitions are ASCII-anchored so the
+    DuckDB oracle reproduces them bit-for-bit.
+    """
+    n = F.length(text_col).cast("double")
+    letters = n - F.length(F.regexp_replace(F.col(text_col), "[A-Za-z]", ""))
+    digits = n - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
+    spaces = n - F.length(F.regexp_replace(F.col(text_col), r"[ \t\n]", ""))
+    per_doc = df.filter(n > 0).select(
+        F.col(group_col),
+        (letters / n).alias("f_letter"),
+        (digits / n).alias("f_digit"),
+        (spaces / n).alias("f_space"),
+        ((n - letters - digits - spaces) / n).alias("f_other"),
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round_half_up(F.avg("f_letter"), 6).alias("mean_letter_frac"),
+        round_half_up(F.avg("f_digit"), 6).alias("mean_digit_frac"),
+        round_half_up(F.avg("f_space"), 6).alias("mean_space_frac"),
+        round_half_up(F.avg("f_other"), 6).alias("mean_other_frac"),
+    )
+
+
+def domain_term_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Per-domain unigram distribution audit: Shannon entropy of the
+    domain's term distribution and its KL divergence from the whole-
+    corpus distribution — the "is this source statistically weird"
+    screen behind mixture reweighting (a near-zero-entropy domain is
+    template spam; a high-KL domain needs its own mixture weight).
+
+    Two aggregates over one exploded token table: (domain, term) counts,
+    then per-domain entropy/KL folds with the corpus totals broadcast.
+    KL is well-defined here because every domain term is by construction
+    in the corpus distribution (support containment). Results round to
+    4 decimals — the same tolerance the driver-green unigram_logprob
+    query uses for order-dependent double log-sums.
+    """
+    dt = (
+        df.select(F.col(domain_col), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(domain_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    corpus = dt.groupBy("w").agg(F.sum("c").alias("cc"))
+    dom_tot = dt.groupBy(domain_col).agg(F.sum("c").alias("dtot"))
+    corp_tot = corpus.agg(F.sum("cc").alias("ctot"))
+    p = F.col("c") / F.col("dtot")
+    q = F.col("cc") / F.col("ctot")
+    return (
+        dt.join(F.broadcast(dom_tot), domain_col)
+        .join(corpus, "w")
+        .crossJoin(F.broadcast(corp_tot))
+        .groupBy(domain_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            round_half_up(-F.sum(p * F.log(p)), 4).alias("entropy"),
+            round_half_up(F.sum(p * F.log(p / q)), 4).alias("kl_vs_corpus"),
+        )
+    )

@@ -332,3 +332,54 @@ def hourly_seasonal_profile(
             F.col("n_events") / F.col("__tot") * F.lit(24.0), 6
         ).alias("load_ratio"),
     )
+
+
+def cusum_drift(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key CUSUM change-point screen over the daily event-count
+    series: S_i = Σ_{j≤i} (x_j − x̄). The day where |S| peaks is the
+    most likely level-shift point, and max|S| / (σ·√n) is the
+    scale-free drift statistic (≳1.36 ≈ the 95% Kolmogorov–Smirnov
+    band) — the monitoring twin of ``length_drift_psi`` for volume
+    rather than distribution shape.
+
+    Shape: one (key, day) count aggregate (map-side combined), per-key
+    mean/σ broadcast back, then ONE ordered cumulative-sum window
+    PARTITIONED BY KEY — the window input is days-per-key rows (≤ a few
+    thousand for years of data), never event rows, so the sort is
+    bounded regardless of event volume.
+    """
+    daily = events.groupBy(
+        F.col(key_col), F.to_date(ts_col).alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    stats = daily.groupBy(key_col).agg(
+        F.avg("x").alias("__mean"),
+        F.stddev_pop("x").alias("__sd"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy("day")
+    cum = (
+        daily.join(F.broadcast(stats), key_col)
+        .withColumn("__s", F.sum(F.col("x") - F.col("__mean")).over(w))
+    )
+    peak = F.struct(
+        F.abs(F.col("__s")).alias("a"), F.col("day").alias("d")
+    )
+    sd = F.first("__sd")
+    return cum.groupBy(key_col, "n_days").agg(
+        round_half_up(F.max(F.abs(F.col("__s"))), 4).alias("max_cusum"),
+        F.max(peak).getField("d").alias("peak_day"),
+        round_half_up(
+            F.when(
+                sd > 0,
+                F.max(F.abs(F.col("__s")))
+                / (sd * F.sqrt(F.first("n_days").cast("double"))),
+            ),
+            4,
+        ).alias("drift_stat"),
+    )

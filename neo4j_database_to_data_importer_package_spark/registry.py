@@ -5799,3 +5799,309 @@ def events_hourly_profile(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return hourly_seasonal_profile(view.tables["events"])
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: corpus statistics, drift, curriculum, provenance,
+# feature-space robustness, sampled centrality. Ledgered in
+# __spark_entry__._NEXT_ROTATION for the round-6 gate window.
+# ---------------------------------------------------------------------------
+
+@register(
+    "term_zipf_fit",
+    f"""WITH freq AS (
+          SELECT w, count(*) AS c
+          FROM (SELECT unnest({_TOKS_DUCK}) AS w FROM documents)
+          GROUP BY w),
+        top AS (SELECT w, c FROM freq ORDER BY c DESC, w LIMIT 1000),
+        r AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS lnr,
+                     ln(CAST(c AS DOUBLE)) AS lnf
+              FROM top)
+        SELECT count(*) AS n_terms,
+               floor(regr_slope(lnf, lnr) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+               floor((avg(lnf) - regr_slope(lnf, lnr) * avg(lnr)) * 1000000.0 + 0.5)
+                 / 1000000.0 AS intercept,
+               floor(corr(lnr, lnf) * 1000000.0 + 0.5) / 1000000.0 AS pearson_r
+        FROM r""",
+)
+def term_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit over the corpus vocabulary (top-1000 via
+    TakeOrderedAndProject, closed-form regression — the natural-language
+    sanity probe). See text_analysis.term_zipf_fit."""
+    from .operators.text_analysis import term_zipf_fit as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["documents"])
+
+
+@register(
+    "language_script_stats",
+    """WITH d AS (
+         SELECT lang, CAST(length(text) AS DOUBLE) AS n,
+                CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS l,
+                CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS g,
+                CAST(length(text) - length(regexp_replace(text, '[ \t\n]', '', 'g')) AS DOUBLE) AS s
+         FROM documents WHERE length(text) > 0)
+       SELECT lang, count(*) AS n_docs,
+              floor(avg(l / n) * 1000000.0 + 0.5) / 1000000.0 AS mean_letter_frac,
+              floor(avg(g / n) * 1000000.0 + 0.5) / 1000000.0 AS mean_digit_frac,
+              floor(avg(s / n) * 1000000.0 + 0.5) / 1000000.0 AS mean_space_frac,
+              floor(avg((n - l - g - s) / n) * 1000000.0 + 0.5) / 1000000.0 AS mean_other_frac
+       FROM d GROUP BY lang""",
+)
+def language_script_stats(spark, sf_dir):
+    """Per-language character-class profile (letters/digits/space/other
+    fractions) — the cheap mojibake/base64/wrong-bucket screen.
+    See text_analysis.script_char_stats."""
+    from .operators.text_analysis import script_char_stats
+
+    view = _view(spark, sf_dir)
+    return script_char_stats(view.tables["documents"])
+
+
+@register(
+    "domain_term_entropy",
+    f"""WITH dt AS (
+          SELECT source, w, count(*) AS c
+          FROM (SELECT source, unnest({_TOKS_DUCK}) AS w FROM documents)
+          GROUP BY source, w),
+        corpus AS (SELECT w, sum(c) AS cc FROM dt GROUP BY w),
+        dom_tot AS (SELECT source, sum(c) AS dtot FROM dt GROUP BY source),
+        corp_tot AS (SELECT sum(cc) AS ctot FROM corpus)
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS vocab,
+               floor(-sum((c / dtot) * ln(c / dtot)) * 10000.0 + 0.5) / 10000.0 AS entropy,
+               floor(sum((c / dtot) * ln((c / dtot) / (cc / ctot))) * 10000.0 + 0.5)
+                 / 10000.0 AS kl_vs_corpus
+        FROM dt
+        JOIN dom_tot USING (source)
+        JOIN corpus USING (w)
+        CROSS JOIN corp_tot
+        GROUP BY source""",
+)
+def domain_term_entropy(spark, sf_dir):
+    """Per-domain unigram entropy + KL vs the corpus distribution — the
+    'statistically weird source' screen behind mixture reweighting.
+    See text_analysis.domain_term_entropy."""
+    from .operators.text_analysis import domain_term_entropy as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["documents"])
+
+
+@register(
+    "events_cusum_drift",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+         FROM events GROUP BY 1, 2),
+       stats AS (
+         SELECT event_type, avg(x) AS m, stddev_pop(x) AS sd,
+                count(*) AS n_days
+         FROM daily GROUP BY 1),
+       cum AS (
+         SELECT d.event_type, d.day, s.n_days, s.sd,
+                sum(d.x - s.m) OVER (PARTITION BY d.event_type ORDER BY d.day) AS cs
+         FROM daily d JOIN stats s USING (event_type)),
+       peak AS (
+         SELECT event_type, day AS peak_day
+         FROM cum
+         QUALIFY row_number() OVER (
+           PARTITION BY event_type ORDER BY abs(cs) DESC, day DESC) = 1)
+       SELECT c.event_type, c.n_days,
+              floor(max(abs(c.cs)) * 10000.0 + 0.5) / 10000.0 AS max_cusum,
+              any_value(p.peak_day) AS peak_day,
+              CASE WHEN any_value(c.sd) > 0
+                   THEN floor(max(abs(c.cs)) / (any_value(c.sd) * sqrt(c.n_days))
+                              * 10000.0 + 0.5) / 10000.0
+                   END AS drift_stat
+       FROM cum c JOIN peak p USING (event_type)
+       GROUP BY c.event_type, c.n_days""",
+)
+def events_cusum_drift(spark, sf_dir):
+    """CUSUM change-point screen over the per-type daily event-count
+    series (max |Σ(x−x̄)|, its day, and the scale-free drift statistic).
+    The window runs over days-per-type rows, never event rows.
+    See windows.cusum_drift."""
+    from .operators.windows import cusum_drift
+
+    view = _view(spark, sf_dir)
+    return cusum_drift(view.tables["events"])
+
+
+@register(
+    "curriculum_order_plan",
+    """WITH ranked AS (
+         SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+                row_number() OVER (ORDER BY n_chars, doc_id) AS position,
+                count(*) OVER () AS n
+         FROM documents)
+       SELECT doc_id,
+              floor(score * 1000000.0 + 0.5) / 1000000.0 AS score,
+              position,
+              CAST(1 + floor(4.0 * (position - 1) / n) AS INT) AS phase
+       FROM ranked""",
+)
+def curriculum_order_plan(spark, sf_dir):
+    """Curriculum-learning schedule: global training position (total
+    order over (length score, doc_id)) + 4 equal difficulty phases,
+    computed WITHOUT a global window (range-repartition + partition-
+    offset rank arithmetic — exact_quantiles' shape). The oracle's
+    global ROW_NUMBER is the semantic spec, not the plan.
+    See mixing.curriculum_phases."""
+    from .operators.mixing import curriculum_phases
+
+    view = _view(spark, sf_dir)
+    return curriculum_phases(view.tables["documents"], score_col="n_chars")
+
+
+@register(
+    "cross_domain_neardup_matrix",
+    """WITH pairs AS ({minhash_pairs}),
+        doms AS (SELECT doc_id, source FROM documents)
+        SELECT least(a.source, b.source) AS domain_a,
+               greatest(a.source, b.source) AS domain_b,
+               count(*) AS n_pairs,
+               floor(avg(jaccard) * 10000.0 + 0.5) / 10000.0 AS mean_jaccard
+        FROM pairs
+        JOIN doms a ON a.doc_id = pairs.id_a
+        JOIN doms b ON b.doc_id = pairs.id_b
+        GROUP BY 1, 2""",
+)
+def cross_domain_neardup_matrix(spark, sf_dir):
+    """Domain x domain near-duplication matrix over verified MinHash-LSH
+    pairs — the provenance rollup behind 'drop the mirror' mixture
+    decisions. See dedup.cross_domain_neardup_matrix."""
+    from .operators.dedup import cross_domain_neardup_matrix as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["documents"])
+
+
+ORACLES["cross_domain_neardup_matrix"] = ORACLES[
+    "cross_domain_neardup_matrix"
+].format(minhash_pairs=ORACLES["dedup_minhash_lsh_pairs"])
+
+
+@register(
+    "embedding_dim_quantiles",
+    """WITH x AS (
+         SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                CAST(unnest(embedding) AS DOUBLE) AS v
+         FROM embeddings),
+       q AS (
+         SELECT dim, count(*) AS n,
+                quantile_cont(v, 0.25) AS q25,
+                quantile_cont(v, 0.5) AS med,
+                quantile_cont(v, 0.75) AS q75
+         FROM x GROUP BY dim)
+       SELECT dim, n,
+              floor(q25 * 1000000.0 + 0.5) / 1000000.0 AS q25,
+              floor(med * 1000000.0 + 0.5) / 1000000.0 AS median,
+              floor(q75 * 1000000.0 + 0.5) / 1000000.0 AS q75,
+              floor((q75 - q25) * 1000000.0 + 0.5) / 1000000.0 AS iqr
+       FROM q""",
+)
+def embedding_dim_quantiles(spark, sf_dir):
+    """Per-dimension quartiles/IQR of the embedding space — the robust
+    companion to embedding_dim_stats (feeds median/IQR scalers).
+    See similarity.dim_quantiles."""
+    from .operators.similarity import dim_quantiles
+
+    view = _view(spark, sf_dir)
+    return dim_quantiles(view.tables["embeddings"])
+
+
+@register(
+    "dataset_card_stats",
+    f"""WITH base AS (
+          SELECT source, lang, md5({_NORM_DUCK}) AS fp,
+                 len({_TOKS_DUCK}) AS ntok, length(text) AS nchars
+          FROM documents),
+        vol AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                 floor(avg(nchars) * 100.0 + 0.5) / 100.0 AS mean_chars
+          FROM base GROUP BY 1),
+        dups AS (
+          SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+          FROM (SELECT source, fp, count(*) AS c FROM base GROUP BY 1, 2)
+          GROUP BY 1),
+        langs AS (SELECT source, lang, count(*) AS lc FROM base GROUP BY 1, 2),
+        nl AS (SELECT source, count(*) AS n_langs FROM langs GROUP BY 1),
+        top AS (
+          SELECT source, lang AS top_lang, lc
+          FROM langs
+          QUALIFY row_number() OVER (
+            PARTITION BY source ORDER BY lc DESC, lang) = 1)
+        SELECT v.source, v.n_docs, v.n_tokens, v.mean_chars, nl.n_langs,
+               t.top_lang,
+               floor(t.lc / CAST(v.n_docs AS DOUBLE) * 1000000.0 + 0.5)
+                 / 1000000.0 AS top_lang_share,
+               floor(d.n_dup_docs / CAST(v.n_docs AS DOUBLE) * 1000000.0 + 0.5)
+                 / 1000000.0 AS dup_rate
+        FROM vol v
+        JOIN dups d USING (source)
+        JOIN nl USING (source)
+        JOIN top t USING (source)""",
+)
+def dataset_card_stats(spark, sf_dir):
+    """Per-source dataset-card row: volume, token count, language spread
+    (distinct + dominant), within-source exact-dup rate — the release
+    summary assembled from one scan + dimension-sized aggregates.
+    See profiling.dataset_card_stats."""
+    from .operators.profiling import dataset_card_stats as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["documents"])
+
+
+@register(
+    "graph_closeness_sampled",
+    """WITH e AS (
+         SELECT 'C' || c_custkey AS a, 'N' || c_nationkey AS b FROM customer
+         UNION ALL
+         SELECT 'S' || s_suppkey AS a, 'N' || s_nationkey AS b FROM supplier
+         UNION ALL
+         SELECT 'N' || n_nationkey AS a, 'R' || n_regionkey AS b FROM nation),
+       und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+       seeds AS (SELECT DISTINCT 'N' || n_nationkey AS node FROM nation),
+       reach AS (
+         WITH RECURSIVE r(seed, node, dist) AS (
+           SELECT node, node, 0 FROM seeds
+           UNION
+           SELECT r.seed, u.b, r.dist + 1 FROM r JOIN und u ON u.a = r.node
+           WHERE r.dist < 4)
+         SELECT seed, node, min(dist) AS dist FROM r GROUP BY 1, 2)
+       SELECT seed, count(*) - 1 AS n_reached,
+              CAST(sum(dist) AS BIGINT) AS sum_dist,
+              floor(CASE WHEN sum(dist) > 0
+                         THEN (count(*) - 1) / CAST(sum(dist) AS DOUBLE)
+                         ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS closeness
+       FROM reach GROUP BY seed""",
+)
+def graph_closeness_sampled(spark, sf_dir):
+    """Bounded-hop closeness centrality from the nation seed set over
+    the undirected customer/supplier/nation/region FK graph — the
+    landmark scheme for at-scale centrality (exact all-pairs is O(V·E)).
+    Recursive-CTE oracle. See graph_algos.closeness_sampled."""
+    from .operators.graph_algos import closeness_sampled
+
+    view = _view(spark, sf_dir)
+    cust = view.tables["customer"].select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    supp = view.tables["supplier"].select(
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+    )
+    nat = view.tables["nation"].select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+    )
+    seeds = view.tables["nation"].select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("node")
+    )
+    return closeness_sampled(
+        cust.unionByName(supp).unionByName(nat), seeds, max_hops=4
+    )

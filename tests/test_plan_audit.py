@@ -46,6 +46,8 @@ _ALLOWED_UNPARTITIONED_WINDOW = {
     "bm25_rank_spark_hash_join",
     # quantile read-off over a fixed quantile grid
     "lineitem_price_quantiles",
+    # regression over the TakeOrderedAndProject(limit=1000) term slice
+    "term_zipf_fit",
 }
 
 _AUDIT = sorted(

@@ -1,0 +1,216 @@
+"""Semantics tests for the round-5 operator batch: Zipf fit, script
+stats, domain entropy, CUSUM drift, curriculum phases, cross-domain
+near-dup matrix, per-dimension quantiles, dataset cards, sampled
+closeness."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+    cross_domain_neardup_matrix,
+)
+from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+    closeness_sampled,
+)
+from neo4j_database_to_data_importer_package_spark.operators.mixing import (
+    curriculum_phases,
+)
+from neo4j_database_to_data_importer_package_spark.operators.profiling import (
+    dataset_card_stats,
+)
+from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+    dim_quantiles,
+)
+from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+    domain_term_entropy,
+    script_char_stats,
+    term_zipf_fit,
+)
+from neo4j_database_to_data_importer_package_spark.operators.windows import (
+    cusum_drift,
+)
+
+
+# ------------------------------------------------------------- zipf fit
+def test_zipf_fit_recovers_power_law(spark):
+    # term i appears floor(1000/i) times -> ln f = ln 1000 - ln rank
+    docs = []
+    did = 0
+    for i in range(1, 51):
+        for _ in range(1000 // i):
+            docs.append(Row(doc_id=did, text=f"w{i:02d}"))
+            did += 1
+    out = term_zipf_fit(spark.createDataFrame(docs), top_n=50).collect()[0]
+    assert out["n_terms"] == 50
+    assert -1.05 <= out["slope"] <= -0.95
+    assert out["pearson_r"] < -0.99
+
+
+def test_zipf_fit_flat_corpus_has_zero_slope(spark):
+    docs = [Row(doc_id=i, text=f"t{i % 10}") for i in range(100)]
+    out = term_zipf_fit(spark.createDataFrame(docs), top_n=10).collect()[0]
+    assert out["slope"] == 0.0  # all frequencies equal
+    assert out["pearson_r"] is None  # var(lnf)=0: undefined, like SQL corr
+
+
+# --------------------------------------------------------- script stats
+def test_script_char_stats_exact_fractions(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="ab 12"),   # 2 letters 2 digits 1 space
+            Row(doc_id=2, lang="en", text="a!!!!"),   # 1 letter 4 other
+            Row(doc_id=3, lang="xx", text=""),        # filtered out
+        ]
+    )
+    rows = {r["lang"]: r for r in script_char_stats(df).collect()}
+    en = rows["en"]
+    assert en["n_docs"] == 2
+    assert en["mean_letter_frac"] == pytest.approx((2 / 5 + 1 / 5) / 2, abs=1e-6)
+    assert en["mean_digit_frac"] == pytest.approx((2 / 5) / 2, abs=1e-6)
+    assert en["mean_other_frac"] == pytest.approx((4 / 5) / 2, abs=1e-6)
+    assert "xx" not in rows  # empty docs contribute nothing
+
+
+# -------------------------------------------------------- domain entropy
+def test_domain_entropy_uniform_and_degenerate(spark):
+    import math
+
+    rows = [Row(doc_id=i, source="uni", text=f"u{i % 8}") for i in range(800)]
+    rows += [Row(doc_id=1000 + i, source="one", text="same") for i in range(100)]
+    out = {r["source"]: r for r in domain_term_entropy(spark.createDataFrame(rows)).collect()}
+    assert out["uni"]["entropy"] == pytest.approx(math.log(8), abs=1e-3)
+    assert out["one"]["entropy"] == 0.0
+    # the degenerate domain diverges from the blended corpus distribution
+    assert out["one"]["kl_vs_corpus"] > 0
+    assert out["uni"]["vocab"] == 8 and out["one"]["vocab"] == 1
+
+
+# ----------------------------------------------------------- CUSUM drift
+def _day(d):
+    return datetime.datetime(2024, 1, d, 12, 0, 0)
+
+
+def test_cusum_constant_series_is_flat(spark):
+    rows = [
+        Row(event_id=i, ts=_day(1 + i % 10), user_id=1, event_type="a", value=1.0)
+        for i in range(50)
+    ]  # 5 events every day -> x == mean everywhere
+    out = cusum_drift(spark.createDataFrame(rows)).collect()[0]
+    assert out["max_cusum"] == 0.0
+    assert out["drift_stat"] is None  # sd == 0 guard
+
+
+def test_cusum_peaks_at_level_shift(spark):
+    # days 1-5: 2/day; days 6-10: 8/day -> |S| peaks at day 5
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        for _ in range(2 if d <= 5 else 8):
+            rows.append(
+                Row(event_id=eid, ts=_day(d), user_id=1, event_type="a", value=1.0)
+            )
+            eid += 1
+    out = cusum_drift(spark.createDataFrame(rows)).collect()[0]
+    assert str(out["peak_day"]) == "2024-01-05"
+    assert out["max_cusum"] == 15.0  # 5 days x (2 - 5)
+    assert out["drift_stat"] > 1.36  # clearly drifting
+
+
+# ----------------------------------------------------- curriculum phases
+def test_curriculum_positions_are_global_rank(spark):
+    rows = [Row(doc_id=i, s=(i * 37) % 100) for i in range(200)]
+    out = curriculum_phases(
+        spark.createDataFrame(rows), score_col="s", n_phases=4
+    ).collect()
+    by_pos = sorted(out, key=lambda r: r["position"])
+    assert [r["position"] for r in by_pos] == list(range(1, 201))
+    # positions follow (score, doc_id) total order
+    keys = [(r["score"], r["doc_id"]) for r in by_pos]
+    assert keys == sorted(keys)
+    # 4 equal phases of 50
+    from collections import Counter
+
+    assert Counter(r["phase"] for r in out) == {1: 50, 2: 50, 3: 50, 4: 50}
+
+
+def test_curriculum_partitioning_invariance(spark):
+    rows = [Row(doc_id=i, s=(i * 13) % 7) for i in range(97)]
+    df = spark.createDataFrame(rows)
+    a = {(r["doc_id"], r["position"], r["phase"])
+         for r in curriculum_phases(df.coalesce(1), "s").collect()}
+    b = {(r["doc_id"], r["position"], r["phase"])
+         for r in curriculum_phases(df.repartition(13), "s").collect()}
+    assert a == b
+
+
+# ------------------------------------------- cross-domain near-dup matrix
+def test_cross_domain_matrix_counts_mirrors(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        Row(doc_id=1, source="A", text=text),
+        Row(doc_id=2, source="B", text=text),          # mirror of 1
+        Row(doc_id=3, source="A", text=text + " iota"),  # near-dup of both
+        Row(doc_id=4, source="B", text="totally different words here now ok"),
+    ]
+    out = {
+        (r["domain_a"], r["domain_b"]): r
+        for r in cross_domain_neardup_matrix(spark.createDataFrame(rows)).collect()
+    }
+    assert out[("A", "B")]["n_pairs"] >= 2  # (1,2) exact mirror + (2,3)
+    assert out[("A", "B")]["mean_jaccard"] > 0.5
+    assert ("A", "A") in out  # (1,3) same-domain near-dup
+
+
+# ------------------------------------------------------- dim quantiles
+def test_dim_quantiles_known_values(spark):
+    rows = [Row(vec_id=i, embedding=[float(i), 10.0 * i]) for i in range(1, 6)]
+    out = {r["dim"]: r for r in dim_quantiles(spark.createDataFrame(rows)).collect()}
+    assert out[0]["median"] == 3.0 and out[0]["q25"] == 2.0 and out[0]["q75"] == 4.0
+    assert out[0]["iqr"] == 2.0
+    assert out[1]["median"] == 30.0 and out[1]["iqr"] == 20.0
+    assert out[0]["n"] == 5
+
+
+# ------------------------------------------------------- dataset cards
+def test_dataset_card_stats_fields(spark):
+    rows = [
+        Row(doc_id=1, source="s1", lang="en", text="a b c"),
+        Row(doc_id=2, source="s1", lang="en", text="a b c"),  # exact dup
+        Row(doc_id=3, source="s1", lang="fr", text="x y"),
+        Row(doc_id=4, source="s2", lang="de", text="q"),
+    ]
+    out = {r["source"]: r for r in dataset_card_stats(spark.createDataFrame(rows)).collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 3 and s1["n_tokens"] == 8
+    assert s1["n_langs"] == 2 and s1["top_lang"] == "en"
+    assert s1["top_lang_share"] == pytest.approx(2 / 3, abs=1e-6)
+    assert s1["dup_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["s2"]["dup_rate"] == 0.0
+
+
+# --------------------------------------------------- sampled closeness
+def test_closeness_on_path_graph(spark):
+    # path a-b-c-d; seed at a: dists 0,1,2,3 -> closeness 3/6
+    edges = spark.createDataFrame(
+        [Row(src="a", dst="b"), Row(src="b", dst="c"), Row(src="c", dst="d")]
+    )
+    seeds = spark.createDataFrame([Row(node="a"), Row(node="b")])
+    out = {r["seed"]: r for r in closeness_sampled(edges, seeds, max_hops=5).collect()}
+    assert out["a"]["n_reached"] == 3 and out["a"]["sum_dist"] == 6
+    assert out["a"]["closeness"] == 0.5
+    # b is central: dists 1,0,1,2 -> 3/4
+    assert out["b"]["closeness"] == 0.75
+
+
+def test_closeness_respects_hop_bound(spark):
+    edges = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{i + 1}") for i in range(6)]
+    )
+    seeds = spark.createDataFrame([Row(node="n0")])
+    out = closeness_sampled(edges, seeds, max_hops=2).collect()[0]
+    assert out["n_reached"] == 2 and out["sum_dist"] == 3
