@@ -110,6 +110,8 @@ _NEXT_ROTATION: list[str] = [
     "embedding_dim_quantiles",
     "dataset_card_stats",
     "graph_closeness_sampled",
+    "bpe_train_merges",
+    "embedding_ivf_pq_topk",
 ]
 
 

@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "embedding_dim_quantiles",
     "dataset_card_stats",
     "graph_closeness_sampled",
+    "bpe_train_merges",
+    "embedding_ivf_pq_topk",
 ]
 
 

@@ -679,3 +679,119 @@ def dim_quantiles(
         round_half_up(hi, digits).alias("q75"),
         round_half_up(hi - lo, digits).alias("iqr"),
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 10,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full modern ANN search stack in one operator: IVF cell
+    pruning (visit ``nprobe`` of ``n_cells`` cells) + PQ asymmetric
+    distance computation (database vectors live as ``n_subspaces``
+    codes; the query stays full-precision and scores candidates via a
+    per-query lookup table) — the FAISS ``IVFPQ`` recipe re-expressed
+    as joins. ``ann_recall_at_k`` already audits IVF-vs-brute recall;
+    this adds the memory side: candidates are scored WITHOUT touching
+    their float vectors.
+
+    Scale shape: the codebook (n_subspaces × n_codes sub-vectors) and
+    the per-query ADC lookup table (n_queries × n_subspaces × n_codes
+    rows) broadcast; database vectors appear only as (id, cell,
+    subspace code) — the narrow representation that is the entire point
+    of PQ at 100 TB. One cell-equi-join prunes candidates, one
+    broadcast-LUT join + (query, neighbor) sum scores them, one
+    query-partitioned rank window cuts top-k. Codebook/centroids are
+    the deterministic first-``n`` seed choice (same contract as
+    ``ivf_assign``/``pq_assign_audit``; a trained KMeans/OPQ swap-in
+    keeps the interface).
+
+    Output: (query_id, neighbor_id, approx_dist2, rank) — rank by the
+    6-dp-rounded PQ distance ascending, ties to the smaller id, so the
+    ranking is engine-independent.
+    """
+    from ..functions.numeric import round_half_up
+
+    dim_probe = 64  # embeddings table contract (validated by tests)
+    sub = dim_probe // n_subspaces
+    assigned = ivf_assign(df, n_cells, vec_col, id_col).cache()
+    m = F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("m")
+
+    base = assigned.select(id_col, "v", "norm")
+    sv = base.select(F.col(id_col), "v", m).select(
+        F.col(id_col), "m", F.slice(F.col("v"), F.col("m") * sub + 1, sub).alias("sv")
+    )
+    codebook = (
+        base.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("cid"), "v", m)
+        .select("cid", "m", F.slice(F.col("v"), F.col("m") * sub + 1, sub).alias("cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wc = Window.partitionBy(id_col, "m").orderBy(F.col("d2").asc(), F.col("cid"))
+    codes = (
+        sv.join(F.broadcast(codebook), "m")
+        .select(F.col(id_col), "m", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col).alias("neighbor_id"), "m", F.col("cid").alias("code"))
+    )
+
+    # Per-query ADC lookup table: ||q_m - codebook[m, cid]||^2
+    lut = (
+        sv.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), "m", F.col("sv"))
+        .join(F.broadcast(codebook), "m")
+        .select("query_id", "m", "cid", d2.alias("qd2"))
+    )
+
+    cents = assigned.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell2"), F.col("v").alias("cv2"), F.col("norm").alias("cn")
+    )
+    q = assigned.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    ccos = _dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn"))
+    wq = Window.partitionBy("query_id").orderBy(
+        round_half_up(ccos, 6).desc(), F.col("cell2")
+    )
+    probe = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", F.col("cell2").alias("cell"))
+    )
+    cands = (
+        probe.join(
+            assigned.select(F.col(id_col).alias("neighbor_id"), "cell"), "cell"
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        cands.join(codes, "neighbor_id")
+        .join(
+            F.broadcast(lut.withColumnRenamed("cid", "code")),
+            ["query_id", "m", "code"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(round_half_up(F.sum("qd2"), 6).alias("approx_dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist2").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist2", "rank")
+    )

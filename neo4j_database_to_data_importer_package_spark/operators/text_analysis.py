@@ -972,3 +972,106 @@ def domain_term_entropy(
             round_half_up(F.sum(p * F.log(p / q)), 4).alias("kl_vs_corpus"),
         )
     )
+
+
+_BPE_SEP = "\x1f"  # unit separator — cannot occur in whitespace tokens
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = 3,
+) -> DataFrame:
+    """TRUE sequential BPE training for ``rounds`` merges: unlike
+    ``bpe_merge_candidates`` (one frequency snapshot), each round
+    re-counts adjacent SYMBOL pairs after the previous merge has been
+    applied, so round 2 can pick a pair containing round 1's new symbol
+    — the actual tokenizer-induction recurrence (Sennrich et al.'s
+    algorithm, re-expressed distributed).
+
+    State is the WORD VOCABULARY (word, count, symbol sequence), never
+    the corpus: pair counts weight by word frequency, so a 100 TB corpus
+    costs one token-count aggregate up front and each round touches only
+    vocab-sized rows. Symbol sequences are separator-joined strings and
+    the merge application is a string FOLD inside codegen (append the
+    right symbol without a separator when the accumulator ends with the
+    left symbol) — no explode, no shuffle in the apply step; identical
+    list_reduce semantics in the DuckDB oracle. Each round does one
+    pair-count aggregate + ``orderBy().limit(1)`` argmax (a 1-row driver
+    fetch — the same bounded-scalar class as the manifest collects) and
+    ends in an eager ``localCheckpoint``.
+
+    Ties on pair count break by (left, right) ascending — deterministic
+    in both engines. Output: one row per learned merge:
+    (round, lsym, rsym, merged, pair_count).
+    """
+    spark = df.sparkSession
+    sep = _BPE_SEP
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "c",
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.col("w").substr(i, F.lit(1)),
+                ),
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    learned = []
+    for rnd in range(1, rounds + 1):
+        syms = vocab.withColumn("l", F.split("s", sep))
+        # sequence(1, 0) DESCENDS in Spark — guard single-symbol words
+        # with an explicit empty array (the word_shingles lesson).
+        pair_positions = F.when(
+            F.size("l") >= 2, F.sequence(F.lit(1), F.size("l") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = syms.select(
+            "c",
+            F.explode(
+                F.transform(
+                    pair_positions,
+                    lambda i: F.struct(
+                        F.element_at(F.col("l"), i).alias("lsym"),
+                        F.element_at(F.col("l"), i + 1).alias("rsym"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best_rows = (
+            pairs.groupBy("p.lsym", "p.rsym")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("lsym"), F.col("rsym"))
+            .limit(1)
+            .collect()
+        )
+        if not best_rows:
+            break
+        b = best_rows[0]
+        lsym, rsym, cnt = b["lsym"], b["rsym"], int(b["cnt"])
+        learned.append((rnd, lsym, rsym, lsym + rsym, cnt))
+        suffix = sep + lsym
+        fold = lambda acc, x: F.when(
+            ((acc == F.lit(lsym)) | acc.endswith(suffix)) & (x == F.lit(rsym)),
+            F.concat(acc, x),
+        ).otherwise(F.concat(acc, F.lit(sep), x))
+        vocab = (
+            syms.select(
+                "c",
+                F.aggregate(
+                    F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))),
+                    F.element_at(F.col("l"), 1),
+                    fold,
+                ).alias("s"),
+            )
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        learned,
+        "round int, lsym string, rsym string, merged string, pair_count bigint",
+    )

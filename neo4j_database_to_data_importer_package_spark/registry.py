@@ -6056,6 +6056,114 @@ def dataset_card_stats(spark, sf_dir):
 
 
 @register(
+    "embedding_ivf_pq_topk",
+    """WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv, norm AS cn FROM v WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, v, norm, cell FROM (
+    SELECT a.vec_id, a.v, a.norm, c.cell,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY floor((list_dot_product(a.v, c.cv)/(a.norm*c.cn)) * 1000000.0 + 0.5)/1000000.0 DESC,
+                      c.cell) AS r
+    FROM v a CROSS JOIN cents c) t WHERE r = 1),
+sub AS (
+  SELECT vec_id, m.m, v[m.m * 16 + 1 : m.m * 16 + 16] AS sv
+  FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m),
+codebook AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 16),
+d AS (
+  SELECT s.vec_id, s.m, c.cid,
+         list_sum(list_transform(list_zip(s.sv, c.cv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM sub s JOIN codebook c ON s.m = c.m),
+codes AS (
+  SELECT vec_id AS neighbor_id, m, cid AS code FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+    FROM d) t WHERE rn = 1),
+lut AS (SELECT vec_id AS query_id, m, cid AS code, d2 AS qd2
+        FROM d WHERE vec_id < 10),
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn FROM assigned WHERE vec_id < 10),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY floor((list_dot_product(q.qv, c.cv)/(q.qn*c.cn)) * 1000000.0 + 0.5)/1000000.0 DESC,
+                      c.cell) AS r
+    FROM q CROSS JOIN cents c) t WHERE r <= 4),
+cands AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id
+  FROM probe p JOIN assigned n ON n.cell = p.cell AND n.vec_id != p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         floor(sum(l.qd2) * 1000000.0 + 0.5) / 1000000.0 AS approx_dist2
+  FROM cands c
+  JOIN codes k ON k.neighbor_id = c.neighbor_id
+  JOIN lut l ON l.query_id = c.query_id AND l.m = k.m AND l.code = k.code
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, approx_dist2,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY approx_dist2, neighbor_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 10""",
+)
+def embedding_ivf_pq_topk(spark, sf_dir):
+    """IVF + PQ asymmetric-distance ANN search (the FAISS IVFPQ recipe
+    as joins): nprobe cell pruning, candidates scored from subspace
+    codes against a broadcast per-query lookup table — never touching
+    candidate float vectors. See similarity.ivf_pq_topk."""
+    from .operators.similarity import ivf_pq_topk
+
+    view = _view(spark, sf_dir)
+    return ivf_pq_topk(view.tables["embeddings"])
+
+
+def _bpe_train_oracle(rounds: int = 3) -> str:
+    def round_cte(r):
+        return f"""
+l{r} AS (SELECT c, string_split(s, chr(31)) AS l FROM s{r - 1}),
+p{r} AS (SELECT lsym, rsym, sum(c) AS cnt FROM (
+           SELECT c, l[i] AS lsym, l[i+1] AS rsym
+           FROM (SELECT c, l, unnest(range(1, len(l))) AS i FROM l{r} WHERE len(l) >= 2))
+         GROUP BY 1, 2),
+b{r} AS (SELECT lsym, rsym, cnt FROM p{r} ORDER BY cnt DESC, lsym, rsym LIMIT 1),
+s{r} AS (SELECT c, list_reduce(l, (acc, x) -> CASE
+            WHEN (acc = b.lsym OR right(acc, length(b.lsym) + 1) = chr(31) || b.lsym)
+                 AND x = b.rsym
+            THEN acc || x ELSE acc || chr(31) || x END) AS s
+         FROM l{r} CROSS JOIN b{r} b)"""
+
+    finals = "\n  UNION ALL ".join(
+        f"SELECT {r} AS round, lsym, rsym, lsym || rsym AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"""WITH words AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest({_TOKS_DUCK}) AS w FROM documents) GROUP BY w),
+s0 AS (SELECT c, array_to_string(
+         list_transform(range(1, length(w) + 1), i -> w[i]), chr(31)) AS s
+       FROM words),{",".join(round_cte(r) for r in range(1, rounds + 1))}
+SELECT * FROM ({finals})"""
+
+
+@register("bpe_train_merges", _bpe_train_oracle(3))
+def bpe_train_merges(spark, sf_dir):
+    """TRUE sequential BPE training (3 rounds): each round re-counts
+    adjacent symbol pairs AFTER the previous merge applied, so later
+    merges can contain earlier merged symbols — the real tokenizer-
+    induction recurrence, state = word vocabulary, merge application a
+    separator-string fold in codegen. The oracle unrolls the identical
+    recurrence with DuckDB list_reduce.
+    See text_analysis.bpe_train_merges."""
+    from .operators.text_analysis import bpe_train_merges as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["documents"], rounds=3)
+
+
+@register(
     "graph_closeness_sampled",
     """WITH e AS (
          SELECT 'C' || c_custkey AS a, 'N' || c_nationkey AS b FROM customer

@@ -214,3 +214,94 @@ def test_closeness_respects_hop_bound(spark):
     seeds = spark.createDataFrame([Row(node="n0")])
     out = closeness_sampled(edges, seeds, max_hops=2).collect()[0]
     assert out["n_reached"] == 2 and out["sum_dist"] == 3
+
+
+# -------------------------------------------------------- BPE training
+def test_bpe_train_is_sequential(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        bpe_train_merges,
+    )
+
+    docs = [Row(doc_id=1, text="abab abab abab ab ab cc cc cc cc x")]
+    out = [tuple(r) for r in bpe_train_merges(spark.createDataFrame(docs), rounds=3).collect()]
+    # round 1 merges (a,b); round 3's winning pair is (ab, ab) — a pair of
+    # round-1's MERGED symbol, which a one-snapshot candidate list can
+    # never produce.
+    assert out == [
+        (1, "a", "b", "ab", 8),
+        (2, "c", "c", "cc", 4),
+        (3, "ab", "ab", "abab", 3),
+    ]
+
+
+def test_bpe_train_greedy_no_overlap(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        bpe_train_merges,
+    )
+
+    # "aaa": merge (a,a) applies once per word (leftmost, consumes both)
+    docs = [Row(doc_id=1, text="aaa aaa")]
+    out = [tuple(r) for r in bpe_train_merges(spark.createDataFrame(docs), rounds=2).collect()]
+    # round 1: pairs (a,a) x2 per word x2 words = 4
+    assert out[0] == (1, "a", "a", "aa", 4)
+    # after apply each word is [aa, a]: round 2 best is (aa, a) x2
+    assert out[1] == (2, "aa", "a", "aaa", 2)
+
+
+# ------------------------------------------------------------ IVF + PQ
+def test_ivf_pq_matches_numpy_reference(spark):
+    import numpy as np
+
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = 40, 64
+    vecs = rng.randn(n, dim).astype("float64")
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(n)]
+    )
+    n_cells, nprobe, n_queries, n_sub, n_codes, k = 8, 3, 5, 4, 8, 5
+    out = ivf_pq_topk(
+        df, k=k, n_cells=n_cells, nprobe=nprobe, n_queries=n_queries,
+        n_subspaces=n_sub, n_codes=n_codes,
+    ).collect()
+
+    # numpy reference
+    sub = dim // n_sub
+    norms = np.linalg.norm(vecs, axis=1)
+    cents = vecs[:n_cells]
+    cos_to_cents = (vecs @ cents.T) / np.outer(norms, norms[:n_cells])
+    cell = np.array([
+        min(range(n_cells), key=lambda c: (-round(cos_to_cents[i, c], 6), c))
+        for i in range(n)
+    ])
+    codebook = vecs[:n_codes].reshape(n_codes, n_sub, sub)
+    codes = np.zeros((n, n_sub), dtype=int)
+    for i in range(n):
+        for mm in range(n_sub):
+            d2 = ((vecs[i, mm * sub:(mm + 1) * sub] - codebook[:, mm, :]) ** 2).sum(1)
+            codes[i, mm] = min(range(n_codes), key=lambda c: (d2[c], c))
+    expect = {}
+    for qi in range(n_queries):
+        probes = sorted(range(n_cells),
+                        key=lambda c: (-round(cos_to_cents[qi, c], 6), c))[:nprobe]
+        cand = [j for j in range(n) if cell[j] in probes and j != qi]
+        scored = []
+        for j in cand:
+            dist = 0.0
+            for mm in range(n_sub):
+                dist += ((vecs[qi, mm * sub:(mm + 1) * sub]
+                          - codebook[codes[j, mm], mm, :]) ** 2).sum()
+            scored.append((round(dist, 6), j))
+        scored.sort()
+        expect[qi] = [(j, d) for d, j in scored[:k]]
+    got = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["approx_dist2"]))
+    assert set(got) == set(expect)
+    for qi in expect:
+        assert [j for j, _ in got[qi]] == [j for j, _ in expect[qi]], qi
+        for (ja, da), (jb, db) in zip(got[qi], expect[qi]):
+            assert abs(da - db) < 2e-6
