@@ -339,3 +339,44 @@ def test_hot_group_safe_aggregation_shapes(spark):
     for name in ("dedup_prefix_survivorship", "embedding_centroid_outliers"):
         plan = _plan(spark, name)
         assert "windowspecdefinition" not in plan, (name, plan[:1500])
+
+
+def test_linkage_spreads_kernel_with_broadcast(spark):
+    """The distinct-name vocab side of the blocked Levenshtein join must
+    broadcast (so the AQE-coalesced tiny-input shuffle cannot funnel the
+    |block|² pair explosion into 2 tasks — the round-5 hot-block
+    postmortem), and the fanned-out side must carry an explicit
+    round-robin repartition."""
+    plan = _plan(spark, "part_name_linkage")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "RoundRobinPartitioning" in plan, plan[:1500]
+
+
+def test_curriculum_has_no_global_window(spark):
+    """The curriculum global rank must be range-repartition + offset
+    arithmetic: any ranking window in the plan must be partitioned (by
+    the internal pid), never global."""
+    plan = _plan(spark, "curriculum_order_plan")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "], [], [" not in line, f"unpartitioned window: {line}"
+
+
+def test_ivf_pq_lut_joins_broadcast(spark):
+    """IVFPQ scoring must join the per-query ADC lookup table and the
+    codebook as broadcasts — the candidate side never ships float
+    vectors through a shuffle for scoring."""
+    plan = _plan(spark, "embedding_ivf_pq_topk")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_cusum_window_is_keyed(spark):
+    """The CUSUM cumulative sum must window over (type, day) cells
+    partitioned by event_type — never an unpartitioned pass."""
+    plan = _plan(spark, "events_cusum_drift")
+    saw = False
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            saw = True
+            assert "], [], [" not in line, f"unpartitioned window: {line}"
+    assert saw
