@@ -112,6 +112,9 @@ _NEXT_ROTATION: list[str] = [
     "graph_closeness_sampled",
     "bpe_train_merges",
     "embedding_ivf_pq_topk",
+    "copurchase_recommendations",
+    "events_markov_transitions",
+    "events_first_touch_attribution",
 ]
 
 

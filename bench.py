@@ -207,6 +207,9 @@ BENCH_QUERIES = [
     "graph_closeness_sampled",
     "bpe_train_merges",
     "embedding_ivf_pq_topk",
+    "copurchase_recommendations",
+    "events_markov_transitions",
+    "events_first_touch_attribution",
 ]
 
 

@@ -413,3 +413,61 @@ def basket_association_rules(
             ).alias("lift"),
         )
     )
+
+
+def copurchase_recommendations(
+    view: GraphView, k: int = 3, min_co_orders: int = 2
+) -> DataFrame:
+    """Item-based collaborative filtering, end to end: recommend to each
+    customer the ``k`` parts they have NOT bought whose co-purchase
+    affinity with their history is strongest — score(c, q) = the number
+    of c's purchased parts that co-occur (≥ ``min_co_orders`` shared
+    orders) with q, ties to the smaller part key. The candidate-
+    generation stage of every production recommender, expressed as
+    joins over ``part_copurchase_topk``'s bounded pair table.
+
+    Scale shape: purchases are the DISTINCT (customer, part) projection;
+    the item-item table is bounded by Σ basket² and pre-filtered by
+    ``min_co_orders`` before the expansion join, so the candidate fan-out
+    is |purchases| × (capped item degree) — the standard blocked
+    candidate generation (a production system would also cap the item
+    neighbor list at top-N affinity, which ``part_copurchase_topk``
+    already demonstrates). Existing purchases leave via a left-anti
+    join; the final cut is a per-customer rank window (per-group sorts,
+    never global).
+    """
+    li = view.tables["lineitem"].select("l_orderkey", "l_partkey")
+    orders = view.tables["orders"].select("o_orderkey", "o_custkey")
+    purchases = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    items = li.distinct()
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("p1") != F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= min_co_orders)
+    )
+    cand = (
+        purchases.join(pairs, purchases["p"] == pairs["p1"])
+        .groupBy(F.col("c"), F.col("p2").alias("rec_part"))
+        .agg(F.count(F.lit(1)).alias("common_items"))
+    )
+    fresh = cand.join(
+        purchases.select("c", F.col("p").alias("rec_part")),
+        ["c", "rec_part"],
+        "left_anti",
+    )
+    w = Window.partitionBy("c").orderBy(
+        F.col("common_items").desc(), F.col("rec_part")
+    )
+    return (
+        fresh.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("c").alias("custkey"), "rec_part", "common_items", "rnk")
+    )

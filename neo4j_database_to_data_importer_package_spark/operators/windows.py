@@ -383,3 +383,88 @@ def cusum_drift(
             4,
         ).alias("drift_stat"),
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next = b | current = a) with counts — the behavioral-sequence
+    model behind session simulation, anomaly screens ("this transition
+    never happens"), and next-event prediction baselines.
+
+    One ``lead`` window PARTITIONED BY USER (per-user streams are
+    shuffle-group-sized, never a global sort), ordered by (ts, event_id)
+    so simultaneous events have an engine-independent order; then two
+    dimension-sized aggregates (|types|² cells). Stream ends contribute
+    no transition (lead is NULL).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    seq = events.select(
+        F.col(user_col),
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        round_half_up(F.col("n") / F.col("tot"), digits).alias("prob"),
+    )
+
+
+def first_touch_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    digits: int = 6,
+) -> DataFrame:
+    """First-touch conversion attribution: every conversion event is
+    credited to the CHANNEL (event type) of the user's first-ever
+    non-conversion touch before it; conversions with no prior touch
+    credit the '(none)' channel. Output per channel: conversions
+    attributed and share — the classic marketing-attribution rollup,
+    and the template for last-touch/linear variants (swap the running
+    aggregate).
+
+    One running ``first`` window per user ordered by (ts, event_id) with
+    rows BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING — the prefix
+    aggregate form, per-user partitions, no self-join against the
+    event history. Channel rollup is dimension-sized.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
+    attributed = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col),
+            F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        )
+        .filter(F.col(type_col) == conversion_type)
+        .select(F.coalesce(F.col("first_touch"), F.lit("(none)")).alias("channel"))
+    )
+    counts = attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+    total = counts.agg(F.sum("n_conversions").alias("tot"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "channel",
+        "n_conversions",
+        round_half_up(F.col("n_conversions") / F.col("tot"), digits).alias("share"),
+    )

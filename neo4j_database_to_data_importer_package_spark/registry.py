@@ -6119,6 +6119,95 @@ def embedding_ivf_pq_topk(spark, sf_dir):
     return ivf_pq_topk(view.tables["embeddings"])
 
 
+@register(
+    "copurchase_recommendations",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       purch AS (
+         SELECT DISTINCT o_custkey AS c, l_partkey AS p
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       pairs AS (
+         SELECT a.p AS p1, b.p AS p2, count(*) AS n_co
+         FROM li a JOIN li b ON a.o = b.o AND a.p != b.p
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       cand AS (
+         SELECT pu.c, pr.p2 AS rec_part, count(*) AS common_items
+         FROM purch pu JOIN pairs pr ON pu.p = pr.p1
+         GROUP BY 1, 2),
+       fresh AS (
+         SELECT cd.c, cd.rec_part, cd.common_items
+         FROM cand cd
+         LEFT JOIN purch x ON x.c = cd.c AND x.p = cd.rec_part
+         WHERE x.p IS NULL)
+       SELECT c AS custkey, rec_part, common_items,
+              CAST(row_number() OVER (
+                PARTITION BY c ORDER BY common_items DESC, rec_part) AS INT) AS rnk
+       FROM fresh QUALIFY rnk <= 3""",
+)
+def copurchase_recommendations(spark, sf_dir):
+    """Item-based collaborative filtering: top-3 not-yet-bought parts
+    per customer scored by co-purchase common-neighbor count — the
+    candidate-generation stage of a recommender, joins over the bounded
+    basket-pair table. See analytics.copurchase_recommendations."""
+    from .operators.analytics import copurchase_recommendations as op
+
+    return op(_view(spark, sf_dir))
+
+
+@register(
+    "events_markov_transitions",
+    """WITH seq AS (
+         SELECT event_type AS from_type,
+                lead(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         FROM events),
+       counts AS (
+         SELECT from_type, to_type, count(*) AS n
+         FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT from_type, sum(n) AS t FROM counts GROUP BY 1)
+       SELECT from_type, to_type, n,
+              floor(n / CAST(t AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS prob
+       FROM counts JOIN tot USING (from_type)""",
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams
+    (lead window partitioned by user, (ts, event_id) tie-break) — the
+    behavioral-sequence baseline. See windows.markov_transitions."""
+    from .operators.windows import markov_transitions
+
+    view = _view(spark, sf_dir)
+    return markov_transitions(view.tables["events"])
+
+
+@register(
+    "events_first_touch_attribution",
+    """WITH a AS (
+         SELECT user_id, event_type,
+                first_value(CASE WHEN event_type != 'purchase'
+                                 THEN event_type END IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft
+         FROM events),
+       conv AS (
+         SELECT coalesce(ft, '(none)') AS channel
+         FROM a WHERE event_type = 'purchase'),
+       counts AS (SELECT channel, count(*) AS n_conversions FROM conv GROUP BY 1),
+       tot AS (SELECT sum(n_conversions) AS t FROM counts)
+       SELECT channel, n_conversions,
+              floor(n_conversions / CAST(t AS DOUBLE) * 1000000.0 + 0.5)
+                / 1000000.0 AS share
+       FROM counts CROSS JOIN tot""",
+)
+def events_first_touch_attribution(spark, sf_dir):
+    """First-touch conversion attribution: each purchase credited to the
+    user's earliest prior non-purchase channel via a prefix-frame
+    running first — no self-join against the event history.
+    See windows.first_touch_attribution."""
+    from .operators.windows import first_touch_attribution
+
+    view = _view(spark, sf_dir)
+    return first_touch_attribution(view.tables["events"])
+
+
 def _bpe_train_oracle(rounds: int = 3) -> str:
     def round_cte(r):
         return f"""

@@ -305,3 +305,81 @@ def test_ivf_pq_matches_numpy_reference(spark):
         assert [j for j, _ in got[qi]] == [j for j, _ in expect[qi]], qi
         for (ja, da), (jb, db) in zip(got[qi], expect[qi]):
             assert abs(da - db) < 2e-6
+
+
+# --------------------------------------------------- recommendations
+def test_copurchase_recommendations_excludes_owned(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        copurchase_recommendations,
+    )
+    from neo4j_database_to_data_importer_package_spark.sources.star_schema import (
+        GraphView, TPCH_GRAPH_SPEC,
+    )
+
+    li = spark.createDataFrame(
+        [  # orders 1..4 as baskets; parts 10,20,30
+            Row(l_orderkey=1, l_partkey=10), Row(l_orderkey=1, l_partkey=20),
+            Row(l_orderkey=2, l_partkey=10), Row(l_orderkey=2, l_partkey=20),
+            Row(l_orderkey=3, l_partkey=20), Row(l_orderkey=3, l_partkey=30),
+            Row(l_orderkey=4, l_partkey=20), Row(l_orderkey=4, l_partkey=30),
+            Row(l_orderkey=5, l_partkey=10),  # customer 2 bought only part 10
+        ]
+    )
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=1, o_custkey=1), Row(o_orderkey=2, o_custkey=1),
+         Row(o_orderkey=3, o_custkey=3), Row(o_orderkey=4, o_custkey=3),
+         Row(o_orderkey=5, o_custkey=2)]
+    )
+    view = GraphView(spark, TPCH_GRAPH_SPEC, {}, {"lineitem": li, "orders": orders}, None)
+    out = copurchase_recommendations(view, k=3, min_co_orders=2).collect()
+    recs = {(r["custkey"], r["rec_part"]): r for r in out}
+    # customer 2 owns {10}; 10 co-occurs with 20 (orders 1,2) -> recommend 20
+    assert (2, 20) in recs and recs[(2, 20)]["common_items"] == 1
+    # owned items are never recommended
+    assert (2, 10) not in recs and (1, 10) not in recs and (1, 20) not in recs
+    # customer 1 owns {10,20}: 30 co-occurs with 20 twice -> recommended
+    assert (1, 30) in recs
+
+
+# ------------------------------------------------- Markov transitions
+def test_markov_transition_probabilities(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        markov_transitions,
+    )
+
+    rows = [
+        Row(event_id=i, ts=_day(1 + i), user_id=1, event_type=t, value=0.0)
+        for i, t in enumerate(["a", "b", "a", "c"])
+    ] + [Row(event_id=10, ts=_day(1), user_id=2, event_type="a", value=0.0)]
+    out = {(r["from_type"], r["to_type"]): r for r in markov_transitions(
+        spark.createDataFrame(rows)).collect()}
+    # user 1 transitions: a->b, b->a, a->c; user 2 contributes none
+    assert out[("a", "b")]["n"] == 1 and out[("a", "b")]["prob"] == 0.5
+    assert out[("a", "c")]["prob"] == 0.5
+    assert out[("b", "a")]["prob"] == 1.0
+    assert len(out) == 3
+
+
+# ----------------------------------------------------- attribution
+def test_first_touch_attribution_channels(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        first_touch_attribution,
+    )
+
+    rows = [
+        # user 1: view -> click -> purchase  => credited to 'view'
+        Row(event_id=1, ts=_day(1), user_id=1, event_type="view", value=0.0),
+        Row(event_id=2, ts=_day(2), user_id=1, event_type="click", value=0.0),
+        Row(event_id=3, ts=_day(3), user_id=1, event_type="purchase", value=0.0),
+        # user 2: cold purchase => '(none)'
+        Row(event_id=4, ts=_day(1), user_id=2, event_type="purchase", value=0.0),
+        # user 2 buys again after a click => still first touch ... 'click'
+        Row(event_id=5, ts=_day(2), user_id=2, event_type="click", value=0.0),
+        Row(event_id=6, ts=_day(3), user_id=2, event_type="purchase", value=0.0),
+    ]
+    out = {r["channel"]: r for r in first_touch_attribution(
+        spark.createDataFrame(rows)).collect()}
+    assert out["view"]["n_conversions"] == 1
+    assert out["(none)"]["n_conversions"] == 1
+    assert out["click"]["n_conversions"] == 1
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-5
