@@ -115,6 +115,7 @@ _NEXT_ROTATION: list[str] = [
     "copurchase_recommendations",
     "events_markov_transitions",
     "events_first_touch_attribution",
+    "streaming_cusum_drift",
 ]
 
 

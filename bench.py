@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "copurchase_recommendations",
     "events_markov_transitions",
     "events_first_touch_attribution",
+    "streaming_cusum_drift",
 ]
 
 

@@ -6120,6 +6120,60 @@ def embedding_ivf_pq_topk(spark, sf_dir):
 
 
 @register(
+    "streaming_cusum_drift",
+    """WITH daily AS (
+         SELECT CAST(event_type AS VARCHAR) AS key, CAST(ts AS DATE) AS day,
+                count(*) AS x
+         FROM events GROUP BY 1, 2),
+       stats AS (
+         SELECT key, avg(x) AS m, stddev_pop(x) AS sd, count(*) AS n_days,
+                CAST(sum(x) AS BIGINT) AS n_events
+         FROM daily GROUP BY 1),
+       cum AS (
+         SELECT d.key, d.day, s.n_days, s.n_events, s.sd,
+                sum(d.x - s.m) OVER (PARTITION BY d.key ORDER BY d.day) AS cs
+         FROM daily d JOIN stats s USING (key)),
+       peak AS (
+         SELECT key, day AS peak_day
+         FROM cum
+         QUALIFY row_number() OVER (
+           PARTITION BY key ORDER BY abs(cs) DESC, day DESC) = 1)
+       SELECT c.key, c.n_events, c.n_days,
+              floor(max(abs(c.cs)) * 10000.0 + 0.5) / 10000.0 AS max_cusum,
+              strftime(any_value(p.peak_day), '%Y-%m-%d') AS peak_day,
+              CASE WHEN any_value(c.sd) > 0
+                   THEN floor(max(abs(c.cs)) / (any_value(c.sd) * sqrt(c.n_days))
+                              * 10000.0 + 0.5) / 10000.0
+                   END AS drift_stat
+       FROM cum c JOIN peak p USING (key)
+       GROUP BY c.key, c.n_days, c.n_events""",
+)
+def streaming_cusum_drift(spark, sf_dir):
+    """Streaming CUSUM drift monitor (applyInPandasWithState): per-key
+    day→count map state accumulates commutatively, so the final emission
+    equals the batch CUSUM under any micro-batch schedule — the
+    streaming twin of ``events_cusum_drift``.
+    See streaming/stateful.streaming_cusum_monitor."""
+    from pyspark.sql import Window
+
+    from .streaming.events import run_stream_to_memory
+    from .streaming.stateful import streaming_cusum_monitor as op
+
+    stream = _replayed_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    _STREAM_SEQ[0] += 1
+    got = run_stream_to_memory(
+        op(stream), f"q_stream_cusum_{_STREAM_SEQ[0]}", output_mode="update",
+        state_partitions=8,
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("n_events"))
+    return (
+        got.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("key", "n_events", "n_days", "max_cusum", "peak_day", "drift_stat")
+    )
+
+
+@register(
     "copurchase_recommendations",
     """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
        purch AS (

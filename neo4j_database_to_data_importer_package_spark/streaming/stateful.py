@@ -448,3 +448,110 @@ def streaming_funnel_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("days", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_events", LongType()),
+        StructField("n_days", LongType()),
+        StructField("max_cusum", DoubleType()),
+        StructField("peak_day", StringType()),
+        StructField("drift_stat", DoubleType()),
+    ]
+)
+
+_CUSUM_EPOCH = "2024-01-01"
+
+
+def _update_cusum(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import datetime
+    import math
+
+    if state.exists:
+        days, counts = state.get
+        tally = dict(zip(days, counts))
+    else:
+        tally = {}
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        for d, c in pdf["day"].value_counts().items():
+            tally[int(d)] = tally.get(int(d), 0) + int(c)
+    state.update((list(tally), list(tally.values())))
+    ordered = sorted(tally.items())
+    xs = [c for _, c in ordered]
+    n = len(xs)
+    mean = sum(xs) / n
+    # population sd via the explicit naive formula — the same double ops
+    # as the oracle's aggregate, so 4-dp rounding absorbs the 1e-12 tail
+    sd = math.sqrt(sum((x - mean) ** 2 for x in xs) / n)
+    s, best_abs, best_day = 0.0, -1.0, None
+    for d, x in ordered:
+        s += x - mean
+        # ties: largest |S| first, then the LATEST day (matches the
+        # batch operator's max(struct(abs, day)) tie-break)
+        if abs(s) > best_abs or (abs(s) == best_abs and d > best_day):
+            best_abs, best_day = abs(s), d
+    epoch = datetime.date.fromisoformat(_CUSUM_EPOCH)
+    peak = (epoch + datetime.timedelta(days=best_day)).isoformat()
+
+    def r4(v):
+        return math.floor(v * 10000.0 + 0.5) / 10000.0
+
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_events": [int(sum(xs))],
+            "n_days": [n],
+            "max_cusum": [r4(best_abs)],
+            "peak_day": [peak],
+            "drift_stat": [r4(best_abs / (sd * math.sqrt(n))) if sd > 0 else None],
+        }
+    )
+
+
+def streaming_cusum_monitor(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming CUSUM drift monitor: the incrementally maintained twin
+    of the batch ``windows.cusum_drift`` — per key, the state is the
+    per-DAY count map (day index → count), which accumulates
+    COMMUTATIVELY (integer adds keyed by day), so the emitted statistics
+    after the final micro-batch are identical under any arrival order —
+    the property that makes a batch SQL oracle possible. Every emission
+    recomputes max|Σ(x−x̄)|, its day, and the scale-free drift statistic
+    from the (days-sized, never events-sized) state.
+
+    The day index is derived JVM-side before the shuffle; the Python
+    update only adds integers. State is O(observed days) per key —
+    bounded by the monitoring horizon (a production deployment pairs
+    this with a sliding retention that drops days older than the
+    horizon; eviction hooks are the same GroupStateTimeout plumbing as
+    ``streaming_running_totals``)."""
+    from pyspark.sql import functions as F
+
+    src = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.datediff(
+            F.to_date(ts_col), F.lit(_CUSUM_EPOCH).cast("date")
+        ).cast("long").alias("day"),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _update_cusum,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

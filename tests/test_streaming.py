@@ -172,3 +172,37 @@ def test_streaming_kmv_matches_batch_sketch(spark, events_stream_path, events_ba
         else:
             exp = len(fracs)
         assert r.kmv_estimate == exp, r.key
+
+
+def test_streaming_cusum_matches_batch(spark, events_stream_path, events_batch):
+    """The streaming CUSUM monitor's last emission per key must equal the
+    batch cusum_drift result regardless of micro-batch arrival order —
+    the per-day count-map state is commutative."""
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        cusum_drift,
+    )
+    from neo4j_database_to_data_importer_package_spark.streaming.events import (
+        read_events_stream,
+    )
+    from neo4j_database_to_data_importer_package_spark.streaming.stateful import (
+        streaming_cusum_monitor,
+    )
+
+    schema = spark.read.parquet(events_stream_path).schema
+    stream = read_events_stream(
+        spark, events_stream_path, schema, max_files_per_trigger=1
+    )
+    got = run_stream_to_memory(
+        streaming_cusum_monitor(stream), "t_cusum", output_mode="update"
+    ).toPandas()
+    last = got.loc[got.groupby("key")["n_events"].idxmax()]
+    g = {
+        r.key: (r.n_days, r.max_cusum, r.peak_day, round(r.drift_stat, 4))
+        for r in last.itertuples()
+    }
+    batch = cusum_drift(events_batch).toPandas()
+    b = {
+        r.event_type: (r.n_days, r.max_cusum, str(r.peak_day), round(r.drift_stat, 4))
+        for r in batch.itertuples()
+    }
+    assert g == b
