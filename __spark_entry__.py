@@ -116,6 +116,7 @@ _NEXT_ROTATION: list[str] = [
     "events_markov_transitions",
     "events_first_touch_attribution",
     "streaming_cusum_drift",
+    "data_quality_checks",
 ]
 
 

@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "events_markov_transitions",
     "events_first_touch_attribution",
     "streaming_cusum_drift",
+    "data_quality_checks",
 ]
 
 

@@ -199,3 +199,90 @@ def dataset_card_stats(
             ),
         )
     )
+
+
+def data_quality_checks(view) -> DataFrame:
+    """Expectation-suite audit over the star schema: one row per rule
+    with total rows, violations, and pass rate — the pre-ingest gate a
+    pipeline runs before accepting a new data drop (the
+    Great-Expectations shape, expressed as aggregates). Rules cover the
+    three families that catch real drops: referential integrity
+    (FK anti-join counts), domain ranges, and key uniqueness.
+
+    Every rule is a single aggregate (or anti-join + aggregate) over a
+    two-column projection; results union into a dimension-sized report.
+    At 100 TB each FK check is one broadcast/shuffle anti-join on the
+    key column only — no rule ever touches a full row.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import round_half_up
+
+    orders = view.tables["orders"]
+    lineitem = view.tables["lineitem"]
+    customer = view.tables["customer"]
+    events = view.tables["events"]
+    documents = view.tables["documents"]
+
+    def report(table, rule, total_df, viol_col):
+        agg = total_df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(viol_col.cast("long")).alias("n_violations"),
+        )
+        return agg.select(
+            F.lit(table).alias("table_name"),
+            F.lit(rule).alias("rule"),
+            "n_rows",
+            "n_violations",
+            round_half_up(
+                (F.col("n_rows") - F.col("n_violations")) / F.col("n_rows"), 6
+            ).alias("pass_rate"),
+        )
+
+    # FK checks as left join + null probe on a marker column
+    cust_keys = customer.select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("__hit")
+    )
+    fk1 = report(
+        "orders",
+        "o_custkey_in_customer",
+        orders.select("o_custkey").join(F.broadcast(cust_keys), "o_custkey", "left"),
+        F.col("__hit").isNull(),
+    )
+    order_keys = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("__hit")
+    )
+    fk2 = report(
+        "lineitem",
+        "l_orderkey_in_orders",
+        lineitem.select("l_orderkey").join(order_keys, "l_orderkey", "left"),
+        F.col("__hit").isNull(),
+    )
+    rng1 = report(
+        "lineitem",
+        "l_quantity_in_1_50",
+        lineitem.select("l_quantity"),
+        ~F.col("l_quantity").between(1, 50),
+    )
+    rng2 = report(
+        "events",
+        "value_non_negative",
+        events.select("value"),
+        F.col("value") < 0,
+    )
+    ne = report(
+        "documents",
+        "text_non_empty",
+        documents.select("text"),
+        F.coalesce(F.length("text"), F.lit(0)) == 0,
+    )
+    uniq = report(
+        "customer",
+        "c_custkey_unique",
+        customer.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("__c")),
+        F.col("__c") > 1,
+    )
+    out = fk1
+    for piece in (fk2, rng1, rng2, ne, uniq):
+        out = out.unionByName(piece)
+    return out

@@ -6120,6 +6120,57 @@ def embedding_ivf_pq_topk(spark, sf_dir):
 
 
 @register(
+    "data_quality_checks",
+    """SELECT 'orders' AS table_name, 'o_custkey_in_customer' AS rule,
+              count(*) AS n_rows,
+              CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_violations,
+              floor((count(*) - sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END))
+                    / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+                AS pass_rate
+       FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+       UNION ALL
+       SELECT 'lineitem', 'l_orderkey_in_orders', count(*),
+              CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              floor((count(*) - sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END))
+                    / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+       UNION ALL
+       SELECT 'lineitem', 'l_quantity_in_1_50', count(*),
+              CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT),
+              floor((count(*) - sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END))
+                    / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       FROM lineitem
+       UNION ALL
+       SELECT 'events', 'value_non_negative', count(*),
+              CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+              floor((count(*) - sum(CASE WHEN value < 0 THEN 1 ELSE 0 END))
+                    / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       FROM events
+       UNION ALL
+       SELECT 'documents', 'text_non_empty', count(*),
+              CAST(sum(CASE WHEN coalesce(length(text), 0) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+              floor((count(*) - sum(CASE WHEN coalesce(length(text), 0) = 0 THEN 1 ELSE 0 END))
+                    / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       FROM documents
+       UNION ALL
+       SELECT 'customer', 'c_custkey_unique', count(*),
+              CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+              floor((count(*) - sum(CASE WHEN c > 1 THEN 1 ELSE 0 END))
+                    / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       FROM (SELECT c_custkey, count(*) AS c FROM customer GROUP BY 1)""",
+)
+def data_quality_checks(spark, sf_dir):
+    """Expectation-suite audit: referential integrity (FK left-join null
+    probes on key-only projections), domain ranges, and key uniqueness —
+    one (table, rule, n_rows, n_violations, pass_rate) row per rule.
+    See profiling.data_quality_checks."""
+    from .operators.profiling import data_quality_checks as op
+
+    return op(_view(spark, sf_dir))
+
+
+@register(
     "streaming_cusum_drift",
     """WITH daily AS (
          SELECT CAST(event_type AS VARCHAR) AS key, CAST(ts AS DATE) AS day,

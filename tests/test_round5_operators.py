@@ -383,3 +383,40 @@ def test_first_touch_attribution_channels(spark):
     assert out["(none)"]["n_conversions"] == 1
     assert out["click"]["n_conversions"] == 1
     assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-5
+
+
+# ------------------------------------------------- data quality checks
+def test_data_quality_checks_flags_violations(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.profiling import (
+        data_quality_checks,
+    )
+    from neo4j_database_to_data_importer_package_spark.sources.star_schema import (
+        GraphView, TPCH_GRAPH_SPEC,
+    )
+
+    tables = {
+        "customer": spark.createDataFrame(
+            [Row(c_custkey=1), Row(c_custkey=2), Row(c_custkey=2)]  # dup key
+        ),
+        "orders": spark.createDataFrame(
+            [Row(o_orderkey=10, o_custkey=1), Row(o_orderkey=11, o_custkey=99)]  # 99: orphan FK
+        ),
+        "lineitem": spark.createDataFrame(
+            [Row(l_orderkey=10, l_quantity=5.0), Row(l_orderkey=77, l_quantity=99.0)]
+        ),
+        "events": spark.createDataFrame(
+            [Row(value=1.0), Row(value=-2.0)]
+        ),
+        "documents": spark.createDataFrame(
+            [Row(text="hello"), Row(text="")]
+        ),
+    }
+    view = GraphView(spark, TPCH_GRAPH_SPEC, {}, tables, None)
+    out = {r["rule"]: r for r in data_quality_checks(view).collect()}
+    assert out["o_custkey_in_customer"]["n_violations"] == 1
+    assert out["l_orderkey_in_orders"]["n_violations"] == 1
+    assert out["l_quantity_in_1_50"]["n_violations"] == 1
+    assert out["value_non_negative"]["pass_rate"] == 0.5
+    assert out["text_non_empty"]["n_violations"] == 1
+    assert out["c_custkey_unique"]["n_violations"] == 1  # one dup key group
+    assert out["c_custkey_unique"]["n_rows"] == 2  # key groups, not rows

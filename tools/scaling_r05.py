@@ -46,6 +46,12 @@ QUERIES = [
     "dataset_card_stats",
     "graph_closeness_sampled",
     "model_v3_table_schemas",
+    "bpe_train_merges",
+    "embedding_ivf_pq_topk",
+    "copurchase_recommendations",
+    "events_markov_transitions",
+    "events_first_touch_attribution",
+    "data_quality_checks",
 ]
 
 _OFF = 100000000
