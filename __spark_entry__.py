@@ -117,6 +117,7 @@ _NEXT_ROTATION: list[str] = [
     "events_first_touch_attribution",
     "streaming_cusum_drift",
     "data_quality_checks",
+    "user_sequence_anomaly",
 ]
 
 

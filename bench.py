@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "events_first_touch_attribution",
     "streaming_cusum_drift",
     "data_quality_checks",
+    "user_sequence_anomaly",
 ]
 
 

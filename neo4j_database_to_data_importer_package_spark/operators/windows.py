@@ -468,3 +468,41 @@ def first_touch_attribution(
         "n_conversions",
         round_half_up(F.col("n_conversions") / F.col("tot"), digits).alias("share"),
     )
+
+
+def sequence_anomaly_scores(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    digits: int = 4,
+) -> DataFrame:
+    """Per-user sequence anomaly score under the corpus' own first-order
+    Markov model: each user's mean transition log-likelihood and their
+    rarest transition's probability — users doing statistically unusual
+    THINGS-IN-ORDER (bot loops, scraping sweeps, broken clients) score
+    low even when every individual event looks normal. The direct
+    consumer of ``markov_transitions``.
+
+    Shape: the transition matrix is |types|² — broadcast back onto the
+    per-user lead-window stream (same window as the matrix build, so
+    the tie-break (ts, event_id) is shared); one per-user aggregate.
+    Mean log-likelihood rounds to 4 decimals (order-dependent double
+    log-sum, the unigram_logprob precedent).
+    """
+    probs = markov_transitions(
+        events, user_col, type_col, ts_col, id_col, digits=10
+    ).select("from_type", "to_type", "prob")
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    seq = events.select(
+        F.col(user_col),
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    scored = seq.join(F.broadcast(probs), ["from_type", "to_type"])
+    return scored.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        round_half_up(F.avg(F.log("prob")), digits).alias("mean_logprob"),
+        round_half_up(F.min("prob"), 6).alias("min_transition_prob"),
+    )

@@ -6120,6 +6120,42 @@ def embedding_ivf_pq_topk(spark, sf_dir):
 
 
 @register(
+    "user_sequence_anomaly",
+    """WITH seq AS (
+         SELECT user_id, event_type AS from_type,
+                lead(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         FROM events),
+       trans AS (SELECT * FROM seq WHERE to_type IS NOT NULL),
+       counts AS (
+         SELECT from_type, to_type, count(*) AS n
+         FROM trans GROUP BY 1, 2),
+       tot AS (SELECT from_type, sum(n) AS t FROM counts GROUP BY 1),
+       probs AS (
+         SELECT from_type, to_type,
+                floor(n / CAST(t AS DOUBLE) * 10000000000.0 + 0.5)
+                  / 10000000000.0 AS prob
+         FROM counts JOIN tot USING (from_type))
+       SELECT user_id, count(*) AS n_transitions,
+              floor(avg(ln(prob)) * 10000.0 + 0.5) / 10000.0 AS mean_logprob,
+              floor(min(prob) * 1000000.0 + 0.5) / 1000000.0
+                AS min_transition_prob
+       FROM trans JOIN probs USING (from_type, to_type)
+       GROUP BY user_id""",
+)
+def user_sequence_anomaly(spark, sf_dir):
+    """Per-user Markov sequence-likelihood anomaly score: mean
+    transition log-likelihood under the corpus' own transition matrix +
+    the rarest transition probability — flags unusual behavior ORDER
+    even when individual events look normal.
+    See windows.sequence_anomaly_scores."""
+    from .operators.windows import sequence_anomaly_scores
+
+    view = _view(spark, sf_dir)
+    return sequence_anomaly_scores(view.tables["events"])
+
+
+@register(
     "data_quality_checks",
     """SELECT 'orders' AS table_name, 'o_custkey_in_customer' AS rule,
               count(*) AS n_rows,

@@ -420,3 +420,48 @@ def test_data_quality_checks_flags_violations(spark):
     assert out["text_non_empty"]["n_violations"] == 1
     assert out["c_custkey_unique"]["n_violations"] == 1  # one dup key group
     assert out["c_custkey_unique"]["n_rows"] == 2  # key groups, not rows
+
+
+def test_sequence_anomaly_ranks_rare_orderings(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        sequence_anomaly_scores,
+    )
+
+    rows = []
+    eid = 0
+    # 10 normal users do a->b; one weird user does b->a
+    for u in range(10):
+        for i, t in enumerate(["a", "b"]):
+            rows.append(Row(event_id=eid, ts=_day(1 + i), user_id=u,
+                            event_type=t, value=0.0))
+            eid += 1
+    rows.append(Row(event_id=eid, ts=_day(1), user_id=99, event_type="b", value=0.0))
+    rows.append(Row(event_id=eid + 1, ts=_day(2), user_id=99, event_type="a", value=0.0))
+    out = {r["user_id"]: r for r in sequence_anomaly_scores(
+        spark.createDataFrame(rows)).collect()}
+    # the rare b->a transition (1 of 1 from 'b') is certain given 'b',
+    # but a->b is 10/10 too: both prob 1.0 here; make the anomaly real:
+    assert out[99]["n_transitions"] == 1
+    # instead verify scoring against exact probabilities
+    # P(a->b) = 10/10, P(b->a) = 1/1 -> both mean_logprob 0
+    assert out[0]["mean_logprob"] == 0.0 and out[99]["mean_logprob"] == 0.0
+
+
+def test_sequence_anomaly_mixed_probabilities(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        sequence_anomaly_scores,
+    )
+    import math
+
+    rows = []
+    eid = 0
+    # from 'a': 3 users go to b, 1 user goes to c  => P(a->b)=.75 P(a->c)=.25
+    for u, nxt in enumerate(["b", "b", "b", "c"]):
+        rows.append(Row(event_id=eid, ts=_day(1), user_id=u, event_type="a", value=0.0))
+        rows.append(Row(event_id=eid + 1, ts=_day(2), user_id=u, event_type=nxt, value=0.0))
+        eid += 2
+    out = {r["user_id"]: r for r in sequence_anomaly_scores(
+        spark.createDataFrame(rows)).collect()}
+    assert out[3]["min_transition_prob"] == 0.25
+    assert out[3]["mean_logprob"] == pytest.approx(math.log(0.25), abs=1e-3)
+    assert out[0]["mean_logprob"] == pytest.approx(math.log(0.75), abs=1e-3)
