@@ -118,6 +118,7 @@ _NEXT_ROTATION: list[str] = [
     "streaming_cusum_drift",
     "data_quality_checks",
     "user_sequence_anomaly",
+    "embedding_matryoshka_audit",
 ]
 
 

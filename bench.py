@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "streaming_cusum_drift",
     "data_quality_checks",
     "user_sequence_anomaly",
+    "embedding_matryoshka_audit",
 ]
 
 

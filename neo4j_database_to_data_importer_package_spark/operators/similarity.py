@@ -795,3 +795,88 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist2", "rank")
     )
+
+
+def matryoshka_prefix_audit(
+    df: DataFrame,
+    prefix_dims: tuple = (8, 16, 32),
+    k: int = 10,
+    n_queries: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka/prefix-dimension retrieval audit: recall@k of search
+    over only the FIRST ``d`` coordinates against the full-dimension
+    exact top-k, for each ``d`` in ``prefix_dims`` — the measurement
+    behind adaptive-dimension retrieval (MRL-style embeddings ship with
+    exactly this table: how much ranking quality survives truncation,
+    per byte saved).
+
+    Each prefix search is the same broadcast-queries brute-force shape
+    with ``slice(v, 1, d)`` dots — truncation is free at scan time
+    (narrower arithmetic, same rows). Output one row per (prefix_dim,
+    query): recall@k — both rankings deterministic (rounded cosine,
+    id tie-break), so recall is exact.
+    """
+    from ..functions.numeric import round_half_up
+
+    full = brute_force_topk(
+        df, k=k, n_queries=n_queries, vec_col=vec_col, id_col=id_col
+    ).select(F.col("query_id").alias("fq"), F.col("neighbor_id").alias("fn"))
+    n = with_norm(df, vec_col, id_col)
+    out = None
+    for d in prefix_dims:
+        pv = F.slice(F.col("v"), 1, d)
+        pn = n.select(
+            F.col(id_col),
+            pv.alias("pv"),
+            F.sqrt(_dot(pv, pv)).alias("pnorm"),
+        ).filter(F.col("pnorm") > 0)
+        q = pn.select(
+            F.col(id_col).alias("query_id"),
+            F.col("pv").alias("qv"),
+            F.col("pnorm").alias("qn"),
+        ).filter(F.col("query_id") < n_queries)
+        c = pn.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("pv").alias("cv"),
+            F.col("pnorm").alias("cn"),
+        )
+        joined = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+        cos = round_half_up(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        pref = (
+            joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        is_hit = pref.join(
+            full,
+            (F.col("query_id") == F.col("fq"))
+            & (F.col("neighbor_id") == F.col("fn")),
+            "left",
+        )
+        # Aggregate over ALL of the query's k prefix results (a query
+        # whose prefix ranking shares nothing with the full ranking must
+        # still emit recall 0, not vanish).
+        rec = (
+            is_hit.groupBy("query_id")
+            .agg(F.sum(F.col("fq").isNotNull().cast("long")).alias("__hits"))
+            .select(
+                F.lit(d).alias("prefix_dim"),
+                "query_id",
+                round_half_up(F.col("__hits") / F.lit(float(k)), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out

@@ -6119,6 +6119,56 @@ def embedding_ivf_pq_topk(spark, sf_dir):
     return ivf_pq_topk(view.tables["embeddings"])
 
 
+def _matryoshka_oracle(prefix_dims=(8, 16, 32), k: int = 10, nq: int = 10) -> str:
+    cos = ("floor((list_dot_product(a.{v}, b.{v}) / (a.{n} * b.{n})) "
+           "* 1000000.0 + 0.5) / 1000000.0")
+    parts = []
+    for d in prefix_dims:
+        parts.append(f"""
+SELECT {d} AS prefix_dim, p.query_id,
+       floor(sum(CASE WHEN f.fn IS NOT NULL THEN 1 ELSE 0 END) / {float(k)}
+             * 1000000.0 + 0.5) / 1000000.0 AS recall_at_k
+FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM p{d} a JOIN p{d} b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < {nq}
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+    ORDER BY {cos.format(v='pv', n='pn')} DESC, b.vec_id) <= {k}) p
+LEFT JOIN full_topk f ON f.fq = p.query_id AND f.fn = p.neighbor_id
+GROUP BY p.query_id""")
+    prefix_ctes = ",\n".join(
+        f"""p{d} AS (
+  SELECT vec_id, v[1:{d}] AS pv,
+         sqrt(list_dot_product(v[1:{d}], v[1:{d}])) AS pn
+  FROM v WHERE list_dot_product(v[1:{d}], v[1:{d}]) > 0)"""
+        for d in prefix_dims
+    )
+    return f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings),
+full_topk AS (
+  SELECT a.vec_id AS fq, b.vec_id AS fn
+  FROM v a JOIN v b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < {nq}
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+    ORDER BY {cos.format(v='v', n='norm')} DESC, b.vec_id) <= {k}),
+{prefix_ctes}
+SELECT * FROM ({" UNION ALL ".join(parts)})"""
+
+
+@register("embedding_matryoshka_audit", _matryoshka_oracle())
+def embedding_matryoshka_audit(spark, sf_dir):
+    """Matryoshka/prefix-dimension retrieval audit: recall@10 of search
+    over the first 8/16/32 coordinates vs the full-dimension exact
+    top-10, per query — the adaptive-dimension retrieval trade table.
+    See similarity.matryoshka_prefix_audit."""
+    from .operators.similarity import matryoshka_prefix_audit
+
+    view = _view(spark, sf_dir)
+    return matryoshka_prefix_audit(view.tables["embeddings"])
+
+
 @register(
     "user_sequence_anomaly",
     """WITH seq AS (

@@ -465,3 +465,29 @@ def test_sequence_anomaly_mixed_probabilities(spark):
     assert out[3]["min_transition_prob"] == 0.25
     assert out[3]["mean_logprob"] == pytest.approx(math.log(0.25), abs=1e-3)
     assert out[0]["mean_logprob"] == pytest.approx(math.log(0.75), abs=1e-3)
+
+
+def test_matryoshka_full_prefix_is_perfect_recall(spark):
+    """Using ALL dimensions as the 'prefix' must reproduce the full
+    ranking exactly (recall 1.0); a 1-dim prefix on structured data
+    should lose most of it."""
+    import numpy as np
+
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        matryoshka_prefix_audit,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 64)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(30)]
+    )
+    out = matryoshka_prefix_audit(
+        df, prefix_dims=(1, 64), k=5, n_queries=5
+    ).collect()
+    by_dim = {}
+    for r in out:
+        by_dim.setdefault(r["prefix_dim"], []).append(r["recall_at_k"])
+    assert all(v == 1.0 for v in by_dim[64])
+    assert len(by_dim[1]) == 5  # recall-0 queries still emit rows
+    assert sum(by_dim[1]) / 5 < sum(by_dim[64]) / 5
