@@ -119,6 +119,8 @@ _NEXT_ROTATION: list[str] = [
     "data_quality_checks",
     "user_sequence_anomaly",
     "embedding_matryoshka_audit",
+    "embedding_pca_power_iteration",
+    "vocab_coverage_curve",
 ]
 
 

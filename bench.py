@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "data_quality_checks",
     "user_sequence_anomaly",
     "embedding_matryoshka_audit",
+    "embedding_pca_power_iteration",
+    "vocab_coverage_curve",
 ]
 
 

@@ -880,3 +880,61 @@ def matryoshka_prefix_audit(
         )
         out = rec if out is None else out.unionByName(rec)
     return out
+
+
+def pca_power_iteration(
+    df: DataFrame,
+    iterations: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding matrix by
+    power iteration: v ← normalize(Xᵀ(Xv)), started from the exact
+    uniform unit vector — the dominant-singular-direction probe behind
+    anisotropy audits ("is the embedding space collapsing onto one
+    axis?") and the first step of any distributed PCA/whitening.
+
+    Each iteration is two passes that never materialize more than
+    (rows × 1) scores and (dim) sums: the per-row score x·v is a
+    codegen fold against the current direction as LITERALS (the 64
+    scalars are a bounded driver fetch per iteration — the manifest-
+    scalar class), and the per-dimension accumulation is one
+    posexplode aggregate with a dim-sized key space. The direction is
+    rounded to 6 decimals after every normalization so both engines
+    iterate on identical inputs (the kmeans_step precedent for
+    float-aggregate parity). Output: (pos, loading, explained_share)
+    where explained_share = Σ(x·v)² / Σ‖x‖² under the final direction.
+    """
+    import math
+
+    ed = df.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("ed")
+    )
+    v = [1.0 / math.sqrt(dim)] * dim  # 0.125 for dim=64 — exact binary
+    for _ in range(iterations):
+        v_lit = F.array(*[F.lit(float(x)) for x in v])
+        s = _dot(F.col("ed"), v_lit)
+        m_rows = (
+            ed.select(s.alias("s"), F.posexplode("ed").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("x") * F.col("s")).alias("m"))
+            .collect()
+        )
+        m = [0.0] * dim
+        for r in m_rows:
+            m[r["pos"]] = r["m"]
+        nn = math.sqrt(sum(x * x for x in m))
+        v = [math.floor(x / nn * 1e6 + 0.5) / 1e6 for x in m]
+    v_lit = F.array(*[F.lit(float(x)) for x in v])
+    s = _dot(F.col("ed"), v_lit)
+    xx = _dot(F.col("ed"), F.col("ed"))
+    share = ed.agg(
+        (F.sum(s * s) / F.sum(xx)).alias("share")
+    ).collect()[0]["share"]
+    share = math.floor(share * 1e6 + 0.5) / 1e6
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, v[i], share) for i in range(dim)],
+        "pos int, loading double, explained_share double",
+    )

@@ -1075,3 +1075,61 @@ def bpe_train_merges(
         learned,
         "round int, lsym string, rsym string, merged string, pair_count bigint",
     )
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_sizes: tuple = (100, 1000, 10000),
+) -> DataFrame:
+    """Token-mass coverage of a top-N vocabulary, for several N: what
+    fraction of all token occurrences the N most frequent terms cover —
+    the table behind every "how big does the vocab need to be" decision
+    (closed-vocab models, OOV budgets, stopword cutoffs). The cumulative
+    companion to ``vocabulary_oov_rate`` (which fixes one N).
+
+    One token-count aggregate; the candidate slice is
+    ``orderBy().limit(max(N))`` (TakeOrderedAndProject, bounded), ranked
+    by (freq desc, term) over that bounded slice only; the three
+    coverages come from ONE conditional aggregate over the slice plus
+    the broadcast corpus total.
+    """
+    from pyspark.sql import Window
+
+    top_n = max(vocab_sizes)
+    freqs = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = freqs.agg(F.sum("c").alias("tot"))
+    top = freqs.orderBy(F.col("c").desc(), F.col("w")).limit(top_n)
+    w = Window.orderBy(F.col("c").desc(), F.col("w"))
+    ranked = top.withColumn("rnk", F.row_number().over(w))
+    covered = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rnk") <= n, F.col("c")).otherwise(F.lit(0)))
+            .alias(f"cov_{n}")
+            for n in vocab_sizes
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("vocab_size"),
+                F.col(f"cov_{n}").alias("covered_tokens"),
+            )
+            for n in vocab_sizes
+        ]
+    )
+    return (
+        covered.crossJoin(F.broadcast(total))
+        .select(F.explode(rows).alias("r"), "tot")
+        .select(
+            F.col("r.vocab_size").alias("vocab_size"),
+            F.col("r.covered_tokens").alias("covered_tokens"),
+            round_half_up(F.col("r.covered_tokens") / F.col("tot"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

@@ -6157,6 +6157,76 @@ full_topk AS (
 SELECT * FROM ({" UNION ALL ".join(parts)})"""
 
 
+@register(
+    "vocab_coverage_curve",
+    f"""WITH freq AS (
+          SELECT w, count(*) AS c
+          FROM (SELECT unnest({_TOKS_DUCK}) AS w FROM documents)
+          GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+        top AS (
+          SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+          FROM freq QUALIFY rnk <= 10000)
+        SELECT n.n AS vocab_size,
+               CAST(sum(CASE WHEN rnk <= n.n THEN c ELSE 0 END) AS BIGINT)
+                 AS covered_tokens,
+               floor(sum(CASE WHEN rnk <= n.n THEN c ELSE 0 END)
+                     / CAST((SELECT t FROM tot) AS DOUBLE) * 1000000.0 + 0.5)
+                 / 1000000.0 AS coverage
+        FROM top CROSS JOIN (VALUES (100), (1000), (10000)) n(n)
+        GROUP BY n.n""",
+)
+def vocab_coverage_curve(spark, sf_dir):
+    """Top-N vocabulary token-mass coverage at N=100/1000/10000 — the
+    vocab-size decision table; bounded TakeOrdered slice + one
+    conditional aggregate. See text_analysis.vocab_coverage_curve."""
+    from .operators.text_analysis import vocab_coverage_curve as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["documents"])
+
+
+def _pca_power_oracle(iterations: int = 3, dim: int = 64) -> str:
+    ctes = [f"""e AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+  FROM embeddings),
+v0 AS (SELECT list_transform(range(0, {dim}), j -> {1.0 / dim ** 0.5!r}) AS v)"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""s{i} AS (
+  SELECT ed, list_dot_product(ed, (SELECT v FROM v{i - 1})) AS s FROM e),
+m{i} AS (
+  SELECT j, sum(x * s) AS m FROM (
+    SELECT generate_subscripts(ed, 1) - 1 AS j, unnest(ed) AS x, s FROM s{i})
+  GROUP BY j),
+n{i} AS (SELECT sqrt(sum(m * m)) AS nn FROM m{i}),
+v{i} AS (
+  SELECT list(floor(m / (SELECT nn FROM n{i}) * 1000000.0 + 0.5) / 1000000.0
+              ORDER BY j) AS v
+  FROM m{i})""")
+    t = iterations
+    return f"""WITH {",".join(ctes)},
+fin AS (SELECT ed, list_dot_product(ed, (SELECT v FROM v{t})) AS s FROM e),
+sh AS (
+  SELECT floor(sum(s * s) / sum(list_dot_product(ed, ed)) * 1000000.0 + 0.5)
+           / 1000000.0 AS share
+  FROM fin)
+SELECT generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS loading,
+       (SELECT share FROM sh) AS explained_share
+FROM v{t}"""
+
+
+@register("embedding_pca_power_iteration", _pca_power_oracle())
+def embedding_pca_power_iteration(spark, sf_dir):
+    """Top principal direction by 3 power iterations (uncentered), the
+    per-iteration direction rounded to 6 decimals so both engines
+    iterate on identical literals; plus the explained-variance share
+    under the final direction. See similarity.pca_power_iteration."""
+    from .operators.similarity import pca_power_iteration
+
+    view = _view(spark, sf_dir)
+    return pca_power_iteration(view.tables["embeddings"])
+
+
 @register("embedding_matryoshka_audit", _matryoshka_oracle())
 def embedding_matryoshka_audit(spark, sf_dir):
     """Matryoshka/prefix-dimension retrieval audit: recall@10 of search

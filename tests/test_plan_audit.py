@@ -48,6 +48,8 @@ _ALLOWED_UNPARTITIONED_WINDOW = {
     "lineitem_price_quantiles",
     # regression over the TakeOrderedAndProject(limit=1000) term slice
     "term_zipf_fit",
+    # rank over the TakeOrderedAndProject(limit=10000) vocab slice
+    "vocab_coverage_curve",
 }
 
 _AUDIT = sorted(

@@ -491,3 +491,47 @@ def test_matryoshka_full_prefix_is_perfect_recall(spark):
     assert all(v == 1.0 for v in by_dim[64])
     assert len(by_dim[1]) == 5  # recall-0 queries still emit rows
     assert sum(by_dim[1]) / 5 < sum(by_dim[64]) / 5
+
+
+def test_vocab_coverage_curve_monotone(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        vocab_coverage_curve,
+    )
+
+    # 300 distinct terms, zipf-ish: term i appears 301-i times
+    docs = []
+    did = 0
+    for i in range(1, 301):
+        for _ in range(301 - i):
+            docs.append(Row(doc_id=did, text=f"t{i:03d}"))
+            did += 1
+    out = {r["vocab_size"]: r for r in vocab_coverage_curve(
+        spark.createDataFrame(docs), vocab_sizes=(10, 100, 300)).collect()}
+    total = sum(301 - i for i in range(1, 301))
+    assert out[300]["coverage"] == 1.0
+    assert out[10]["covered_tokens"] == sum(301 - i for i in range(1, 11))
+    assert out[10]["coverage"] < out[100]["coverage"] < 1.0 or out[100]["coverage"] == 1.0
+    assert out[100]["covered_tokens"] == sum(301 - i for i in range(1, 101))
+
+
+def test_pca_power_iteration_finds_planted_direction(spark):
+    import numpy as np
+
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        pca_power_iteration,
+    )
+
+    rng = np.random.RandomState(5)
+    # strong axis-7 component + small isotropic noise
+    n, dim = 200, 16
+    base = rng.randn(n, 1) @ np.eye(1, dim, 7) * 10.0
+    vecs = base + rng.randn(n, dim) * 0.1
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(n)]
+    )
+    out = pca_power_iteration(df, iterations=4, dim=16).collect()
+    loadings = {r["pos"]: r["loading"] for r in out}
+    share = out[0]["explained_share"]
+    assert abs(abs(loadings[7]) - 1.0) < 0.01  # dominant axis recovered
+    assert all(abs(loadings[p]) < 0.05 for p in loadings if p != 7)
+    assert share > 0.98  # nearly all energy on the planted axis
