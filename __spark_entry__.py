@@ -121,6 +121,7 @@ _NEXT_ROTATION: list[str] = [
     "embedding_matryoshka_audit",
     "embedding_pca_power_iteration",
     "vocab_coverage_curve",
+    "graph_walk_corpus",
 ]
 
 

@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "embedding_matryoshka_audit",
     "embedding_pca_power_iteration",
     "vocab_coverage_curve",
+    "graph_walk_corpus",
 ]
 
 

@@ -800,3 +800,90 @@ def closeness_sampled(
             digits,
         ).alias("closeness"),
     )
+
+
+def walk_corpus(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    steps: int = 4,
+) -> DataFrame:
+    """DeepWalk/node2vec-style random-walk CORPUS generation with
+    deterministic pseudo-randomness: from every seed node, a ``steps``-
+    hop walk where each hop picks the neighbor minimizing
+    ``md5(current|candidate|step)`` — a hash-seeded choice that is
+    uniform-ish over neighbors, reproducible across engines, runs, and
+    partitionings (the same md5-derandomization the hash-Bernoulli
+    samplers use). The output "sentences" are exactly what a skip-gram
+    graph-embedding trainer consumes; a production variant keys the
+    hash with a walk index to emit many walks per seed.
+
+    Each hop is ONE equi-join of the walk frontier against the
+    (undirected) edge list plus a per-walk min-aggregate (min over the
+    (hash, neighbor) struct — no ranking window, hot hubs aggregate
+    instead of sorting). Walks that reach a dead end keep their prefix.
+    State is one row per walk; supersteps checkpoint like every other
+    iterative operator here.
+    """
+    from pyspark import StorageLevel
+
+    from ..partitioning import superstep_scope
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_edges = und.count()  # warms the cache; sizes superstep shuffles
+    try:
+        with superstep_scope(edges.sparkSession, n_edges):
+            walks = (
+                seeds.select(F.col(node_col).alias("walk_id"))
+                .distinct()
+                .select(
+                    "walk_id",
+                    F.col("walk_id").alias("cur"),
+                    F.col("walk_id").alias("path"),
+                    F.lit(1).alias("n_nodes"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            for t in range(1, steps + 1):
+                h = F.md5(F.concat_ws("|", F.col("cur"), F.col("b"), F.lit(t)))
+                nxt = (
+                    walks.join(und, walks["cur"] == und["a"], "left")
+                    .groupBy("walk_id", "cur", "path", "n_nodes")
+                    .agg(
+                        F.min(
+                            F.when(
+                                F.col("b").isNotNull(),
+                                F.struct(h.alias("h"), F.col("b").alias("b")),
+                            )
+                        ).alias("pick")
+                    )
+                    .select(
+                        "walk_id",
+                        "cur",
+                        F.col("pick.b").alias("nxt"),
+                        "path",
+                        "n_nodes",
+                    )
+                )
+                walks = nxt.select(
+                    "walk_id",
+                    F.coalesce("nxt", F.col("cur")).alias("cur"),
+                    F.when(
+                        F.col("nxt").isNotNull(),
+                        F.concat_ws(" ", F.col("path"), F.col("nxt")),
+                    ).otherwise(F.col("path")).alias("path"),
+                    (
+                        F.col("n_nodes")
+                        + F.col("nxt").isNotNull().cast("int")
+                    ).alias("n_nodes"),
+                ).localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
+    return walks.select("walk_id", "path", "n_nodes")

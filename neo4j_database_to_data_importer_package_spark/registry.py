@@ -6186,6 +6186,61 @@ def vocab_coverage_curve(spark, sf_dir):
     return op(view.tables["documents"])
 
 
+def _walk_corpus_oracle(steps: int = 4) -> str:
+    ctes = ["""e AS (
+  SELECT 'C' || c_custkey AS a, 'N' || c_nationkey AS b FROM customer
+  UNION ALL
+  SELECT 'S' || s_suppkey AS a, 'N' || s_nationkey AS b FROM supplier
+  UNION ALL
+  SELECT 'N' || n_nationkey AS a, 'R' || n_regionkey AS b FROM nation),
+und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+w0 AS (
+  SELECT 'N' || n_nationkey AS walk_id, 'N' || n_nationkey AS cur,
+         'N' || n_nationkey AS path, 1 AS n_nodes
+  FROM nation)"""]
+    for t in range(1, steps + 1):
+        ctes.append(f"""p{t} AS (
+  SELECT a, arg_min(b, md5(a || '|' || b || '|' || {t})) AS b
+  FROM und GROUP BY a),
+w{t} AS (
+  SELECT w.walk_id, coalesce(p.b, w.cur) AS cur,
+         CASE WHEN p.b IS NOT NULL THEN w.path || ' ' || p.b
+              ELSE w.path END AS path,
+         w.n_nodes + CASE WHEN p.b IS NOT NULL THEN 1 ELSE 0 END AS n_nodes
+  FROM w{t - 1} w LEFT JOIN p{t} p ON p.a = w.cur)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT walk_id, path, n_nodes FROM w{steps}"
+    )
+
+
+@register("graph_walk_corpus", _walk_corpus_oracle())
+def graph_walk_corpus(spark, sf_dir):
+    """DeepWalk-style walk-corpus generation over the FK graph with
+    md5-derandomized neighbor choices (reproducible across engines /
+    partitionings); one frontier join + per-walk min-aggregate per hop,
+    walks from every nation node. See graph_algos.walk_corpus."""
+    from .operators.graph_algos import walk_corpus
+
+    view = _view(spark, sf_dir)
+    cust = view.tables["customer"].select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    supp = view.tables["supplier"].select(
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+    )
+    nat = view.tables["nation"].select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+    )
+    seeds = view.tables["nation"].select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("node")
+    )
+    return walk_corpus(cust.unionByName(supp).unionByName(nat), seeds, steps=4)
+
+
 def _pca_power_oracle(iterations: int = 3, dim: int = 64) -> str:
     ctes = [f"""e AS (
   SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed

@@ -535,3 +535,47 @@ def test_pca_power_iteration_finds_planted_direction(spark):
     assert abs(abs(loadings[7]) - 1.0) < 0.01  # dominant axis recovered
     assert all(abs(loadings[p]) < 0.05 for p in loadings if p != 7)
     assert share > 0.98  # nearly all energy on the planted axis
+
+
+def test_walk_corpus_follows_md5_argmin_and_handles_dead_ends(spark):
+    import hashlib
+
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        walk_corpus,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(src="a", dst="b"), Row(src="a", dst="c"), Row(src="b", dst="d")]
+    )
+    seeds = spark.createDataFrame([Row(node="a"), Row(node="z")])
+    out = {r["walk_id"]: r for r in walk_corpus(edges, seeds, steps=3).collect()}
+
+    def pick(cur, neighbors, t):
+        return min(
+            neighbors,
+            key=lambda b: hashlib.md5(f"{cur}|{b}|{t}".encode()).hexdigest(),
+        )
+
+    und = {"a": ["b", "c"], "b": ["a", "d"], "c": ["a"], "d": ["b"]}
+    cur, path = "a", ["a"]
+    for t in (1, 2, 3):
+        cur = pick(cur, und[cur], t)
+        path.append(cur)
+    assert out["a"]["path"] == " ".join(path)
+    assert out["a"]["n_nodes"] == 4
+    # isolated seed: walk is just the seed, frozen at length 1
+    assert out["z"]["path"] == "z" and out["z"]["n_nodes"] == 1
+
+
+def test_walk_corpus_partitioning_invariance(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        walk_corpus,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(src=f"u{i}", dst=f"u{(i * 3 + 1) % 20}") for i in range(20)]
+    )
+    seeds = spark.createDataFrame([Row(node=f"u{i}") for i in range(5)])
+    a = {tuple(r) for r in walk_corpus(edges.coalesce(1), seeds, steps=4).collect()}
+    b = {tuple(r) for r in walk_corpus(edges.repartition(7), seeds, steps=4).collect()}
+    assert a == b
