@@ -122,6 +122,8 @@ _NEXT_ROTATION: list[str] = [
     "embedding_pca_power_iteration",
     "vocab_coverage_curve",
     "graph_walk_corpus",
+    "brand_price_qty_regression",
+    "embedding_cluster_purity",
 ]
 
 

@@ -217,6 +217,8 @@ BENCH_QUERIES = [
     "embedding_pca_power_iteration",
     "vocab_coverage_curve",
     "graph_walk_corpus",
+    "brand_price_qty_regression",
+    "embedding_cluster_purity",
 ]
 
 

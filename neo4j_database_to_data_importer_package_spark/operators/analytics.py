@@ -471,3 +471,44 @@ def copurchase_recommendations(
         .filter(F.col("rnk") <= k)
         .select(F.col("c").alias("custkey"), "rec_part", "common_items", "rnk")
     )
+
+
+def grouped_linear_regression(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+    min_points: int = 3,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group closed-form least squares: slope, intercept, and
+    Pearson r of ``y_col`` on ``x_col`` within every group — the
+    grouped trend-fit behind per-segment elasticity, per-source drift
+    slopes, and per-key calibration lines. ``x_col``/``y_col`` accept
+    Column expressions, so callers fit on transforms (ln-ln for
+    elasticities) without materializing them.
+
+    One aggregation pass: slope = cov_pop(x,y)/var_pop(x) per group,
+    map-side combined; groups with fewer than ``min_points`` rows or a
+    degenerate x (var 0) emit NULL fits rather than dividing by zero
+    (ANSI-safe). Output is group-dimension-sized.
+    """
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    base = df.select(F.col(group_col), x.alias("__x"), y.alias("__y"))
+    vx = F.var_pop("__x")
+    vy = F.var_pop("__y")
+    cxy = F.covar_pop("__x", "__y")
+    n = F.count(F.lit(1))
+    ok = (n >= min_points) & (vx > 0)
+    slope = F.when(ok, cxy / vx)
+    return base.groupBy(group_col).agg(
+        n.alias("n_points"),
+        round_half_up(slope, digits).alias("slope"),
+        round_half_up(
+            F.when(ok, F.avg("__y") - cxy / vx * F.avg("__x")), digits
+        ).alias("intercept"),
+        round_half_up(
+            F.when(ok & (vy > 0), cxy / F.sqrt(vx * vy)), digits
+        ).alias("pearson_r"),
+    )

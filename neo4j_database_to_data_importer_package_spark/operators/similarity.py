@@ -941,3 +941,51 @@ def pca_power_iteration(
         [(i, v[i], share) for i in range(dim)],
         "pos int, loading double, explained_share double",
     )
+
+
+def cluster_label_purity(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cluster-vs-label agreement audit: assign every vector to its IVF
+    cell and report each cell's dominant label and purity (dominant-
+    label share) — the unsupervised-vs-ground-truth eval that decides
+    whether an embedding space separates the classes before anyone
+    trains on it (purity ≈ 1/|labels| means the space carries no label
+    signal).
+
+    Reuses ``ivf_assign`` (broadcast centroids, per-vector argmin);
+    then one (cell, label) count aggregate, a per-cell max via the
+    (count, label) struct-max — no ranking window, a hot cell
+    aggregates — and a broadcast join back to the cell sizes.
+    """
+    from ..functions.numeric import round_half_up
+
+    assigned = ivf_assign(df, n_cells, vec_col, id_col)
+    labeled = assigned.select(id_col, "cell").join(
+        df.select(F.col(id_col), F.col(label_col).alias("__label")), id_col
+    )
+    cell_label = labeled.groupBy("cell", "__label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = cell_label.groupBy("cell").agg(F.sum("n").alias("n_vecs"))
+    # dominant label per cell: max (count, -label) struct so ties break
+    # to the SMALLEST label deterministically in both engines
+    best = cell_label.groupBy("cell").agg(
+        F.max(
+            F.struct(F.col("n").alias("n"), (-F.col("__label")).alias("nl"))
+        ).alias("b")
+    )
+    return (
+        totals.join(best, "cell")
+        .select(
+            "cell",
+            "n_vecs",
+            (-F.col("b.nl")).cast("int").alias("dominant_label"),
+            F.col("b.n").alias("n_dominant"),
+            round_half_up(F.col("b.n") / F.col("n_vecs"), 6).alias("purity"),
+        )
+    )

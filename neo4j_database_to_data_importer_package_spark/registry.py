@@ -6186,6 +6186,80 @@ def vocab_coverage_curve(spark, sf_dir):
     return op(view.tables["documents"])
 
 
+@register(
+    "brand_price_qty_regression",
+    """WITH b AS (
+         SELECT p_brand,
+                ln(l_extendedprice / l_quantity) AS x,
+                ln(l_quantity) AS y
+         FROM lineitem JOIN part ON l_partkey = p_partkey)
+       SELECT p_brand, count(*) AS n_points,
+              CASE WHEN count(*) >= 3 AND var_pop(x) > 0
+                   THEN floor(covar_pop(x, y) / var_pop(x) * 1000000.0 + 0.5)
+                        / 1000000.0 END AS slope,
+              CASE WHEN count(*) >= 3 AND var_pop(x) > 0
+                   THEN floor((avg(y) - covar_pop(x, y) / var_pop(x) * avg(x))
+                              * 1000000.0 + 0.5) / 1000000.0 END AS intercept,
+              CASE WHEN count(*) >= 3 AND var_pop(x) > 0 AND var_pop(y) > 0
+                   THEN floor(covar_pop(x, y) / sqrt(var_pop(x) * var_pop(y))
+                              * 1000000.0 + 0.5) / 1000000.0 END AS pearson_r
+       FROM b GROUP BY p_brand""",
+)
+def brand_price_qty_regression(spark, sf_dir):
+    """Per-brand log-log price/quantity least squares (the grouped
+    elasticity shape): one map-side-combined aggregation pass, NULL fits
+    for degenerate groups instead of ANSI division errors.
+    See analytics.grouped_linear_regression."""
+    from .operators.analytics import grouped_linear_regression
+
+    view = _view(spark, sf_dir)
+    li = view.tables["lineitem"].join(
+        view.tables["part"],
+        view.tables["lineitem"]["l_partkey"] == view.tables["part"]["p_partkey"],
+    )
+    return grouped_linear_regression(
+        li,
+        "p_brand",
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")),
+        F.log(F.col("l_quantity")),
+    )
+
+
+@register(
+    "embedding_cluster_purity",
+    """WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv, norm AS cn FROM v WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, label, cell FROM (
+    SELECT a.vec_id, a.label, c.cell,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY floor((list_dot_product(a.v, c.cv)/(a.norm*c.cn)) * 1000000.0 + 0.5)/1000000.0 DESC,
+                      c.cell) AS r
+    FROM v a CROSS JOIN cents c) t WHERE r = 1),
+cl AS (SELECT cell, label, count(*) AS n FROM assigned GROUP BY 1, 2),
+tot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vecs FROM cl GROUP BY 1),
+best AS (
+  SELECT cell, label AS dominant_label, n AS n_dominant
+  FROM cl QUALIFY row_number() OVER (
+    PARTITION BY cell ORDER BY n DESC, label) = 1)
+SELECT t.cell, t.n_vecs, b.dominant_label, b.n_dominant,
+       floor(b.n_dominant / CAST(t.n_vecs AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS purity
+FROM tot t JOIN best b USING (cell)""",
+)
+def embedding_cluster_purity(spark, sf_dir):
+    """Cluster-vs-label purity per IVF cell (dominant label + share) —
+    does the embedding space separate the classes before training.
+    See similarity.cluster_label_purity."""
+    from .operators.similarity import cluster_label_purity
+
+    view = _view(spark, sf_dir)
+    return cluster_label_purity(view.tables["embeddings"])
+
+
 def _walk_corpus_oracle(steps: int = 4) -> str:
     ctes = ["""e AS (
   SELECT 'C' || c_custkey AS a, 'N' || c_nationkey AS b FROM customer

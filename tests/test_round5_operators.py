@@ -579,3 +579,49 @@ def test_walk_corpus_partitioning_invariance(spark):
     a = {tuple(r) for r in walk_corpus(edges.coalesce(1), seeds, steps=4).collect()}
     b = {tuple(r) for r in walk_corpus(edges.repartition(7), seeds, steps=4).collect()}
     assert a == b
+
+
+def test_grouped_regression_exact_line_and_guards(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        grouped_linear_regression,
+    )
+
+    rows = (
+        # group 'lin': y = 2x + 1 exactly
+        [Row(g="lin", x=float(i), y=2.0 * i + 1.0) for i in range(10)]
+        # group 'flat': constant x -> degenerate, NULL fit
+        + [Row(g="flat", x=5.0, y=float(i)) for i in range(5)]
+        # group 'tiny': below min_points
+        + [Row(g="tiny", x=1.0, y=1.0), Row(g="tiny", x=2.0, y=2.0)]
+    )
+    out = {r["g"]: r for r in grouped_linear_regression(
+        spark.createDataFrame(rows), "g", "x", "y").collect()}
+    assert out["lin"]["slope"] == 2.0 and out["lin"]["intercept"] == 1.0
+    assert out["lin"]["pearson_r"] == 1.0
+    assert out["flat"]["slope"] is None
+    assert out["tiny"]["slope"] is None
+
+
+def test_cluster_purity_separable_labels(spark):
+    import numpy as np
+
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        cluster_label_purity,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    # two well-separated label blobs along different axes; first 2 ids
+    # (the centroids) are one from each blob
+    for i in range(40):
+        label = i % 2
+        base = np.eye(1, 8, 0) if label == 0 else np.eye(1, 8, 4)
+        v = (base * 10.0 + rng.randn(1, 8) * 0.1).ravel()
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v], label=label))
+    out = cluster_label_purity(
+        spark.createDataFrame(rows), n_cells=2
+    ).collect()
+    assert {r["cell"] for r in out} == {0, 1}
+    for r in out:
+        assert r["purity"] == 1.0  # perfectly separable
+        assert r["n_vecs"] == 20
