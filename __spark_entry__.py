@@ -124,6 +124,9 @@ _NEXT_ROTATION: list[str] = [
     "graph_walk_corpus",
     "brand_price_qty_regression",
     "embedding_cluster_purity",
+    "graph_assortativity",
+    "graph_clustering_coefficients",
+    "events_active_user_curves",
 ]
 
 

@@ -219,6 +219,9 @@ BENCH_QUERIES = [
     "graph_walk_corpus",
     "brand_price_qty_regression",
     "embedding_cluster_purity",
+    "graph_assortativity",
+    "graph_clustering_coefficients",
+    "events_active_user_curves",
 ]
 
 

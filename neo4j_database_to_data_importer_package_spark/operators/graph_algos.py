@@ -887,3 +887,92 @@ def walk_corpus(
     finally:
         und.unpersist()
     return walks.select("walk_id", "path", "n_nodes")
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst", digits: int = 6
+) -> DataFrame:
+    """Degree assortativity of the undirected graph: Pearson r between
+    the endpoint degrees over every (directed-both-ways) edge — the
+    one-number "do hubs attach to hubs" diagnostic (social graphs
+    positive, infrastructure/star schemas strongly negative). A
+    near-−1 value is exactly the hub-and-spoke shape whose skew the
+    salting/AQE machinery here exists to absorb, so the metric doubles
+    as a cheap skew screen before running the heavier joins.
+
+    One degree aggregate, two broadcast hydrations of the edge list,
+    one correlation aggregate — no window, no iteration. NULL when the
+    graph is degree-regular (zero variance), matching SQL corr.
+    """
+    from ..functions.numeric import round_half_up
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    hyd = (
+        und.join(
+            F.broadcast(deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))),
+            "b",
+        )
+        .select(F.col("da").cast("double"), F.col("db").cast("double"))
+    )
+    vx = F.var_pop("da")
+    vy = F.var_pop("db")
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        F.covar_pop("da", "db") / F.sqrt(vx * vy),
+    )
+    return hyd.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        round_half_up(r, digits).alias("assortativity"),
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst", digits: int = 6
+) -> DataFrame:
+    """Per-node local clustering coefficient: triangles(v) /
+    (deg(v)·(deg(v)−1)/2) — "how much of my neighborhood knows each
+    other", the community-structure probe next to the global triangle
+    count. Composes the degree-ordered triangle counter (wedge join,
+    hub-safe orientation) with the degree table; nodes of degree < 2
+    emit coefficient 0 by convention.
+    """
+    from ..functions.numeric import round_half_up
+
+    tri = triangle_counts(edges, src, dst).select(
+        "node", F.col("n_triangles")
+    )
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    possible = F.col("degree") * (F.col("degree") - 1) / 2
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            round_half_up(
+                F.when(
+                    F.col("degree") >= 2,
+                    F.coalesce("n_triangles", F.lit(0)) / possible,
+                ).otherwise(F.lit(0.0)),
+                digits,
+            ).alias("clustering_coef"),
+        )
+    )

@@ -506,3 +506,49 @@ def sequence_anomaly_scores(
         round_half_up(F.avg(F.log("prob")), digits).alias("mean_logprob"),
         round_half_up(F.min("prob"), 6).alias("min_transition_prob"),
     )
+
+
+def active_user_curves(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """DAU / WAU / MAU: per calendar day, the EXACT count of distinct
+    users active that day, in the trailing 7 days, and in the trailing
+    28 days — the product-analytics headline triple.
+
+    Exact trailing-window distincts without a window function or a
+    range self-join: each distinct (user, active day) row is exploded
+    into the ≤28 observation days it contributes to (a pure map-side
+    ``sequence`` fan-out — bounded 28×, no shuffle), then ONE aggregate
+    per observation day computes the three conditional distinct counts;
+    a semi-join against the real-day set drops the trailing phantom
+    days after the last event. At 100 TB this is the standard
+    "contribute-forward" reformulation: shuffle keys are calendar days,
+    state per day is the distinct-user set of one day's aggregate, and
+    no task ever sees a 28-day range join.
+    """
+    d = (
+        events.select(
+            F.col(user_col).alias("u"), F.to_date(ts_col).alias("day")
+        )
+        .distinct()
+    )
+    real_days = d.select("day").distinct()
+    fan = d.select(
+        "u",
+        "day",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 27))
+        ).alias("obs_day"),
+    ).join(F.broadcast(real_days.select(F.col("day").alias("obs_day"))), "obs_day")
+    diff = F.datediff("obs_day", "day")
+    return (
+        fan.groupBy("obs_day")
+        .agg(
+            F.countDistinct(F.when(diff == 0, F.col("u"))).alias("dau"),
+            F.countDistinct(F.when(diff < 7, F.col("u"))).alias("wau"),
+            F.countDistinct(F.when(diff < 28, F.col("u"))).alias("mau"),
+        )
+        .select(F.col("obs_day").alias("day"), "dau", "wau", "mau")
+    )

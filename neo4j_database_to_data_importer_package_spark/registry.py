@@ -6187,6 +6187,131 @@ def vocab_coverage_curve(spark, sf_dir):
 
 
 @register(
+    "graph_assortativity",
+    """WITH e AS (
+         SELECT 'C' || c_custkey AS a, 'N' || c_nationkey AS b FROM customer
+         UNION ALL
+         SELECT 'S' || s_suppkey AS a, 'N' || s_nationkey AS b FROM supplier
+         UNION ALL
+         SELECT 'N' || n_nationkey AS a, 'R' || n_regionkey AS b FROM nation),
+       und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+       deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY 1),
+       h AS (
+         SELECT CAST(da.deg AS DOUBLE) AS da, CAST(db.deg AS DOUBLE) AS db
+         FROM und
+         JOIN deg da ON da.node = und.a
+         JOIN deg db ON db.node = und.b)
+       SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+              CASE WHEN var_pop(da) > 0 AND var_pop(db) > 0
+                   THEN floor(covar_pop(da, db)
+                              / sqrt(var_pop(da) * var_pop(db))
+                              * 1000000.0 + 0.5) / 1000000.0 END
+                AS assortativity
+       FROM h""",
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the undirected FK graph — the "do hubs
+    attach to hubs" one-number diagnostic (strongly negative for this
+    hub-and-spoke schema) and a cheap skew screen.
+    See graph_algos.degree_assortativity."""
+    from .operators.graph_algos import degree_assortativity
+
+    view = _view(spark, sf_dir)
+    cust = view.tables["customer"].select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    supp = view.tables["supplier"].select(
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+    )
+    nat = view.tables["nation"].select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+    )
+    return degree_assortativity(cust.unionByName(supp).unionByName(nat))
+
+
+_TRI_EDGES_DUCK = """
+  SELECT DISTINCT least('P' || l_partkey, 'S' || l_suppkey) AS u,
+         greatest('P' || l_partkey, 'S' || l_suppkey) AS v
+  FROM lineitem WHERE l_partkey % 50 = 0"""
+
+
+@register(
+    "graph_clustering_coefficients",
+    f"""WITH base AS ({{tri_edges}}),
+       und AS (SELECT u AS a, v AS b FROM base UNION SELECT v, u FROM base),
+       deg AS (SELECT a AS node, count(*) AS degree FROM und GROUP BY 1),
+       tri AS (
+         SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         FROM base e1
+         JOIN base e2 ON e2.u = e1.v
+         JOIN base e3 ON e3.u = e1.u AND e3.v = e2.v),
+       roles AS (
+         SELECT x AS node FROM tri
+         UNION ALL SELECT y FROM tri
+         UNION ALL SELECT z FROM tri),
+       tcounts AS (SELECT node, count(*) AS n_triangles FROM roles GROUP BY 1)
+       SELECT d.node, d.degree,
+              CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+              CASE WHEN d.degree >= 2
+                   THEN floor(coalesce(t.n_triangles, 0)
+                              / (d.degree * (d.degree - 1) / 2.0)
+                              * 1000000.0 + 0.5) / 1000000.0
+                   ELSE 0.0 END AS clustering_coef
+       FROM deg d LEFT JOIN tcounts t USING (node)""".format(
+        tri_edges=_TRI_EDGES_DUCK
+    ),
+)
+def graph_clustering_coefficients(spark, sf_dir):
+    """Per-node local clustering coefficient over the same part-supplier
+    co-occurrence graph the triangle counter uses — community-structure
+    probe composing the hub-safe wedge join with the degree table.
+    See graph_algos.clustering_coefficients."""
+    from .operators.graph_algos import clustering_coefficients
+
+    view = _view(spark, sf_dir)
+    li = view.tables["lineitem"].filter(F.col("l_partkey") % 50 == 0)
+    edges = li.select(
+        F.least(
+            F.concat(F.lit("P"), F.col("l_partkey")),
+            F.concat(F.lit("S"), F.col("l_suppkey")),
+        ).alias("src"),
+        F.greatest(
+            F.concat(F.lit("P"), F.col("l_partkey")),
+            F.concat(F.lit("S"), F.col("l_suppkey")),
+        ).alias("dst"),
+    ).distinct()
+    return clustering_coefficients(edges)
+
+
+@register(
+    "events_active_user_curves",
+    """WITH d AS (
+         SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+       real_days AS (SELECT DISTINCT day FROM d),
+       fan AS (
+         SELECT d.u, d.day, r.day AS obs_day
+         FROM d JOIN real_days r
+           ON r.day BETWEEN d.day AND d.day + INTERVAL 27 DAY)
+       SELECT obs_day AS day,
+              count(DISTINCT CASE WHEN obs_day = day THEN u END) AS dau,
+              count(DISTINCT CASE WHEN obs_day < day + INTERVAL 7 DAY THEN u END) AS wau,
+              count(DISTINCT u) AS mau
+       FROM fan GROUP BY obs_day""",
+)
+def events_active_user_curves(spark, sf_dir):
+    """Exact DAU/WAU/MAU per day via the contribute-forward fan-out (a
+    bounded 28x map-side explode + one aggregate per day — no range
+    self-join, no window). See windows.active_user_curves."""
+    from .operators.windows import active_user_curves
+
+    view = _view(spark, sf_dir)
+    return active_user_curves(view.tables["events"])
+
+
+@register(
     "brand_price_qty_regression",
     """WITH b AS (
          SELECT p_brand,

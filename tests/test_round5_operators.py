@@ -625,3 +625,60 @@ def test_cluster_purity_separable_labels(spark):
     for r in out:
         assert r["purity"] == 1.0  # perfectly separable
         assert r["n_vecs"] == 20
+
+
+def test_assortativity_star_is_negative(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        degree_assortativity,
+    )
+
+    # star: hub h with 10 leaves — degree-1 nodes attach to a degree-10
+    # node: strongly disassortative
+    star = spark.createDataFrame([Row(src="h", dst=f"l{i}") for i in range(10)])
+    out = degree_assortativity(star).collect()[0]
+    assert out["n_edges"] == 10
+    assert out["assortativity"] == -1.0
+    # 4-cycle: degree-regular -> undefined (NULL), not a crash
+    cyc = spark.createDataFrame(
+        [Row(src="a", dst="b"), Row(src="b", dst="c"),
+         Row(src="c", dst="d"), Row(src="d", dst="a")]
+    )
+    assert degree_assortativity(cyc).collect()[0]["assortativity"] is None
+
+
+def test_clustering_coefficients_triangle_plus_tail(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        clustering_coefficients,
+    )
+
+    # triangle a-b-c plus pendant d on a
+    edges = spark.createDataFrame(
+        [Row(src="a", dst="b"), Row(src="b", dst="c"),
+         Row(src="c", dst="a"), Row(src="a", dst="d")]
+    )
+    out = {r["node"]: r for r in clustering_coefficients(edges).collect()}
+    assert out["b"]["clustering_coef"] == 1.0  # deg 2, 1 triangle
+    assert out["a"]["degree"] == 3 and out["a"]["n_triangles"] == 1
+    assert out["a"]["clustering_coef"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["d"]["clustering_coef"] == 0.0  # degree 1 convention
+
+
+def test_active_user_curves_exact_windows(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        active_user_curves,
+    )
+
+    rows = [
+        # user 1 active on day 1 and day 10; user 2 on day 10 only
+        Row(event_id=1, ts=_day(1), user_id=1, event_type="a", value=0.0),
+        Row(event_id=2, ts=_day(10), user_id=1, event_type="a", value=0.0),
+        Row(event_id=3, ts=_day(10), user_id=2, event_type="a", value=0.0),
+    ]
+    out = {str(r["day"]): r for r in active_user_curves(
+        spark.createDataFrame(rows)).collect()}
+    assert out["2024-01-01"]["dau"] == 1 and out["2024-01-01"]["wau"] == 1
+    d10 = out["2024-01-10"]
+    assert d10["dau"] == 2
+    assert d10["wau"] == 2   # day 1 is outside the trailing 7 days
+    assert d10["mau"] == 2   # user 1 counted once despite two active days
+    assert len(out) == 2     # only real activity days emit rows
