@@ -52,6 +52,16 @@ QUERIES = [
     "events_markov_transitions",
     "events_first_touch_attribution",
     "data_quality_checks",
+    "user_sequence_anomaly",
+    "embedding_matryoshka_audit",
+    "embedding_pca_power_iteration",
+    "vocab_coverage_curve",
+    "graph_walk_corpus",
+    "brand_price_qty_regression",
+    "embedding_cluster_purity",
+    "graph_assortativity",
+    "graph_clustering_coefficients",
+    "events_active_user_curves",
 ]
 
 _OFF = 100000000
