@@ -127,6 +127,7 @@ _NEXT_ROTATION: list[str] = [
     "graph_assortativity",
     "graph_clustering_coefficients",
     "events_active_user_curves",
+    "dedup_containment_pairs",
 ]
 
 

@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "graph_assortativity",
     "graph_clustering_coefficients",
     "events_active_user_curves",
+    "dedup_containment_pairs",
 ]
 
 

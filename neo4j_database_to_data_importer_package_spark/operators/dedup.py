@@ -975,3 +975,56 @@ def cross_domain_neardup_matrix(
         F.count(F.lit(1)).alias("n_pairs"),
         round_half_up(F.avg("jaccard"), 4).alias("mean_jaccard"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT:
+    |A∩B| / min(|A|, |B|) ≥ threshold — the excerpt/quote detector.
+    Jaccard misses a short doc fully contained in a long one (the union
+    dwarfs the intersection); containment is the right measure for
+    "this document is substantially a copy OF PART OF that one", the
+    dedup rule for boilerplate headers, syndicated excerpts, and
+    quote-heavy posts.
+
+    Same inverted-shingle-index self-join shape as
+    ``ngram_jaccard_pairs`` (cost Σ df(shingle)² — pair it with the
+    banded MinHash screen at scale, exactly like the Jaccard twin);
+    output (id_a, id_b, containment, jaccard) with id_a < id_b so the
+    two measures are directly comparable per pair.
+    """
+    idx = shingle_index(df, text_col, id_col, n)
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("inter") / F.least(F.col("n_a"), F.col("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round_half_up(cont, 6).alias("containment"),
+            round_half_up(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

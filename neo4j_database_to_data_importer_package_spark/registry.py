@@ -6187,6 +6187,36 @@ def vocab_coverage_curve(spark, sf_dir):
 
 
 @register(
+    "dedup_containment_pairs",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM toks),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               floor((i * 1.0 / least(sa.n, sb.n)) * 1000000.0 + 0.5)
+                 / 1000000.0 AS containment,
+               floor((i * 1.0 / (sa.n + sb.n - i)) * 1000000.0 + 0.5)
+                 / 1000000.0 AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE floor((i * 1.0 / least(sa.n, sb.n)) * 1000000.0 + 0.5)
+                / 1000000.0 >= 0.8""",
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dups (|A∩B|/min — the excerpt/quote
+    detector Jaccard misses), with the Jaccard carried per pair for
+    comparison. See dedup.containment_pairs."""
+    from .operators.dedup import containment_pairs
+
+    view = _view(spark, sf_dir)
+    return containment_pairs(view.tables["documents"])
+
+
+@register(
     "graph_assortativity",
     """WITH e AS (
          SELECT 'C' || c_custkey AS a, 'N' || c_nationkey AS b FROM customer

@@ -682,3 +682,23 @@ def test_active_user_curves_exact_windows(spark):
     assert d10["wau"] == 2   # day 1 is outside the trailing 7 days
     assert d10["mau"] == 2   # user 1 counted once despite two active days
     assert len(out) == 2     # only real activity days emit rows
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(10))  # fully contained
+    rows = [
+        Row(doc_id=1, text=long_text),
+        Row(doc_id=2, text=excerpt),
+        Row(doc_id=3, text="completely different words entirely here now"),
+    ]
+    out = {(r["id_a"], r["id_b"]): r for r in containment_pairs(
+        spark.createDataFrame(rows), threshold=0.8).collect()}
+    pair = out[(1, 2)]
+    assert pair["containment"] == 1.0       # excerpt fully contained
+    assert pair["jaccard"] < 0.2            # Jaccard would have missed it
+    assert all(3 not in k for k in out)
