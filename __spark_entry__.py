@@ -25,81 +25,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate evaluates the FIRST 50 entries of this
-# dict (rounds 1-4 each produced rows for exactly list(queries())[:50],
-# bit-identical key sets — see COVERAGE.md for the evidence). Round-5
-# rotation (VERDICT r04 directive #1): the 40 round-4 additions that
-# post-dated the round-4 window freeze (the r04 `_NEXT_ROTATION` ledger,
-# all local-green in CORRECTNESS_local_r04.json) gate first — closing the
-# cumulative driver-green ledger at 163/163 — followed by 10 canaries
+# dict (rounds 1-5 each produced rows for exactly list(queries())[:50],
+# bit-identical key sets — see COVERAGE.md for the evidence). Round-6
+# rotation (VERDICT r05 directive #1): the 28 round-5 additions that
+# post-dated the round-5 window freeze (the r05 `_NEXT_ROTATION` ledger,
+# all local-green in CORRECTNESS_local_r05.json) gate first — closing the
+# cumulative driver-green ledger at 191/191 — followed by 22 canaries
 # spanning every rotated-out family. Every entry, regardless of position,
 # is oracle-verified locally at sf0.01 by tools/local_gate.py and at
 # sf0.001 by tests/test_oracle_parity.py.
 _GATE_FIRST_50 = [
-    # the 40 round-4 post-freeze additions (r04 _NEXT_ROTATION, verbatim)
-    "bpe_apply_merge_stats",
-    "vocab_growth_curve",
-    "domain_quality_percentiles",
-    "part_copurchase_topk",
-    "graph_label_propagation",
-    "streaming_moment_stats",
-    "dedup_incremental_near_dup",
-    "domain_mixture_weights",
-    "embedding_ivf_cell_stats",
-    "ann_recall_at_k",
-    "cms_term_estimates",
-    "events_retention_cohorts",
-    "customer_rfm_segments",
-    "bigram_perplexity_heldout",
-    "basket_association_rules",
-    "embedding_pq_audit",
-    "embedding_dim_stats",
-    "embedding_norm_outliers",
-    "weighted_corpus_sample",
-    "doc_length_buckets",
-    "part_name_linkage",
-    "events_scd2_state",
-    "events_mad_outliers",
-    "graph_hits_scores",
-    "pmi_collocations",
-    "quality_classifier_score",
-    "embedding_centroid_outliers",
-    "dedup_prefix_survivorship",
-    "dedup_minhash_calibration",
-    "language_confusion_matrix",
-    "split_leakage_check",
-    "streaming_sliding_events",
-    "streaming_topk_users",
-    "hybrid_rrf_retrieval",
-    "streaming_funnel_state",
-    "epoch_mixture_plan",
-    "length_drift_psi",
-    "graph_personalized_pagerank",
-    "quality_signal_ensemble",
-    "events_hourly_profile",
-    # 10 canaries: driver-green representatives of every rotated-out
-    # family (exports/discovery, identifier cascade, TPC-H analytics,
-    # decimal-exact sums, dedup, similarity — incl. the timing-watch
-    # embedding_lsh_pairs — text, graph, as-of joins, streaming)
-    "rel_export_order_contains_part",
-    "schema_union",
-    "identifier_detection",
-    "q1_pricing_summary",
-    "q7_nation_volume_shipping",
-    "dedup_minhash_lsh_pairs",
-    "embedding_lsh_pairs",
-    "text_token_stats",
-    "graph_pagerank",
-    "streaming_tumbling_events",
-]
-assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)
-_GATE_PRIORITY = _GATE_FIRST_50
-
-# Queries added AFTER this round's window was frozen — they rotate into
-# the round-6 gate window; until then they are verified by the local
-# sf0.01 gate replica and tests/test_oracle_parity.py (the rotation
-# ledger in COVERAGE.md tracks this set; the standing freeze discipline
-# is documented there too).
-_NEXT_ROTATION: list[str] = [
+    # the 28 round-5 post-freeze additions (r05 _NEXT_ROTATION, verbatim)
     "model_v3_table_schemas",
     "term_zipf_fit",
     "language_script_stats",
@@ -128,7 +64,46 @@ _NEXT_ROTATION: list[str] = [
     "graph_clustering_coefficients",
     "events_active_user_curves",
     "dedup_containment_pairs",
+    # 22 canaries: driver-green representatives of every rotated-out
+    # family — node/rel export pipelines, metadata scan, identifier
+    # cascade, bit-exact type inference, pattern discovery, TPC-H
+    # (decimal-exact q1, multi-join q7, exists/anti q21), exact dedup,
+    # MinHash-LSH near-dup, record linkage (hot-block fix), embedding
+    # LSH (the timing-watch query), ANN recall, text analysis, as-of
+    # join, tokenizer, hybrid retrieval, data mixing, multimodal,
+    # streaming windows, iterative graph
+    "rel_export_order_contains_part",
+    "node_export_customer",
+    "schema_union",
+    "identifier_detection",
+    "type_inference_samples",
+    "pattern_discovery",
+    "q1_pricing_summary",
+    "q7_nation_volume_shipping",
+    "q21_sole_late_supplier",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "part_name_linkage",
+    "embedding_lsh_pairs",
+    "ann_recall_at_k",
+    "text_token_stats",
+    "asof_latest_high_value",
+    "bpe_apply_merge_stats",
+    "hybrid_rrf_retrieval",
+    "domain_mixture_weights",
+    "multimodal_features",
+    "streaming_tumbling_events",
+    "graph_pagerank",
 ]
+assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)
+_GATE_PRIORITY = _GATE_FIRST_50
+
+# Queries added AFTER this round's window was frozen — they rotate into
+# the round-7 gate window; until then they are verified by the local
+# sf0.01 gate replica and tests/test_oracle_parity.py (the rotation
+# ledger in COVERAGE.md tracks this set; the standing freeze discipline
+# is documented there too).
+_NEXT_ROTATION: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

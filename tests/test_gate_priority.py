@@ -5,9 +5,11 @@ Round 3 lost a slot to an off-by-one (51 names before the rotation
 marker, so ``skewed_join_hot_suppliers`` fell outside the window —
 ADVICE r03). These tests pin the boundary and the rotation's intent.
 
-Round-5 rotation: the window is the 40 round-4 post-freeze additions
-(the r04 ``_NEXT_ROTATION`` ledger) + 10 driver-green canaries, closing
-the cumulative driver-gated ledger at the full registry.
+Round-6 rotation: the window is the 28 round-5 post-freeze additions
+(the r05 ``_NEXT_ROTATION`` ledger) + 22 driver-green canaries, closing
+the cumulative driver-gated ledger at the full 191-query registry as of
+the round-5 freeze. Queries registered this round append to the (empty
+at freeze) ``_NEXT_ROTATION`` ledger per COVERAGE.md's standing rule.
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ _CORRECTNESS_FILES = (
     "CORRECTNESS_r02.json",
     "CORRECTNESS_r03.json",
     "CORRECTNESS_r04.json",
+    "CORRECTNESS_r05.json",
 )
 
 
@@ -61,7 +64,7 @@ def test_every_registered_query_appears_exactly_once():
 
 def test_window_covers_all_never_gated_queries():
     """After this rotation, every registered query has been inside the
-    50-slot window in some round: r01-r04 gated keys ∪ this window must
+    50-slot window in some round: r01-r05 gated keys ∪ this window must
     equal the full registry, except queries added after the window froze
     — those must be explicitly ledgered in ``_NEXT_ROTATION`` (and rotate
     in next round)."""
@@ -81,42 +84,36 @@ def test_window_covers_all_never_gated_queries():
 
 def test_window_regates_all_prior_round_reds():
     """Any red row from the most recent driver gate must re-gate here.
-    (Round 4 had zero reds — this keeps the invariant enforced anyway.)"""
+    (Round 5 had zero reds — this keeps the invariant enforced anyway.)"""
     latest = _load(_CORRECTNESS_FILES[-1])
     reds = set(latest) - _driver_green(latest)
     missing = reds - set(entrymod._GATE_FIRST_50)
     assert not missing, f"prior-round red rows not re-gated: {sorted(missing)}"
 
 
-def test_window_includes_entire_r04_rotation_ledger():
-    """VERDICT r04 directive #1: the 40 queries ledgered as the round-4
-    ``_NEXT_ROTATION`` (committed in the r04 tree; reproduced here) must
-    all sit inside the round-5 window."""
-    r04_ledger = {
-        "bpe_apply_merge_stats", "vocab_growth_curve",
-        "domain_quality_percentiles", "part_copurchase_topk",
-        "graph_label_propagation", "streaming_moment_stats",
-        "dedup_incremental_near_dup", "domain_mixture_weights",
-        "embedding_ivf_cell_stats", "ann_recall_at_k",
-        "cms_term_estimates", "events_retention_cohorts",
-        "customer_rfm_segments", "bigram_perplexity_heldout",
-        "basket_association_rules", "embedding_pq_audit",
-        "embedding_dim_stats", "embedding_norm_outliers",
-        "weighted_corpus_sample", "doc_length_buckets",
-        "part_name_linkage", "events_scd2_state", "events_mad_outliers",
-        "graph_hits_scores", "pmi_collocations",
-        "quality_classifier_score", "embedding_centroid_outliers",
-        "dedup_prefix_survivorship", "dedup_minhash_calibration",
-        "language_confusion_matrix", "split_leakage_check",
-        "streaming_sliding_events", "streaming_topk_users",
-        "hybrid_rrf_retrieval", "streaming_funnel_state",
-        "epoch_mixture_plan", "length_drift_psi",
-        "graph_personalized_pagerank", "quality_signal_ensemble",
-        "events_hourly_profile",
+def test_window_includes_entire_r05_rotation_ledger():
+    """VERDICT r05 directive #1: the 28 queries ledgered as the round-5
+    ``_NEXT_ROTATION`` (committed in the r05 tree; reproduced here) must
+    all sit inside the round-6 window — closing the cumulative driver
+    ledger at 191/191."""
+    r05_ledger = {
+        "model_v3_table_schemas", "term_zipf_fit", "language_script_stats",
+        "domain_term_entropy", "events_cusum_drift", "curriculum_order_plan",
+        "cross_domain_neardup_matrix", "embedding_dim_quantiles",
+        "dataset_card_stats", "graph_closeness_sampled", "bpe_train_merges",
+        "embedding_ivf_pq_topk", "copurchase_recommendations",
+        "events_markov_transitions", "events_first_touch_attribution",
+        "streaming_cusum_drift", "data_quality_checks",
+        "user_sequence_anomaly", "embedding_matryoshka_audit",
+        "embedding_pca_power_iteration", "vocab_coverage_curve",
+        "graph_walk_corpus", "brand_price_qty_regression",
+        "embedding_cluster_purity", "graph_assortativity",
+        "graph_clustering_coefficients", "events_active_user_curves",
+        "dedup_containment_pairs",
     }
-    assert len(r04_ledger) == 40
-    missing = r04_ledger - set(entrymod._GATE_FIRST_50)
-    assert not missing, f"r04 rotation entries not in the r05 window: {sorted(missing)}"
+    assert len(r05_ledger) == 28
+    missing = r05_ledger - set(entrymod._GATE_FIRST_50)
+    assert not missing, f"r05 rotation entries not in the r06 window: {sorted(missing)}"
 
 
 def test_window_keeps_canary_regression_signal():
@@ -126,4 +123,4 @@ def test_window_keeps_canary_regression_signal():
     for r in _CORRECTNESS_FILES:
         green |= _driver_green(_load(r))
     canaries = green & set(entrymod._GATE_FIRST_50)
-    assert len(canaries) >= 10, sorted(canaries)
+    assert len(canaries) >= 22, sorted(canaries)
