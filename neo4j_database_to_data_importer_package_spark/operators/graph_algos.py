@@ -900,9 +900,15 @@ def degree_assortativity(
     salting/AQE machinery here exists to absorb, so the metric doubles
     as a cheap skew screen before running the heavier joins.
 
-    One degree aggregate, two broadcast hydrations of the edge list,
+    One degree aggregate, two equi-join hydrations of the edge list,
     one correlation aggregate — no window, no iteration. NULL when the
     graph is degree-regular (zero variance), matching SQL corr.
+
+    The degree table is one row per NODE — unbounded at graph scale —
+    so the hydration joins carry NO broadcast hint (VERDICT r05 #1):
+    AQE broadcasts when the table measures small and shuffle-hash-joins
+    otherwise; a forced hint here would override AQE's size check and
+    OOM the executors on a billion-node graph.
     """
     from ..functions.numeric import round_half_up
 
@@ -916,11 +922,11 @@ def degree_assortativity(
     )
     hyd = (
         und.join(
-            F.broadcast(deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))),
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("da")),
             "a",
         )
         .join(
-            F.broadcast(deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))),
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("db")),
             "b",
         )
         .select(F.col("da").cast("double"), F.col("db").cast("double"))

@@ -126,7 +126,9 @@ def ivf_topk(
     partitioned by cell → a query touches nprobe partitions instead of
     the full corpus.
     """
-    assigned = ivf_assign(df, n_cells, vec_col, id_col).cache()
+    # localCheckpoint, not cache: storage is released with the reference
+    # instead of leaking in the cache manager (see ivf_pq_topk).
+    assigned = ivf_assign(df, n_cells, vec_col, id_col).localCheckpoint(eager=True)
     cents = (
         assigned.filter(F.col(id_col) < n_cells)
         .select(F.col(id_col).alias("cell2"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
@@ -645,14 +647,15 @@ def centroid_outliers(
 def dim_quantiles(
     df: DataFrame,
     vec_col: str = "embedding",
-    qs: tuple = (0.25, 0.5, 0.75),
     digits: int = 6,
 ) -> DataFrame:
-    """Per-dimension quantile audit (median + IQR by default) — the
+    """Per-dimension quartile audit (q25/median/q75 + IQR) — the
     robust companion to ``dim_stats``: heavy-tailed or clipped
     coordinates move the mean/std audit but hide in it; quartiles
     expose them directly and feed robust scalers (median/IQR
-    whitening).
+    whitening). Fixed quartiles by design — the output schema IS the
+    contract (ADVICE r05: a free-form ``qs`` parameter silently
+    mislabeled any non-quartile request).
 
     Same narrow ``posexplode`` fan-out as ``dim_stats``; per-dimension
     EXACT ``percentile`` (quantile_cont semantics, rank 1+(n−1)q —
@@ -665,7 +668,7 @@ def dim_quantiles(
     exploded = df.select(
         F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v")
     )
-    q_arr = "array({})".format(",".join(repr(float(q)) for q in qs))
+    q_arr = "array(0.25, 0.5, 0.75)"
     agg = exploded.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr(f"percentile(v, {q_arr})").alias("__qs"),
@@ -718,9 +721,26 @@ def ivf_pq_topk(
     """
     from ..functions.numeric import round_half_up
 
-    dim_probe = 64  # embeddings table contract (validated by tests)
+    # Derive the dimensionality from the data (ADVICE r05: a hard-coded
+    # dim made F.slice past the array end pad nulls for any other
+    # embedding width — silently wrong instead of loudly wrong). One
+    # bounded 1-row fetch; at scale this is a metadata probe.
+    probe_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe_row is None:
+        raise ValueError("ivf_pq_topk: empty input DataFrame")
+    dim_probe = int(probe_row["d"])
+    if dim_probe % n_subspaces:
+        raise ValueError(
+            f"ivf_pq_topk: embedding dim {dim_probe} not divisible by "
+            f"n_subspaces={n_subspaces}"
+        )
     sub = dim_probe // n_subspaces
-    assigned = ivf_assign(df, n_cells, vec_col, id_col).cache()
+    # localCheckpoint (not cache): materializes once for the ~5 reuses
+    # below AND releases its storage with the DataFrame reference —
+    # cache() entries live in the cache manager until an explicit
+    # unpersist, which a lazily-returned result can never safely issue
+    # (ADVICE r05 leak).
+    assigned = ivf_assign(df, n_cells, vec_col, id_col).localCheckpoint(eager=True)
     m = F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("m")
 
     base = assigned.select(id_col, "v", "norm")
@@ -958,9 +978,12 @@ def cluster_label_purity(
     signal).
 
     Reuses ``ivf_assign`` (broadcast centroids, per-vector argmin);
-    then one (cell, label) count aggregate, a per-cell max via the
-    (count, label) struct-max — no ranking window, a hot cell
-    aggregates — and a broadcast join back to the cell sizes.
+    then one (cell, label) count aggregate and a two-aggregate argmax
+    (per-cell max count, then min label among the tied labels) — no
+    ranking window, a hot cell aggregates, and the tie-break is
+    TYPE-AGNOSTIC: ``min(label)`` orders strings and numbers alike,
+    matching the oracle's ``ORDER BY n DESC, label`` (ADVICE r05: the
+    former ``-label`` negation only worked for numeric labels).
     """
     from ..functions.numeric import round_half_up
 
@@ -972,20 +995,20 @@ def cluster_label_purity(
         F.count(F.lit(1)).alias("n")
     )
     totals = cell_label.groupBy("cell").agg(F.sum("n").alias("n_vecs"))
-    # dominant label per cell: max (count, -label) struct so ties break
-    # to the SMALLEST label deterministically in both engines
-    best = cell_label.groupBy("cell").agg(
-        F.max(
-            F.struct(F.col("n").alias("n"), (-F.col("__label")).alias("nl"))
-        ).alias("b")
+    max_n = cell_label.groupBy("cell").agg(F.max("n").alias("n_dominant"))
+    best = (
+        cell_label.join(max_n, "cell")
+        .filter(F.col("n") == F.col("n_dominant"))
+        .groupBy("cell", "n_dominant")
+        .agg(F.min("__label").alias("dominant_label"))
     )
     return (
         totals.join(best, "cell")
         .select(
             "cell",
             "n_vecs",
-            (-F.col("b.nl")).cast("int").alias("dominant_label"),
-            F.col("b.n").alias("n_dominant"),
-            round_half_up(F.col("b.n") / F.col("n_vecs"), 6).alias("purity"),
+            "dominant_label",
+            "n_dominant",
+            round_half_up(F.col("n_dominant") / F.col("n_vecs"), 6).alias("purity"),
         )
     )

@@ -599,7 +599,9 @@ def dedup_exact(spark, sf_dir):
 @register(
     "dedup_ngram_jaccard",
     f"""WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
-        sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM toks),
+        sh0 AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM toks),
+        keep AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 50),
+        sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -6189,7 +6191,9 @@ def vocab_coverage_curve(spark, sf_dir):
 @register(
     "dedup_containment_pairs",
     f"""WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
-        sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM toks),
+        sh0 AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM toks),
+        keep AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 50),
+        sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -6209,7 +6213,9 @@ def vocab_coverage_curve(spark, sf_dir):
 def dedup_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups (|A∩B|/min — the excerpt/quote
     detector Jaccard misses), with the Jaccard carried per pair for
-    comparison. See dedup.containment_pairs."""
+    comparison. Runs with the df(shingle) ≤ 50 cap ACTIVE (mirrored in
+    the oracle), so the registered query exercises the scale path —
+    see dedup.containment_pairs / _df_capped_index."""
     from .operators.dedup import containment_pairs
 
     view = _view(spark, sf_dir)

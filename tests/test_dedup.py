@@ -174,3 +174,115 @@ def test_snapshot_diff_normalized_fingerprint(spark):
     old = spark.createDataFrame([(1, "Hello  World")], "doc_id long, text string")
     new = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
     assert snapshot_diff(old, new).collect()[0]["status"] == "unchanged"
+
+
+# --- document-frequency cap (VERDICT r05 #2) --------------------------------
+
+BOILER = "all rights reserved contact us at the main office for further details and terms"
+
+
+@pytest.fixture(scope="module")
+def boiler_corpus(spark):
+    """40 docs; 12 (30%) share a boilerplate sentence but have otherwise
+    unrelated bodies; docs 0/1 are genuine near-dups WITHOUT boilerplate."""
+    rows = [
+        (0, BASE),
+        (1, NEAR),
+    ]
+    for i in range(2, 14):  # 12 boilerplate docs with unique bodies
+        body = " ".join(f"tok{i}x{j} filler{i * 7 + j}" for j in range(20))
+        rows.append((i, BOILER + " " + body))
+    for i in range(14, 40):
+        body = " ".join(f"uniq{i}y{j} word{i * 11 + j}" for j in range(20))
+        rows.append((i, body))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_df_cap_drops_boilerplate_only_pairs(spark, boiler_corpus):
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    # Uncapped: the shared boilerplate manufactures containment pairs
+    # among docs whose bodies are unrelated (threshold low enough that
+    # the 14-shingle boilerplate run beats min-set size... keep 0.2).
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(
+            boiler_corpus, threshold=0.2, max_df=None
+        ).collect()
+    }
+    boiler_pairs = {p for p in uncapped if 2 <= p[0] < 14 and 2 <= p[1] < 14}
+    assert boiler_pairs, "stressor corpus must manufacture boilerplate pairs"
+
+    # Capped at max_df=5 (< the 12-doc boilerplate df): those pairs
+    # vanish; the genuine near-dup survives in the Jaccard view.
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(
+            boiler_corpus, threshold=0.2, max_df=5
+        ).collect()
+    }
+    assert not {p for p in capped if 2 <= p[0] < 14 and 2 <= p[1] < 14}
+
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            boiler_corpus, threshold=0.5, max_df=5
+        ).collect()
+    }
+    assert (0, 1) in jac
+
+
+def test_df_cap_equals_stopword_removed_brute_force(spark, boiler_corpus):
+    """Capped result == uncapped result over the corpus with the hot
+    shingles removed up front — the cap IS stopword removal, not an
+    approximation."""
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        containment_pairs,
+        shingle_index,
+    )
+
+    idx = shingle_index(boiler_corpus)
+    hot = [
+        r["shingle"]
+        for r in idx.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 5)
+        .collect()
+    ]
+    assert hot  # the boilerplate shingles
+    capped = sorted(
+        tuple(r)
+        for r in containment_pairs(
+            boiler_corpus, threshold=0.2, max_df=5
+        ).collect()
+    )
+
+    # brute force: same operator, uncapped, on text where we can't easily
+    # strip shingles — instead verify via the index-level equivalence:
+    # every capped pair's stats recomputed from the hot-filtered index.
+    kept = idx.filter(~F.col("shingle").isin(hot))
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    by_doc = {}
+    for r in kept.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+    expect = []
+    ids = sorted(by_doc)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(by_doc[a] & by_doc[b])
+            if not inter:
+                continue
+            cont = inter / min(sizes[a], sizes[b])
+            jacc = inter / (sizes[a] + sizes[b] - inter)
+            import math
+
+            cont_r = math.floor(cont * 1e6 + 0.5) / 1e6
+            jacc_r = math.floor(jacc * 1e6 + 0.5) / 1e6
+            if cont_r >= 0.2:
+                expect.append((a, b, cont_r, jacc_r))
+    assert capped == sorted(expect)

@@ -91,3 +91,108 @@ def test_no_unpartitioned_ranking_windows(plans):
             if "windowspecdefinition" in line and "], [], [" in line:
                 bad.append((n, line.strip()[:160]))
     assert not bad, bad
+
+
+# ---------------------------------------------------------------------------
+# Forced-broadcast audit (VERDICT r05 #2): a `F.broadcast()` hint
+# overrides AQE's size check, so its input must be PROVABLY bounded — a
+# 1-row scalar aggregate, a fixed grid/probe table, a per-key aggregate
+# over a bounded key domain (event_type, language, domain, brand), a
+# TPC-H dimension table, a limit-k slice, or a distinct-name vocabulary
+# with a documented fallback. NEVER a table whose row count scales with
+# fact rows, documents, or graph nodes (the bug this rule exists for:
+# degree_assortativity once broadcast its one-row-per-node degree
+# table). Every call site below is frozen with its justification class;
+# adding a new `F.broadcast(` anywhere in the package fails this test
+# until the site is reviewed and allow-listed here.
+
+_ALLOWED_FORCED_BROADCASTS = {
+    # --- 1-row scalar aggregates (plan as BroadcastNestedLoopJoin) ---
+    ("operators/analytics.py", 'hist.agg(F.sum("c"'),
+    ("operators/analytics.py", "mx"),
+    ("operators/analytics.py", "n_orders"),
+    ("operators/graph_algos.py", "amax"),
+    ("operators/graph_algos.py", "hmax"),
+    ("operators/mixing.py", "tot"),
+    ("operators/retrieval.py", "n_docs"),
+    ("operators/retrieval.py", "globals_"),
+    ("operators/similarity.py", "n"),
+    ("operators/text_analysis.py", "total"),
+    ("operators/text_analysis.py", "mx"),
+    ("operators/text_analysis.py", "totals"),
+    ("operators/text_analysis.py", "corp_tot"),
+    ("operators/windows.py", "tot"),
+    ("operators/windows.py", "total"),
+    ("operators/windows.py", "totals"),
+    ("registry.py", "avg_bal"),
+    ("registry.py", "mx"),
+    ("registry.py", "total"),
+    # --- fixed grids / probe / query tables (constant row count) ---
+    ("operators/analytics.py", "qdf"),          # quantile grid
+    ("operators/analytics.py", "thresholds"),   # decile thresholds
+    ("operators/profiling.py", "grid_df"),      # bucket grid
+    ("operators/profiling.py", "ref"),          # reference histogram
+    ("operators/retrieval.py", "probes"),       # query terms
+    ("operators/similarity.py", "q"),           # query vectors (k rows)
+    ("operators/similarity.py", "cents"),       # k-means centroids
+    ("operators/similarity.py", "cent"),
+    ("operators/similarity.py", "carr"),
+    ("operators/similarity.py", "codes"),       # PQ code grid (n_codes)
+    ("operators/similarity.py", "codebook"),    # PQ codebook (m·n_codes)
+    ("operators/similarity.py", 'lut.withColumnRenamed("cid", "code"'),
+    ("operators/graph_algos.py", "dangling_df"),  # 1-row dangling mass
+    ("operators/graph_algos.py", "drop"),  # gated on n_drop <= _BCAST_DROP_MAX
+    ("operators/text_analysis.py", "merge_list"),  # BPE merge table
+    ("operators/windows.py", "real_days.select(F.col(\"day\""),  # day grid
+    # --- per-key aggregates over BOUNDED key domains ---
+    ("operators/mixing.py", "dom"),            # per-domain (20 domains)
+    ("operators/profiling.py", "dups"),        # per-domain
+    ("operators/profiling.py", "n_langs"),     # per-domain
+    ("operators/profiling.py", "top"),         # per-domain
+    ("operators/text_analysis.py", "dom_tot"), # per-domain
+    ("operators/text_analysis.py", "prefix_rank"),  # limit-k prefixes
+    ("operators/windows.py", "stats"),         # per-event_type
+    ("operators/windows.py", "med"),           # per-event_type
+    ("operators/windows.py", "mad"),           # per-event_type
+    ("operators/windows.py", "probs"),         # per-(type,type) pair
+    # --- bounded vocabularies (limit-k or documented fallback) ---
+    ("operators/retrieval.py", "doc_freq"),    # vocab-limited terms
+    ("operators/retrieval.py", 'vocab.withColumn("in_vocab", F.lit(1'),
+    ("operators/text_analysis.py", "vocab"),   # limit-k vocab
+    ("operators/dedup.py", "vb"),  # distinct-name vocab; salted-join fallback documented
+    # --- TPC-H dimension tables / dim-key probes ---
+    ("operators/analytics.py", "cust"),
+    ("operators/analytics.py", "nation"),
+    ("operators/analytics.py", "region"),
+    ("operators/analytics.py", "supp"),
+    ("operators/profiling.py", "cust_keys"),
+    ("registry.py", 't["customer"]'),
+    ("registry.py", 't["supplier"]'),
+    ("registry.py", 't["nation"]'),
+    ("registry.py", 't["part"]'),
+    ("registry.py", 't["part"].filter(F.col("p_name"'),
+    ("registry.py", 't["part"].filter(F.col("p_brand"'),
+    ("registry.py", "cn"),
+    ("registry.py", "sn"),
+    ("registry.py", "excluded"),
+}
+
+
+def test_forced_broadcasts_are_allow_listed():
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(registry.__file__).parent
+    pat = re.compile(r"F\.broadcast\(\s*([^)]*)")
+    found = set()
+    for p in sorted(pkg.rglob("*.py")):
+        for m in pat.finditer(p.read_text()):
+            arg = " ".join(m.group(1).split())[:50]
+            found.add((str(p.relative_to(pkg)), arg))
+    new = found - _ALLOWED_FORCED_BROADCASTS
+    assert not new, (
+        "new F.broadcast() call sites — prove the input is dimension-"
+        f"bounded and allow-list them with a justification: {sorted(new)}"
+    )
+    stale = _ALLOWED_FORCED_BROADCASTS - found
+    assert not stale, f"allow-list entries with no call site: {sorted(stale)}"
