@@ -1,0 +1,146 @@
+"""Recorded wire-fixture test for the Neo4j connector seam (VERDICT r05
+"what's missing" #1 / directive #5).
+
+``tests/fixtures/neo4j_connector_wire_schemas.json`` records the public
+neo4j-spark-connector's documented read schemas VERBATIM — node reads
+(``<id>``/``<labels>`` metadata + property columns) and relationship
+reads with ``relationship.nodes.map=false`` (``<rel.id>``/``<rel.type>``
+/``<source.id>``/``<source.labels>`` metadata plus ``source.*`` /
+``target.*`` / ``rel.*`` property columns). The test drives
+``Neo4jConnectorSource`` with DataFrames built from that recording, so
+any drift in the adapter's schema mapping (metadata stripping, dotted-
+column backticking, endpoint-id projection) fails HERE, offline, before
+it could fail against a live server. ``tools/live_neo4j_smoke.py`` is
+the online counterpart.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from neo4j_database_to_data_importer_package_spark.sources import (
+    EdgeSpec,
+    Neo4jConnectorSource,
+    NodeSpec,
+)
+from neo4j_database_to_data_importer_package_spark.sources.star_schema import GraphSpec
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "neo4j_connector_wire_schemas.json"
+)
+
+SPEC = GraphSpec(
+    nodes=[
+        NodeSpec("Customer", "Customer", "custkey"),
+        NodeSpec("Order", "Order", "orderkey"),
+    ],
+    edges=[
+        EdgeSpec(
+            "Customer", "PLACED", "Order", "PLACED", "", "",
+            ("orderdate", "orderstatus"),
+        )
+    ],
+)
+
+
+@pytest.fixture(scope="module")
+def wire():
+    with open(FIXTURE, encoding="utf-8") as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def wire_reader(spark, wire):
+    """Replay the recorded wire frames; assert the adapter sends exactly
+    the recorded options."""
+
+    def reader(sess, options):
+        if "labels" in options:
+            rec = wire["node"]
+            if options["labels"] == ":Order":
+                # same documented shape, Order properties
+                return sess.createDataFrame(
+                    [(501, ["Order"], 4000, "O"), (502, ["Order"], 4001, "F")],
+                    "`<id>` BIGINT, `<labels>` ARRAY<STRING>, orderkey BIGINT, orderstatus STRING",
+                )
+            assert options["labels"] == rec["options"]["labels"]
+            return sess.createDataFrame(rec["rows"], rec["schema_ddl"])
+        rec = wire["relationship"]
+        for k, v in rec["options"].items():
+            assert options[k] == v, (k, options.get(k), v)
+        rows = [
+            tuple(r) for r in rec["rows"]
+        ]
+        import datetime
+
+        rows = [
+            r[:8] + (datetime.date.fromisoformat(r[8]), r[9]) for r in rows
+        ]
+        return sess.createDataFrame(rows, rec["schema_ddl"])
+
+    return reader
+
+
+def test_wire_node_read_strips_metadata_keeps_properties(spark, wire_reader):
+    view = Neo4jConnectorSource(
+        "bolt://example", spec=SPEC, reader=wire_reader
+    ).load(spark)
+    cust = view.nodes["Customer"]
+    assert sorted(cust.columns) == ["acctbal", "custkey", "mktsegment", "name"]
+    assert not [c for c in cust.columns if c.startswith("<")]
+    rows = {r["custkey"]: r for r in cust.collect()}
+    assert rows[7]["name"] == "Customer#000000007"
+    assert rows[8]["acctbal"] == 6819.74
+
+
+def test_wire_relationship_read_projects_endpoint_ids_and_props(spark, wire_reader):
+    view = Neo4jConnectorSource(
+        "bolt://example", spec=SPEC, reader=wire_reader
+    ).load(spark)
+    rel = view.tables["rel__Customer_PLACED_Order"]
+    assert sorted(rel.columns) == ["__src_id", "__tgt_id", "orderdate", "orderstatus"]
+    rows = sorted(tuple(r) for r in rel.select("__src_id", "__tgt_id", "orderstatus").collect())
+    # endpoint ids are the PROPERTY values (source.custkey/target.orderkey),
+    # never the internal <source.id>/<target.id> metadata ids
+    assert rows == [(7, 4000, "O"), (8, 4001, "F")]
+
+
+def test_wire_catalog_carries_labels_and_types(spark, wire_reader):
+    view = Neo4jConnectorSource(
+        "bolt://example", spec=SPEC, reader=wire_reader
+    ).load(spark)
+    assert sorted(view.catalog.node_labels()) == ["Customer", "Order"]
+    assert view.catalog.rel_types() == ["PLACED"]
+
+
+def test_smoke_script_spec_builder_roundtrip():
+    import importlib.util
+
+    spec_path = os.path.join(
+        os.path.dirname(__file__), os.pardir, "tools", "live_neo4j_smoke.py"
+    )
+    mod_spec = importlib.util.spec_from_file_location("live_neo4j_smoke", spec_path)
+    mod = importlib.util.module_from_spec(mod_spec)
+    mod_spec.loader.exec_module(mod)
+    spec = mod.build_spec(
+        {
+            "nodes": [
+                {"label": "Customer", "id_col": "custkey"},
+                {"label": "Order", "id_col": "orderkey"},
+            ],
+            "edges": [
+                {
+                    "src_label": "Customer",
+                    "rel_type": "PLACED",
+                    "tgt_label": "Order",
+                    "props": ["orderdate"],
+                }
+            ],
+        }
+    )
+    assert [n.label for n in spec.nodes] == ["Customer", "Order"]
+    assert spec.edges[0].rel_type == "PLACED"
+    assert spec.edges[0].props == ("orderdate",)
