@@ -810,6 +810,7 @@ def walk_corpus(
     node_col: str = "node",
     steps: int = 4,
     n_walks: int = 1,
+    n_salts: int = 16,
 ) -> DataFrame:
     """DeepWalk/node2vec-style random-walk CORPUS generation with
     deterministic pseudo-randomness: ``n_walks`` walks from every seed
@@ -827,10 +828,18 @@ def walk_corpus(
     and ``seed#w`` otherwise. Each hop is ONE equi-join of the walk
     frontier against the (undirected) edge list plus a per-walk
     min-aggregate (min over the (hash, neighbor) struct — no ranking
-    window, hot hubs aggregate instead of sorting). Walks that reach a
-    dead end keep their prefix. State is one row per (seed, walk
-    index); supersteps checkpoint like every other iterative operator
-    here.
+    window). The hop join is SALTED (``n_salts``): edges carry
+    ``hash(neighbor) % n_salts``, the walk frontier explodes to all
+    salts, and the min is taken in two levels — per (walk, salt)
+    partials, then per walk. The min is associative so the result is
+    bit-identical, but a hub holding half the edge list now feeds
+    ``n_salts`` reduce tasks instead of one: the unsalted hop measured
+    24× slower on a 50%-hub graph at 1.6M edges (SCALING.md hub-skew
+    stressor) because every walk standing on the hub pushed the hub's
+    whole adjacency through a single task. Frontier state is tiny
+    (#walks rows), so the explode costs nothing. Walks that reach a
+    dead end keep their prefix. Supersteps checkpoint like every other
+    iterative operator here.
     """
     from pyspark import StorageLevel
 
@@ -840,6 +849,9 @@ def walk_corpus(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .withColumn(
+            "__salt", (F.abs(F.xxhash64("b")) % n_salts).cast("int")
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = und.count()  # warms the cache; sizes superstep shuffles
@@ -874,9 +886,23 @@ def walk_corpus(
                         "|", F.col("cur"), F.col("b"), F.lit(t), F.col("w")
                     )
                 )
-                nxt = (
-                    walks.join(und, walks["cur"] == und["a"], "left")
-                    .groupBy("walk_id", "w", "cur", "path", "n_nodes")
+                frontier = walks.select(
+                    "walk_id", "w", "cur", "path", "n_nodes",
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(n_salts - 1))
+                    ).alias("__salt"),
+                )
+                partial = (
+                    frontier.join(
+                        und,
+                        (frontier["cur"] == und["a"])
+                        & (frontier["__salt"] == und["__salt"]),
+                        "left",
+                    )
+                    .groupBy(
+                        "walk_id", "w", "cur", "path", "n_nodes",
+                        frontier["__salt"],
+                    )
                     .agg(
                         F.min(
                             F.when(
@@ -885,6 +911,10 @@ def walk_corpus(
                             )
                         ).alias("pick")
                     )
+                )
+                nxt = (
+                    partial.groupBy("walk_id", "w", "cur", "path", "n_nodes")
+                    .agg(F.min("pick").alias("pick"))
                     .select(
                         "walk_id",
                         "w",
