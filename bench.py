@@ -223,10 +223,30 @@ BENCH_QUERIES = [
     "graph_clustering_coefficients",
     "events_active_user_curves",
     "dedup_containment_pairs",
+    # round-6 additions
+    "graph_walk_corpus_multi",
 ]
 
 
-def main() -> None:
+def main(argv=None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="spark-graft bench harness")
+    ap.add_argument(
+        "--repeats", type=int, default=2,
+        help="timed runs per query; the per-query MIN is reported",
+    )
+    ap.add_argument(
+        "--interleaved", action="store_true",
+        help="ABAB protocol (SCALING.md LSH postmortem): run the whole "
+        "query list --repeats times and take per-query min ACROSS "
+        "rounds, so a slow patch of the session (GC, JIT tiering, "
+        "thermal) cannot bias any one query — round-over-round deltas "
+        "under ~1.4x become readable. Default (consecutive repeats) is "
+        "cheaper and what the driver's unattended run uses.",
+    )
+    args = ap.parse_args(argv)
+
     from neo4j_database_to_data_importer_package_spark.session import get_spark
     from neo4j_database_to_data_importer_package_spark import registry
 
@@ -244,21 +264,37 @@ def main() -> None:
     if not os.path.isdir(warmup_dir):
         warmup_dir = SF_DIR
 
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = registry.QUERIES[name]
-        fn(spark, warmup_dir).count()
-        best = float("inf")
-        for _ in range(2):  # min-of-2: damps GC / scheduler / JIT-tiering noise
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        # Operators that persist() intermediates (LSH candidate tables,
-        # iterative frontiers) must not leak storage memory into the next
-        # query's execution budget — 80+ queries of accumulated cache was
-        # the round-2 bench regression.
-        spark.catalog.clearCache()
+    if args.interleaved:
+        # Round 1 carries the per-query warmup; rounds 2..N are straight
+        # timed passes over the same list, min taken across rounds.
+        for rnd in range(args.repeats):
+            for name in BENCH_QUERIES:
+                fn = registry.QUERIES[name]
+                if rnd == 0:
+                    fn(spark, warmup_dir).count()
+                dt = timed(fn)
+                timings[name] = min(timings.get(name, float("inf")), dt)
+                spark.catalog.clearCache()
+        timings = {n: round(v, 3) for n, v in timings.items()}
+    else:
+        for name in BENCH_QUERIES:
+            fn = registry.QUERIES[name]
+            fn(spark, warmup_dir).count()
+            best = float("inf")
+            for _ in range(args.repeats):  # min-of-N: damps GC/JIT noise
+                best = min(best, timed(fn))
+            timings[name] = round(best, 3)
+            # Operators that persist() intermediates (LSH candidate
+            # tables, iterative frontiers) must not leak storage memory
+            # into the next query's execution budget — 80+ queries of
+            # accumulated cache was the round-2 bench regression.
+            spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -1,0 +1,57 @@
+"""Shared registry core: QUERIES/ORACLES stores, the @register
+decorator, the cached graph-view loader and canonical-form helpers.
+Split out of the former monolithic registry.py (round 6)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum
+from ..functions.numeric import dsum_sql as _dsum
+from ..functions.type_inference import infer_type_col
+from ..operators.identifier import detect_identifiers, uniqueness_profile
+from ..operators.node_export import export_node_table
+from ..operators.patterns import discover_patterns_map
+from ..operators.rel_export import export_relationship_table
+from ..operators.schema_union import schema_union_map
+from ..sources.property_graph import nodes_from_view
+from ..sources.star_schema import TPCH_GRAPH_SPEC, load_graph_view
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+# Graph views are immutable metadata + lazy scans — cache per (session, dir)
+# so repeated queries don't re-read 9 parquet footers each.
+_VIEW_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _view(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _VIEW_CACHE:
+        _VIEW_CACHE[key] = load_graph_view(spark, sf_dir)
+    return _VIEW_CACHE[key]
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _fmt_ts(df: DataFrame, *cols: str) -> DataFrame:
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.date_format(F.col(c), _TS_FMT_SPARK))
+    return out
+
+

@@ -124,9 +124,9 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/windows.py", "tot"),
     ("operators/windows.py", "total"),
     ("operators/windows.py", "totals"),
-    ("registry.py", "avg_bal"),
-    ("registry.py", "mx"),
-    ("registry.py", "total"),
+    ("registry/distributions.py", "avg_bal"),
+    ("registry/tpch_full.py", "mx"),
+    ("registry/tpch_full.py", "total"),
     # --- fixed grids / probe / query tables (constant row count) ---
     ("operators/analytics.py", "qdf"),          # quantile grid
     ("operators/analytics.py", "thresholds"),   # decile thresholds
@@ -166,15 +166,15 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/analytics.py", "region"),
     ("operators/analytics.py", "supp"),
     ("operators/profiling.py", "cust_keys"),
-    ("registry.py", 't["customer"]'),
-    ("registry.py", 't["supplier"]'),
-    ("registry.py", 't["nation"]'),
-    ("registry.py", 't["part"]'),
-    ("registry.py", 't["part"].filter(F.col("p_name"'),
-    ("registry.py", 't["part"].filter(F.col("p_brand"'),
-    ("registry.py", "cn"),
-    ("registry.py", "sn"),
-    ("registry.py", "excluded"),
+    ("registry/tpch_full.py", 't["customer"]'),
+    ("registry/tpch_full.py", 't["supplier"]'),
+    ("registry/tpch_full.py", 't["nation"]'),
+    ("registry/tpch_full.py", 't["part"]'),
+    ("registry/tpch_full.py", 't["part"].filter(F.col("p_name"'),
+    ("registry/tpch_full.py", 't["part"].filter(F.col("p_brand"'),
+    ("registry/tpch_full.py", "cn"),
+    ("registry/tpch_full.py", "sn"),
+    ("registry/tpch_full.py", "excluded"),
 }
 
 
@@ -182,7 +182,9 @@ def test_forced_broadcasts_are_allow_listed():
     import pathlib
     import re
 
-    pkg = pathlib.Path(registry.__file__).parent
+    import neo4j_database_to_data_importer_package_spark as _pkg
+
+    pkg = pathlib.Path(_pkg.__file__).parent
     pat = re.compile(r"F\.broadcast\(\s*([^)]*)")
     found = set()
     for p in sorted(pkg.rglob("*.py")):
