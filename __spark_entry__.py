@@ -105,6 +105,18 @@ _GATE_PRIORITY = _GATE_FIRST_50
 # is documented there too).
 _NEXT_ROTATION: list[str] = [
     "graph_walk_corpus_multi",
+    "graph_modularity_lpa",
+    "graph_bridge_edges",
+    "source_gini_concentration",
+    "events_winsorized_stats",
+    "doc_length_ks_drift",
+    "source_lang_chi2",
+    "source_lang_mutual_information",
+    "doc_length_bootstrap_ci",
+    "embedding_semdedup_prune",
+    "embedding_knn_label_agreement",
+    "dedup_tfidf_cosine_pairs",
+    "events_ewma_daily",
 ]
 
 

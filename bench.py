@@ -225,6 +225,18 @@ BENCH_QUERIES = [
     "dedup_containment_pairs",
     # round-6 additions
     "graph_walk_corpus_multi",
+    "graph_modularity_lpa",
+    "graph_bridge_edges",
+    "source_gini_concentration",
+    "events_winsorized_stats",
+    "doc_length_ks_drift",
+    "source_lang_chi2",
+    "source_lang_mutual_information",
+    "doc_length_bootstrap_ci",
+    "embedding_semdedup_prune",
+    "embedding_knn_label_agreement",
+    "dedup_tfidf_cosine_pairs",
+    "events_ewma_daily",
 ]
 
 

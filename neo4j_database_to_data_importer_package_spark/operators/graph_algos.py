@@ -1035,3 +1035,139 @@ def clustering_coefficients(
             ).alias("clustering_coef"),
         )
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    digits: int = 6,
+) -> DataFrame:
+    """Newman modularity Q of a community assignment over the undirected
+    graph: Q = Σ_c [ e_c/m − (d_c/2m)² ] — the standard "are these
+    communities denser than chance" score that turns any labeling
+    (LPA, connected components, an external clustering) into one
+    comparable number. Q≈0 means the partition explains nothing;
+    community-detection papers report 0.3–0.7 on real social graphs.
+
+    Two hash joins hydrate each undirected edge with its endpoint
+    labels (no broadcast hint — the label table is one row per NODE,
+    the same unbounded-input rule as ``degree_assortativity``). The
+    algebra is arranged so every aggregate is an INTEGER sum —
+    Q = Σe2/(2m) − Σd_c²/(4m²) with Σe2 (within-community directed
+    edges) and Σd_c² both exact integers — so the score is bit-
+    deterministic under any partitioning and in the SQL oracle (no
+    float-summation order anywhere). Output one row:
+    (n_communities, n_edges, modularity).
+    """
+    from ..functions.numeric import round_half_up
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    la = labels.select(
+        F.col(node_col).alias("a"), F.col(label_col).alias("la")
+    )
+    lb = labels.select(
+        F.col(node_col).alias("b"), F.col(label_col).alias("lb")
+    )
+    hyd = und.join(la, "a").join(lb, "b")
+    # per-community degree sums d_c (each directed row adds 1 to its
+    # source's community) and the within-community directed-edge total
+    per_c = hyd.groupBy(F.col("la").alias("community")).agg(
+        F.count(F.lit(1)).alias("d_c"),
+        F.sum((F.col("la") == F.col("lb")).cast("long")).alias("e2_c"),
+    )
+    agg = per_c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum("d_c").alias("rows2"),          # = 2m (integer)
+        F.sum("e2_c").alias("e2"),            # = 2·within-edges (integer)
+        F.sum(F.col("d_c") * F.col("d_c")).alias("sd2"),  # Σ d_c² (integer)
+    )
+    m = F.col("rows2") / 2.0
+    q = F.col("e2") / (2.0 * m) - F.col("sd2") / (4.0 * m * m)
+    return agg.select(
+        "n_communities",
+        (F.col("rows2") / 2).cast("long").alias("n_edges"),
+        round_half_up(q, digits).alias("modularity"),
+    )
+
+
+def bridge_edges(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_center_degree: int = 200,
+) -> DataFrame:
+    """Local-bridge detection: undirected edges whose endpoints share no
+    low-degree common neighbor (edge embeddedness 0, up to hubs) — the
+    weak ties that hold components together; cutting one lengthens
+    paths, and in a data-lineage or social graph they mark the fragile
+    links worth monitoring. Output (node_a, node_b, n_common) for every
+    edge with the canonical node_a < node_b orientation plus an
+    is_bridge flag.
+
+    Same wedge shape as triangle counting — neighbor lists joined on
+    the shared center, counted per edge, LEFT-joined back so
+    zero-common edges survive. The wedge cost is Σ deg(center)², which
+    no orientation trick can bound here (embeddedness needs ALL common
+    neighbors, not one triangle witness), so centers with degree >
+    ``max_center_degree`` are EXCLUDED — the same logged-cap rule as
+    the shingle df cap (``dedup._df_capped_index``): a hub adjacent to
+    half the graph is "common" to almost every edge and carries no
+    embeddedness signal, while its deg² wedge set is catastrophic.
+    n_common therefore counts common neighbors of degree ≤ cap, and
+    ``is_bridge`` means "no low-degree common neighbor". The dropped
+    center count is logged.
+    """
+    import logging
+
+    logger = logging.getLogger(__name__)
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    canon = und.filter(F.col("a") < F.col("b"))
+    deg = und.groupBy(F.col("a").alias("c")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    hot = (
+        deg.filter(F.col("__deg") > max_center_degree)
+        .select("c")
+        .localCheckpoint(eager=True)
+    )
+    n_hot = hot.count()
+    if n_hot:
+        logger.warning(
+            "bridge_edges: excluding %d wedge centers with degree > %d "
+            "(embeddedness counts low-degree common neighbors only)",
+            n_hot, max_center_degree,
+        )
+    # adjacency restricted to low-degree centers; wedge (ea, c, eb)
+    adj = und.select(F.col("b").alias("c"), F.col("a").alias("n")).join(
+        hot, "c", "left_anti"
+    )
+    na = adj.select("c", F.col("n").alias("ea"))
+    nb = adj.select("c", F.col("n").alias("eb"))
+    wedges = (
+        na.join(nb, "c")
+        .filter(F.col("ea") < F.col("eb"))
+        .groupBy(F.col("ea").alias("a"), F.col("eb").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        canon.join(wedges, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            (F.coalesce("n_common", F.lit(0)) == 0).alias("is_bridge"),
+        )
+    )

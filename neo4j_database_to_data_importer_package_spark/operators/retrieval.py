@@ -309,3 +309,90 @@ def hybrid_rrf_topk(
         round_half_up(F.col("__score"), 6).alias("rrf_score"),
         "fused_rank",
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-similarity pairs by TF-IDF-weighted cosine over the term
+    inverted index — the WEIGHTED near-dup complement to shingle
+    Jaccard: two docs rephrasing the same rare terminology score high
+    even when word order (and hence every shingle) differs, while
+    shared function words contribute almost nothing.
+
+    score(a,b) = Σ_t w_at·w_bt / (||a||·||b||), w = tf·(ln((N+1)/(df+1))+1)
+    (the same smoothed idf as ``tfidf_top_terms``). The pair join runs
+    on the inverted index, so its cost is Σ df(term)² — bounded the
+    same way as the shingle joins (VERDICT r05 #2): terms with document
+    frequency > ``max_df`` are DROPPED with a logged count before any
+    pairing (stopword semantics — they leave the weights and the norms
+    together, keeping the cosine a true cosine over the kept
+    vocabulary). Output (id_a, id_b, tfidf_cosine) with id_a < id_b.
+    """
+    import logging
+
+    logger = logging.getLogger(__name__)
+    tf = _term_stream(df, text_col, id_col).groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    hot = (
+        doc_freq.filter(F.col("doc_freq") > max_df)
+        .select("term")
+        .localCheckpoint(eager=True)
+    )
+    n_hot = hot.count()
+    if n_hot:
+        logger.warning(
+            "tfidf_cosine_pairs: dropping %d terms with df > %d",
+            n_hot, max_df,
+        )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    # weights rounded to 9 dp, sums decimal-exact: both the dot products
+    # and the norms are then identical under any partitioning and in the
+    # SQL oracle (the dsum discipline — float sums are order-dependent)
+    w = (
+        tf.join(hot, "term", "left_anti")
+        .join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            round_half_up(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0),
+                9,
+            ).alias("w"),
+        )
+    )
+    from ..functions.numeric import dsum
+
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(dsum(F.col("w") * F.col("w"), 18)).alias("nrm")
+    )
+    a = w.select(F.col(id_col).alias("id_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col(id_col).alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(dsum(F.col("wa") * F.col("wb"), 18).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round_half_up(
+                F.col("dot") / (F.col("na") * F.col("nb")), 6
+            ).alias("tfidf_cosine"),
+        )
+        .filter(F.col("tfidf_cosine") >= threshold)
+    )

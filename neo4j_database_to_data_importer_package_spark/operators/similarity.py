@@ -1012,3 +1012,105 @@ def cluster_label_purity(
             round_half_up(F.col("n_dominant") / F.col("n_vecs"), 6).alias("purity"),
         )
     )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning: assign every vector to its IVF
+    cell, find within-cell pairs with cosine ≥ ``threshold``, and prune
+    each vector that has a SMALLER-id near-twin in its cell (the
+    survivor is the minimum such twin) — the embedding-space analogue
+    of MinHash dedup that catches paraphrases exact/shingle methods
+    miss, exactly the Abbas et al. web-dedup recipe.
+
+    Scale shape: the quadratic pair step runs WITHIN cells only —
+    |cell|² bounded because the cluster count is scaled with the corpus
+    (that is SemDeDup's own design contract; n_cells here is the
+    deterministic-seed stand-in for the trained k-means). One cell
+    equi-join, one (hash-aggregate) min per pruned vector, no windows.
+    Output (pruned_id, kept_id, cosine) — cosine of the kept pair,
+    6-dp-rounded so the ranking/choice is engine-independent.
+    """
+    from ..functions.numeric import round_half_up
+
+    assigned = ivf_assign(df, n_cells, vec_col, id_col)
+    a = assigned.select(
+        F.col("cell"), F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"), F.col("norm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell"), F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"), F.col("norm").alias("nb"),
+    )
+    cos = round_half_up(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_a"), F.col("id_b"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return (
+        pairs.groupBy(F.col("id_b").alias("pruned_id"))
+        .agg(F.min(F.struct(F.col("id_a"), F.col("cosine"))).alias("k"))
+        .select(
+            "pruned_id",
+            F.col("k.id_a").alias("kept_id"),
+            F.col("k.cosine").alias("cosine"),
+        )
+    )
+
+
+def knn_label_agreement(
+    df: DataFrame,
+    k: int = 10,
+    n_queries: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label-agreement audit: for each query vector, the fraction
+    of its k nearest neighbors (exact cosine) sharing its label,
+    averaged per label — the label-noise / class-separability probe run
+    before training a classifier on the embeddings (agreement ≈ 1/|L|
+    means the space carries no label signal; a single low-agreement
+    label usually means mislabeled or heterogeneous data).
+
+    Reuses the broadcast-queries brute-force top-k (deterministic
+    rounded-cosine ranking), two label hydrations, then one bounded
+    per-label aggregate. Output (label, n_queries, mean_agreement).
+    """
+    from ..functions.numeric import round_half_up
+
+    top = brute_force_topk(
+        df, k=k, vec_col=vec_col, id_col=id_col, n_queries=n_queries
+    )
+    lab = df.select(F.col(id_col), F.col(label_col))
+    ql = lab.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__ql")
+    )
+    nl = lab.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    per_q = (
+        top.join(ql, "query_id")
+        .join(nl, "neighbor_id")
+        .groupBy("query_id", "__ql")
+        .agg(
+            (F.sum((F.col("__ql") == F.col("__nl")).cast("long")) / F.count(F.lit(1)))
+            .alias("__agree")
+        )
+    )
+    return (
+        per_q.groupBy(F.col("__ql").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            round_half_up(F.avg("__agree"), 6).alias("mean_agreement"),
+        )
+    )

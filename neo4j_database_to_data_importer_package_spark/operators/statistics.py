@@ -1,0 +1,294 @@
+"""Distribution statistics for corpus/dataset auditing (beyond-reference,
+per the north star: the quantitative screens a training-data pipeline
+runs before shipping a mixture — concentration, robust moments, drift,
+association, and uncertainty).
+
+Scale design notes (100 TB):
+- every operator here is one or two hash aggregations over a narrow
+  projection, plus arithmetic over a BOUNDED table (key domains:
+  event types, domains, languages, quantile grids, bootstrap
+  replicates) — no windows over unbounded inputs, no driver loops;
+- the one global ordering (Gini's sorted cumulative) runs over the
+  bounded per-key aggregate, never over raw rows;
+- the bootstrap is md5-derandomized (Binomial(4, 1/4) ≈ Poisson(1)
+  multiplicities) so resampling is a deterministic, partition-
+  independent 4× fan-out — no RNG state, reproducible in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, round_half_up
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Gini coefficient of how ``value_col`` mass concentrates across
+    ``key_col`` groups (0 = perfectly even, →1 = one group holds all) —
+    the one-number inequality audit for domain mixes ("is 90% of the
+    corpus one crawl?") and revenue concentration alike.
+
+    One hash aggregate to per-key totals, then the textbook sorted
+    formula G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over the BOUNDED per-key
+    table (the ranking window runs over |keys| rows, not raw data).
+    Per-key totals use exact decimal sums so the ordering — and hence
+    the score — is partition-independent.
+    """
+    per_key = df.groupBy(key_col).agg(dsum(value_col).alias("__v"))
+    w = Window.orderBy(F.col("__v").asc(), F.col(key_col))
+    ranked = per_key.select(
+        F.col("__v"), F.row_number().over(w).alias("__i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        round_half_up(
+            (2.0 * F.sum(F.col("__i") * F.col("__v"))) / (F.count(F.lit(1)) * F.sum("__v"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            digits,
+        ).alias("gini"),
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group winsorized mean/min/max: values are CLAMPED to the
+    group's [lo, hi] quantiles before averaging — the robust location
+    estimate that keeps every observation (unlike trimming) while
+    bounding any single outlier's pull; the standard pre-aggregation
+    for latency and value columns with fat tails.
+
+    Two passes over a two-column projection: exact per-group quantiles
+    (percentile — quantile_cont semantics, identical to the oracle),
+    then a clamp + exact-decimal mean. The quantile table is one row
+    per key (bounded domain) and joins broadcast.
+    """
+    slim = df.select(F.col(key_col), F.col(value_col).cast("double").alias("v"))
+    q = slim.groupBy(key_col).agg(
+        F.expr(f"percentile(v, {lo!r})").alias("__qlo"),
+        F.expr(f"percentile(v, {hi!r})").alias("__qhi"),
+    )
+    clamped = slim.join(F.broadcast(q), key_col).select(
+        F.col(key_col),
+        F.greatest(F.least(F.col("v"), F.col("__qhi")), F.col("__qlo")).alias("__w"),
+    )
+    return clamped.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        round_half_up(dsum("__w") / F.count(F.lit(1)), digits).alias("winsorized_mean"),
+        round_half_up(F.min("__w"), digits).alias("winsorized_min"),
+        round_half_up(F.max("__w"), digits).alias("winsorized_max"),
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    split_col,
+    digits: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the ``value_col``
+    distributions of the two halves named by boolean ``split_col`` —
+    the non-parametric drift screen that catches shape changes PSI's
+    fixed binning smooths over (PSI and KS together are the standard
+    drift pair).
+
+    One (value, side) count aggregate, then running ECDFs via a
+    cumulative window over the DISTINCT VALUE table — bounded by the
+    value domain (for integer length/size columns this is the range of
+    observed lengths, thousands of rows at any corpus scale, which is
+    why the window input is the aggregate and never raw rows).
+    D = max |ECDF_a − ECDF_b|; ECDF ratios are exact integer counts
+    over integer totals, so D is engine-deterministic.
+    """
+    sided = df.select(
+        F.col(value_col).cast("double").alias("v"),
+        F.when(split_col, F.lit("a")).otherwise(F.lit("b")).alias("side"),
+    )
+    counts = sided.groupBy("v").agg(
+        F.sum((F.col("side") == "a").cast("long")).alias("na"),
+        F.sum((F.col("side") == "b").cast("long")).alias("nb"),
+    )
+    tot = counts.agg(
+        F.sum("na").alias("n_a"), F.sum("nb").alias("n_b")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "v",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            round_half_up(
+                F.max(
+                    F.abs(
+                        F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")
+                    )
+                ),
+                digits,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+def chi2_association(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Pearson chi-square contingency audit between two categorical
+    columns (domain × language, split × quality-bucket): per-cell
+    observed vs expected counts and the total χ² — the "is my mixture
+    confounded" screen run before attributing a metric shift to either
+    axis alone.
+
+    One cross-count aggregate over the (bounded × bounded) category
+    grid, margins as two more aggregates of it, broadcast back. The
+    DENSE grid (including zero-observed cells, which still contribute
+    expected mass to χ²) is the margins cross join — category-domain
+    sized. Expected counts are exact integer ratios; output one row per
+    cell plus the same total chi2 on every row (the driver-friendly
+    flat shape).
+    """
+    obs = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rm = obs.groupBy("r").agg(F.sum("o").alias("nr"))
+    cm = obs.groupBy("c").agg(F.sum("o").alias("nc"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        rm.crossJoin(cm)
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["r", "c"], "left")
+        .select(
+            "r", "c", "nr", "nc", "n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("nr") * F.col("nc") / F.col("n")).alias("e"),
+        )
+    )
+    cell = grid.select(
+        "r", "c", "o",
+        round_half_up(F.col("e"), digits).alias("expected"),
+        round_half_up(
+            F.pow(F.col("o") - F.col("e"), F.lit(2.0)) / F.col("e"), digits
+        ).alias("chi2_cell"),
+    )
+    return cell
+
+
+def mutual_information(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Mutual information I(X;Y) in nats between two categorical
+    columns, plus both marginal entropies — the dependence measure
+    behind "does domain predict language in this corpus" (and the
+    normalization H gives the uncertainty coefficient for free).
+
+    Same bounded contingency aggregate as ``chi2_association``; MI is
+    Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over OBSERVED cells (zero cells
+    contribute zero). All probabilities are exact integer count ratios,
+    the log terms are summed once over the bounded grid.
+    """
+    obs = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rm = obs.groupBy("r").agg(F.sum("o").alias("nr"))
+    cm = obs.groupBy("c").agg(F.sum("o").alias("nc"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    j = (
+        obs.join(rm, "r")
+        .join(cm, "c")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("o") / F.col("n")
+    mi_term = p * F.log(
+        F.col("o") * F.col("n") / (F.col("nr") * F.col("nc"))
+    )
+    hr_term = -(F.col("o") / F.col("n")) * F.log(F.col("o") / F.col("n"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        round_half_up(F.sum(mi_term), digits).alias("mutual_information"),
+    )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    n_boot: int = 32,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    digits: int = 6,
+) -> DataFrame:
+    """Deterministic bootstrap confidence interval for the mean of
+    ``value_col``: ``n_boot`` resample means, read off at the [lo, hi]
+    percentiles — the uncertainty band a pipeline report should attach
+    to any corpus-level metric (mean quality, mean doc length) instead
+    of a bare point estimate.
+
+    md5-derandomized Poisson bootstrap: row r's multiplicity in
+    replicate b is Binomial(4, 1/4) — the count of j∈{0..3} with
+    md5(b|r|j) in the low quarter of hash space — which matches the
+    Poisson(1) resampling weights of the streaming bootstrap to
+    O(1/n) while staying exactly reproducible across engines, runs,
+    and partitionings (no RNG state; the same trick as the hash-
+    Bernoulli samplers). Plan shape: one explode to (row × n_boot)
+    partial sums — a fixed 32× fan-out with map-side combine into
+    n_boot rows — then the percentile read-off over the BOUNDED
+    replicate table. Row identity is the value's md5 fingerprint
+    combined with a per-partition-independent hash of the value col
+    ONLY (caller supplies a unique id column for exactness).
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
+    # hash input uses the RAW column (integer rendering is identical in
+    # Spark and SQL; double rendering is not), value math uses the cast
+    fan = df.select(
+        F.col(value_col).cast("string").alias("__key"),
+        F.col(value_col).cast("double").alias("v"),
+        b,
+    )
+    trials = F.array([F.lit(j) for j in range(4)])
+
+    def mult(kcol, bcol):
+        def one(j):
+            h = F.md5(F.concat_ws("|", bcol, kcol, j))
+            return (F.substring(h, 1, 1).isin("0", "1", "2", "3")).cast("int")
+
+        return F.aggregate(
+            F.transform(trials, one), F.lit(0), lambda acc, x: acc + x
+        )
+
+    # NOTE: multiplicity keyed by (b, value) — rows with equal values
+    # share multiplicity, which preserves the bootstrap distribution of
+    # the MEAN (exchangeable weights) while keeping the hash input
+    # engine-portable.
+    rep = (
+        fan.select("b", "v", mult(F.col("__key"), F.col("b")).alias("m"))
+        .groupBy("b")
+        .agg(
+            (dsum(F.col("v") * F.col("m"), 6) / F.sum("m")).alias("mean_b")
+        )
+    )
+    return rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_boot"),
+        round_half_up(F.expr(f"percentile(mean_b, {lo!r})"), digits).alias("ci_lo"),
+        round_half_up(F.expr("percentile(mean_b, 0.5)"), digits).alias("ci_mid"),
+        round_half_up(F.expr(f"percentile(mean_b, {hi!r})"), digits).alias("ci_hi"),
+    )

@@ -552,3 +552,70 @@ def active_user_curves(
         )
         .select(F.col("obs_day").alias("day"), "dau", "wau", "mau")
     )
+
+
+def ewma_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    window_days: int = 14,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average of the daily mean
+    value, truncated to a trailing ``window_days`` window — the
+    smoothed trend line a monitoring dashboard draws over noisy daily
+    metrics (EWMA reacts to level shifts faster than a flat moving
+    average while still damping single-day spikes).
+
+    ewma(key, t) = Σ_{o<W} (1−α)^o · x_{t−o} / Σ_{o<W, day present} (1−α)^o
+    — the weight-normalized (missing-day-aware) truncated EWMA.
+    Computed with the same contribute-forward fan-out as
+    ``active_user_curves``: each (key, day) daily mean explodes to the
+    ≤``window_days`` observation days it contributes to (bounded
+    map-side fan-out, no range self-join, no recursion — the closed
+    form is what makes EWMA expressible at 100 TB without a sequential
+    scan), then one aggregate per (key, obs day). Daily means and the
+    weighted sums are decimal-exact (9-dp-rounded contributions,
+    ``dsum``) so the result is identical under any partitioning and in
+    the SQL oracle. Phantom days after the last event are dropped by a
+    semi-join against the real (key, day) set.
+    """
+    daily = (
+        events.select(
+            F.col(key_col),
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .groupBy(key_col, "day")
+        .agg((dsum("v", 6) / F.count(F.lit(1))).alias("x"))
+    )
+    real = daily.select(F.col(key_col), F.col("day").alias("obs_day"))
+    fan = daily.select(
+        F.col(key_col),
+        "day",
+        "x",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ).alias("obs_day"),
+    ).join(real, [key_col, "obs_day"])
+    wgt = round_half_up(
+        F.pow(F.lit(1.0 - alpha), F.datediff("obs_day", "day")), 9
+    )
+    contrib = round_half_up(F.col("x") * wgt, 9)
+    return (
+        fan.groupBy(key_col, "obs_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days_in_window"),
+            round_half_up(
+                dsum(contrib, 12) / dsum(wgt, 12), digits
+            ).alias("ewma_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("obs_day").alias("day"),
+            "n_days_in_window",
+            "ewma_value",
+        )
+    )

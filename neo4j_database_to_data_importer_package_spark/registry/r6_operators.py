@@ -1,0 +1,515 @@
+"""Round-6 additions: graph community quality (modularity, bridge
+edges), distribution statistics (Gini, winsorized moments, KS drift,
+chi-square, mutual information, deterministic bootstrap), semantic
+dedup (SemDeDup pruning, k-NN label agreement, TF-IDF cosine pairs),
+and the contribute-forward EWMA trend — each an oracle-backed registry
+entry per the standing gate discipline (COVERAGE.md)."""
+
+from __future__ import annotations
+
+from ._core import (  # noqa: F401  (full monolith-global namespace)
+    Callable,
+    DataFrame,
+    F,
+    ORACLES,
+    QUERIES,
+    SparkSession,
+    TPCH_GRAPH_SPEC,
+    _TS_FMT_DUCK,
+    _TS_FMT_SPARK,
+    _VIEW_CACHE,
+    _dsum,
+    _fmt_ts,
+    _view,
+    detect_identifiers,
+    discover_patterns_map,
+    dsum,
+    export_node_table,
+    export_relationship_table,
+    infer_type_col,
+    load_graph_view,
+    nodes_from_view,
+    register,
+    schema_union_map,
+    uniqueness_profile,
+)
+from .r4_operators import _LPA_ROUND
+
+
+def _shipyear_graph(view):
+    """The one-ship-year order/part/supplier co-occurrence graph shared
+    with graph_label_propagation."""
+    li = view.tables["lineitem"].filter(F.year("l_shipdate") == 1998)
+    return (
+        li.select(
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+                F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+                F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+    )
+
+
+_SHIPYEAR_E_DUCK = """e AS (
+         SELECT 'O' || l_orderkey AS a, 'P' || l_partkey AS b
+         FROM lineitem WHERE year(l_shipdate) = 1998
+         UNION ALL
+         SELECT 'O' || l_orderkey, 'S' || l_suppkey
+         FROM lineitem WHERE year(l_shipdate) = 1998
+         UNION ALL
+         SELECT 'P' || l_partkey, 'S' || l_suppkey
+         FROM lineitem WHERE year(l_shipdate) = 1998),
+       und AS (
+         SELECT DISTINCT a, b FROM (
+           SELECT a, b FROM e UNION ALL SELECT b, a FROM e)
+         WHERE a != b)"""
+
+
+@register(
+    "graph_modularity_lpa",
+    f"""WITH {_SHIPYEAR_E_DUCK},
+       lab0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+       r1 AS ({_LPA_ROUND.format(prev='lab0')}),
+       r2 AS ({_LPA_ROUND.format(prev='r1')}),
+       r3 AS ({_LPA_ROUND.format(prev='r2')}),
+       hyd AS (
+         SELECT la.label AS la, lb.label AS lb
+         FROM und u
+         JOIN r3 la ON u.a = la.node
+         JOIN r3 lb ON u.b = lb.node),
+       per_c AS (
+         SELECT la AS community, count(*) AS d_c,
+                sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS e2_c
+         FROM hyd GROUP BY 1),
+       agg AS (
+         SELECT count(*) AS n_communities,
+                CAST(sum(d_c) AS BIGINT) AS rows2,
+                CAST(sum(e2_c) AS BIGINT) AS e2,
+                CAST(sum(d_c * d_c) AS BIGINT) AS sd2
+         FROM per_c)
+       SELECT CAST(n_communities AS BIGINT) AS n_communities,
+              CAST(rows2 / 2 AS BIGINT) AS n_edges,
+              floor((e2 / (2.0 * (rows2 / 2.0))
+                     - sd2 / (4.0 * (rows2 / 2.0) * (rows2 / 2.0)))
+                    * 1000000.0 + 0.5) / 1000000.0 AS modularity
+       FROM agg""",
+)
+def graph_modularity_lpa(spark, sf_dir):
+    """Newman modularity Q of the 3-round LPA communities over the
+    one-ship-year co-occurrence graph — turns the community table into
+    one comparable score; all aggregates integer-exact so Q is
+    bit-deterministic. See graph_algos.modularity."""
+    from ..operators.graph_algos import label_propagation, modularity
+
+    e = _shipyear_graph(_view(spark, sf_dir))
+    return modularity(e, label_propagation(e, rounds=3))
+
+
+@register(
+    "graph_bridge_edges",
+    f"""WITH {_SHIPYEAR_E_DUCK},
+       canon AS (SELECT a, b FROM und WHERE a < b),
+       deg AS (SELECT a AS c, count(*) AS d FROM und GROUP BY 1),
+       keepc AS (SELECT c FROM deg WHERE d <= 200),
+       adj AS (
+         SELECT und.b AS c, und.a AS n FROM und JOIN keepc ON und.b = keepc.c),
+       wedges AS (
+         SELECT na.n AS a, nb.n AS b, count(*) AS n_common
+         FROM adj na JOIN adj nb ON na.c = nb.c AND na.n < nb.n
+         GROUP BY 1, 2)
+       SELECT canon.a AS node_a, canon.b AS node_b,
+              CAST(coalesce(w.n_common, 0) AS BIGINT) AS n_common,
+              coalesce(w.n_common, 0) = 0 AS is_bridge
+       FROM canon LEFT JOIN wedges w ON canon.a = w.a AND canon.b = w.b""",
+)
+def graph_bridge_edges(spark, sf_dir):
+    """Local-bridge detection (edge embeddedness up to hubs): edges of
+    the one-ship-year graph with their low-degree common-neighbor count
+    (0 = bridge); wedge centers above the degree cap are excluded with
+    a logged count — Σdeg(center)² has no orientation trick, so the cap
+    IS the scale path. See graph_algos.bridge_edges."""
+    from ..operators.graph_algos import bridge_edges
+
+    return bridge_edges(_shipyear_graph(_view(spark, sf_dir)))
+
+
+@register(
+    "source_gini_concentration",
+    """WITH per_key AS (
+         SELECT source,
+                CAST(sum(CAST(n_chars AS DECIMAL(27,4))) AS DOUBLE) AS v
+         FROM documents GROUP BY 1),
+       ranked AS (
+         SELECT v, row_number() OVER (ORDER BY v ASC, source) AS i
+         FROM per_key)
+       SELECT CAST(count(*) AS BIGINT) AS n_groups,
+              floor(((2.0 * sum(i * v)) / (count(*) * sum(v))
+                     - (count(*) + 1.0) / count(*)) * 1000000.0 + 0.5)
+                / 1000000.0 AS gini
+       FROM ranked""",
+)
+def source_gini_concentration(spark, sf_dir):
+    """Gini coefficient of character-mass concentration across document
+    sources — the one-number "is 90% of the corpus one crawl" audit;
+    the ranking window runs over the bounded per-source aggregate. See
+    statistics.gini_concentration."""
+    from ..operators.statistics import gini_concentration
+
+    view = _view(spark, sf_dir)
+    return gini_concentration(view.tables["documents"], "source", "n_chars")
+
+
+@register(
+    "events_winsorized_stats",
+    """WITH slim AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+       q AS (
+         SELECT event_type,
+                quantile_cont(v, 0.05) AS qlo, quantile_cont(v, 0.95) AS qhi
+         FROM slim GROUP BY 1),
+       clamped AS (
+         SELECT s.event_type,
+                greatest(least(s.v, q.qhi), q.qlo) AS w
+         FROM slim s JOIN q USING (event_type))
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              floor(CAST(sum(CAST(w AS DECIMAL(27,4))) AS DOUBLE) / count(*)
+                    * 1000000.0 + 0.5) / 1000000.0 AS winsorized_mean,
+              floor(min(w) * 1000000.0 + 0.5) / 1000000.0 AS winsorized_min,
+              floor(max(w) * 1000000.0 + 0.5) / 1000000.0 AS winsorized_max
+       FROM clamped GROUP BY 1""",
+)
+def events_winsorized_stats(spark, sf_dir):
+    """Per-event-type winsorized mean (values clamped to the [5%, 95%]
+    quantiles) — the robust location estimate for fat-tailed value
+    columns; exact per-group quantiles broadcast back for the clamp
+    pass. See statistics.winsorized_stats."""
+    from ..operators.statistics import winsorized_stats
+
+    view = _view(spark, sf_dir)
+    return winsorized_stats(view.tables["events"], "event_type", "value")
+
+
+@register(
+    "doc_length_ks_drift",
+    """WITH sided AS (
+         SELECT CAST(n_chars AS DOUBLE) AS v,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                          IN ('0','1','2','3','4','5','6','7')
+                     THEN 'a' ELSE 'b' END AS side
+         FROM documents),
+       counts AS (
+         SELECT v,
+                sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS na,
+                sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS nb
+         FROM sided GROUP BY 1),
+       tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                      CAST(sum(nb) AS BIGINT) AS n_b FROM counts),
+       cum AS (
+         SELECT v,
+                sum(na) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                sum(nb) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+         FROM counts)
+       SELECT t.n_a, t.n_b,
+              floor(max(abs(ca * 1.0 / t.n_a - cb * 1.0 / t.n_b))
+                    * 1000000.0 + 0.5) / 1000000.0 AS ks_stat
+       FROM cum, tot t GROUP BY t.n_a, t.n_b""",
+)
+def doc_length_ks_drift(spark, sf_dir):
+    """Two-sample KS statistic between the doc-length distributions of
+    an md5-hash 50/50 split — the non-parametric drift screen next to
+    PSI; ECDFs are exact integer-count ratios over the bounded
+    distinct-length table. See statistics.ks_drift."""
+    from ..operators.statistics import ks_drift
+
+    view = _view(spark, sf_dir)
+    docs = view.tables["documents"]
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        *"01234567"
+    )
+    return ks_drift(docs, "n_chars", split)
+
+
+@register(
+    "source_lang_chi2",
+    """WITH obs AS (
+         SELECT source AS r, lang AS c, count(*) AS o
+         FROM documents GROUP BY 1, 2),
+       rm AS (SELECT r, sum(o) AS nr FROM obs GROUP BY 1),
+       cm AS (SELECT c, sum(o) AS nc FROM obs GROUP BY 1),
+       tot AS (SELECT sum(o) AS n FROM obs),
+       grid AS (
+         SELECT rm.r, cm.c, rm.nr, cm.nc, t.n,
+                coalesce(obs.o, 0) AS o,
+                rm.nr * cm.nc * 1.0 / t.n AS e
+         FROM rm CROSS JOIN cm CROSS JOIN tot t
+         LEFT JOIN obs ON obs.r = rm.r AND obs.c = cm.c)
+       SELECT r, c, CAST(o AS BIGINT) AS o,
+              floor(e * 1000000.0 + 0.5) / 1000000.0 AS expected,
+              floor(pow(o - e, 2) / e * 1000000.0 + 0.5) / 1000000.0
+                AS chi2_cell
+       FROM grid""",
+)
+def source_lang_chi2(spark, sf_dir):
+    """Chi-square contingency audit between source and language: per
+    dense-grid cell the observed vs expected count and χ² contribution
+    — the "is my mixture confounded" screen. See
+    statistics.chi2_association."""
+    from ..operators.statistics import chi2_association
+
+    view = _view(spark, sf_dir)
+    return chi2_association(view.tables["documents"], "source", "lang")
+
+
+@register(
+    "source_lang_mutual_information",
+    """WITH obs AS (
+         SELECT source AS r, lang AS c, count(*) AS o
+         FROM documents GROUP BY 1, 2),
+       rm AS (SELECT r, sum(o) AS nr FROM obs GROUP BY 1),
+       cm AS (SELECT c, sum(o) AS nc FROM obs GROUP BY 1),
+       tot AS (SELECT sum(o) AS n FROM obs)
+       SELECT CAST(count(*) AS BIGINT) AS n_cells,
+              floor(sum((o * 1.0 / t.n)
+                        * ln(o * 1.0 * t.n / (rm.nr * 1.0 * cm.nc)))
+                    * 1000000.0 + 0.5) / 1000000.0 AS mutual_information
+       FROM obs JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot t
+       GROUP BY ()""",
+)
+def source_lang_mutual_information(spark, sf_dir):
+    """Mutual information (nats) between source and language over the
+    bounded contingency grid — does domain predict language in this
+    corpus. See statistics.mutual_information."""
+    from ..operators.statistics import mutual_information
+
+    view = _view(spark, sf_dir)
+    return mutual_information(view.tables["documents"], "source", "lang")
+
+
+@register(
+    "doc_length_bootstrap_ci",
+    """WITH fan AS (
+         SELECT b.b, CAST(n_chars AS DOUBLE) AS v,
+                CAST(n_chars AS VARCHAR) AS k
+         FROM documents CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b),
+       mults AS (
+         SELECT b, v,
+                (CASE WHEN substr(md5(b || '|' || k || '|' || 0), 1, 1)
+                        IN ('0','1','2','3') THEN 1 ELSE 0 END
+               + CASE WHEN substr(md5(b || '|' || k || '|' || 1), 1, 1)
+                        IN ('0','1','2','3') THEN 1 ELSE 0 END
+               + CASE WHEN substr(md5(b || '|' || k || '|' || 2), 1, 1)
+                        IN ('0','1','2','3') THEN 1 ELSE 0 END
+               + CASE WHEN substr(md5(b || '|' || k || '|' || 3), 1, 1)
+                        IN ('0','1','2','3') THEN 1 ELSE 0 END) AS m
+         FROM fan),
+       rep AS (
+         SELECT b,
+                CAST(sum(CAST(v * m AS DECIMAL(27,6))) AS DOUBLE)
+                  / sum(m) AS mean_b
+         FROM mults GROUP BY 1)
+       SELECT CAST(count(*) AS BIGINT) AS n_boot,
+              floor(quantile_cont(mean_b, 0.05) * 1000000.0 + 0.5)
+                / 1000000.0 AS ci_lo,
+              floor(quantile_cont(mean_b, 0.5) * 1000000.0 + 0.5)
+                / 1000000.0 AS ci_mid,
+              floor(quantile_cont(mean_b, 0.95) * 1000000.0 + 0.5)
+                / 1000000.0 AS ci_hi
+       FROM rep""",
+)
+def doc_length_bootstrap_ci(spark, sf_dir):
+    """Deterministic (md5-Poisson) bootstrap 90% CI for the corpus mean
+    document length — the uncertainty band a dataset card should attach
+    to its point estimates; 32 replicates via an exact Binomial(4,1/4)
+    multiplicity fan-out. See statistics.bootstrap_mean_ci."""
+    from ..operators.statistics import bootstrap_mean_ci
+
+    view = _view(spark, sf_dir)
+    return bootstrap_mean_ci(view.tables["documents"], "n_chars")
+
+
+_COS_R6 = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+    "sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "embedding_semdedup_prune",
+    f"""WITH v AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+         FROM embeddings),
+       cents AS (SELECT vec_id AS cell, v AS cv, norm AS cn FROM v WHERE vec_id < 16),
+       assigned AS (
+         SELECT vec_id, v, norm, cell FROM (
+           SELECT a.vec_id, a.v, a.norm, c.cell,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY floor((list_dot_product(a.v, c.cv)/(a.norm*c.cn)) * 1000000.0 + 0.5)/1000000.0 DESC,
+                             c.cell) AS r
+           FROM v a CROSS JOIN cents c) t WHERE r = 1),
+       pairs AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                floor(list_dot_product(a.v, b.v) / (a.norm * b.norm)
+                      * 1000000.0 + 0.5) / 1000000.0 AS cosine
+         FROM assigned a JOIN assigned b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       hits AS (SELECT * FROM pairs WHERE cosine >= 0.45)
+       SELECT id_b AS pruned_id,
+              min(id_a) AS kept_id,
+              arg_min(cosine, id_a) AS cosine
+       FROM hits GROUP BY 1""",
+)
+def embedding_semdedup_prune(spark, sf_dir):
+    """SemDeDup semantic pruning: vectors with a smaller-id near-twin
+    (cosine above threshold) in their IVF cell are pruned (survivor =
+    min twin) — the embedding-space dedup that catches paraphrases
+    shingle methods miss; the quadratic step is within-cell only
+    (SemDeDup's own scale contract). The operator default is the
+    paper's 0.95; the registered query uses 0.45 because the synthetic
+    embeddings are near-orthogonal (max within-cell cosine ≈ 0.49) and
+    a 0-row gate query proves nothing. See similarity.semdedup_prune."""
+    from ..operators.similarity import semdedup_prune
+
+    view = _view(spark, sf_dir)
+    return semdedup_prune(view.tables["embeddings"], threshold=0.45)
+
+
+@register(
+    "embedding_knn_label_agreement",
+    """WITH v AS (
+         SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+         FROM embeddings),
+       q AS (SELECT * FROM v WHERE vec_id < 100),
+       scored AS (
+         SELECT q.vec_id AS query_id, q.label AS ql,
+                c.vec_id AS neighbor_id, c.label AS nl,
+                floor(list_dot_product(q.v, c.v) / (q.norm * c.norm)
+                      * 1000000.0 + 0.5) / 1000000.0 AS cosine
+         FROM q JOIN v c ON q.vec_id != c.vec_id),
+       topk AS (
+         SELECT query_id, ql, nl FROM (
+           SELECT query_id, ql, nl,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM scored) t WHERE rnk <= 10),
+       per_q AS (
+         SELECT query_id, ql,
+                sum(CASE WHEN ql = nl THEN 1 ELSE 0 END) * 1.0 / count(*) AS agree
+         FROM topk GROUP BY 1, 2)
+       SELECT ql AS label, CAST(count(*) AS BIGINT) AS n_queries,
+              floor(avg(agree) * 1000000.0 + 0.5) / 1000000.0
+                AS mean_agreement
+       FROM per_q GROUP BY 1""",
+)
+def embedding_knn_label_agreement(spark, sf_dir):
+    """k-NN label agreement per label (k=10, first 100 queries): the
+    label-noise / class-separability probe — what fraction of each
+    query's exact nearest neighbors share its label. See
+    similarity.knn_label_agreement."""
+    from ..operators.similarity import knn_label_agreement
+
+    view = _view(spark, sf_dir)
+    return knn_label_agreement(view.tables["embeddings"])
+
+
+@register(
+    "dedup_tfidf_cosine_pairs",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+                  AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+       nd AS (SELECT count(*) AS n_docs FROM documents),
+       w AS (
+         SELECT tf.doc_id, tf.term,
+                floor(tf.tf * (ln((nd.n_docs + 1.0) / (df.doc_freq + 1.0)) + 1.0)
+                      * 1000000000.0 + 0.5) / 1000000000.0 AS w
+         FROM tf JOIN df USING (term) CROSS JOIN nd
+         WHERE df.doc_freq <= 50),
+       norms AS (
+         SELECT doc_id,
+                sqrt(CAST(sum(CAST(w * w AS DECIMAL(27,18))) AS DOUBLE)) AS nrm
+         FROM w GROUP BY 1),
+       dots AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(sum(CAST(a.w * b.w AS DECIMAL(27,18))) AS DOUBLE) AS dot
+         FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              floor(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) / 1000000.0
+                AS tfidf_cosine
+       FROM dots
+       JOIN norms na ON na.doc_id = id_a
+       JOIN norms nb ON nb.doc_id = id_b
+       WHERE floor(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) / 1000000.0
+               >= 0.3""",
+)
+def dedup_tfidf_cosine_pairs(spark, sf_dir):
+    """TF-IDF-weighted cosine near-dup pairs over the term inverted
+    index (df ≤ 50 cap active, logged) — the weighted complement to
+    shingle Jaccard; decimal-exact dots/norms keep the score
+    partition-independent. See retrieval.tfidf_cosine_pairs."""
+    from ..operators.retrieval import tfidf_cosine_pairs
+
+    view = _view(spark, sf_dir)
+    return tfidf_cosine_pairs(view.tables["documents"])
+
+
+@register(
+    "events_ewma_daily",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(27,6)))
+                     AS DOUBLE) / count(*) AS x
+         FROM events GROUP BY 1, 2),
+       fan AS (
+         SELECT d.event_type, d.day, d.x,
+                d.day + CAST(o.o AS INTEGER) AS obs_day
+         FROM daily d CROSS JOIN (SELECT unnest(range(0, 14)) AS o) o),
+       real AS (
+         SELECT f.event_type, f.day, f.x, f.obs_day
+         FROM fan f JOIN daily r
+           ON r.event_type = f.event_type AND r.day = f.obs_day),
+       wgt AS (
+         SELECT event_type, obs_day,
+                floor(pow(0.7, date_diff('day', day, obs_day))
+                      * 1000000000.0 + 0.5) / 1000000000.0 AS w,
+                x
+         FROM real),
+       contrib AS (
+         SELECT event_type, obs_day, w,
+                floor(x * w * 1000000000.0 + 0.5) / 1000000000.0 AS c
+         FROM wgt)
+       SELECT event_type, obs_day AS day,
+              CAST(count(*) AS BIGINT) AS n_days_in_window,
+              floor(CAST(sum(CAST(c AS DECIMAL(27,12))) AS DOUBLE)
+                    / CAST(sum(CAST(w AS DECIMAL(27,12))) AS DOUBLE)
+                    * 1000000.0 + 0.5) / 1000000.0 AS ewma_value
+       FROM contrib GROUP BY 1, 2""",
+)
+def events_ewma_daily(spark, sf_dir):
+    """Per-type truncated EWMA (α=0.3, 14-day window) of the daily mean
+    value via the contribute-forward fan-out — the smoothed trend line
+    with no recursion, no range self-join; weighted sums decimal-exact.
+    See windows.ewma_daily."""
+    from ..operators.windows import ewma_daily
+
+    view = _view(spark, sf_dir)
+    return ewma_daily(view.tables["events"])

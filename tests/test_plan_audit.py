@@ -121,6 +121,7 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/text_analysis.py", "mx"),
     ("operators/text_analysis.py", "totals"),
     ("operators/text_analysis.py", "corp_tot"),
+    ("operators/statistics.py", "tot"),  # 1-row totals (KS / chi2 / MI)
     ("operators/windows.py", "tot"),
     ("operators/windows.py", "total"),
     ("operators/windows.py", "totals"),
@@ -151,6 +152,7 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/profiling.py", "top"),         # per-domain
     ("operators/text_analysis.py", "dom_tot"), # per-domain
     ("operators/text_analysis.py", "prefix_rank"),  # limit-k prefixes
+    ("operators/statistics.py", "q"),          # per-key quantiles (winsorize)
     ("operators/windows.py", "stats"),         # per-event_type
     ("operators/windows.py", "med"),           # per-event_type
     ("operators/windows.py", "mad"),           # per-event_type

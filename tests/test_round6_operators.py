@@ -1,0 +1,306 @@
+"""Unit tests for the round-6 operators on small planted fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- graph: modularity + bridges -------------------------------------------
+
+
+def test_modularity_two_cliques_vs_random(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        modularity,
+    )
+
+    # two 4-cliques joined by one bridge edge; true communities
+    c1 = [f"a{i}" for i in range(4)]
+    c2 = [f"b{i}" for i in range(4)]
+    edges = (
+        [(x, y) for i, x in enumerate(c1) for y in c1[i + 1 :]]
+        + [(x, y) for i, x in enumerate(c2) for y in c2[i + 1 :]]
+        + [("a0", "b0")]
+    )
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    good = spark.createDataFrame(
+        [(n, "A") for n in c1] + [(n, "B") for n in c2], "node string, label string"
+    )
+    row = modularity(edf, good).collect()[0]
+    assert row["n_communities"] == 2
+    assert row["n_edges"] == 13
+    # hand-computed: e2=2*12, rows2=2*13, sd2=13^2+13^2
+    expected = (24 / 26) - (169 + 169) / (26 * 26)
+    assert abs(row["modularity"] - expected) < 1e-6
+
+    # everything-one-community scores exactly 0
+    allone = good.select("node", F.lit("X").alias("label"))
+    assert modularity(edf, allone).collect()[0]["modularity"] == 0.0
+
+
+def test_bridge_edges_detects_the_bridge(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        bridge_edges,
+    )
+
+    # triangle a-b-c plus pendant chain c-d
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    rows = {(r["node_a"], r["node_b"]): r for r in bridge_edges(edf).collect()}
+    assert rows[("a", "b")]["n_common"] == 1 and not rows[("a", "b")]["is_bridge"]
+    assert rows[("c", "d")]["n_common"] == 0 and rows[("c", "d")]["is_bridge"]
+
+
+def test_bridge_edges_hub_cap_excludes_center(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        bridge_edges,
+    )
+
+    # hub h adjacent to x and y; edge x-y would have common neighbor h,
+    # but with cap below h's degree the wedge is excluded -> bridge
+    edges = [("x", "y")] + [("h", n) for n in ("x", "y", "z1", "z2", "z3")]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    rows = {(r["node_a"], r["node_b"]): r for r in bridge_edges(edf, max_center_degree=3).collect()}
+    assert rows[("x", "y")]["is_bridge"]
+    uncapped = {
+        (r["node_a"], r["node_b"]): r for r in bridge_edges(edf, max_center_degree=100).collect()
+    }
+    assert uncapped[("x", "y")]["n_common"] == 1
+
+
+# --- statistics -------------------------------------------------------------
+
+
+def test_gini_extremes(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        gini_concentration,
+    )
+
+    even = spark.createDataFrame(
+        [(f"k{i}", 10.0) for i in range(5)], "k string, v double"
+    )
+    assert gini_concentration(even, "k", "v").collect()[0]["gini"] == 0.0
+
+    skew = spark.createDataFrame(
+        [("k0", 1000.0)] + [(f"k{i}", 0.001) for i in range(1, 5)],
+        "k string, v double",
+    )
+    g = gini_concentration(skew, "k", "v").collect()[0]["gini"]
+    assert g > 0.75  # max for n=5 is (n-1)/n = 0.8
+
+
+def test_winsorized_mean_bounds_outlier(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        winsorized_stats,
+    )
+
+    rows = [("t", float(i)) for i in range(1, 100)] + [("t", 1_000_000.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = winsorized_stats(df, "k", "v").collect()[0]
+    # raw mean ≈ 10050; winsorized mean stays near the bulk
+    assert out["winsorized_mean"] < 100
+    assert out["winsorized_max"] < 1_000_000.0
+
+
+def test_ks_drift_same_vs_shifted(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        ks_drift,
+    )
+
+    same = spark.createDataFrame(
+        [(i % 50, i < 1000) for i in range(2000)], "v long, s boolean"
+    )
+    d0 = ks_drift(same, "v", F.col("s")).collect()[0]
+    assert d0["ks_stat"] == 0.0
+    shifted = spark.createDataFrame(
+        [(i % 50, True) for i in range(1000)]
+        + [(i % 50 + 25, False) for i in range(1000)],
+        "v long, s boolean",
+    )
+    d1 = ks_drift(shifted, "v", F.col("s")).collect()[0]
+    assert d1["ks_stat"] == 0.5
+
+
+def test_chi2_independent_is_zero(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        chi2_association,
+    )
+
+    # perfectly independent 2x2 grid
+    rows = (
+        [("r1", "c1")] * 10 + [("r1", "c2")] * 30
+        + [("r2", "c1")] * 20 + [("r2", "c2")] * 60
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    cells = chi2_association(df, "r", "c").collect()
+    assert len(cells) == 4
+    assert all(r["chi2_cell"] == 0.0 for r in cells)
+    assert {(r["r"], r["c"]): r["expected"] for r in cells}[("r1", "c1")] == 10.0
+
+
+def test_mutual_information_zero_and_positive(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        mutual_information,
+    )
+
+    indep = spark.createDataFrame(
+        [("r1", "c1")] * 10 + [("r1", "c2")] * 10
+        + [("r2", "c1")] * 10 + [("r2", "c2")] * 10,
+        "r string, c string",
+    )
+    assert mutual_information(indep, "r", "c").collect()[0]["mutual_information"] == 0.0
+
+    # perfectly dependent: MI = H(X) = ln 2
+    dep = spark.createDataFrame(
+        [("r1", "c1")] * 10 + [("r2", "c2")] * 10, "r string, c string"
+    )
+    mi = mutual_information(dep, "r", "c").collect()[0]["mutual_information"]
+    assert abs(mi - math.log(2)) < 1e-6
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        bootstrap_mean_ci,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "v long")
+    r1 = bootstrap_mean_ci(df, "v").collect()[0]
+    r2 = bootstrap_mean_ci(df.repartition(7), "v").collect()[0]
+    assert r1 == r2  # partition-independent (md5-derandomized)
+    assert r1["n_boot"] == 32
+    assert r1["ci_lo"] <= 249.5 <= r1["ci_hi"]
+    assert r1["ci_hi"] - r1["ci_lo"] < 60  # sane width for n=500
+
+
+# --- similarity: semdedup + knn agreement -----------------------------------
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_semdedup_prunes_near_twin_keeps_min(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0]
+    rows = [(0, base, 0), (1, near, 0), (2, other, 1), (3, near, 0)]
+    out = {r["pruned_id"]: r for r in semdedup_prune(
+        _vec_df(spark, rows), n_cells=2, threshold=0.95
+    ).collect()}
+    # cells: centroids are vecs 0 and 1, so 3 (identical to 1) lands in
+    # 1's cell and prunes to keeper 1; 0 sits alone in its own cell —
+    # cross-cell twins are out of scope by SemDeDup design
+    assert set(out) == {3}
+    assert out[3]["kept_id"] == 1
+    assert out[3]["cosine"] == 1.0
+
+
+def test_knn_label_agreement_separable(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        knn_label_agreement,
+    )
+
+    # two well-separated clusters of 6, labels match clusters
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, float(i) * 0.01, 0.0, 0.0], 0))
+    for i in range(6):
+        rows.append((6 + i, [0.0, 0.0, 1.0, float(i) * 0.01], 1))
+    out = {r["label"]: r for r in knn_label_agreement(
+        _vec_df(spark, rows), k=3, n_queries=12
+    ).collect()}
+    assert out[0]["mean_agreement"] == 1.0
+    assert out[1]["mean_agreement"] == 1.0
+    assert out[0]["n_queries"] == 6
+
+
+# --- retrieval: tf-idf cosine pairs -----------------------------------------
+
+
+def test_tfidf_cosine_pairs_weights_rare_overlap(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.retrieval import (
+        tfidf_cosine_pairs,
+    )
+
+    rows = [
+        (0, "zeta quark flux omega kappa"),
+        (1, "zeta quark flux sigma tau"),     # shares 3 rare terms with 0
+        (2, "alpha beta gamma delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["tfidf_cosine"] for r in tfidf_cosine_pairs(
+        df, threshold=0.1
+    ).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.4
+    assert not any(2 in p for p in pairs)
+
+
+def test_tfidf_cosine_df_cap_drops_boilerplate(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.retrieval import (
+        tfidf_cosine_pairs,
+    )
+
+    # 10 docs all share 'common'; only 0/1 share rare terms
+    rows = [(i, f"common uniq{i}a uniq{i}b") for i in range(2, 10)]
+    rows += [(0, "common zeta quark"), (1, "common zeta quark")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r["id_a"], r["id_b"]) for r in tfidf_cosine_pairs(
+        df, threshold=0.3, max_df=5
+    ).collect()}
+    assert capped == {(0, 1)}  # 'common' dropped; boilerplate pairs gone
+
+
+# --- windows: EWMA ----------------------------------------------------------
+
+
+def test_ewma_daily_weights_recent_days(spark):
+    import datetime
+
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        ewma_daily,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(5):
+        for _ in range(2):
+            rows.append((base + datetime.timedelta(days=d), "t", float(d * 10)))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {str(r["day"]): r for r in ewma_daily(df, alpha=0.3, window_days=14).collect()}
+    assert len(out) == 5
+    d0 = out["2024-01-01"]
+    assert d0["n_days_in_window"] == 1 and d0["ewma_value"] == 0.0
+    d4 = out["2024-01-05"]
+    assert d4["n_days_in_window"] == 5
+    # EWMA of [0,10,20,30,40] weighted (0.7^4..0.7^0): between mean and last
+    assert 20.0 < d4["ewma_value"] < 40.0
+    # hand value: sum(0.7^(4-d)*10d)/sum(0.7^k)
+    num = sum(0.7 ** (4 - d) * 10 * d for d in range(5))
+    den = sum(0.7 ** k for k in range(5))
+    assert abs(d4["ewma_value"] - num / den) < 1e-4
+
+
+def test_ewma_daily_partition_independent(spark):
+    import datetime
+
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        ewma_daily,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (base + datetime.timedelta(days=i % 9, hours=i % 23), "x", float(i % 37) / 7)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    a = sorted(tuple(r) for r in ewma_daily(df).collect())
+    b = sorted(tuple(r) for r in ewma_daily(df.repartition(11)).collect())
+    assert a == b
