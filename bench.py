@@ -237,6 +237,12 @@ BENCH_QUERIES = [
     "embedding_knn_label_agreement",
     "dedup_tfidf_cosine_pairs",
     "events_ewma_daily",
+    "orders_pareto_skyline",
+    "customer_top_percentile_share",
+    "events_seasonal_anomalies",
+    "events_session_conversion",
+    "dedup_rate_by_source",
+    "streaming_ewma_trend",
 ]
 
 

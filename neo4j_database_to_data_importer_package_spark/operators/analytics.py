@@ -512,3 +512,73 @@ def grouped_linear_regression(
             F.when(ok & (vy > 0), cxy / F.sqrt(vx * vy)), digits
         ).alias("pearson_r"),
     )
+
+
+def pareto_skyline_2d(
+    df: DataFrame,
+    x_col,
+    y_col,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """2-D Pareto skyline (both objectives MINIMIZED): rows not
+    dominated by any other row — a dominates b iff a.x ≤ b.x and
+    a.y ≤ b.y with at least one strict — the classic "cheapest AND
+    earliest" frontier query relational engines lack as a primitive.
+
+    Scale shape (the reason this isn't a naive O(n²) NOT EXISTS):
+    1. bucket x into ``n_buckets`` equal-width cells (min/max from one
+       scan), compute per-bucket min(y) — a bounded aggregate;
+    2. prefix-min over the bucket table (a window over ≤n_buckets
+       rows) gives, for every bucket, the best y seen in any STRICTLY
+       EARLIER bucket — any row with y > that bound is dominated by
+       the earlier bucket's witness and is pruned in one broadcast
+       screen (survivors hug the frontier, so the screened set is
+       tiny);
+    3. exact dominance check among the survivors only (the O(k²)
+       self-join runs on frontier-sized k, not n).
+    Output: the skyline rows (x, y), deduplicated.
+    """
+    from ..functions.numeric import round_half_up  # noqa: F401 (parity import)
+
+    pts = df.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).distinct()
+    rng = pts.agg(
+        F.min("x").alias("xmin"), F.max("x").alias("xmax")
+    )
+    bucketed = pts.crossJoin(F.broadcast(rng)).select(
+        "x",
+        "y",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col("x") - F.col("xmin"))
+                / ((F.col("xmax") - F.col("xmin")) / n_buckets + 1e-12)
+            ).cast("int"),
+        ).alias("b"),
+    )
+    per_b = bucketed.groupBy("b").agg(F.min("y").alias("min_y"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    screen = per_b.select(
+        "b", F.min("min_y").over(wb).alias("prev_best_y")
+    )
+    cand = (
+        bucketed.join(F.broadcast(screen), "b")
+        .filter(
+            F.col("prev_best_y").isNull()
+            | (F.col("y") <= F.col("prev_best_y"))
+        )
+        .select("x", "y")
+    )
+    a = cand.select(F.col("x").alias("ax"), F.col("y").alias("ay"))
+    dominated = (
+        cand.join(
+            a,
+            (F.col("ax") <= F.col("x"))
+            & (F.col("ay") <= F.col("y"))
+            & ((F.col("ax") < F.col("x")) | (F.col("ay") < F.col("y"))),
+            "left_semi",
+        )
+    )
+    return cand.exceptAll(dominated).select("x", "y")

@@ -1086,3 +1086,39 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def dedup_rate_by_key(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group duplication accounting: for each ``group_col`` value,
+    how many of its documents share a CORPUS-WIDE exact fingerprint
+    with at least one other document — the "which crawl is feeding me
+    copies" attribution table that turns the global dedup number into a
+    per-source action item (and the standard first column of a dataset
+    card's provenance section).
+
+    One fingerprint projection, one corpus-wide fingerprint-size
+    aggregate (map-side combinable), a join back, one bounded per-group
+    rollup. Note the sizes are corpus-wide by design: a document
+    duplicated ACROSS two sources counts as duplicated in both — the
+    attribution a per-source-only grouping would miss.
+    """
+    fp = df.select(
+        F.col(group_col), fingerprint_md5(text_col).alias("__fp")
+    )
+    sizes = fp.groupBy("__fp").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        fp.join(sizes, "__fp")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("__n") > 1).cast("long")).alias("n_dup_docs"),
+            round_half_up(
+                F.sum((F.col("__n") > 1).cast("long")) / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )

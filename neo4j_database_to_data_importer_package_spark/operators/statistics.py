@@ -292,3 +292,41 @@ def bootstrap_mean_ci(
         round_half_up(F.expr("percentile(mean_b, 0.5)"), digits).alias("ci_mid"),
         round_half_up(F.expr(f"percentile(mean_b, {hi!r})"), digits).alias("ci_hi"),
     )
+
+
+def top_percentile_contribution(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    pct: float = 0.99,
+    digits: int = 6,
+) -> DataFrame:
+    """Concentration read-off: what share of total ``value_col`` mass is
+    held by keys at or above the ``pct`` quantile of per-key totals —
+    the "top 1% of customers drive X% of revenue" (or "top 1% of
+    domains contribute X% of tokens") companion number to the Gini.
+
+    Aggregate-only (unlike a ranking approach this needs NO window over
+    the per-key table): one hash aggregate to per-key totals, an exact
+    ``percentile`` for the threshold, broadcast back, one conditional
+    sum. Per-key totals and the shares are decimal-exact. At 100 TB
+    swap the exact percentile for ``approx_percentile`` — same shape.
+    """
+    per_key = df.groupBy(key_col).agg(dsum(value_col).alias("v"))
+    thr = per_key.agg(
+        F.expr(f"percentile(v, {pct!r})").alias("thr"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(thr))
+        .agg(
+            F.max("n_keys").cast("long").alias("n_keys"),
+            round_half_up(F.max("thr"), digits).alias("threshold"),
+            F.sum((F.col("v") >= F.col("thr")).cast("long")).alias("n_top_keys"),
+            round_half_up(
+                F.sum(F.when(F.col("v") >= F.col("thr"), F.col("v")).otherwise(0.0))
+                / F.sum("v"),
+                digits,
+            ).alias("top_share"),
+        )
+    )

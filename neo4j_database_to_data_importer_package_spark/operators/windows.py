@@ -619,3 +619,107 @@ def ewma_daily(
             "ewma_value",
         )
     )
+
+
+def seasonal_adjusted_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    threshold: float = 3.5,
+    digits: int = 6,
+) -> DataFrame:
+    """Seasonality-aware anomaly screen: residual = value − the group's
+    (hour-of-week) median, flagged by the modified z-score
+    |residual| > threshold·1.4826·MAD(residuals) — the upgrade over the
+    plain MAD screen for metrics with strong weekly rhythm, where a
+    Sunday-3am lull would otherwise read as an anomaly and a
+    Monday-9am spike would hide inside the global spread.
+
+    Three bounded aggregates: per-(key, hour-of-week) exact medians
+    (≤ |keys|·168 groups — the seasonal profile), residuals via a
+    broadcast join of that profile, then per-key MAD + the flag count.
+    Same exact-``percentile`` determinism contract as ``mad_outliers``.
+    """
+    slim = events.select(
+        F.col(key_col),
+        (F.dayofweek(ts_col) * 24 + F.hour(ts_col)).alias("how"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    prof = slim.groupBy(key_col, "how").agg(
+        F.expr("percentile(v, 0.5)").alias("__season")
+    )
+    resid = slim.join(F.broadcast(prof), [key_col, "how"]).select(
+        F.col(key_col), (F.col("v") - F.col("__season")).alias("__r")
+    )
+    mad = resid.groupBy(key_col).agg(
+        F.expr("percentile(abs(__r), 0.5)").alias("__mad"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    flagged = resid.join(F.broadcast(mad), key_col).select(
+        F.col(key_col),
+        F.col("n_events"),
+        F.col("__mad"),
+        (F.abs(F.col("__r")) > F.lit(threshold * 1.4826) * F.col("__mad")).alias(
+            "__out"
+        ),
+        F.abs(F.col("__r")).alias("__ar"),
+    )
+    return flagged.groupBy(key_col, "n_events").agg(
+        round_half_up(F.first("__mad"), digits).alias("resid_mad"),
+        F.sum(F.col("__out").cast("long")).alias("n_anomalies"),
+        round_half_up(F.max("__ar"), digits).alias("max_abs_resid"),
+    )
+
+
+def session_conversion(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """Gap-based sessionization + conversion: split each user's event
+    stream into sessions at >``gap_minutes`` silences, then report how
+    many sessions contain a ``convert_type`` event — the canonical
+    product-analytics funnel denominator ("conversion per session",
+    not per user or per event).
+
+    One lag window PARTITIONED PER USER assigns session ids (running
+    sum of gap-breaks — no global ordering anywhere), then a per-
+    session any() aggregate and one final bounded rollup. At 100 TB the
+    state is each user's events in one partition — the same
+    partitioning every per-user operator here shuffles to, so
+    consecutive session operators reuse it.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(type_col))
+    es = _epoch_seconds(ts_col)  # NTZ-safe wall-clock seconds
+    with_gap = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(type_col),
+        (
+            F.coalesce(es - F.lag(es).over(w), F.lit(0))
+            > gap_minutes * 60
+        ).cast("long").alias("__brk"),
+    )
+    sess = with_gap.select(
+        F.col(user_col),
+        F.col(type_col),
+        F.sum("__brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__sid"),
+    )
+    per_sess = sess.groupBy(user_col, "__sid").agg(
+        F.max((F.col(type_col) == convert_type).cast("int")).alias("__conv"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("__conv").cast("long").alias("n_converted"),
+        round_half_up(F.sum("__conv") / F.count(F.lit(1)), 6).alias(
+            "conversion_rate"
+        ),
+        round_half_up(F.avg("__n"), 6).alias("avg_session_events"),
+    )

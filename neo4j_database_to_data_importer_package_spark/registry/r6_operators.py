@@ -33,6 +33,7 @@ from ._core import (  # noqa: F401  (full monolith-global namespace)
     schema_union_map,
     uniqueness_profile,
 )
+from .dedup import _NORM_DUCK
 from .r4_operators import _LPA_ROUND
 
 
@@ -513,3 +514,220 @@ def events_ewma_daily(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return ewma_daily(view.tables["events"])
+
+
+@register(
+    "orders_pareto_skyline",
+    """WITH pts AS (
+         SELECT DISTINCT CAST(o_totalprice AS DOUBLE) AS x,
+                CAST(date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS DOUBLE) AS y
+         FROM orders)
+       SELECT x, y FROM pts p
+       WHERE NOT EXISTS (
+         SELECT 1 FROM pts q
+         WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y))""",
+)
+def orders_pareto_skyline(spark, sf_dir):
+    """2-D Pareto skyline of orders minimizing (price, order date) —
+    the cheapest-and-earliest frontier. The Spark plan is the
+    grid-pruned shape (bucket min-y screen, exact check on frontier-
+    sized survivors); the oracle is the textbook O(n²) NOT EXISTS. See
+    analytics.pareto_skyline_2d."""
+    from ..operators.analytics import pareto_skyline_2d
+
+    view = _view(spark, sf_dir)
+    o = view.tables["orders"].select(
+        F.col("o_totalprice"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).alias("o_days"),
+    )
+    return pareto_skyline_2d(o, "o_totalprice", "o_days")
+
+
+@register(
+    "customer_top_percentile_share",
+    """WITH per_key AS (
+         SELECT o_custkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS v
+         FROM orders GROUP BY 1),
+       thr AS (SELECT quantile_cont(v, 0.99) AS thr,
+                      count(*) AS n_keys FROM per_key)
+       SELECT CAST(t.n_keys AS BIGINT) AS n_keys,
+              floor(t.thr * 1000000.0 + 0.5) / 1000000.0 AS threshold,
+              CAST(sum(CASE WHEN v >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_top_keys,
+              floor(sum(CASE WHEN v >= t.thr THEN v ELSE 0 END) / sum(v)
+                    * 1000000.0 + 0.5) / 1000000.0 AS top_share
+       FROM per_key, thr t GROUP BY t.n_keys, t.thr""",
+)
+def customer_top_percentile_share(spark, sf_dir):
+    """Revenue share of the top-1% customers (per-key totals vs the
+    0.99 quantile threshold) — the concentration read-off next to the
+    Gini, aggregate-only (no ranking window over the unbounded customer
+    set). See statistics.top_percentile_contribution."""
+    from ..operators.statistics import top_percentile_contribution
+
+    view = _view(spark, sf_dir)
+    return top_percentile_contribution(
+        view.tables["orders"], "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "events_seasonal_anomalies",
+    """WITH slim AS (
+         SELECT event_type,
+                (dayofweek(ts) + 1) * 24 + hour(ts) AS how,
+                CAST(value AS DOUBLE) AS v
+         FROM events),
+       prof AS (
+         SELECT event_type, how, quantile_cont(v, 0.5) AS season
+         FROM slim GROUP BY 1, 2),
+       resid AS (
+         SELECT s.event_type, s.v - p.season AS r
+         FROM slim s JOIN prof p USING (event_type, how)),
+       mad AS (
+         SELECT event_type, quantile_cont(abs(r), 0.5) AS m,
+                count(*) AS n_events
+         FROM resid GROUP BY 1)
+       SELECT r.event_type, CAST(m.n_events AS BIGINT) AS n_events,
+              floor(any_value(m.m) * 1000000.0 + 0.5) / 1000000.0
+                AS resid_mad,
+              CAST(sum(CASE WHEN abs(r.r) > 3.5 * 1.4826 * m.m
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+              floor(max(abs(r.r)) * 1000000.0 + 0.5) / 1000000.0
+                AS max_abs_resid
+       FROM resid r JOIN mad m USING (event_type)
+       GROUP BY r.event_type, m.n_events""",
+)
+def events_seasonal_anomalies(spark, sf_dir):
+    """Seasonality-aware anomaly counts: residuals vs the per-(type,
+    hour-of-week) median profile, flagged at 3.5 modified z-scores of
+    the residual MAD — weekly-rhythm-aware outlier screening. See
+    windows.seasonal_adjusted_anomalies."""
+    from ..operators.windows import seasonal_adjusted_anomalies
+
+    view = _view(spark, sf_dir)
+    return seasonal_adjusted_anomalies(view.tables["events"])
+
+
+@register(
+    "events_session_conversion",
+    """WITH w AS (
+         SELECT user_id, ts, event_type,
+                CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_type)
+                     > 1800 THEN 1 ELSE 0 END AS brk
+         FROM events),
+       s AS (
+         SELECT user_id, event_type,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM w),
+       per_sess AS (
+         SELECT user_id, sid,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS conv,
+                count(*) AS n
+         FROM s GROUP BY 1, 2)
+       SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+              CAST(sum(conv) AS BIGINT) AS n_converted,
+              floor(sum(conv) * 1.0 / count(*) * 1000000.0 + 0.5)
+                / 1000000.0 AS conversion_rate,
+              floor(avg(n) * 1000000.0 + 0.5) / 1000000.0
+                AS avg_session_events
+       FROM per_sess""",
+)
+def events_session_conversion(spark, sf_dir):
+    """Gap-sessionized (30-min silence) conversion rate: share of
+    sessions containing a purchase, plus mean session length — the
+    canonical per-session funnel denominator; per-user windows only,
+    NTZ-safe epoch arithmetic. See windows.session_conversion."""
+    from ..operators.windows import session_conversion
+
+    view = _view(spark, sf_dir)
+    return session_conversion(view.tables["events"])
+
+
+@register(
+    "dedup_rate_by_source",
+    f"""WITH fp AS (
+         SELECT source, md5({_NORM_DUCK}) AS fp FROM documents),
+       sizes AS (SELECT fp, count(*) AS n FROM fp GROUP BY 1)
+       SELECT f.source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN s.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_docs,
+              floor(sum(CASE WHEN s.n > 1 THEN 1 ELSE 0 END) * 1.0
+                    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
+       FROM fp f JOIN sizes s USING (fp) GROUP BY 1""",
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Per-source duplication attribution: how many of each source's
+    documents share a corpus-wide exact fingerprint with another doc —
+    the action-item view of the global dedup number. See
+    dedup.dedup_rate_by_key."""
+    from ..operators.dedup import dedup_rate_by_key
+
+    view = _view(spark, sf_dir)
+    return dedup_rate_by_key(view.tables["documents"])
+
+
+@register(
+    "streaming_ewma_trend",
+    """WITH daily AS (
+         SELECT CAST(event_type AS VARCHAR) AS key, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS s_micro,
+                count(*) AS c
+         FROM events GROUP BY 1, 2),
+       lastd AS (
+         SELECT key, max(day) AS last_day, count(*) AS n_days
+         FROM daily GROUP BY 1),
+       win AS (
+         SELECT d.key, l.last_day, l.n_days,
+                date_diff('day', d.day, l.last_day) AS o, d.s_micro, d.c
+         FROM daily d JOIN lastd l USING (key)
+         WHERE date_diff('day', d.day, l.last_day) BETWEEN 0 AND 13),
+       terms AS (
+         SELECT key, last_day, n_days,
+                CAST(floor(((s_micro / 1000000.0) / c)
+                           * (CAST(floor(pow(0.7, o) * 1000000000.0 + 0.5)
+                                   AS BIGINT) / 1000000000.0)
+                           * 1000000000.0 + 0.5) AS BIGINT) AS num_i,
+                CAST(floor(pow(0.7, o) * 1000000000.0 + 0.5) AS BIGINT)
+                  AS den_i
+         FROM win)
+       SELECT key, CAST(n_days AS BIGINT) AS n_days,
+              strftime(last_day, '%Y-%m-%d') AS last_day,
+              floor(CAST(sum(num_i) AS DOUBLE) / CAST(sum(den_i) AS DOUBLE)
+                    * 1000000.0 + 0.5) / 1000000.0 AS ewma_last
+       FROM terms GROUP BY key, n_days, last_day""",
+)
+def streaming_ewma_trend(spark, sf_dir):
+    """Streaming EWMA trend monitor (applyInPandasWithState): per-key
+    day→(micro-sum, count) state accumulates commutatively (integer
+    adds), and the emitted latest-day truncated EWMA is computed in
+    integer numerator/denominator units — identical under any
+    micro-batch schedule, hence batch-oracle-comparable. The streaming
+    twin of ``events_ewma_daily`` read off at its last day. See
+    streaming/stateful.streaming_ewma_monitor."""
+    from pyspark.sql import Window
+
+    from ..streaming.events import run_stream_to_memory
+    from ..streaming.stateful import streaming_ewma_monitor as op
+    from .streaming import _STREAM_SEQ, _replayed_events_stream
+
+    stream = _replayed_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    _STREAM_SEQ[0] += 1
+    got = run_stream_to_memory(
+        op(stream), f"q_stream_ewma_{_STREAM_SEQ[0]}", output_mode="update",
+        state_partitions=8,
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("n_events"))
+    return (
+        got.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("key", "n_days", "last_day", "ewma_last")
+    )

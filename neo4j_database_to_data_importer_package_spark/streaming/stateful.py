@@ -555,3 +555,111 @@ def streaming_cusum_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("days", ArrayType(LongType())),
+        StructField("sums_micro", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_events", LongType()),  # strictly increasing: the
+        # registry picks the FINAL emission by max(n_events) — n_days
+        # alone ties across micro-batches once all days are seen
+        StructField("n_days", LongType()),
+        StructField("last_day", StringType()),
+        StructField("ewma_last", DoubleType()),
+    ]
+)
+
+
+def _update_ewma(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import datetime
+    import math
+
+    if state.exists:
+        days, sums, counts = state.get
+        tally = {int(d): [int(s), int(c)] for d, s, c in zip(days, sums, counts)}
+    else:
+        tally = {}
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        g = pdf.groupby("day").agg(s=("v_micro", "sum"), c=("v_micro", "count"))
+        for d, row in g.iterrows():
+            cur = tally.setdefault(int(d), [0, 0])
+            cur[0] += int(row["s"])
+            cur[1] += int(row["c"])
+    state.update(
+        (
+            list(tally),
+            [v[0] for v in tally.values()],
+            [v[1] for v in tally.values()],
+        )
+    )
+    last = max(tally)
+    num = den = 0  # integer accumulators — commutative, engine-exact
+    for d, (s_micro, c) in tally.items():
+        o = last - d
+        if not 0 <= o < 14:
+            continue
+        w_int = math.floor(0.7 ** o * 1e9 + 0.5)           # 9-dp weight
+        mean_d = (s_micro / 1e6) / c
+        num += math.floor(mean_d * (w_int / 1e9) * 1e9 + 0.5)
+        den += w_int
+    epoch = datetime.date.fromisoformat(_CUSUM_EPOCH)
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_events": [int(sum(v[1] for v in tally.values()))],
+            "n_days": [len(tally)],
+            "last_day": [(epoch + datetime.timedelta(days=last)).isoformat()],
+            "ewma_last": [math.floor(num / den * 1e6 + 0.5) / 1e6],
+        }
+    )
+
+
+def streaming_ewma_monitor(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming EWMA trend monitor: per key, the truncated (14-day,
+    α=0.3) exponentially-weighted average of the daily mean value AT
+    the latest observed day — the incrementally maintained twin of the
+    batch ``windows.ewma_daily`` read off at its last row.
+
+    Commutativity discipline (what makes the batch oracle possible):
+    values are quantized JVM-side to integer micro-units
+    (floor(v·1e6 + 0.5)) so per-day accumulation is exact integer
+    addition under ANY micro-batch arrival order, and the emission-time
+    EWMA is computed in integer numerator/denominator units (9-dp
+    weights, 9-dp contributions) — no float summation order anywhere.
+    State is O(observed days) per key, same retention notes as
+    ``streaming_cusum_monitor``."""
+    from pyspark.sql import functions as F
+
+    src = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.datediff(
+            F.to_date(ts_col), F.lit(_CUSUM_EPOCH).cast("date")
+        ).cast("long").alias("day"),
+        F.floor(F.col(value_col).cast("double") * 1e6 + 0.5)
+        .cast("long")
+        .alias("v_micro"),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -122,6 +122,8 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/text_analysis.py", "totals"),
     ("operators/text_analysis.py", "corp_tot"),
     ("operators/statistics.py", "tot"),  # 1-row totals (KS / chi2 / MI)
+    ("operators/statistics.py", "thr"),  # 1-row percentile threshold
+    ("operators/analytics.py", "rng"),   # 1-row x-range (skyline buckets)
     ("operators/windows.py", "tot"),
     ("operators/windows.py", "total"),
     ("operators/windows.py", "totals"),
@@ -153,6 +155,8 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/text_analysis.py", "dom_tot"), # per-domain
     ("operators/text_analysis.py", "prefix_rank"),  # limit-k prefixes
     ("operators/statistics.py", "q"),          # per-key quantiles (winsorize)
+    ("operators/analytics.py", "screen"),      # n_buckets-row skyline screen
+    ("operators/windows.py", "prof"),          # per-(type, hour-of-week) medians
     ("operators/windows.py", "stats"),         # per-event_type
     ("operators/windows.py", "med"),           # per-event_type
     ("operators/windows.py", "mad"),           # per-event_type

@@ -304,3 +304,117 @@ def test_ewma_daily_partition_independent(spark):
     a = sorted(tuple(r) for r in ewma_daily(df).collect())
     b = sorted(tuple(r) for r in ewma_daily(df.repartition(11)).collect())
     assert a == b
+
+
+# --- batch 2: skyline, concentration, seasonal, sessions, dedup-rate --------
+
+
+def test_pareto_skyline_basic(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        pareto_skyline_2d,
+    )
+
+    pts = [(1.0, 5.0), (2.0, 3.0), (3.0, 4.0), (4.0, 1.0), (5.0, 0.5),
+           (2.5, 3.0), (1.0, 6.0)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    sky = sorted((r["x"], r["y"]) for r in pareto_skyline_2d(df, "x", "y").collect())
+    # (3,4) dominated by (2,3); (2.5,3) dominated by (2,3); (1,6) by (1,5)
+    assert sky == [(1.0, 5.0), (2.0, 3.0), (4.0, 1.0), (5.0, 0.5)]
+
+
+def test_pareto_skyline_matches_bruteforce_random(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        pareto_skyline_2d,
+    )
+
+    import hashlib
+
+    pts = []
+    for i in range(500):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        pts.append((int(h[:4], 16) / 100.0, int(h[4:8], 16) / 100.0))
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = sorted((r["x"], r["y"]) for r in pareto_skyline_2d(df, "x", "y").collect())
+    uniq = sorted(set(pts))
+    brute = [
+        p for p in uniq
+        if not any(
+            q[0] <= p[0] and q[1] <= p[1] and (q[0] < p[0] or q[1] < p[1])
+            for q in uniq
+        )
+    ]
+    assert got == sorted(brute)
+
+
+def test_top_percentile_contribution_concentrated(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        top_percentile_contribution,
+    )
+
+    rows = [(f"k{i}", 1.0) for i in range(99)] + [("big", 901.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = top_percentile_contribution(df, "k", "v", pct=0.99).collect()[0]
+    assert out["n_keys"] == 100
+    assert out["n_top_keys"] == 1
+    assert out["top_share"] == 0.901  # 901 / 1000
+
+
+def test_seasonal_anomalies_weekly_pattern(spark):
+    import datetime
+
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        seasonal_adjusted_anomalies,
+    )
+
+    # strong hour-of-week seasonality + one planted spike
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(28):
+        for h in (9, 21):
+            ts = base + datetime.timedelta(days=d, hours=h)
+            season = 100.0 if h == 9 else 10.0
+            rows.append((ts, "t", season + (d % 3)))
+    rows.append((base + datetime.timedelta(days=10, hours=9), "t", 5000.0))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = seasonal_adjusted_anomalies(df).collect()[0]
+    assert out["n_anomalies"] == 1
+    assert out["max_abs_resid"] > 4000
+
+
+def test_session_conversion_counts_sessions(spark):
+    import datetime
+
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        session_conversion,
+    )
+
+    t0 = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        # user 1: two sessions (65-min gap); second converts
+        (1, t0, "view"), (1, t0 + 5 * m, "click"),
+        (1, t0 + 70 * m, "view"), (1, t0 + 72 * m, "purchase"),
+        # user 2: one session, no conversion
+        (2, t0, "view"), (2, t0 + 10 * m, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = session_conversion(df).collect()[0]
+    assert out["n_sessions"] == 3
+    assert out["n_converted"] == 1
+    assert abs(out["conversion_rate"] - 1 / 3) < 1e-5
+
+
+def test_dedup_rate_by_key_cross_source_counts(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        dedup_rate_by_key,
+    )
+
+    rows = [
+        (0, "same text", "A"), (1, "same text", "B"),  # cross-source dup
+        (2, "unique a", "A"), (3, "unique b", "B"), (4, "also b", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in dedup_rate_by_key(df).collect()}
+    assert out["A"]["n_docs"] == 2 and out["A"]["n_dup_docs"] == 1
+    assert out["B"]["n_docs"] == 3 and out["B"]["n_dup_docs"] == 1
+    assert out["A"]["dup_rate"] == 0.5
