@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""8x scale-up sweep for the round-6 operator batch (SCALING.md).
+
+Same replication methodology as tools/scaling_r05.py, extended to the
+fact tables: documents / events / embeddings / customer / supplier /
+part / orders / lineitem replicated 8x with disjoint, mutually
+CONSISTENT keys (lineitem's order/part/supp keys shift with their
+parents, so the one-ship-year co-occurrence graph becomes 8 disjoint
+copies — the honest 8x point for the graph operators); region/nation
+stay 1:1 (dimensions).
+
+Expectations at 8x:
+- graph_modularity_lpa / graph_bridge_edges: 8 disjoint graph copies —
+  supersteps/wedges per copy unchanged, volume 8x, wall sub-8x.
+- orders_pareto_skyline: the frontier stays tiny; the screen is a scan.
+- dedup_tfidf_cosine_pairs / source_gini / chi2 / MI / KS / bootstrap:
+  aggregate- or capped-join-bound, near-linear.
+- events_ewma_daily / seasonal / sessions / winsorized: per-key or
+  per-day state unchanged in CARDINALITY; only scan volume grows.
+- streaming_ewma_trend: dominated by fixed stream-harness startup
+  (SCALING.md round-5 streaming split).
+
+Run: ``python tools/scaling_r06.py`` (exclusive — no concurrent Spark).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+QUERIES = [
+    "graph_walk_corpus_multi",
+    "graph_modularity_lpa",
+    "graph_bridge_edges",
+    "source_gini_concentration",
+    "events_winsorized_stats",
+    "doc_length_ks_drift",
+    "source_lang_chi2",
+    "source_lang_mutual_information",
+    "doc_length_bootstrap_ci",
+    "embedding_semdedup_prune",
+    "embedding_knn_label_agreement",
+    "dedup_tfidf_cosine_pairs",
+    "events_ewma_daily",
+    "orders_pareto_skyline",
+    "customer_top_percentile_share",
+    "events_seasonal_anomalies",
+    "events_session_conversion",
+    "dedup_rate_by_source",
+    "streaming_ewma_trend",
+]
+
+_OFF = 100000000
+
+
+def build_8x(out_dir: str) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    reps = {
+        "documents": (
+            "SELECT d.* REPLACE (doc_id + c.i * {o} AS doc_id, "
+            "'copy' || c.i || ' ' || text AS text) FROM t d, range(0, 8) c(i)"
+        ),
+        "events": (
+            "SELECT e.* REPLACE (event_id + c.i * {o} AS event_id, "
+            "user_id + c.i * {o} AS user_id) FROM t e, range(0, 8) c(i)"
+        ),
+        "embeddings": (
+            "SELECT v.* REPLACE (vec_id + c.i * {o} AS vec_id) "
+            "FROM t v, range(0, 8) c(i)"
+        ),
+        "customer": (
+            "SELECT cu.* REPLACE (c_custkey + c.i * {o} AS c_custkey) "
+            "FROM t cu, range(0, 8) c(i)"
+        ),
+        "supplier": (
+            "SELECT su.* REPLACE (s_suppkey + c.i * {o} AS s_suppkey) "
+            "FROM t su, range(0, 8) c(i)"
+        ),
+        "part": (
+            "SELECT p.* REPLACE (p_partkey + c.i * {o} AS p_partkey) "
+            "FROM t p, range(0, 8) c(i)"
+        ),
+        "orders": (
+            "SELECT o.* REPLACE (o_orderkey + c.i * {o} AS o_orderkey, "
+            "o_custkey + c.i * {o} AS o_custkey) FROM t o, range(0, 8) c(i)"
+        ),
+        "lineitem": (
+            "SELECT l.* REPLACE (l_orderkey + c.i * {o} AS l_orderkey, "
+            "l_partkey + c.i * {o} AS l_partkey, "
+            "l_suppkey + c.i * {o} AS l_suppkey) FROM t l, range(0, 8) c(i)"
+        ),
+    }
+    for table, sql in reps.items():
+        con.execute(
+            f"CREATE OR REPLACE VIEW t AS "
+            f"SELECT * FROM read_parquet('{SF_DIR}/{table}.parquet')"
+        )
+        con.execute(
+            f"COPY ({sql.format(o=_OFF)}) TO '{out_dir}/{table}.parquet' "
+            f"(FORMAT PARQUET)"
+        )
+    for t in ["region", "nation"]:
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    con.close()
+
+
+def main() -> None:
+    from neo4j_database_to_data_importer_package_spark import registry
+    from neo4j_database_to_data_importer_package_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling-r06")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="r06_8x_")
+    try:
+        build_8x(tmp)
+        for name in QUERIES:
+            fn = registry.QUERIES[name]
+            row = {}
+            for label, d in (("1x", SF_DIR), ("8x", tmp)):
+                fn(spark, d).count()  # warm
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n = fn(spark, d).count()
+                row[label] = (time.perf_counter() - t0, n)
+                spark.catalog.clearCache()
+            r1, r8 = row["1x"][0], row["8x"][0]
+            print(
+                f"{name}: 1x {r1:.2f}s ({row['1x'][1]} rows) | "
+                f"8x {r8:.2f}s ({row['8x'][1]} rows) | ratio {r8 / r1:.1f}",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
