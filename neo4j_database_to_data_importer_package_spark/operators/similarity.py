@@ -1114,3 +1114,69 @@ def knn_label_agreement(
             round_half_up(F.avg("__agree"), 6).alias("mean_agreement"),
         )
     )
+
+
+def centroid_split_drift(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Embedding-distribution drift audit: split the corpus 50/50 by id
+    hash, compute each IVF cell's mean vector PER SIDE, and report the
+    cosine between the two side-centroids — per-region drift detection
+    for embedding pipelines (a model/version change that shifts one
+    semantic region shows up as a low-cosine cell long before any
+    global statistic moves).
+
+    Everything is per-(cell, side, dim) aggregates over the exploded
+    coordinates: means via exact decimal sums, the 64-term cosine via
+    9-dp-rounded mean products summed exactly — deterministic under
+    any partitioning and in SQL. No arrays are re-assembled; the dot
+    product is itself an aggregate over the dim-keyed join of the two
+    side tables.
+    """
+    from ..functions.numeric import dsum
+
+    assigned = ivf_assign(df, n_cells, vec_col, id_col)
+    side = F.when(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).isin(*"01234567"),
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    coords = assigned.select(
+        "cell", side.alias("side"), F.posexplode(F.col("v")).alias("dim", "x")
+    )
+    means = coords.groupBy("cell", "side", "dim").agg(
+        round_half_up(dsum("x", 9) / F.count(F.lit(1)), 9).alias("m")
+    )
+    a = means.filter(F.col("side") == "a").select(
+        "cell", "dim", F.col("m").alias("ma")
+    )
+    b = means.filter(F.col("side") == "b").select(
+        "cell", "dim", F.col("m").alias("mb")
+    )
+    per_cell = (
+        a.join(b, ["cell", "dim"])
+        .groupBy("cell")
+        .agg(
+            dsum(F.col("ma") * F.col("mb"), 18).alias("dot"),
+            dsum(F.col("ma") * F.col("ma"), 18).alias("na2"),
+            dsum(F.col("mb") * F.col("mb"), 18).alias("nb2"),
+        )
+    )
+    sizes = assigned.select("cell", side.alias("side")).groupBy("cell").agg(
+        F.sum((F.col("side") == "a").cast("long")).alias("n_a"),
+        F.sum((F.col("side") == "b").cast("long")).alias("n_b"),
+    )
+    return (
+        per_cell.join(sizes, "cell")
+        .select(
+            "cell",
+            "n_a",
+            "n_b",
+            round_half_up(
+                F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), digits
+            ).alias("centroid_cosine"),
+        )
+    )

@@ -330,3 +330,134 @@ def top_percentile_contribution(
             ).alias("top_share"),
         )
     )
+
+
+def grouped_bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_boot: int = 32,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    digits: int = 6,
+) -> DataFrame:
+    """Stratified bootstrap: the ``bootstrap_mean_ci`` machinery run
+    independently per ``group_col`` value — per-stratum uncertainty
+    bands (mean doc length per source ± CI), the form a dataset card
+    actually prints. Same md5-Poisson determinism; the fan-out and the
+    replicate table are per (group, b), still bounded.
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
+    fan = df.select(
+        F.col(group_col),
+        F.col(value_col).cast("string").alias("__key"),
+        F.col(value_col).cast("double").alias("v"),
+        b,
+    )
+    trials = F.array([F.lit(j) for j in range(4)])
+
+    def mult(kcol, bcol):
+        def one(j):
+            h = F.md5(F.concat_ws("|", bcol, kcol, j))
+            return (F.substring(h, 1, 1).isin("0", "1", "2", "3")).cast("int")
+
+        return F.aggregate(
+            F.transform(trials, one), F.lit(0), lambda acc, x: acc + x
+        )
+
+    rep = (
+        fan.select(
+            group_col, "b", "v", mult(F.col("__key"), F.col("b")).alias("m")
+        )
+        .groupBy(group_col, "b")
+        .agg((dsum(F.col("v") * F.col("m"), 6) / F.sum("m")).alias("mean_b"))
+    )
+    return rep.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_boot"),
+        round_half_up(F.expr(f"percentile(mean_b, {lo!r})"), digits).alias("ci_lo"),
+        round_half_up(F.expr("percentile(mean_b, 0.5)"), digits).alias("ci_mid"),
+        round_half_up(F.expr(f"percentile(mean_b, {hi!r})"), digits).alias("ci_hi"),
+    )
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Benford first-digit audit: observed share of leading digits 1–9
+    of |value| vs the Benford expectation log10(1 + 1/d), with each
+    digit's chi-square contribution — the classic fabricated-data /
+    unit-mix-up screen for money-like columns (a uniform or truncated
+    source jumps straight out of this table).
+
+    One projection extracting the leading digit (string form — no
+    float log tricks, exact for any magnitude), one 9-row aggregate.
+    Rows with zero/NULL values are excluded (no leading digit).
+    """
+    import math
+
+    d = F.substring(
+        F.regexp_replace(F.abs(F.col(value_col)).cast("string"), r"[0.]*", ""),
+        1,
+        1,
+    )
+    digit = df.select(d.alias("d")).filter(F.col("d").between("1", "9"))
+    tot = digit.agg(F.count(F.lit(1)).alias("n"))
+    obs = digit.groupBy("d").agg(F.count(F.lit(1)).alias("n_obs"))
+    expected = F.create_map(
+        *[
+            x
+            for dd in range(1, 10)
+            for x in (F.lit(str(dd)), F.lit(math.log10(1 + 1 / dd)))
+        ]
+    )
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("leading_digit"),
+            F.col("n_obs"),
+            round_half_up(F.col("n_obs") / F.col("n"), digits).alias("observed_share"),
+            round_half_up(expected[F.col("d")], digits).alias("benford_share"),
+            round_half_up(
+                F.pow(
+                    F.col("n_obs") / F.col("n") - expected[F.col("d")], F.lit(2.0)
+                )
+                / expected[F.col("d")],
+                digits,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def score_calibration_bins(
+    df: DataFrame,
+    score_col,
+    label_col,
+    n_bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Reliability-diagram table for a [0,1] score against a binary
+    label: fixed-width score bins with their count, mean score, and
+    observed positive rate — the calibration readout behind every
+    quality-classifier threshold decision (a well-calibrated score has
+    positive_rate ≈ mean_score per bin; a miscalibrated one needs
+    re-thresholding before it gates a corpus).
+
+    One projection + one bounded aggregate (n_bins rows). Score 1.0
+    lands in the top bin (clamped), mirroring sklearn's inclusive top
+    edge.
+    """
+    binned = df.select(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(score_col * n_bins).cast("int"),
+        ).alias("bin"),
+        score_col.cast("double").alias("__s"),
+        label_col.cast("long").alias("__y"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        round_half_up(dsum("__s", 9) / F.count(F.lit(1)), digits).alias("mean_score"),
+        round_half_up(F.sum("__y") / F.count(F.lit(1)), digits).alias("positive_rate"),
+    )

@@ -723,3 +723,214 @@ def session_conversion(
         ),
         round_half_up(F.avg("__n"), 6).alias("avg_session_events"),
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    channels: tuple = ("view", "click", "signup", "error"),
+    digits: int = 6,
+) -> DataFrame:
+    """Linear (fractional-credit) conversion attribution: each
+    conversion splits one unit of credit across the user's PRIOR
+    touches in proportion to per-channel touch counts — the standard
+    upgrade over first-touch when mid-funnel channels deserve credit;
+    conversions with no prior touch credit '(none)'.
+
+    Shape: one prefix-count window PER CHANNEL per user (channels are a
+    BOUNDED enum, so this is a fixed handful of running sums over the
+    same per-user sort — Spark evaluates them in one window pass), then
+    a per-channel rollup. No join against the event history, no
+    per-(conversion, touch) pair materialization — the trick that keeps
+    linear attribution one-pass at 100 TB.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = {
+        ch: F.sum((F.col(type_col) == ch).cast("long")).over(w)
+        for ch in channels
+    }
+    conv = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(type_col),
+        *[prior[ch].alias(f"__n_{i}") for i, ch in enumerate(channels)],
+    ).filter(F.col(type_col) == conversion_type)
+    tot = sum(
+        (F.coalesce(F.col(f"__n_{i}"), F.lit(0)) for i in range(len(channels))),
+        F.lit(0),
+    )
+    per_channel = []
+    for i, ch in enumerate(channels):
+        share = F.when(
+            tot > 0, F.coalesce(F.col(f"__n_{i}"), F.lit(0)) / tot
+        ).otherwise(F.lit(0.0))
+        per_channel.append(
+            conv.agg(
+                round_half_up(dsum(round_half_up(share, 9), 9), digits).alias(
+                    "credit"
+                )
+            ).select(F.lit(ch).alias("channel"), "credit")
+        )
+    none_credit = conv.agg(
+        F.sum((tot == 0).cast("long")).cast("double").alias("credit")
+    ).select(F.lit("(none)").alias("channel"), round_half_up(F.col("credit"), digits).alias("credit"))
+    out = per_channel[0]
+    for p in per_channel[1:]:
+        out = out.unionByName(p)
+    return out.unionByName(none_credit)
+
+
+def monthly_seasonality(
+    orders: DataFrame,
+    ts_col: str = "o_orderdate",
+    digits: int = 6,
+) -> DataFrame:
+    """Classic seasonal decomposition read-out on monthly order volume:
+    per calendar month the order count, a centered 13-month moving-
+    average trend, and the seasonal index count/trend — the first chart
+    of any demand-planning review, and the deseasonalization factor a
+    forecasting pipeline divides by.
+
+    One month-grain aggregate (bounded: one row per month in the data),
+    then a rows-frame window over the BOUNDED month table. Months at
+    the series edges (incomplete ±6 window) report the partial-window
+    average — flagged by n_window.
+    """
+    monthly = orders.groupBy(
+        F.date_format(F.col(ts_col), "yyyy-MM").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy("month").rowsBetween(-6, 6)
+    with_trend = monthly.select(
+        "month",
+        "n_orders",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        (F.sum("n_orders").over(w) / F.count(F.lit(1)).over(w)).alias("__ma"),
+    )
+    return with_trend.select(
+        "month",
+        "n_orders",
+        "n_window",
+        round_half_up(F.col("__ma"), digits).alias("trend_ma"),
+        round_half_up(F.col("n_orders") / F.col("__ma"), digits).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+def burst_days(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    multiplier: float = 3.0,
+    digits: int = 6,
+) -> DataFrame:
+    """Burst detection on daily counts: a (key, day) is a burst when its
+    count exceeds ``multiplier`` × the median of the TRAILING 7
+    observed days — the spike screen that a plain z-score misses when
+    the history itself is spiky (median base, not mean).
+
+    One daily aggregate, then a per-key rows(-7, -1) frame collecting
+    the ≤7 trailing counts and taking their exact middle (sorted-array
+    median — identical interpolation to the oracle's windowed
+    quantile_cont). Windows partition per key over day-grain rows —
+    bounded rows per key by the calendar, never by event volume.
+    Output only the burst rows (day, count, trailing median, ratio).
+    """
+    daily = events.groupBy(
+        F.col(key_col), F.to_date(ts_col).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    arr = F.array_sort(F.collect_list(F.col("n").cast("double")).over(w))
+    k = F.size(arr)
+    mid_hi = ((k + 2) / 2).cast("int")  # ceil((k+1)/2) for even k
+    med = F.when(
+        k % 2 == 1, F.element_at(arr, ((k + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(arr, (k / 2).cast("int"))
+            + F.element_at(arr, mid_hi)
+        )
+        / 2.0
+    )
+    scored = daily.select(
+        F.col(key_col),
+        "day",
+        "n",
+        F.when(k >= 3, med).alias("__med"),
+    )
+    return (
+        scored.filter(
+            F.col("__med").isNotNull()
+            & (F.col("n") > F.lit(multiplier) * F.col("__med"))
+        )
+        .select(
+            F.col(key_col),
+            "day",
+            F.col("n").alias("n_events"),
+            round_half_up(F.col("__med"), digits).alias("trailing_median"),
+            round_half_up(F.col("n") / F.col("__med"), digits).alias("burst_ratio"),
+        )
+    )
+
+
+def churn_hazard(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Discrete (weekly) churn-hazard curve: for each tenure week w,
+    the fraction of users whose LAST activity fell in their w-th week
+    among users who survived AT LEAST to week w — the retention team's
+    hazard table (where in the lifecycle do we lose people), the
+    per-user twin of the document survival curve.
+
+    Per-user first/last timestamps (one aggregate), tenure week, one
+    bounded per-week rollup, and a reverse cumulative sum over the
+    BOUNDED week table for the at-risk denominators.
+    """
+    from ..functions.numeric import round_half_up
+
+    es = _epoch_seconds(ts_col)
+    per_user = events.groupBy(user_col).agg(
+        F.min(es).alias("first_s"), F.max(es).alias("last_s")
+    )
+    tenure = per_user.select(
+        F.floor((F.col("last_s") - F.col("first_s")) / (7 * 24 * 3600))
+        .cast("long")
+        .alias("tenure_week")
+    )
+    per_week = tenure.groupBy("tenure_week").agg(
+        F.count(F.lit(1)).alias("n_churned")
+    )
+    w = (
+        Window.orderBy(F.desc("tenure_week"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_week.select(
+            "tenure_week",
+            "n_churned",
+            F.sum("n_churned").over(w).alias("n_at_risk"),
+        )
+        .select(
+            "tenure_week",
+            "n_churned",
+            "n_at_risk",
+            round_half_up(F.col("n_churned") / F.col("n_at_risk"), 6).alias(
+                "hazard"
+            ),
+        )
+    )

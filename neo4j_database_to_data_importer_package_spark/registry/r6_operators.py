@@ -33,7 +33,7 @@ from ._core import (  # noqa: F401  (full monolith-global namespace)
     schema_union_map,
     uniqueness_profile,
 )
-from .dedup import _NORM_DUCK
+from .dedup import _NORM_DUCK, _TOKS_DUCK
 from .r4_operators import _LPA_ROUND
 
 
@@ -730,4 +730,375 @@ def streaming_ewma_trend(spark, sf_dir):
         got.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("key", "n_days", "last_day", "ewma_last")
+    )
+
+
+@register(
+    "events_linear_attribution",
+    """WITH seq AS (
+         SELECT user_id, ts, event_id, event_type,
+                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  OVER w AS n0,
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  OVER w AS n1,
+                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                  OVER w AS n2,
+                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  OVER w AS n3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       conv AS (
+         SELECT coalesce(n0, 0) AS n0, coalesce(n1, 0) AS n1,
+                coalesce(n2, 0) AS n2, coalesce(n3, 0) AS n3,
+                coalesce(n0, 0) + coalesce(n1, 0) + coalesce(n2, 0)
+                  + coalesce(n3, 0) AS tot
+         FROM seq WHERE event_type = 'purchase'),
+       credits AS (
+         SELECT 'view' AS channel,
+                CAST(sum(CAST(floor(CASE WHEN tot > 0 THEN n0 * 1.0 / tot
+                                         ELSE 0 END * 1000000000.0 + 0.5)
+                              / 1000000000.0 AS DECIMAL(27,9))) AS DOUBLE)
+                  AS credit FROM conv
+         UNION ALL
+         SELECT 'click',
+                CAST(sum(CAST(floor(CASE WHEN tot > 0 THEN n1 * 1.0 / tot
+                                         ELSE 0 END * 1000000000.0 + 0.5)
+                              / 1000000000.0 AS DECIMAL(27,9))) AS DOUBLE)
+           FROM conv
+         UNION ALL
+         SELECT 'signup',
+                CAST(sum(CAST(floor(CASE WHEN tot > 0 THEN n2 * 1.0 / tot
+                                         ELSE 0 END * 1000000000.0 + 0.5)
+                              / 1000000000.0 AS DECIMAL(27,9))) AS DOUBLE)
+           FROM conv
+         UNION ALL
+         SELECT 'error',
+                CAST(sum(CAST(floor(CASE WHEN tot > 0 THEN n3 * 1.0 / tot
+                                         ELSE 0 END * 1000000000.0 + 0.5)
+                              / 1000000000.0 AS DECIMAL(27,9))) AS DOUBLE)
+           FROM conv
+         UNION ALL
+         SELECT '(none)',
+                CAST(sum(CASE WHEN tot = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           FROM conv)
+       SELECT channel,
+              floor(credit * 1000000.0 + 0.5) / 1000000.0 AS credit
+       FROM credits""",
+)
+def events_linear_attribution(spark, sf_dir):
+    """Linear (fractional-credit) attribution: each purchase splits one
+    credit across the user's prior touches by per-channel counts —
+    bounded-enum prefix-count windows, no touch-pair materialization;
+    decimal-exact credit sums. See windows.linear_attribution."""
+    from ..operators.windows import linear_attribution
+
+    view = _view(spark, sf_dir)
+    return linear_attribution(view.tables["events"])
+
+
+@register(
+    "orders_monthly_seasonality",
+    """WITH monthly AS (
+         SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                count(*) AS n_orders
+         FROM orders GROUP BY 1),
+       w AS (
+         SELECT month, n_orders,
+                CAST(count(*) OVER win AS BIGINT) AS n_window,
+                avg(n_orders * 1.0) OVER win AS ma
+         FROM monthly
+         WINDOW win AS (ORDER BY month
+                        ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING))
+       SELECT month, CAST(n_orders AS BIGINT) AS n_orders, n_window,
+              floor(ma * 1000000.0 + 0.5) / 1000000.0 AS trend_ma,
+              floor(n_orders / ma * 1000000.0 + 0.5) / 1000000.0
+                AS seasonal_index
+       FROM w""",
+)
+def orders_monthly_seasonality(spark, sf_dir):
+    """Monthly order volume with a centered 13-month moving-average
+    trend and the seasonal index count/trend — classic demand
+    decomposition over the bounded month table. See
+    windows.monthly_seasonality."""
+    from ..operators.windows import monthly_seasonality
+
+    view = _view(spark, sf_dir)
+    return monthly_seasonality(view.tables["orders"])
+
+
+@register(
+    "events_burst_days",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       scored AS (
+         SELECT event_type, day, n,
+                CASE WHEN count(*) OVER w >= 3
+                     THEN quantile_cont(n * 1.0, 0.5) OVER w END AS med
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+       SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+              CAST(n AS BIGINT) AS n_events,
+              floor(med * 1000000.0 + 0.5) / 1000000.0 AS trailing_median,
+              floor(n / med * 1000000.0 + 0.5) / 1000000.0 AS burst_ratio
+       FROM scored
+       WHERE med IS NOT NULL AND n > 1.15 * med""",
+)
+def events_burst_days(spark, sf_dir):
+    """Burst days: daily counts exceeding the trailing-7-day median per
+    type (median base, so spiky history doesn't hide spikes). The
+    operator default multiplier is 3.0 (real spike territory); the
+    registered query uses 1.15 because the synthetic daily counts are
+    near-uniform (max observed ratio 1.41) and a 0-row gate query
+    proves nothing. See windows.burst_days."""
+    from ..operators.windows import burst_days
+
+    view = _view(spark, sf_dir)
+    b = burst_days(view.tables["events"], multiplier=1.15)
+    return b.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "trailing_median",
+        "burst_ratio",
+    )
+
+
+@register(
+    "events_churn_hazard",
+    """WITH per_user AS (
+         SELECT user_id, min(epoch(ts)) AS f, max(epoch(ts)) AS l
+         FROM events GROUP BY 1),
+       tenure AS (
+         SELECT CAST(floor((l - f) / 604800.0) AS BIGINT) AS tenure_week
+         FROM per_user),
+       per_week AS (
+         SELECT tenure_week, count(*) AS n_churned
+         FROM tenure GROUP BY 1),
+       at_risk AS (
+         SELECT tenure_week, n_churned,
+                sum(n_churned) OVER (ORDER BY tenure_week DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS n_at_risk
+         FROM per_week)
+       SELECT tenure_week, CAST(n_churned AS BIGINT) AS n_churned,
+              CAST(n_at_risk AS BIGINT) AS n_at_risk,
+              floor(n_churned * 1.0 / n_at_risk * 1000000.0 + 0.5)
+                / 1000000.0 AS hazard
+       FROM at_risk""",
+)
+def events_churn_hazard(spark, sf_dir):
+    """Discrete weekly churn hazard: users whose last activity fell in
+    tenure week w over users surviving to week w — the lifecycle
+    loss-point table; bounded week-grain aggregates only. See
+    windows.churn_hazard."""
+    from ..operators.windows import churn_hazard
+
+    view = _view(spark, sf_dir)
+    return churn_hazard(view.tables["events"])
+
+
+@register(
+    "source_length_bootstrap_ci",
+    """WITH fan AS (
+         SELECT source, b.b, CAST(n_chars AS DOUBLE) AS v,
+                CAST(n_chars AS VARCHAR) AS k
+         FROM documents CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b),
+       mults AS (
+         SELECT source, b, v,
+                (CASE WHEN substr(md5(b || '|' || k || '|' || 0), 1, 1)
+                        IN ('0','1','2','3') THEN 1 ELSE 0 END
+               + CASE WHEN substr(md5(b || '|' || k || '|' || 1), 1, 1)
+                        IN ('0','1','2','3') THEN 1 ELSE 0 END
+               + CASE WHEN substr(md5(b || '|' || k || '|' || 2), 1, 1)
+                        IN ('0','1','2','3') THEN 1 ELSE 0 END
+               + CASE WHEN substr(md5(b || '|' || k || '|' || 3), 1, 1)
+                        IN ('0','1','2','3') THEN 1 ELSE 0 END) AS m
+         FROM fan),
+       rep AS (
+         SELECT source, b,
+                CAST(sum(CAST(v * m AS DECIMAL(27,6))) AS DOUBLE)
+                  / sum(m) AS mean_b
+         FROM mults GROUP BY 1, 2)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_boot,
+              floor(quantile_cont(mean_b, 0.05) * 1000000.0 + 0.5)
+                / 1000000.0 AS ci_lo,
+              floor(quantile_cont(mean_b, 0.5) * 1000000.0 + 0.5)
+                / 1000000.0 AS ci_mid,
+              floor(quantile_cont(mean_b, 0.95) * 1000000.0 + 0.5)
+                / 1000000.0 AS ci_hi
+       FROM rep GROUP BY 1""",
+)
+def source_length_bootstrap_ci(spark, sf_dir):
+    """Stratified md5-Poisson bootstrap: per-source 90% CI for the mean
+    document length — the per-stratum uncertainty band a dataset card
+    prints. See statistics.grouped_bootstrap_mean_ci."""
+    from ..operators.statistics import grouped_bootstrap_mean_ci
+
+    view = _view(spark, sf_dir)
+    return grouped_bootstrap_mean_ci(
+        view.tables["documents"], "source", "n_chars"
+    )
+
+
+@register(
+    "events_benford_audit",
+    """WITH digits AS (
+         SELECT substr(regexp_replace(CAST(abs(value) AS VARCHAR),
+                                      '[0.]', '', 'g'), 1, 1) AS d
+         FROM events),
+       keep AS (SELECT d FROM digits WHERE d BETWEEN '1' AND '9'),
+       tot AS (SELECT count(*) AS n FROM keep),
+       obs AS (SELECT d, count(*) AS n_obs FROM keep GROUP BY 1)
+       SELECT d AS leading_digit, CAST(n_obs AS BIGINT) AS n_obs,
+              floor(n_obs * 1.0 / t.n * 1000000.0 + 0.5) / 1000000.0
+                AS observed_share,
+              floor(log10(1.0 + 1.0 / CAST(d AS INTEGER))
+                    * 1000000.0 + 0.5) / 1000000.0 AS benford_share,
+              floor(pow(n_obs * 1.0 / t.n
+                        - log10(1.0 + 1.0 / CAST(d AS INTEGER)), 2)
+                    / log10(1.0 + 1.0 / CAST(d AS INTEGER))
+                    * 1000000.0 + 0.5) / 1000000.0 AS chi2_term
+       FROM obs, tot t""",
+)
+def events_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of the event value column: observed vs
+    expected leading-digit shares with per-digit chi-square terms — the
+    fabricated-data / unit-mix-up screen. See statistics.benford_audit."""
+    from ..operators.statistics import benford_audit
+
+    view = _view(spark, sf_dir)
+    return benford_audit(view.tables["events"], "value")
+
+
+@register(
+    "embedding_centroid_split_drift",
+    """WITH v AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+         FROM embeddings),
+       cents AS (SELECT vec_id AS cell, v AS cv, norm AS cn FROM v WHERE vec_id < 16),
+       assigned AS (
+         SELECT vec_id, v, cell FROM (
+           SELECT a.vec_id, a.v, c.cell,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY floor((list_dot_product(a.v, c.cv)/(a.norm*c.cn)) * 1000000.0 + 0.5)/1000000.0 DESC,
+                             c.cell) AS r
+           FROM v a CROSS JOIN cents c) t WHERE r = 1),
+       sided AS (
+         SELECT cell,
+                CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                     THEN 'a' ELSE 'b' END AS side,
+                generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x
+         FROM assigned),
+       means AS (
+         SELECT cell, side, dim,
+                floor(CAST(sum(CAST(x AS DECIMAL(27,9))) AS DOUBLE) / count(*)
+                      * 1000000000.0 + 0.5) / 1000000000.0 AS m
+         FROM sided GROUP BY 1, 2, 3),
+       pc AS (
+         SELECT a.cell,
+                CAST(sum(CAST(a.m * b.m AS DECIMAL(27,18))) AS DOUBLE) AS dot,
+                CAST(sum(CAST(a.m * a.m AS DECIMAL(27,18))) AS DOUBLE) AS na2,
+                CAST(sum(CAST(b.m * b.m AS DECIMAL(27,18))) AS DOUBLE) AS nb2
+         FROM means a JOIN means b
+           ON a.cell = b.cell AND a.dim = b.dim
+          AND a.side = 'a' AND b.side = 'b'
+         GROUP BY 1),
+       sizes AS (
+         SELECT cell,
+                sum(CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                           IN ('0','1','2','3','4','5','6','7')
+                         THEN 1 ELSE 0 END) AS n_a,
+                sum(CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                           IN ('0','1','2','3','4','5','6','7')
+                         THEN 0 ELSE 1 END) AS n_b
+         FROM assigned GROUP BY 1)
+       SELECT p.cell, CAST(s.n_a AS BIGINT) AS n_a,
+              CAST(s.n_b AS BIGINT) AS n_b,
+              floor(p.dot / (sqrt(p.na2) * sqrt(p.nb2)) * 1000000.0 + 0.5)
+                / 1000000.0 AS centroid_cosine
+       FROM pc p JOIN sizes s USING (cell)""",
+)
+def embedding_centroid_split_drift(spark, sf_dir):
+    """Per-IVF-cell centroid drift between an md5 50/50 id split: the
+    cosine of the two side-centroids — region-level embedding drift
+    detection; all means/dots decimal-exact. See
+    similarity.centroid_split_drift."""
+    from ..operators.similarity import centroid_split_drift
+
+    view = _view(spark, sf_dir)
+    return centroid_split_drift(view.tables["embeddings"])
+
+
+@register(
+    "graph_degree_powerlaw_fit",
+    f"""WITH {_SHIPYEAR_E_DUCK},
+       deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY 1),
+       fit AS (SELECT deg FROM deg WHERE deg >= 2),
+       terms AS (
+         SELECT deg,
+                floor(ln(deg / 1.5) * 1000000000.0 + 0.5) / 1000000000.0
+                  AS lt
+         FROM fit)
+       SELECT CAST(count(*) AS BIGINT) AS n_nodes_fit,
+              CAST(2 AS BIGINT) AS dmin,
+              floor((1.0 + count(*) /
+                     CAST(sum(CAST(lt AS DECIMAL(27,9))) AS DOUBLE))
+                    * 1000000.0 + 0.5) / 1000000.0 AS alpha,
+              CAST(max(deg) AS BIGINT) AS max_degree
+       FROM terms""",
+)
+def graph_degree_powerlaw_fit(spark, sf_dir):
+    """Clauset–Shalizi–Newman power-law exponent MLE for the ship-year
+    graph's degree distribution (α = 1 + n/Σ ln(d/(dmin−½))) — the
+    one-number tail-heaviness gauge that calibrates every hub-skew
+    mitigation here; ln terms 9-dp-rounded and summed exactly. See
+    graph_algos.degree_powerlaw_fit."""
+    from ..operators.graph_algos import degree_powerlaw_fit
+
+    return degree_powerlaw_fit(_shipyear_graph(_view(spark, sf_dir)))
+
+
+@register(
+    "quality_calibration_bins",
+    f"""WITH scored AS (
+         SELECT lang,
+                len(list_intersect(list_distinct({_TOKS_DUCK}),
+                    ['the','a','of','and','to','in','is','it'])) * 1.0
+                  / greatest(len(list_distinct({_TOKS_DUCK})), 1) AS s
+         FROM documents),
+       binned AS (
+         SELECT least(9, CAST(floor(s * 10) AS INTEGER)) AS bin,
+                s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         FROM scored)
+       SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              floor(CAST(sum(CAST(s AS DECIMAL(27,9))) AS DOUBLE) / count(*)
+                    * 1000000.0 + 0.5) / 1000000.0 AS mean_score,
+              floor(sum(y) * 1.0 / count(*) * 1000000.0 + 0.5) / 1000000.0
+                AS positive_rate
+       FROM binned GROUP BY 1""",
+)
+def quality_calibration_bins(spark, sf_dir):
+    """Reliability diagram of the English-stopword-density score
+    against the actual lang='en' label: per score decile the count,
+    mean score, and observed positive rate — the calibration readout
+    before any score gates a corpus. See
+    statistics.score_calibration_bins."""
+    from ..functions.text import tokens
+    from ..operators.statistics import score_calibration_bins
+    from ..operators.text_analysis import LANG_STOPWORDS
+
+    view = _view(spark, sf_dir)
+    t = F.array_distinct(tokens("text"))
+    en = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    score = F.size(F.array_intersect(t, en)) / F.greatest(
+        F.size(t), F.lit(1)
+    )
+    return score_calibration_bins(
+        view.tables["documents"], score, F.col("lang") == "en"
     )

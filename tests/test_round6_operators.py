@@ -418,3 +418,181 @@ def test_dedup_rate_by_key_cross_source_counts(spark):
     assert out["A"]["n_docs"] == 2 and out["A"]["n_dup_docs"] == 1
     assert out["B"]["n_docs"] == 3 and out["B"]["n_dup_docs"] == 1
     assert out["A"]["dup_rate"] == 0.5
+
+
+# --- batch 3 ----------------------------------------------------------------
+
+
+def test_linear_attribution_splits_credit(spark):
+    import datetime
+
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        linear_attribution,
+    )
+
+    t0 = datetime.datetime(2024, 6, 1)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        # user 1: view, view, click then purchase -> 2/3 view, 1/3 click
+        (1, t0, 1, "view"), (1, t0 + s, 2, "view"), (1, t0 + 2 * s, 3, "click"),
+        (1, t0 + 3 * s, 4, "purchase"),
+        # user 2: cold purchase -> (none)
+        (2, t0, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r["channel"]: r["credit"] for r in linear_attribution(df).collect()}
+    assert abs(out["view"] - 2 / 3) < 1e-5
+    assert abs(out["click"] - 1 / 3) < 1e-5
+    assert out["signup"] == 0.0
+    assert out["(none)"] == 1.0
+
+
+def test_monthly_seasonality_flat_series(spark):
+    import datetime
+
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        monthly_seasonality,
+    )
+
+    rows = []
+    for m in range(1, 13):
+        for _ in range(10):
+            rows.append((datetime.datetime(2023, m, 15),))
+    df = spark.createDataFrame(rows, "o_orderdate timestamp")
+    out = {r["month"]: r for r in monthly_seasonality(df).collect()}
+    assert len(out) == 12
+    # flat series: every seasonal index is exactly 1
+    assert all(r["seasonal_index"] == 1.0 for r in out.values())
+    # 12-month series: June sees 5 before + self + 6 after = 12
+    assert out["2023-06"]["n_window"] == 12
+    assert out["2023-01"]["n_window"] == 7
+
+
+def test_burst_days_flags_planted_spike(spark):
+    import datetime
+
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        burst_days,
+    )
+
+    base = datetime.datetime(2024, 2, 1)
+    rows = []
+    for d in range(15):
+        n = 100 if d != 10 else 400  # 4x spike on day 10
+        for i in range(n):
+            rows.append((base + datetime.timedelta(days=d, seconds=i), "t"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = burst_days(df).collect()
+    assert len(out) == 1
+    assert str(out[0]["day"]) == "2024-02-11"
+    assert out[0]["burst_ratio"] == 4.0
+
+
+def test_churn_hazard_shape(spark):
+    import datetime
+
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        churn_hazard,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    wk = datetime.timedelta(days=7)
+    rows = []
+    # 3 users with 0-week tenure, 2 with 2-week tenure
+    for u in range(3):
+        rows.append((u, t0))
+    for u in range(3, 5):
+        rows.append((u, t0))
+        rows.append((u, t0 + 2 * wk))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["tenure_week"]: r for r in churn_hazard(df).collect()}
+    assert out[0]["n_churned"] == 3 and out[0]["n_at_risk"] == 5
+    assert out[2]["n_churned"] == 2 and out[2]["n_at_risk"] == 2
+    assert out[0]["hazard"] == 0.6 and out[2]["hazard"] == 1.0
+
+
+def test_benford_on_benford_like_data(spark):
+    # powers spread log-uniformly follow Benford closely
+    import math
+
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        benford_audit,
+    )
+
+    vals = [(math.exp(i / 100.0),) for i in range(1, 2000)]
+    df = spark.createDataFrame(vals, "v double")
+    out = {r["leading_digit"]: r for r in benford_audit(df, "v").collect()}
+    assert set(out) == {str(d) for d in range(1, 10)}
+    # digit 1 most common, near log10(2) = 0.301
+    assert abs(out["1"]["observed_share"] - 0.301) < 0.02
+    assert out["1"]["benford_share"] == 0.30103
+    assert sum(r["n_obs"] for r in out.values()) == 1999
+
+
+def test_grouped_bootstrap_partition_independent(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        grouped_bootstrap_mean_ci,
+    )
+
+    rows = [("a", i) for i in range(300)] + [("b", i * 2) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r1 = sorted(tuple(r) for r in grouped_bootstrap_mean_ci(df, "g", "v").collect())
+    r2 = sorted(tuple(r) for r in grouped_bootstrap_mean_ci(df.repartition(9), "g", "v").collect())
+    assert r1 == r2
+    d = {r[0]: r for r in r1}
+    assert d["a"][2] <= 149.5 <= d["a"][4]  # ci_lo <= true mean <= ci_hi
+
+
+def test_centroid_split_drift_identical_halves(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        centroid_split_drift,
+    )
+
+    # vectors in two tight clusters; both split sides see both clusters,
+    # so side centroids are near-identical -> cosine ~ 1
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        v = [x + (i % 7) * 1e-3 for x in base]
+        rows.append((i, v, i % 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = centroid_split_drift(df, n_cells=2).collect()
+    assert out
+    assert all(r["centroid_cosine"] > 0.999 for r in out)
+    assert all(r["n_a"] + r["n_b"] >= 2 for r in out)
+
+
+def test_powerlaw_fit_on_star_vs_ring(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        degree_powerlaw_fit,
+    )
+
+    # ring: every degree == 2 -> ln(2/1.5) terms, alpha finite & large
+    ring = [(f"n{i}", f"n{(i + 1) % 50}") for i in range(50)]
+    rdf = spark.createDataFrame(ring, "src string, dst string")
+    r = degree_powerlaw_fit(rdf).collect()[0]
+    assert r["n_nodes_fit"] == 50 and r["max_degree"] == 2
+    import math
+
+    expected = 1 + 50 / (50 * round(math.log(2 / 1.5), 9))
+    assert abs(r["alpha"] - round(math.floor(expected * 1e6 + 0.5) / 1e6, 6)) < 1e-6
+
+
+def test_calibration_bins_perfectly_calibrated_score(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        score_calibration_bins,
+    )
+    from pyspark.sql import functions as F
+
+    # score == label -> bins 0 and 9, positive_rate == mean_score
+    rows = [(0.0, 0)] * 30 + [(1.0, 1)] * 20
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r["bin"]: r for r in score_calibration_bins(
+        df, F.col("s"), F.col("y") == 1
+    ).collect()}
+    assert set(out) == {0, 9}
+    assert out[0]["positive_rate"] == 0.0 and out[0]["mean_score"] == 0.0
+    assert out[9]["positive_rate"] == 1.0 and out[9]["mean_score"] == 1.0
+    assert out[9]["n"] == 20
