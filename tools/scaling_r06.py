@@ -55,7 +55,20 @@ QUERIES = [
     "events_session_conversion",
     "dedup_rate_by_source",
     "streaming_ewma_trend",
+    "events_linear_attribution",
+    "orders_monthly_seasonality",
+    "events_burst_days",
+    "events_churn_hazard",
+    "source_length_bootstrap_ci",
+    "events_benford_audit",
+    "embedding_centroid_split_drift",
+    "graph_degree_powerlaw_fit",
+    "quality_calibration_bins",
 ]
+
+# Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
+if len(sys.argv) > 1:
+    QUERIES = [q for q in QUERIES if q in set(sys.argv[1:])]
 
 _OFF = 100000000
 
