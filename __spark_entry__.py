@@ -132,6 +132,7 @@ _NEXT_ROTATION: list[str] = [
     "embedding_centroid_split_drift",
     "graph_degree_powerlaw_fit",
     "quality_calibration_bins",
+    "kmv_audience_overlap",
 ]
 
 

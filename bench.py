@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "embedding_centroid_split_drift",
     "graph_degree_powerlaw_fit",
     "quality_calibration_bins",
+    "kmv_audience_overlap",
 ]
 
 

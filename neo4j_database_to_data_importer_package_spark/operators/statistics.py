@@ -461,3 +461,89 @@ def score_calibration_bins(
         round_half_up(dsum("__s", 9) / F.count(F.lit(1)), digits).alias("mean_score"),
         round_half_up(F.sum("__y") / F.count(F.lit(1)), digits).alias("positive_rate"),
     )
+
+
+def kmv_set_intersection(
+    events: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+    k: int = 32,
+) -> DataFrame:
+    """Sketch set-algebra: pairwise distinct-member INTERSECTION
+    estimates between per-key id sets from their KMV (bottom-k)
+    sketches — the mergeable-sketch answer to "how much do the
+    audiences of A and B overlap" that never touches the raw id sets
+    twice (at 100 TB the sketches are the only thing two teams need to
+    exchange to estimate overlap across datasets).
+
+    Per key: the standard two-level bounded KMV (per-partition bottom-k
+    map-side, merge + re-slice — at most k·partitions doubles of state;
+    the same construction as ``kmv_distinct_users_per_type``). Per key
+    PAIR (bounded: |keys|²/2 rows): union sketch = bottom-k of the
+    merged arrays, union cardinality from its kth minimum, Jaccard
+    estimate = fraction of the union window present in BOTH sketches,
+    intersection = Jaccard × union. Sketches smaller than k are exact.
+    Exact intersections are computed alongside (one distinct self-join
+    keyed by id — key pairs per id are bounded by the key-domain
+    square) so the output doubles as the estimator's accuracy audit.
+    md5 hashing keeps every estimate engine-reproducible.
+    """
+    frac = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    h = events.select(F.col(key_col).alias("key"), frac.alias("frac"))
+    partials = h.groupBy("key", F.spark_partition_id().alias("pid")).agg(
+        F.slice(F.array_sort(F.collect_set("frac")), 1, k).alias("mins")
+    )
+    merged = partials.groupBy("key").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))),
+            1,
+            k,
+        ).alias("mins")
+    )
+    a = merged.select(F.col("key").alias("key_a"), F.col("mins").alias("ma"))
+    b = merged.select(F.col("key").alias("key_b"), F.col("mins").alias("mb"))
+    pairs = a.join(b, F.col("key_a") < F.col("key_b"))
+    union_mins = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("ma"), F.col("mb")))), 1, k
+    )
+    est = pairs.select(
+        "key_a",
+        "key_b",
+        "ma",
+        "mb",
+        union_mins.alias("um"),
+    )
+    n_um = F.size("um")
+    union_est = F.when(
+        n_um < k, n_um.cast("double")
+    ).otherwise(
+        F.floor((F.lit(k - 1) / F.element_at("um", k)) + 0.5)
+    )
+    in_both = F.size(
+        F.array_intersect(F.array_intersect(F.col("um"), F.col("ma")), F.col("mb"))
+    )
+    kmv_est = F.floor(in_both / n_um * union_est + 0.5).cast("long")
+
+    d = events.select(F.col(key_col).alias("key"), F.col(id_col).alias("id")).distinct()
+    ea = d.select(F.col("key").alias("key_a"), "id")
+    eb = d.select(F.col("key").alias("key_b"), "id")
+    exact = (
+        ea.join(eb, "id")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        est.select("key_a", "key_b", kmv_est.alias("kmv_intersection"))
+        .join(exact, ["key_a", "key_b"], "left")
+        .select(
+            "key_a",
+            "key_b",
+            "kmv_intersection",
+            F.coalesce("exact_intersection", F.lit(0)).alias("exact_intersection"),
+        )
+    )

@@ -1102,3 +1102,49 @@ def quality_calibration_bins(spark, sf_dir):
     return score_calibration_bins(
         view.tables["documents"], score, F.col("lang") == "en"
     )
+
+
+@register(
+    "kmv_audience_overlap",
+    """WITH h AS (
+         SELECT DISTINCT event_type AS key,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967296.0 AS frac
+         FROM events),
+       merged AS (
+         SELECT key, list_sort(list(frac ORDER BY frac))[1:32] AS mins
+         FROM h GROUP BY 1),
+       pairs AS (
+         SELECT a.key AS key_a, b.key AS key_b, a.mins AS ma, b.mins AS mb,
+                list_sort(list_distinct(a.mins || b.mins))[1:32] AS um
+         FROM merged a JOIN merged b ON a.key < b.key),
+       est AS (
+         SELECT key_a, key_b,
+                CAST(floor(
+                  len(list_intersect(list_intersect(um, ma), mb)) * 1.0
+                  / len(um)
+                  * (CASE WHEN len(um) < 32 THEN len(um) * 1.0
+                          ELSE floor(31.0 / um[32] + 0.5) END)
+                  + 0.5) AS BIGINT) AS kmv_intersection
+         FROM pairs),
+       d AS (SELECT DISTINCT event_type AS key, user_id AS id FROM events),
+       exact AS (
+         SELECT a.key AS key_a, b.key AS key_b,
+                count(*) AS exact_intersection
+         FROM d a JOIN d b ON a.id = b.id AND a.key < b.key
+         GROUP BY 1, 2)
+       SELECT e.key_a, e.key_b, e.kmv_intersection,
+              CAST(coalesce(x.exact_intersection, 0) AS BIGINT)
+                AS exact_intersection
+       FROM est e LEFT JOIN exact x USING (key_a, key_b)""",
+)
+def kmv_audience_overlap(spark, sf_dir):
+    """Pairwise audience-overlap estimates between event-type user sets
+    from their KMV bottom-32 sketches (union sketch → Jaccard-in-window
+    → intersection), with the exact intersections alongside as the
+    accuracy audit — mergeable-sketch set algebra. See
+    statistics.kmv_set_intersection."""
+    from ..operators.statistics import kmv_set_intersection
+
+    view = _view(spark, sf_dir)
+    return kmv_set_intersection(view.tables["events"])

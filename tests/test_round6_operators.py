@@ -596,3 +596,34 @@ def test_calibration_bins_perfectly_calibrated_score(spark):
     assert out[0]["positive_rate"] == 0.0 and out[0]["mean_score"] == 0.0
     assert out[9]["positive_rate"] == 1.0 and out[9]["mean_score"] == 1.0
     assert out[9]["n"] == 20
+
+
+def test_kmv_set_intersection_accuracy_and_determinism(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        kmv_set_intersection,
+    )
+
+    # A = 0..399, B = 200..599 -> exact intersection 200
+    rows = [("A", i) for i in range(400)] + [("B", i) for i in range(200, 600)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    # k=256 keeps the Jaccard-in-window std near 3% so the band is tight
+    r1 = kmv_set_intersection(df, k=256).collect()
+    assert len(r1) == 1
+    row = r1[0]
+    assert row["exact_intersection"] == 200
+    assert 140 <= row["kmv_intersection"] <= 260
+    r2 = kmv_set_intersection(df.repartition(13), k=256).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+def test_kmv_set_intersection_small_sets_exact(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        kmv_set_intersection,
+    )
+
+    # both sets smaller than k=32 -> sketches are exact
+    rows = [("A", i) for i in range(10)] + [("B", i) for i in range(5, 15)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    row = kmv_set_intersection(df).collect()[0]
+    assert row["exact_intersection"] == 5
+    assert row["kmv_intersection"] == 5
