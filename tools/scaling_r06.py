@@ -64,6 +64,7 @@ QUERIES = [
     "embedding_centroid_split_drift",
     "graph_degree_powerlaw_fit",
     "quality_calibration_bins",
+    "kmv_audience_overlap",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
