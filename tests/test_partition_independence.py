@@ -21,6 +21,13 @@ QUERIES = [
     "skewed_join_hot_suppliers",  # the r04 strict-canon red: hot-key groups
     "window_tumbling_events",   # event-value sums + avg
     "events_zscore_outliers",   # decimal moments → stddev → threshold counts
+    # round-6 decimal-discipline representatives
+    "events_ewma_daily",        # 9-dp contributions + dsum weighted sums
+    "dedup_tfidf_cosine_pairs", # 9-dp weights, decimal dots/norms
+    "source_gini_concentration",  # dsum per-key totals feed a global rank
+    "doc_length_bootstrap_ci",  # md5-Poisson fan-out + decimal replicate means
+    "graph_modularity_lpa",     # integer-exact community algebra over LPA
+    "kmv_audience_overlap",     # two-level bounded bottom-k sketch merge
 ]
 
 

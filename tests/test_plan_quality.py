@@ -380,3 +380,56 @@ def test_cusum_window_is_keyed(spark):
             saw = True
             assert "], [], [" not in line, f"unpartitioned window: {line}"
     assert saw
+
+
+# --- round-6 shapes ---------------------------------------------------------
+
+
+def test_tfidf_cosine_pairs_caps_and_prunes(spark):
+    """The TF-IDF pair join must read only (doc_id, text) — the term
+    join runs on the derived index, never re-scanning wide rows — and
+    must contain the anti-join that enforces the df cap."""
+    plan = _plan(spark, "dedup_tfidf_cosine_pairs")
+    schemas = _read_schemas(plan)
+    assert any(s in ("doc_id:bigint,text:string", "text:string,doc_id:bigint")
+               or ("doc_id" in s and "text" in s and "lang" not in s)
+               for s in schemas), schemas
+    assert "LeftAnti" in plan, "df-cap anti-join missing from the plan"
+
+
+def test_pareto_skyline_screen_broadcasts(spark):
+    """The skyline's bucket screen and range tables must broadcast —
+    the full point set is never shuffled for the screen."""
+    plan = _plan(spark, "orders_pareto_skyline")
+    assert plan.count("Broadcast") >= 2, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairs_are_cell_equi_join(spark):
+    """SemDeDup's quadratic step must be an equi-join on the cell key
+    (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin on cell), never a
+    cartesian/nested-loop pair enumeration."""
+    plan = _plan(spark, "embedding_semdedup_prune")
+    assert "CartesianProduct" not in plan
+    joins = [l for l in plan.splitlines() if "Join" in l and "cell" in l]
+    assert joins, plan[:1500]
+
+
+def test_modularity_no_broadcast_of_label_table(spark):
+    """The modularity hydration joins must NOT carry a forced broadcast
+    (the label table is one row per node — the degree_assortativity
+    rule)."""
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        modularity,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    labels = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y")], "node string, label string"
+    )
+    plan = modularity(edges, labels)._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in plan, plan
+    assert "UnresolvedHint" not in plan, plan
