@@ -1122,3 +1122,35 @@ def dedup_rate_by_key(
             ).alias("dup_rate"),
         )
     )
+
+
+def cluster_size_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-dup cluster-size histogram: how many fingerprint clusters
+    (and how many documents) fall in each size band — the one-glance
+    shape of the duplication problem (a fat 11+ band means template
+    spam; a thin 2-band means benign double-submits), the headline
+    chart of a dedup report.
+
+    Rolls up ``exact_dedup``'s (fingerprint, n_dups) output into five
+    fixed bands — two bounded aggregates end-to-end.
+    """
+    sizes = exact_dedup(df, text_col, id_col).select("n_dups")
+    band = (
+        F.when(F.col("n_dups") == 1, "1")
+        .when(F.col("n_dups") == 2, "2")
+        .when(F.col("n_dups") <= 5, "3-5")
+        .when(F.col("n_dups") <= 10, "6-10")
+        .otherwise("11+")
+    )
+    return (
+        sizes.select(band.alias("cluster_size_band"), "n_dups")
+        .groupBy("cluster_size_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("n_dups").cast("long").alias("n_docs"),
+        )
+    )

@@ -547,3 +547,43 @@ def kmv_set_intersection(
             F.coalesce("exact_intersection", F.lit(0)).alias("exact_intersection"),
         )
     )
+
+
+def oneway_anova(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    digits: int = 6,
+) -> DataFrame:
+    """One-way ANOVA over a numeric column across groups: the F
+    statistic (between-group over within-group variance) and η²
+    (variance explained) — the "does this label actually structure this
+    feature" test, e.g. whether embedding norms genuinely differ by
+    class before anyone trusts a norm-based filter.
+
+    Sufficient statistics only: per-group (n, Σx, Σx²) with exact
+    decimal sums, then closed-form SSB/SSW from the bounded group
+    table — no residual pass, engine-deterministic.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per_g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("ni"),
+        dsum(v, 9).alias("si"),
+        dsum(v * v, 9).alias("qi"),
+    )
+    agg = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("si").alias("s"),
+        F.sum("qi").alias("q"),
+        F.sum(F.col("si") * F.col("si") / F.col("ni")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("sb")
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return agg.select(
+        "n",
+        "k",
+        round_half_up(fstat, digits).alias("f_stat"),
+        round_half_up(ssb / (ssb + ssw), digits).alias("eta_squared"),
+    )

@@ -1133,3 +1133,88 @@ def vocab_coverage_curve(
             ),
         )
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility by group: regex ("BPE-ish") tokens per
+    whitespace word — THE comparative metric for how expensive a
+    language/domain is to tokenize (fertility ≈ 1 for space-delimited
+    prose, ≫1 for punctuation-dense or unsegmented text), and the
+    first column of any multilingual token-budget plan.
+
+    One codegen projection (the same two counters as ``token_stats``),
+    one bounded per-group aggregate; fertility is a ratio of exact
+    integer sums, so it is engine- and partitioning-deterministic.
+    """
+    from ..functions.numeric import round_half_up
+    from ..functions.text import tokens
+
+    t = tokens(text_col)
+    per_doc = df.select(
+        F.col(group_col),
+        F.size(t).alias("ws"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(_BPE_RE), 0)
+        ).alias("re_"),
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws").alias("n_ws_tokens"),
+        F.sum("re_").alias("n_re_tokens"),
+        round_half_up(F.sum("re_") / F.sum("ws"), 6).alias("fertility"),
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-document character-unigram Shannon entropy (nats) — the
+    gibberish/encoding-junk detector that catches what word-level
+    heuristics miss: base64 blobs and hex dumps score near-uniform
+    high, repeated-character spam scores near zero, natural language
+    sits in a narrow band.
+
+    Characters are enumerated position-by-position (``sequence`` +
+    ``substring`` — identical semantics in any engine, no split-on-
+    empty-string edge cases), counted per (doc, char), and folded into
+    −Σ p·ln p with 9-dp-rounded terms summed exactly. Row volume is
+    n_chars total — linear, partitioned by doc.
+    """
+    from ..functions.numeric import dsum, round_half_up
+
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col), F.lit(1)))
+        ).alias("i"),
+        F.col(text_col),
+    ).select(
+        F.col(id_col),
+        F.col(text_col).substr(F.col("i"), F.lit(1)).alias("ch"),
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy(id_col).agg(F.sum("c").alias("n"))
+    term = round_half_up(
+        -(F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")), 9
+    )
+    return (
+        counts.join(totals, id_col)
+        .groupBy(id_col, "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            round_half_up(dsum(term, 9), digits).alias("char_entropy"),
+        )
+        .select(
+            id_col,
+            F.col("n").alias("n_chars"),
+            "n_distinct_chars",
+            "char_entropy",
+        )
+    )

@@ -934,3 +934,47 @@ def churn_hazard(
             ),
         )
     )
+
+
+def transition_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-state predictability of the behavioral Markov chain: Shannon
+    entropy (nats) and perplexity of each state's next-event
+    distribution — the one-number "how deterministic is behavior after
+    X" readout on top of ``markov_transitions`` (low-entropy states are
+    funnels; high-entropy states are navigation hubs).
+
+    Same per-user lead window and |types|² aggregate as the transition
+    matrix; the entropy fold uses 9-dp-rounded −p·ln p terms summed
+    exactly over the bounded (from, to) cells.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    seq = events.select(
+        F.col(user_col),
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    term = round_half_up(
+        -(F.col("n") / F.col("tot")) * F.log(F.col("n") / F.col("tot")), 9
+    )
+    ent = (
+        counts.join(F.broadcast(totals), "from_type")
+        .groupBy("from_type", "tot")
+        .agg(dsum(term, 9).alias("__h"))
+    )
+    return ent.select(
+        "from_type",
+        F.col("tot").cast("long").alias("n_transitions"),
+        round_half_up(F.col("__h"), digits).alias("entropy_nats"),
+        round_half_up(F.exp(F.col("__h")), digits).alias("perplexity"),
+    )

@@ -1148,3 +1148,159 @@ def kmv_audience_overlap(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return kmv_set_intersection(view.tables["events"])
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    r"""WITH per_doc AS (
+         SELECT lang,
+                len(list_filter(string_split(lower(text), ' '), x -> x != ''))
+                  AS ws,
+                len(regexp_extract_all(text, '\w+|[^\w\s]')) AS re_
+         FROM documents)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+              CAST(sum(re_) AS BIGINT) AS n_re_tokens,
+              floor(sum(re_) * 1.0 / sum(ws) * 1000000.0 + 0.5) / 1000000.0
+                AS fertility
+       FROM per_doc GROUP BY 1""",
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility (regex tokens per whitespace word) per
+    language — the comparative token-budget metric for multilingual
+    mixes; ratio of exact integer sums. See
+    text_analysis.tokenizer_fertility."""
+    from ..operators.text_analysis import tokenizer_fertility
+
+    view = _view(spark, sf_dir)
+    return tokenizer_fertility(view.tables["documents"])
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    f"""WITH cl AS (
+         SELECT md5({_NORM_DUCK}) AS fp, count(*) AS n_dups
+         FROM documents GROUP BY 1),
+       banded AS (
+         SELECT CASE WHEN n_dups = 1 THEN '1'
+                     WHEN n_dups = 2 THEN '2'
+                     WHEN n_dups <= 5 THEN '3-5'
+                     WHEN n_dups <= 10 THEN '6-10'
+                     ELSE '11+' END AS cluster_size_band,
+                n_dups
+         FROM cl)
+       SELECT cluster_size_band, CAST(count(*) AS BIGINT) AS n_clusters,
+              CAST(sum(n_dups) AS BIGINT) AS n_docs
+       FROM banded GROUP BY 1""",
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Exact-dup cluster-size bands (1 / 2 / 3-5 / 6-10 / 11+) with
+    cluster and document counts — the one-glance shape of the
+    duplication problem. See dedup.cluster_size_histogram."""
+    from ..operators.dedup import cluster_size_histogram
+
+    view = _view(spark, sf_dir)
+    return cluster_size_histogram(view.tables["documents"])
+
+
+@register(
+    "events_transition_entropy",
+    """WITH seq AS (
+         SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS to_type
+         FROM events),
+       counts AS (
+         SELECT from_type, to_type, count(*) AS n
+         FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       totals AS (SELECT from_type, sum(n) AS tot FROM counts GROUP BY 1),
+       terms AS (
+         SELECT c.from_type, t.tot,
+                floor(-(c.n * 1.0 / t.tot) * ln(c.n * 1.0 / t.tot)
+                      * 1000000000.0 + 0.5) / 1000000000.0 AS term
+         FROM counts c JOIN totals t USING (from_type)),
+       ent AS (
+         SELECT from_type, tot,
+                CAST(sum(CAST(term AS DECIMAL(27,9))) AS DOUBLE) AS h
+         FROM terms GROUP BY 1, 2)
+       SELECT from_type, CAST(tot AS BIGINT) AS n_transitions,
+              floor(h * 1000000.0 + 0.5) / 1000000.0 AS entropy_nats,
+              floor(exp(h) * 1000000.0 + 0.5) / 1000000.0 AS perplexity
+       FROM ent""",
+)
+def events_transition_entropy(spark, sf_dir):
+    """Per-state entropy/perplexity of the behavioral Markov chain's
+    next-event distribution — how deterministic behavior is after each
+    event type; 9-dp terms summed exactly. See
+    windows.transition_entropy."""
+    from ..operators.windows import transition_entropy
+
+    view = _view(spark, sf_dir)
+    return transition_entropy(view.tables["events"])
+
+
+@register(
+    "doc_length_lang_anova",
+    """WITH per_g AS (
+         SELECT lang, count(*) AS ni,
+                CAST(sum(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(27,9)))
+                     AS DOUBLE) AS si,
+                CAST(sum(CAST(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)
+                              AS DECIMAL(27,9))) AS DOUBLE) AS qi
+         FROM documents GROUP BY 1),
+       agg AS (
+         SELECT count(*) AS k, CAST(sum(ni) AS BIGINT) AS n,
+                sum(si) AS s, sum(qi) AS q,
+                sum(si * si / ni) AS sb
+         FROM per_g)
+       SELECT n, CAST(k AS BIGINT) AS k,
+              floor(((sb - s * s / n) / (k - 1))
+                    / ((q - sb) / (n - k)) * 1000000.0 + 0.5) / 1000000.0
+                AS f_stat,
+              floor((sb - s * s / n) / (q - s * s / n) * 1000000.0 + 0.5)
+                / 1000000.0 AS eta_squared
+       FROM agg""",
+)
+def doc_length_lang_anova(spark, sf_dir):
+    """One-way ANOVA of document length across languages (F statistic +
+    η²) — does language structure the length distribution (the check
+    before assuming a shared length-filter threshold works for every
+    language); sufficient statistics only, decimal-exact. The norm
+    variant is deliberately NOT registered: unit-normalized embeddings
+    make norm-ANOVA pure catastrophic cancellation (SSB ~1e-9 against
+    500-magnitude sums — numerically meaningless in any engine). See
+    statistics.oneway_anova."""
+    from ..operators.statistics import oneway_anova
+
+    view = _view(spark, sf_dir)
+    return oneway_anova(view.tables["documents"], "lang", "n_chars")
+
+
+@register(
+    "doc_char_entropy",
+    """WITH chars AS (
+         SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+         FROM documents,
+              LATERAL unnest(range(1, greatest(len(text), 1) + 1)) AS t(i)),
+       counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+       totals AS (SELECT doc_id, sum(c) AS n FROM counts GROUP BY 1),
+       terms AS (
+         SELECT c.doc_id, t.n,
+                floor(-(c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n)
+                      * 1000000000.0 + 0.5) / 1000000000.0 AS term
+         FROM counts c JOIN totals t USING (doc_id))
+       SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+              CAST(count(*) AS BIGINT) AS n_distinct_chars,
+              floor(CAST(sum(CAST(term AS DECIMAL(27,9))) AS DOUBLE)
+                    * 1000000.0 + 0.5) / 1000000.0 AS char_entropy
+       FROM terms GROUP BY doc_id, n""",
+)
+def doc_char_entropy(spark, sf_dir):
+    """Per-document character-unigram entropy — the gibberish /
+    encoding-junk detector (base64 scores near-uniform, spam near
+    zero); position-enumerated chars, linear row volume. See
+    text_analysis.char_entropy."""
+    from ..operators.text_analysis import char_entropy
+
+    view = _view(spark, sf_dir)
+    return char_entropy(view.tables["documents"])

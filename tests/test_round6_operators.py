@@ -627,3 +627,102 @@ def test_kmv_set_intersection_small_sets_exact(spark):
     row = kmv_set_intersection(df).collect()[0]
     assert row["exact_intersection"] == 5
     assert row["kmv_intersection"] == 5
+
+
+# --- batch 4 ----------------------------------------------------------------
+
+
+def test_tokenizer_fertility_punct_heavy_scores_higher(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        tokenizer_fertility,
+    )
+
+    rows = [
+        ("plain", "simple words only here"),
+        ("punct", "a,b,c! d.e.f? (g)"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    assert out["plain"]["fertility"] == 1.0
+    assert out["punct"]["fertility"] > 2.0
+    assert out["plain"]["n_ws_tokens"] == 4
+
+
+def test_cluster_size_histogram_bands(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        cluster_size_histogram,
+    )
+
+    rows = (
+        [(i, f"uniq {i}") for i in range(3)]          # 3 singletons
+        + [(10, "pair"), (11, "pair")]                  # one 2-cluster
+        + [(20 + i, "big") for i in range(12)]          # one 11+ cluster
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["cluster_size_band"]: r for r in cluster_size_histogram(df).collect()}
+    assert out["1"]["n_clusters"] == 3 and out["1"]["n_docs"] == 3
+    assert out["2"]["n_clusters"] == 1 and out["2"]["n_docs"] == 2
+    assert out["11+"]["n_clusters"] == 1 and out["11+"]["n_docs"] == 12
+
+
+def test_transition_entropy_deterministic_vs_uniform(spark):
+    import datetime
+
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        transition_entropy,
+    )
+
+    t0 = datetime.datetime(2024, 7, 1)
+    s = datetime.timedelta(seconds=1)
+    rows = []
+    eid = 0
+    # from 'a' always to 'b' (entropy 0); from 'b' to c/d evenly (ln 2)
+    for u in range(8):
+        seq = ["a", "b", "c" if u % 2 == 0 else "d", "a", "b", "d" if u % 2 == 0 else "c"]
+        for i, t in enumerate(seq):
+            rows.append((u, t0 + i * s, eid, t)); eid += 1
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = {r["from_type"]: r for r in transition_entropy(df).collect()}
+    assert out["a"]["entropy_nats"] == 0.0 and out["a"]["perplexity"] == 1.0
+    import math
+
+    assert abs(out["b"]["entropy_nats"] - math.log(2)) < 1e-5
+    assert abs(out["b"]["perplexity"] - 2.0) < 1e-4
+
+
+def test_oneway_anova_separated_groups(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        oneway_anova,
+    )
+
+    rows = [("a", 10.0 + i % 3) for i in range(30)] + [
+        ("b", 100.0 + i % 3) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = oneway_anova(df, "g", "v").collect()[0]
+    assert out["n"] == 60 and out["k"] == 2
+    assert out["f_stat"] > 1000  # massively separated means
+    assert out["eta_squared"] > 0.99
+
+    same = spark.createDataFrame(
+        [("a", float(i % 5)) for i in range(30)]
+        + [("b", float(i % 5)) for i in range(30)],
+        "g string, v double",
+    )
+    assert oneway_anova(same, "g", "v").collect()[0]["f_stat"] == 0.0
+
+
+def test_char_entropy_extremes(spark):
+    import math
+
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        char_entropy,
+    )
+
+    rows = [(0, "aaaaaaaa"), (1, "abcdefgh"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert out[0]["char_entropy"] == 0.0 and out[0]["n_distinct_chars"] == 1
+    assert abs(out[1]["char_entropy"] - math.log(8)) < 1e-5
+    # empty doc: the greatest(len,1) guard yields one empty-string char
+    assert out[2]["char_entropy"] == 0.0

@@ -65,6 +65,11 @@ QUERIES = [
     "graph_degree_powerlaw_fit",
     "quality_calibration_bins",
     "kmv_audience_overlap",
+    "tokenizer_fertility_by_lang",
+    "dedup_cluster_size_histogram",
+    "events_transition_entropy",
+    "doc_length_lang_anova",
+    "doc_char_entropy",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
