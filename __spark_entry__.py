@@ -138,6 +138,10 @@ _NEXT_ROTATION: list[str] = [
     "events_transition_entropy",
     "doc_length_lang_anova",
     "doc_char_entropy",
+    "graph_rich_club",
+    "embedding_intrinsic_dimension",
+    "events_weekly_autocorrelation",
+    "lang_token_budget_plan",
 ]
 
 

@@ -1214,3 +1214,63 @@ def degree_powerlaw_fit(
         ).alias("alpha"),
         F.max("deg").cast("long").alias("max_degree"),
     )
+
+
+def rich_club_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ks: tuple = (4, 8, 16),
+    digits: int = 6,
+) -> DataFrame:
+    """Rich-club coefficient φ(k) for each degree threshold k: the edge
+    density among nodes of degree > k — "do the hubs form a club"
+    (φ → 1 means the high-degree core is near-complete; flat/low φ
+    means hubs avoid each other), the structural complement to
+    assortativity's single number.
+
+    One degree aggregate, then per k two semi-joins of the undirected
+    edge list against the (shrinking) rich-node set and two bounded
+    counts. No windows; the rich sets shrink geometrically with k, so
+    the per-k cost is dominated by the smallest-k pass.
+    """
+    from ..functions.numeric import round_half_up
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    canon = und.filter(F.col("a") < F.col("b"))
+    out = None
+    for k in ks:
+        rich = deg.filter(F.col("deg") > k).select("node")
+        n_rich = rich.agg(F.count(F.lit(1)).alias("n_rich"))
+        e_rich = (
+            canon.join(rich.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(rich.withColumnRenamed("node", "b"), "b", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_edges_rich"))
+        )
+        row = (
+            n_rich.crossJoin(F.broadcast(e_rich))
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                F.col("n_rich").cast("long").alias("n_rich"),
+                F.col("n_edges_rich").cast("long").alias("n_edges_rich"),
+                round_half_up(
+                    F.when(
+                        F.col("n_rich") >= 2,
+                        2.0
+                        * F.col("n_edges_rich")
+                        / (F.col("n_rich") * (F.col("n_rich") - 1)),
+                    ),
+                    digits,
+                ).alias("phi"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

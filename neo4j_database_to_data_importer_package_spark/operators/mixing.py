@@ -414,3 +414,62 @@ def curriculum_phases(
         return out.localCheckpoint(eager=True)
     finally:
         slim.unpersist()
+
+
+def token_budget_plan(
+    df: DataFrame,
+    budget_tokens: int = 1_000_000,
+    temperature: float = 0.5,
+    group_col: str = "lang",
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Temperature-based multilingual token-budget allocation (the
+    XLM-R / mT5 recipe): per group, weight ∝ (token share)^τ, then
+    allocate ``budget_tokens`` by normalized weight — τ=1 keeps natural
+    proportions, τ→0 flattens toward uniform, the standard dial for
+    keeping low-resource languages represented. Epochs = allocation /
+    available tokens shows which groups will be over-sampled (>1 means
+    repetition — the value a curriculum planner watches).
+
+    One regex-token count projection, one bounded per-group aggregate,
+    a 1-row total broadcast back — plan arithmetic over the bounded
+    group table. Token counts are exact integers; pow/shares are
+    rounded at 6 dp on both engines.
+    """
+    from ..functions.numeric import round_half_up
+
+    toks = df.select(
+        F.col(group_col),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\w+|[^\w\s]"), 0)
+        ).alias("t"),
+    )
+    per_g = toks.groupBy(group_col).agg(F.sum("t").alias("n_tokens"))
+    tot = per_g.agg(F.sum("n_tokens").alias("total"))
+    with_w = per_g.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_tokens",
+        F.pow(F.col("n_tokens") / F.col("total"), F.lit(temperature)).alias(
+            "__w"
+        ),
+    )
+    wsum = with_w.agg(F.sum("__w").alias("ws"))
+    return (
+        with_w.crossJoin(F.broadcast(wsum))
+        .select(
+            group_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            round_half_up(F.col("__w") / F.col("ws"), digits).alias("weight"),
+            F.floor(
+                F.lit(float(budget_tokens)) * F.col("__w") / F.col("ws") + 0.5
+            ).cast("long").alias("alloc_tokens"),
+            round_half_up(
+                F.lit(float(budget_tokens))
+                * F.col("__w")
+                / F.col("ws")
+                / F.col("n_tokens"),
+                digits,
+            ).alias("epochs"),
+        )
+    )

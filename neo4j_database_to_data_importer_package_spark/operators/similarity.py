@@ -1180,3 +1180,47 @@ def centroid_split_drift(
             ).alias("centroid_cosine"),
         )
     )
+
+
+def intrinsic_dimension_twonn(
+    df: DataFrame,
+    n_queries: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 6,
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al.): from each
+    query point's two nearest neighbors, μ = r₂/r₁, and the MLE
+    d = n / Σ ln μ — the "how many dimensions does this embedding
+    manifold actually use" number that decides PQ subspace counts,
+    Matryoshka truncation points, and whether a 64-d index is wasted
+    on 9-d data.
+
+    Reuses the broadcast-queries brute-force top-k (k=2, rounded-cosine
+    deterministic ranking); with unit-normalized vectors r² = 2−2·cos,
+    so μ = √((1−cos₂)/(1−cos₁)) comes straight from the two rounded
+    cosines — engine-deterministic. Queries whose nearest neighbor is
+    an exact duplicate (cos₁ = 1, μ undefined) are excluded and
+    counted. ln μ terms are 9-dp-rounded and summed exactly.
+    """
+    from ..functions.numeric import dsum, round_half_up
+
+    top2 = brute_force_topk(
+        df, k=2, vec_col=vec_col, id_col=id_col, n_queries=n_queries
+    )
+    per_q = top2.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("cosine"))).alias("c1"),
+        F.max(F.when(F.col("rank") == 2, F.col("cosine"))).alias("c2"),
+    )
+    valid = per_q.filter(
+        (F.col("c1") < 1.0) & F.col("c2").isNotNull()
+    )
+    ln_mu = round_half_up(
+        0.5 * F.log((1.0 - F.col("c2")) / (1.0 - F.col("c1"))), 9
+    )
+    return valid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        round_half_up(
+            F.count(F.lit(1)) / dsum(ln_mu, 9), digits
+        ).alias("intrinsic_dim"),
+    )

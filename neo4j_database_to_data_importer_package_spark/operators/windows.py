@@ -978,3 +978,45 @@ def transition_entropy(
         round_half_up(F.col("__h"), digits).alias("entropy_nats"),
         round_half_up(F.exp(F.col("__h")), digits).alias("perplexity"),
     )
+
+
+def weekly_autocorrelation(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    lag_days: int = 7,
+    digits: int = 6,
+) -> DataFrame:
+    """Lag-k autocorrelation of the daily count series per key (default
+    lag 7 — the weekly rhythm test): Pearson r between day t and day
+    t−lag over all aligned day pairs — >0 confirms weekly seasonality
+    worth modeling (and justifies the hour-of-week anomaly profile);
+    ≈0 says the daily series is memoryless at that lag.
+
+    One daily aggregate, one EQUI-join of the day series against
+    itself shifted by ``lag_days`` (no window), then a closed-form
+    Pearson over integer count sums — every moment is an exact integer,
+    so r is engine-deterministic bit-for-bit.
+    """
+    daily = events.groupBy(
+        F.col(key_col), F.to_date(ts_col).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cur = daily.select(
+        F.col(key_col), F.col("day"), F.col("n").alias("x")
+    )
+    prev = daily.select(
+        F.col(key_col),
+        F.date_add("day", lag_days).alias("day"),
+        F.col("n").alias("y"),
+    )
+    pairs = cur.join(prev, [key_col, "day"])
+    n = F.count(F.lit(1))
+    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = F.sqrt(
+        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        * (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+    )
+    return pairs.groupBy(key_col).agg(
+        n.cast("long").alias("n_pairs"),
+        round_half_up(num / den, digits).alias("lag_autocorr"),
+    )

@@ -1304,3 +1304,147 @@ def doc_char_entropy(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return char_entropy(view.tables["documents"])
+
+
+@register(
+    "graph_rich_club",
+    f"""WITH {_SHIPYEAR_E_DUCK},
+       und2 AS (SELECT a, b FROM und WHERE a != b),
+       deg AS (SELECT a AS node, count(*) AS deg FROM und2 GROUP BY 1),
+       canon AS (SELECT a, b FROM und2 WHERE a < b),
+       ks AS (SELECT unnest([4, 8, 16]) AS k),
+       rich AS (
+         SELECT k.k, d.node FROM ks k JOIN deg d ON d.deg > k.k),
+       nr AS (SELECT k, count(*) AS n_rich FROM rich GROUP BY 1),
+       er AS (
+         SELECT r1.k, count(*) AS n_edges_rich
+         FROM canon c
+         JOIN rich r1 ON r1.node = c.a
+         JOIN rich r2 ON r2.node = c.b AND r2.k = r1.k
+         GROUP BY 1)
+       SELECT k.k AS k,
+              CAST(coalesce(nr.n_rich, 0) AS BIGINT) AS n_rich,
+              CAST(coalesce(er.n_edges_rich, 0) AS BIGINT) AS n_edges_rich,
+              CASE WHEN coalesce(nr.n_rich, 0) >= 2
+                   THEN floor(2.0 * coalesce(er.n_edges_rich, 0)
+                              / (nr.n_rich * (nr.n_rich - 1.0))
+                              * 1000000.0 + 0.5) / 1000000.0 END AS phi
+       FROM ks k
+       LEFT JOIN nr ON nr.k = k.k
+       LEFT JOIN er ON er.k = k.k""",
+)
+def graph_rich_club(spark, sf_dir):
+    """Rich-club coefficient φ(k) at k ∈ {4, 8, 16} over the ship-year
+    graph — do the hubs form a club; per-k semi-joins against the
+    shrinking rich-node set. See graph_algos.rich_club_coefficient."""
+    from ..operators.graph_algos import rich_club_coefficient
+
+    return rich_club_coefficient(_shipyear_graph(_view(spark, sf_dir)))
+
+
+@register(
+    "embedding_intrinsic_dimension",
+    """WITH v AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+         FROM embeddings),
+       q AS (SELECT * FROM v WHERE vec_id < 100),
+       scored AS (
+         SELECT q.vec_id AS query_id,
+                floor(list_dot_product(q.v, c.v) / (q.norm * c.norm)
+                      * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+                c.vec_id AS neighbor_id
+         FROM q JOIN v c ON q.vec_id != c.vec_id),
+       topk AS (
+         SELECT query_id, cosine, rnk FROM (
+           SELECT query_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM scored) t WHERE rnk <= 2),
+       per_q AS (
+         SELECT query_id,
+                max(CASE WHEN rnk = 1 THEN cosine END) AS c1,
+                max(CASE WHEN rnk = 2 THEN cosine END) AS c2
+         FROM topk GROUP BY 1),
+       valid AS (
+         SELECT floor(0.5 * ln((1.0 - c2) / (1.0 - c1))
+                      * 1000000000.0 + 0.5) / 1000000000.0 AS lnmu
+         FROM per_q WHERE c1 < 1.0 AND c2 IS NOT NULL)
+       SELECT CAST(count(*) AS BIGINT) AS n_used,
+              floor(count(*) /
+                    CAST(sum(CAST(lnmu AS DECIMAL(27,9))) AS DOUBLE)
+                    * 1000000.0 + 0.5) / 1000000.0 AS intrinsic_dim
+       FROM valid""",
+)
+def embedding_intrinsic_dimension(spark, sf_dir):
+    """TwoNN intrinsic-dimension MLE from each query's two nearest
+    neighbors (μ = r2/r1 from rounded cosines on unit vectors) — how
+    many dimensions the embedding manifold actually uses. See
+    similarity.intrinsic_dimension_twonn."""
+    from ..operators.similarity import intrinsic_dimension_twonn
+
+    view = _view(spark, sf_dir)
+    return intrinsic_dimension_twonn(view.tables["embeddings"])
+
+
+@register(
+    "events_weekly_autocorrelation",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       pairs AS (
+         SELECT c.event_type, c.n AS x, p.n AS y
+         FROM daily c
+         JOIN daily p ON p.event_type = c.event_type
+                     AND p.day + 7 = c.day)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+              floor((count(*) * CAST(sum(x * y) AS DOUBLE)
+                     - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+                    / sqrt((count(*) * CAST(sum(x * x) AS DOUBLE)
+                            - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+                         * (count(*) * CAST(sum(y * y) AS DOUBLE)
+                            - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)))
+                    * 1000000.0 + 0.5) / 1000000.0 AS lag_autocorr
+       FROM pairs GROUP BY 1""",
+)
+def events_weekly_autocorrelation(spark, sf_dir):
+    """Lag-7 Pearson autocorrelation of each type's daily count series
+    — the weekly-rhythm test behind the seasonal anomaly profile; all
+    moments exact integers, no window. See
+    windows.weekly_autocorrelation."""
+    from ..operators.windows import weekly_autocorrelation
+
+    view = _view(spark, sf_dir)
+    return weekly_autocorrelation(view.tables["events"])
+
+
+@register(
+    "lang_token_budget_plan",
+    r"""WITH toks AS (
+         SELECT lang, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS t
+         FROM documents),
+       per_g AS (SELECT lang, sum(t) AS n_tokens FROM toks GROUP BY 1),
+       tot AS (SELECT sum(n_tokens) AS total FROM per_g),
+       w AS (
+         SELECT lang, n_tokens,
+                pow(n_tokens * 1.0 / t.total, 0.5) AS wgt
+         FROM per_g, tot t),
+       ws AS (SELECT sum(wgt) AS s FROM w)
+       SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+              floor(wgt / s.s * 1000000.0 + 0.5) / 1000000.0 AS weight,
+              CAST(floor(1000000.0 * wgt / s.s + 0.5) AS BIGINT)
+                AS alloc_tokens,
+              floor(1000000.0 * wgt / s.s / n_tokens * 1000000.0 + 0.5)
+                / 1000000.0 AS epochs
+       FROM w, ws s""",
+)
+def lang_token_budget_plan(spark, sf_dir):
+    """Temperature-based (τ=0.5) token-budget allocation across
+    languages — the XLM-R/mT5 sampling recipe as a plan table: weight,
+    allocated tokens of a 1M budget, and epochs (>1 = repetition) per
+    language. See mixing.token_budget_plan."""
+    from ..operators.mixing import token_budget_plan
+
+    view = _view(spark, sf_dir)
+    return token_budget_plan(view.tables["documents"])

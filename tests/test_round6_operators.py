@@ -726,3 +726,100 @@ def test_char_entropy_extremes(spark):
     assert abs(out[1]["char_entropy"] - math.log(8)) < 1e-5
     # empty doc: the greatest(len,1) guard yields one empty-string char
     assert out[2]["char_entropy"] == 0.0
+
+
+# --- batch 5 ----------------------------------------------------------------
+
+
+def test_rich_club_complete_core(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        rich_club_coefficient,
+    )
+
+    # 4-clique core, each core node also pends 3 leaves -> deg(core)=6
+    core = [f"c{i}" for i in range(4)]
+    edges = [(x, y) for i, x in enumerate(core) for y in core[i + 1 :]]
+    for i, c in enumerate(core):
+        for j in range(3):
+            edges.append((c, f"leaf{i}_{j}"))
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["k"]: r for r in rich_club_coefficient(edf, ks=(2, 5)).collect()}
+    # k=5: only the 4 core nodes qualify; they form a complete club
+    assert out[5]["n_rich"] == 4 and out[5]["phi"] == 1.0
+    # k=2: still only core (leaves have degree 1)
+    assert out[2]["n_rich"] == 4
+
+
+def test_intrinsic_dimension_line_vs_volume(spark):
+    import hashlib
+
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        intrinsic_dimension_twonn,
+    )
+
+    import math
+
+    def h(i, j):
+        return int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:6], 16) / 0xFFFFFF
+
+    # 1-d manifold: jittered points on a circle (angular gaps large
+    # enough that the 6-dp cosine rounding is immaterial; jitter breaks
+    # the equal-spacing r1 == r2 degeneracy)
+    rows1 = []
+    for i in range(120):
+        th = (i + 0.5 * h(i, 0)) * 0.1
+        v = [math.cos(th), math.sin(th), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        rows1.append((i, v, 0))
+    d1 = spark.createDataFrame(rows1, "vec_id long, embedding array<float>, label int")
+    id1 = intrinsic_dimension_twonn(d1, n_queries=60).collect()[0]
+
+    # full-rank cloud in 8-d
+    rows8 = [(i, [h(i, j) for j in range(8)], 0) for i in range(120)]
+    d8 = spark.createDataFrame(rows8, "vec_id long, embedding array<float>, label int")
+    id8 = intrinsic_dimension_twonn(d8, n_queries=60).collect()[0]
+
+    assert id1["intrinsic_dim"] < id8["intrinsic_dim"]
+    assert id1["intrinsic_dim"] < 3.0  # true dim 1 (+ rounding bias)
+    assert id8["intrinsic_dim"] > 4.0
+
+
+def test_weekly_autocorrelation_periodic_vs_flat(spark):
+    import datetime
+
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        weekly_autocorrelation,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(28):
+        n = 10 + (50 if d % 7 == 0 else 0)  # weekly spike
+        for i in range(n):
+            rows.append((base + datetime.timedelta(days=d, seconds=i), "weekly"))
+        for i in range(10 + d % 2):  # near-flat control
+            rows.append((base + datetime.timedelta(days=d, seconds=i), "flat"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r["event_type"]: r for r in weekly_autocorrelation(df).collect()}
+    assert out["weekly"]["lag_autocorr"] > 0.95
+    assert out["weekly"]["n_pairs"] == 21
+    # parity-alternating control at an ODD lag is perfectly
+    # anti-correlated — a deterministic behavior check, not noise
+    assert out["flat"]["lag_autocorr"] == -1.0
+
+
+def test_token_budget_plan_temperature_flattens(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.mixing import (
+        token_budget_plan,
+    )
+
+    rows = [("big", "w " * 900), ("small", "w " * 100)]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r["lang"]: r for r in token_budget_plan(
+        df, budget_tokens=1000, temperature=0.5
+    ).collect()}
+    # natural share 0.9/0.1 -> sqrt shares 0.948/0.316 -> ~0.75/0.25
+    assert 0.70 < out["big"]["weight"] < 0.80
+    assert 0.20 < out["small"]["weight"] < 0.30
+    assert out["big"]["alloc_tokens"] + out["small"]["alloc_tokens"] in (999, 1000, 1001)
+    # the small lang is over-sampled (epochs > big's)
+    assert out["small"]["epochs"] > out["big"]["epochs"]
