@@ -112,6 +112,8 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/analytics.py", "mx"),
     ("operators/analytics.py", "n_orders"),
     ("operators/graph_algos.py", "amax"),
+    ("operators/graph_algos.py", "e_rich"),  # 1-row rich-edge count
+    ("operators/mixing.py", "wsum"),         # 1-row weight total
     ("operators/graph_algos.py", "hmax"),
     ("operators/mixing.py", "tot"),
     ("operators/retrieval.py", "n_docs"),
