@@ -142,6 +142,9 @@ _NEXT_ROTATION: list[str] = [
     "embedding_intrinsic_dimension",
     "events_weekly_autocorrelation",
     "lang_token_budget_plan",
+    "events_funnel_steps",
+    "source_js_divergence",
+    "ann_recall_curve",
 ]
 
 

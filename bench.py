@@ -262,6 +262,9 @@ BENCH_QUERIES = [
     "embedding_intrinsic_dimension",
     "events_weekly_autocorrelation",
     "lang_token_budget_plan",
+    "events_funnel_steps",
+    "source_js_divergence",
+    "ann_recall_curve",
 ]
 
 

@@ -1224,3 +1224,59 @@ def intrinsic_dimension_twonn(
             F.count(F.lit(1)) / dsum(ln_mu, 9), digits
         ).alias("intrinsic_dim"),
     )
+
+
+def ann_recall_curve(
+    df: DataFrame,
+    ks: tuple = (1, 5, 10, 20),
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Recall@k CURVE of the IVF index against exact brute force, for
+    several k in one pass — the index-tuning chart (one recall point
+    hides whether losses sit at the top of the ranking or the tail;
+    the curve decides nprobe/n_cells).
+
+    Both rankings run once at max(ks) (deterministic rounded-cosine
+    order); per k the prefix intersection |I_k ∩ B_k| comes from one
+    rank-filtered join + a bounded aggregate. Output one row per k:
+    mean recall@k over the query set.
+    """
+    from ..functions.numeric import round_half_up
+
+    kmax = max(ks)
+    ivf = ivf_topk(
+        df, k=kmax, n_cells=n_cells, nprobe=nprobe, n_queries=n_queries,
+        vec_col=vec_col, id_col=id_col,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("ri"))
+    brute = brute_force_topk(
+        df, k=kmax, n_queries=n_queries, vec_col=vec_col, id_col=id_col
+    ).select("query_id", "neighbor_id", F.col("rank").alias("rb"))
+    matched = ivf.join(brute, ["query_id", "neighbor_id"])
+    kdf = matched.crossJoin(
+        F.broadcast(
+            df.sparkSession.createDataFrame([(k,) for k in ks], "k int")
+        )
+    ).filter((F.col("ri") <= F.col("k")) & (F.col("rb") <= F.col("k")))
+    per_qk = kdf.groupBy("k", "query_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    # normalize by the FULL query count (a query with zero overlap at
+    # some k has no per_qk row but still belongs in the mean)
+    qtot = brute.agg(F.countDistinct("query_id").alias("qn"))
+    return (
+        per_qk.groupBy("k")
+        .agg(F.sum(F.col("n_overlap") / F.col("k")).alias("__s"))
+        .crossJoin(F.broadcast(qtot))
+        .select(
+            "k",
+            F.col("qn").cast("long").alias("n_queries"),
+            round_half_up(F.col("__s") / F.col("qn"), digits).alias(
+                "mean_recall"
+            ),
+        )
+    )

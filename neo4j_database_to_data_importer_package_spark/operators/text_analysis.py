@@ -1218,3 +1218,68 @@ def char_entropy(
             "char_entropy",
         )
     )
+
+
+def js_divergence_sources(
+    df: DataFrame,
+    source_a: str,
+    source_b: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_v: int = 500,
+    digits: int = 6,
+) -> DataFrame:
+    """Jensen–Shannon divergence (nats; √JS is a metric, JS ≤ ln 2)
+    between the term distributions of two sources over their combined
+    top-``top_v`` vocabulary — the symmetric, bounded domain-shift
+    number for "how differently do these two slices talk" (0 =
+    identical usage, ln 2 = disjoint vocabularies).
+
+    One term-count aggregate restricted to the two sources, a limit-v
+    vocabulary cut (TakeOrderedAndProject — bounded output), probability
+    terms from exact integer count ratios, and the JS fold with
+    9-dp-rounded terms summed exactly. Zero-probability terms contribute
+    their ½·q·ln 2 side exactly (handled by the CASE split, no
+    smoothing).
+    """
+    from ..functions.numeric import dsum, round_half_up
+    from ..functions.text import tokens
+
+    tc = (
+        df.filter(F.col(group_col).isin(source_a, source_b))
+        .select(F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pivoted = tc.groupBy("term").agg(
+        F.sum(F.when(F.col("g") == source_a, F.col("c")).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == source_b, F.col("c")).otherwise(0)).alias("cb"),
+    )
+    vocab = pivoted.orderBy(
+        F.desc(F.col("ca") + F.col("cb")), F.asc("term")
+    ).limit(top_v)
+    tot = vocab.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    wj = vocab.crossJoin(F.broadcast(tot)).select(
+        (F.col("ca") / F.col("na")).alias("p"),
+        (F.col("cb") / F.col("nb")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    term = round_half_up(
+        0.5
+        * (
+            F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+            + F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)).otherwise(0.0)
+        ),
+        9,
+    )
+    return wj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        round_half_up(dsum(term, 9), digits).alias("js_divergence"),
+    ).select(
+        F.lit(source_a).alias("source_a"),
+        F.lit(source_b).alias("source_b"),
+        "n_terms",
+        "js_divergence",
+    )

@@ -1020,3 +1020,66 @@ def weekly_autocorrelation(
         n.cast("long").alias("n_pairs"),
         round_half_up(num / den, digits).alias("lag_autocorr"),
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "signup", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    digits: int = 6,
+) -> DataFrame:
+    """N-step ORDERED funnel: per user, step i counts only if it
+    happens strictly AFTER the user's step-(i−1) completion time — the
+    multi-stage generalization of the 2-step view→purchase funnel,
+    reported as (step, users reached, conversion from previous step,
+    conversion from step 1).
+
+    Implemented as a fixed cascade of per-user min-aggregates: r₁ =
+    min ts of step 1; rᵢ = min ts of step i AFTER rᵢ₋₁ (one aggregate
+    + one per-user join per step — len(steps) bounded passes, each a
+    per-user hash aggregate; no per-user sequence materialization, no
+    window over the raw stream). Exact under out-of-order data by
+    construction (min-after is order-free).
+    """
+    reach = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("r"))
+    )
+    counts = [reach.count()]
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(reach, user_col)
+            .filter(F.col(ts_col) > F.col("r"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("r"))
+        )
+        reach = nxt.localCheckpoint(eager=True)  # bounded cascade state
+        counts.append(reach.count())
+    import math
+
+    def r6(x):  # round-half-up, identical to the SQL oracle's formula
+        s = 10 ** digits
+        return math.floor(x * s + 0.5) / s
+
+    spark = events.sparkSession
+    rows = []
+    for i, (step, n) in enumerate(zip(steps, counts)):
+        prev = counts[i - 1] if i else counts[0]
+        rows.append(
+            (
+                i + 1,
+                step,
+                n,
+                r6(n / prev) if prev else None,
+                r6(n / counts[0]) if counts[0] else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "step int, step_name string, n_users long, "
+        "conv_from_prev double, conv_from_first double",
+    )

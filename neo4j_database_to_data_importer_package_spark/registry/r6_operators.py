@@ -1448,3 +1448,139 @@ def lang_token_budget_plan(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return token_budget_plan(view.tables["documents"])
+
+
+@register(
+    "events_funnel_steps",
+    """WITH r1 AS (
+         SELECT user_id, min(ts) AS r FROM events
+         WHERE event_type = 'view' GROUP BY 1),
+       r2 AS (
+         SELECT e.user_id, min(e.ts) AS r
+         FROM events e JOIN r1 ON e.user_id = r1.user_id
+         WHERE e.event_type = 'click' AND e.ts > r1.r GROUP BY 1),
+       r3 AS (
+         SELECT e.user_id, min(e.ts) AS r
+         FROM events e JOIN r2 ON e.user_id = r2.user_id
+         WHERE e.event_type = 'signup' AND e.ts > r2.r GROUP BY 1),
+       r4 AS (
+         SELECT e.user_id, min(e.ts) AS r
+         FROM events e JOIN r3 ON e.user_id = r3.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > r3.r GROUP BY 1),
+       c AS (
+         SELECT (SELECT count(*) FROM r1) AS c1,
+                (SELECT count(*) FROM r2) AS c2,
+                (SELECT count(*) FROM r3) AS c3,
+                (SELECT count(*) FROM r4) AS c4)
+       SELECT 1 AS step, 'view' AS step_name, CAST(c1 AS BIGINT) AS n_users,
+              floor(c1 * 1.0 / c1 * 1000000.0 + 0.5) / 1000000.0 AS conv_from_prev,
+              floor(c1 * 1.0 / c1 * 1000000.0 + 0.5) / 1000000.0 AS conv_from_first
+       FROM c
+       UNION ALL
+       SELECT 2, 'click', CAST(c2 AS BIGINT),
+              floor(c2 * 1.0 / c1 * 1000000.0 + 0.5) / 1000000.0,
+              floor(c2 * 1.0 / c1 * 1000000.0 + 0.5) / 1000000.0 FROM c
+       UNION ALL
+       SELECT 3, 'signup', CAST(c3 AS BIGINT),
+              floor(c3 * 1.0 / c2 * 1000000.0 + 0.5) / 1000000.0,
+              floor(c3 * 1.0 / c1 * 1000000.0 + 0.5) / 1000000.0 FROM c
+       UNION ALL
+       SELECT 4, 'purchase', CAST(c4 AS BIGINT),
+              floor(c4 * 1.0 / c3 * 1000000.0 + 0.5) / 1000000.0,
+              floor(c4 * 1.0 / c1 * 1000000.0 + 0.5) / 1000000.0 FROM c""",
+)
+def events_funnel_steps(spark, sf_dir):
+    """4-step ordered funnel (view→click→signup→purchase, each step
+    strictly after the previous completion): users reached plus
+    conversion from the previous and first steps — a fixed cascade of
+    per-user min-after aggregates, exact under out-of-order data. See
+    windows.funnel_steps."""
+    from ..operators.windows import funnel_steps
+
+    view = _view(spark, sf_dir)
+    return funnel_steps(view.tables["events"])
+
+
+@register(
+    "source_js_divergence",
+    """WITH tc AS (
+         SELECT t.term, source AS g, count(*) AS c
+         FROM (
+           SELECT source,
+                  unnest(list_filter(string_split(lower(text), ' '),
+                                     x -> x != '')) AS term
+           FROM documents WHERE source IN ('src0', 'src1')) t
+         GROUP BY 1, 2),
+       piv AS (
+         SELECT term,
+                sum(CASE WHEN g = 'src0' THEN c ELSE 0 END) AS ca,
+                sum(CASE WHEN g = 'src1' THEN c ELSE 0 END) AS cb
+         FROM tc GROUP BY 1),
+       vocab AS (
+         SELECT * FROM piv ORDER BY ca + cb DESC, term ASC LIMIT 500),
+       tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM vocab),
+       wj AS (
+         SELECT ca * 1.0 / t.na AS p, cb * 1.0 / t.nb AS q
+         FROM vocab, tot t),
+       terms AS (
+         SELECT floor(0.5 * (
+                  CASE WHEN p > 0
+                       THEN p * ln(p / ((p + q) / 2.0)) ELSE 0 END
+                + CASE WHEN q > 0
+                       THEN q * ln(q / ((p + q) / 2.0)) ELSE 0 END)
+                * 1000000000.0 + 0.5) / 1000000000.0 AS term
+         FROM wj)
+       SELECT 'src0' AS source_a, 'src1' AS source_b,
+              CAST(count(*) AS BIGINT) AS n_terms,
+              floor(CAST(sum(CAST(term AS DECIMAL(27,9))) AS DOUBLE)
+                    * 1000000.0 + 0.5) / 1000000.0 AS js_divergence
+       FROM terms""",
+)
+def source_js_divergence(spark, sf_dir):
+    """Jensen–Shannon divergence between two sources' term
+    distributions over their combined top-500 vocabulary — the
+    symmetric bounded domain-shift number; exact integer probability
+    ratios, 9-dp term fold. See text_analysis.js_divergence_sources."""
+    from ..operators.text_analysis import js_divergence_sources
+
+    view = _view(spark, sf_dir)
+    return js_divergence_sources(view.tables["documents"], "src0", "src1")
+
+
+def _recall_curve_oracle() -> str:
+    # the shared limit token is "rank <= 10" (the nprobe cut is "r <= 4"
+    # and must NOT change)
+    ivf20 = ORACLES["embedding_ivf_topk"].replace("rank <= 10", "rank <= 20")
+    brute20 = ORACLES["embedding_topk"].replace("rank <= 10", "rank <= 20")
+    return f"""WITH ivf AS ({ivf20}),
+     brute AS ({brute20}),
+     matched AS (
+       SELECT i.query_id, i.rank AS ri, b.rank AS rb
+       FROM ivf i JOIN brute b
+         ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id),
+     ks AS (SELECT unnest([1, 5, 10, 20]) AS k),
+     per_qk AS (
+       SELECT ks.k, m.query_id, count(*) AS n_overlap
+       FROM matched m JOIN ks ON m.ri <= ks.k AND m.rb <= ks.k
+       GROUP BY 1, 2),
+     qn AS (SELECT count(DISTINCT query_id) AS qn FROM brute)
+   SELECT ks.k, CAST(q.qn AS BIGINT) AS n_queries,
+          floor(coalesce(sum(p.n_overlap * 1.0 / ks.k), 0) / q.qn
+                * 1000000.0 + 0.5) / 1000000.0 AS mean_recall
+   FROM ks CROSS JOIN qn q
+   LEFT JOIN per_qk p ON p.k = ks.k
+   GROUP BY ks.k, q.qn"""
+
+
+@register("ann_recall_curve", None)
+def ann_recall_curve_q(spark, sf_dir):
+    """Recall@k curve (k ∈ 1,5,10,20) of IVF vs brute force from one
+    max-k ranking pass per side — the index-tuning chart behind the
+    single-point ann_recall_at_k. See similarity.ann_recall_curve."""
+    from ..operators.similarity import ann_recall_curve
+
+    view = _view(spark, sf_dir)
+    return ann_recall_curve(view.tables["embeddings"])
+
+
+ORACLES["ann_recall_curve"] = _recall_curve_oracle()

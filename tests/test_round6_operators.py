@@ -823,3 +823,73 @@ def test_token_budget_plan_temperature_flattens(spark):
     assert out["big"]["alloc_tokens"] + out["small"]["alloc_tokens"] in (999, 1000, 1001)
     # the small lang is over-sampled (epochs > big's)
     assert out["small"]["epochs"] > out["big"]["epochs"]
+
+
+# --- batch 6 ----------------------------------------------------------------
+
+
+def test_funnel_steps_ordered_cascade(spark):
+    import datetime
+
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        funnel_steps,
+    )
+
+    t0 = datetime.datetime(2024, 8, 1)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        # u1 completes the full ordered funnel
+        (1, t0, "view"), (1, t0 + m, "click"), (1, t0 + 2 * m, "signup"),
+        (1, t0 + 3 * m, "purchase"),
+        # u2: purchase BEFORE view — must not count past step 1
+        (2, t0, "purchase"), (2, t0 + m, "view"),
+        # u3: view then click only
+        (3, t0, "view"), (3, t0 + m, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["step"]: r for r in funnel_steps(df).collect()}
+    assert out[1]["n_users"] == 3
+    assert out[2]["n_users"] == 2
+    assert out[3]["n_users"] == 1
+    assert out[4]["n_users"] == 1
+    assert out[4]["conv_from_first"] == round(1 / 3, 6) or abs(out[4]["conv_from_first"] - 1/3) < 1e-5
+
+
+def test_js_divergence_extremes(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        js_divergence_sources,
+    )
+
+    import math
+
+    same = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")], "source string, text string"
+    )
+    r0 = js_divergence_sources(same, "a", "b").collect()[0]
+    assert r0["js_divergence"] == 0.0
+
+    disjoint = spark.createDataFrame(
+        [("a", "x y z"), ("b", "p q r")], "source string, text string"
+    )
+    r1 = js_divergence_sources(disjoint, "a", "b").collect()[0]
+    assert abs(r1["js_divergence"] - math.log(2)) < 1e-5
+
+
+def test_ann_recall_curve_monotone_and_top1(spark):
+    import hashlib
+
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        ann_recall_curve,
+    )
+
+    rows = []
+    for i in range(200):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        v = [int(h[j * 2 : j * 2 + 2], 16) / 255.0 for j in range(8)]
+        rows.append((i, v, 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["k"]: r["mean_recall"] for r in ann_recall_curve(
+        df, ks=(1, 5, 10), n_cells=8, nprobe=8, n_queries=8
+    ).collect()}
+    # nprobe == n_cells -> exhaustive search -> recall 1.0 everywhere
+    assert out[1] == 1.0 and out[5] == 1.0 and out[10] == 1.0

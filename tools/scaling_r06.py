@@ -74,6 +74,9 @@ QUERIES = [
     "embedding_intrinsic_dimension",
     "events_weekly_autocorrelation",
     "lang_token_budget_plan",
+    "events_funnel_steps",
+    "source_js_divergence",
+    "ann_recall_curve",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
