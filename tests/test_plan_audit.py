@@ -119,6 +119,9 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/retrieval.py", "n_docs"),
     ("operators/retrieval.py", "globals_"),
     ("operators/similarity.py", "n"),
+    ("operators/similarity.py", "qtot"),  # 1-row distinct-query count
+    ("operators/similarity.py", "df.sparkSession.createDataFrame([(k,"),  # fixed k grid
+    ("operators/text_analysis.py", "tot"),  # 1-row two-source totals (JS)
     ("operators/text_analysis.py", "total"),
     ("operators/text_analysis.py", "mx"),
     ("operators/text_analysis.py", "totals"),
