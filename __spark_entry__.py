@@ -145,6 +145,8 @@ _NEXT_ROTATION: list[str] = [
     "events_funnel_steps",
     "source_js_divergence",
     "ann_recall_curve",
+    "streaming_zscore_extremes",
+    "events_fd_violations",
 ]
 
 

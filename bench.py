@@ -265,6 +265,8 @@ BENCH_QUERIES = [
     "events_funnel_steps",
     "source_js_divergence",
     "ann_recall_curve",
+    "streaming_zscore_extremes",
+    "events_fd_violations",
 ]
 
 

@@ -286,3 +286,47 @@ def data_quality_checks(view) -> DataFrame:
     for piece in (fk2, rng1, rng2, ne, uniq):
         out = out.unionByName(piece)
     return out
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs: str,
+    rhs: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Functional-dependency check lhs → rhs (the Metanome-style
+    profiling primitive): does each lhs value determine a single rhs
+    value? Reports, per violating lhs key, how many distinct rhs
+    values it maps to and how many rows sit outside the majority
+    mapping — the schema-discovery signal ("is source→lang a real
+    rule?") and the dirty-data count if you enforce it.
+
+    Two hash aggregates over the (lhs, rhs) projection: value-pair
+    counts, then per-lhs distinct-rhs + majority bookkeeping via a
+    (count, rhs) struct max — no windows; output only the violating
+    keys, globally top-``top_k`` by violation count
+    (TakeOrderedAndProject — bounded).
+    """
+    pairs = df.groupBy(
+        F.col(lhs).alias("lhs_value"), F.col(rhs).alias("__rhs")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_lhs = pairs.groupBy("lhs_value").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_rhs"),
+        F.sum("n").alias("__total"),
+        F.max(F.struct(F.col("n").alias("n"), F.col("__rhs").alias("r"))).alias(
+            "__m"
+        ),
+    )
+    return (
+        per_lhs.filter(F.col("n_distinct_rhs") > 1)
+        .select(
+            "lhs_value",
+            "n_distinct_rhs",
+            F.col("__total").cast("long").alias("n_rows"),
+            (F.col("__total") - F.col("__m.n")).cast("long").alias(
+                "n_violating_rows"
+            ),
+        )
+        .orderBy(F.desc("n_violating_rows"), F.asc("lhs_value"))
+        .limit(top_k)
+    )

@@ -1584,3 +1584,83 @@ def ann_recall_curve_q(spark, sf_dir):
 
 
 ORACLES["ann_recall_curve"] = _recall_curve_oracle()
+
+
+@register(
+    "streaming_zscore_extremes",
+    """WITH m AS (
+         SELECT CAST(event_type AS VARCHAR) AS key,
+                CAST(floor(CAST(value AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)
+                  AS v
+         FROM events),
+       agg AS (
+         SELECT key, count(*) AS n,
+                CAST(sum(v) AS BIGINT) AS s,
+                CAST(sum(v * v) AS BIGINT) AS q,
+                min(v) AS vmin, max(v) AS vmax
+         FROM m GROUP BY 1)
+       SELECT key, CAST(n AS BIGINT) AS n_events,
+              floor((s * 1.0 / n) / 1000.0 * 1000000.0 + 0.5) / 1000000.0
+                AS mean_value,
+              floor(sqrt(greatest(q * 1.0 / n
+                                  - (s * 1.0 / n) * (s * 1.0 / n), 0.0))
+                    / 1000.0 * 1000000.0 + 0.5) / 1000000.0 AS stddev_value,
+              CASE WHEN q * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n) > 0
+                   THEN floor(greatest(abs(vmax - s * 1.0 / n),
+                                       abs(vmin - s * 1.0 / n))
+                              / sqrt(q * 1.0 / n
+                                     - (s * 1.0 / n) * (s * 1.0 / n))
+                              * 1000000.0 + 0.5) / 1000000.0 END AS max_abs_z
+       FROM agg""",
+)
+def streaming_zscore_extremes(spark, sf_dir):
+    """Streaming z-score extremes monitor (applyInPandasWithState):
+    per-key integer-milli moments + min/max state — all commutative, so
+    the emitted mean/stddev/max|z| equal the batch computation under
+    any micro-batch schedule. See
+    streaming/stateful.streaming_zscore_monitor."""
+    from pyspark.sql import Window
+
+    from ..streaming.events import run_stream_to_memory
+    from ..streaming.stateful import streaming_zscore_monitor as op
+    from .streaming import _STREAM_SEQ, _replayed_events_stream
+
+    stream = _replayed_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    _STREAM_SEQ[0] += 1
+    got = run_stream_to_memory(
+        op(stream), f"q_stream_zscore_{_STREAM_SEQ[0]}", output_mode="update",
+        state_partitions=8,
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("n_events"))
+    return (
+        got.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("key", "n_events", "mean_value", "stddev_value", "max_abs_z")
+    )
+
+
+@register(
+    "events_fd_violations",
+    """WITH pairs AS (
+         SELECT user_id AS lhs_value, event_type AS rhs, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       per_lhs AS (
+         SELECT lhs_value, count(*) AS n_distinct_rhs,
+                sum(n) AS total, max(n) AS maj
+         FROM pairs GROUP BY 1)
+       SELECT CAST(lhs_value AS BIGINT) AS lhs_value,
+              CAST(n_distinct_rhs AS BIGINT) AS n_distinct_rhs,
+              CAST(total AS BIGINT) AS n_rows,
+              CAST(total - maj AS BIGINT) AS n_violating_rows
+       FROM per_lhs WHERE n_distinct_rhs > 1
+       ORDER BY n_violating_rows DESC, lhs_value ASC LIMIT 5""",
+)
+def events_fd_violations(spark, sf_dir):
+    """Functional-dependency profiling user_id → event_type (an FD that
+    should NOT hold — the violation table shows multi-type users and
+    what enforcing the rule would discard); Metanome-style two-
+    aggregate check, top-5 violators. See profiling.fd_violations."""
+    from ..operators.profiling import fd_violations
+
+    view = _view(spark, sf_dir)
+    return fd_violations(view.tables["events"], "user_id", "event_type")

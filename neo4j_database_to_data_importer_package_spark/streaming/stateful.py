@@ -663,3 +663,100 @@ def streaming_ewma_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ZSCORE_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s_micro", LongType()),
+        StructField("q_milli2", LongType()),  # sum of squared MILLI units
+        # (milli, not micro: v² sums at micro scale overflow int64 at
+        # realistic per-key volumes; at extreme scale shard keys or
+        # widen the state to decimal)
+        StructField("v_min", LongType()),
+        StructField("v_max", LongType()),
+    ]
+)
+
+ZSCORE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_events", LongType()),
+        StructField("mean_value", DoubleType()),
+        StructField("stddev_value", DoubleType()),
+        StructField("max_abs_z", DoubleType()),
+    ]
+)
+
+
+def _update_zscore(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    if state.exists:
+        n, s, q, vmin, vmax = state.get
+    else:
+        n, s, q = 0, 0, 0
+        vmin, vmax = None, None
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        vs = pdf["v_milli"]
+        n += int(len(vs))
+        s += int(vs.sum())
+        q += int((vs * vs).sum())
+        bmin, bmax = int(vs.min()), int(vs.max())
+        vmin = bmin if vmin is None else min(vmin, bmin)
+        vmax = bmax if vmax is None else max(vmax, bmax)
+    state.update((int(n), int(s), int(q), int(vmin), int(vmax)))
+    mean_u = s / n
+    var_u = max(q / n - mean_u * mean_u, 0.0)
+    sd_u = math.sqrt(var_u)
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    max_dev = max(abs(vmax - mean_u), abs(vmin - mean_u))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_events": [int(n)],
+            "mean_value": [r6(mean_u / 1e3)],
+            "stddev_value": [r6(sd_u / 1e3)],
+            "max_abs_z": [r6(max_dev / sd_u) if sd_u > 0 else None],
+        }
+    )
+
+
+def streaming_zscore_monitor(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming per-key z-score extremes monitor: running integer-milli
+    moments (n, Σv, Σv²) plus value extremes per key, emitting the
+    population mean/stddev and the maximum |z| seen so far — the
+    always-on twin of the batch ``zscore_outliers`` max-z readout.
+
+    Every piece of state is COMMUTATIVE (integer sums, min, max), so
+    the emitted numbers after the final micro-batch are identical under
+    ANY arrival order and micro-batch schedule — the property that
+    makes the batch SQL oracle exact (same discipline as the CUSUM and
+    EWMA monitors). State is five integers per key.
+    """
+    from pyspark.sql import functions as F
+
+    src = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.floor(F.col(value_col).cast("double") * 1e3 + 0.5)
+        .cast("long")
+        .alias("v_milli"),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _update_zscore,
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

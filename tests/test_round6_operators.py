@@ -893,3 +893,67 @@ def test_ann_recall_curve_monotone_and_top1(spark):
     ).collect()}
     # nprobe == n_cells -> exhaustive search -> recall 1.0 everywhere
     assert out[1] == 1.0 and out[5] == 1.0 and out[10] == 1.0
+
+
+# --- batch 7 ----------------------------------------------------------------
+
+
+def test_fd_violations_finds_broken_dependency(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.profiling import (
+        fd_violations,
+    )
+
+    rows = [
+        ("k1", "a"), ("k1", "a"), ("k1", "b"),     # violated: 1 row off-majority
+        ("k2", "x"), ("k2", "x"),                     # holds
+        ("k3", "p"), ("k3", "q"), ("k3", "q"), ("k3", "r"),  # 2 off-majority
+    ]
+    df = spark.createDataFrame(rows, "l string, r string")
+    out = {r["lhs_value"]: r for r in fd_violations(df, "l", "r").collect()}
+    assert set(out) == {"k1", "k3"}
+    assert out["k1"]["n_distinct_rhs"] == 2 and out["k1"]["n_violating_rows"] == 1
+    assert out["k3"]["n_distinct_rhs"] == 3 and out["k3"]["n_violating_rows"] == 2
+
+
+def test_streaming_zscore_state_is_commutative(spark):
+    """The stateful fold over shuffled input equals the direct batch
+    computation — the property the oracle relies on."""
+    import math
+
+    import pandas as pd
+
+    from neo4j_database_to_data_importer_package_spark.streaming.stateful import (
+        _update_zscore,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    vals = [(i * 37) % 100 + 0.25 for i in range(500)]
+    milli = [math.floor(v * 1e3 + 0.5) for v in vals]
+
+    def run(order):
+        st = FakeState()
+        out = None
+        for chunk_start in range(0, len(order), 120):
+            chunk = order[chunk_start:chunk_start + 120]
+            pdf = pd.DataFrame({"v_milli": pd.Series(chunk, dtype="int64")})
+            out = next(_update_zscore(("k",), iter([pdf]), st))
+        return out.iloc[0].to_dict()
+
+    fwd = run(milli)
+    rev = run(list(reversed(milli)))
+    assert fwd == rev
+    n = len(milli)
+    mean_u = sum(milli) / n
+    assert fwd["mean_value"] == math.floor(mean_u / 1e3 * 1e6 + 0.5) / 1e6

@@ -77,6 +77,8 @@ QUERIES = [
     "events_funnel_steps",
     "source_js_divergence",
     "ann_recall_curve",
+    "streaming_zscore_extremes",
+    "events_fd_violations",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
