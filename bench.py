@@ -267,6 +267,11 @@ BENCH_QUERIES = [
     "ann_recall_curve",
     "streaming_zscore_extremes",
     "events_fd_violations",
+    "graph_edge_triangle_support",
+    "lexical_diversity_by_source",
+    "doc_length_rank_test",
+    "events_top_paths",
+    "join_key_skew_profile",
 ]
 
 

@@ -1274,3 +1274,63 @@ def rich_club_coefficient(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def edge_triangle_support(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-EDGE triangle support on the undirected deduped edge set —
+    the k-truss building block (an edge is in the k-truss iff its
+    support is >= k-2): the edge-level refinement of
+    ``triangle_counts``'s node-level tally, used to rank which
+    relationships are structurally embedded vs incidental.
+
+    Same degree-ordered orientation as ``triangle_counts`` (each
+    triangle enumerated exactly once, wedge fan-out bounded by
+    ~sqrt(2m) per node regardless of hubs), then each triangle
+    (c, x, y) credits its three canonical edges via a 3-way explode
+    and one hash aggregate — all keyed equi-joins, no driver state.
+
+    Returns (u, v, support) with u < v for every edge in >= 1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    oriented = (
+        sym.join(deg.select(F.col("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v")
+        .where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    wedges = (
+        oriented.select(F.col("u").alias("c"), F.col("v").alias("x"))
+        .join(oriented.select(F.col("u").alias("c"), F.col("v").alias("y")), "c")
+        .where(F.col("x") < F.col("y"))
+    )
+    closing = sym.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    sides = tri.select(
+        F.array(
+            F.struct(
+                F.least("c", "x").alias("u"), F.greatest("c", "x").alias("v")
+            ),
+            F.struct(
+                F.least("c", "y").alias("u"), F.greatest("c", "y").alias("v")
+            ),
+            F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+        ).alias("__e")
+    ).select(F.explode("__e").alias("e"))
+    return (
+        sides.groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )

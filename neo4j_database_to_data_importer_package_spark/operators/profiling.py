@@ -330,3 +330,52 @@ def fd_violations(
         .orderBy(F.desc("n_violating_rows"), F.asc("lhs_value"))
         .limit(top_k)
     )
+
+
+def join_key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 5,
+    digits: int = 6,
+) -> DataFrame:
+    """Join-key skew profiler: the pre-flight check run before shuffling
+    a 100 TB table on ``key_col`` — per-key row counts rolled up into
+    the global skew picture (total rows, distinct keys, max-key share)
+    plus the ``top_k`` heaviest keys with their share and skew factor
+    (count / mean-rows-per-key). A skew factor in the tens is the
+    signal to salt the join or let AQE's skew-join handle it (the
+    salted shape this package uses in ``skewed_join_hot_suppliers``
+    and the walk-corpus hop join); this operator is how you FIND those
+    keys without eyeballing a straggler timeline.
+
+    One hash aggregate per key, one single-row rollup broadcast back,
+    TakeOrderedAndProject for the top-k — the profile costs one
+    shuffle of key counts, strictly cheaper than the join it audits.
+    Shares/factors are 6-dp half-up-rounded integer ratios.
+    """
+    from ..functions.numeric import round_half_up
+
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = per_key.agg(
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            "total_rows",
+            "n_keys",
+            round_half_up(F.col("n_rows") / F.col("total_rows"), digits).alias(
+                "share"
+            ),
+            round_half_up(
+                F.col("n_rows") * F.col("n_keys") / F.col("total_rows"), digits
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_k)
+    )

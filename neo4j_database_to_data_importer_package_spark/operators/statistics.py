@@ -587,3 +587,75 @@ def oneway_anova(
         round_half_up(fstat, digits).alias("f_stat"),
         round_half_up(ssb / (ssb + ssw), digits).alias("eta_squared"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Two-sample Mann–Whitney U rank-sum test between the
+    ``value_col`` distributions of two groups — the non-parametric
+    location-shift screen that pairs with [KS] for drift audits: KS
+    answers "did the shape change", the rank test answers "did one
+    source systematically shift longer/shorter", with a tie-corrected
+    normal-approximation z and the rank-biserial effect size.
+
+    Scale shape (the same one as ``ks_drift``): one (value, side)
+    count aggregate, then midranks via a cumulative window over the
+    DISTINCT VALUE histogram — bounded by the value domain, never raw
+    rows. All rank algebra stays in integers (2·R_A =
+    Σ c_a·(2·cum_before + t + 1) avoids the half-rank fractions), so
+    U is exact and engine-portable; only the final z / effect-size
+    divisions touch doubles, with the expression structure mirrored
+    verbatim in the oracle.
+    """
+    sided = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(group_col) == group_a).alias("is_a"),
+    )
+    counts = sided.groupBy("v").agg(
+        F.sum(F.col("is_a").cast("long")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)
+        ).alias("cum_before"),
+    )
+    agg = cum.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("ca") * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).cast("long").alias("r2a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("long").alias("tie_term"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    u2 = F.col("r2a") - na * (na + 1)
+    var = (
+        na * nb
+        * ((n + F.lit(1.0)) - F.col("tie_term") / (n * (n - F.lit(1.0))))
+        / F.lit(12.0)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        (u2 / F.lit(2.0)).alias("u_stat"),
+        round_half_up(
+            (u2 - na * nb) / (F.lit(2.0) * F.sqrt(var)), digits
+        ).alias("z_score"),
+        round_half_up(
+            F.lit(1.0) - u2 / (na * nb).cast("double"), digits
+        ).alias("rank_biserial"),
+    )

@@ -1283,3 +1283,49 @@ def js_divergence_sources(
         "n_terms",
         "js_divergence",
     )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group lexical diversity audit: token count, vocabulary size
+    (types), type–token ratio, and the hapax-legomenon share (terms
+    seen exactly once in the group) — the classic corpus-richness
+    screen that flags template-stamped or boilerplate-heavy sources
+    (low TTR, low hapax share) before they dominate a mixture.
+
+    Two hash aggregates on the (group, term) projection — term counts,
+    then per-group rollup (tokens = Σn, types = count, hapax =
+    Σ[n=1]); the shared whitespace tokenizer keeps parity with every
+    other text operator and the DuckDB oracle. No windows, no driver
+    state; cost is one shuffle on (group, term), which is the minimum
+    for an exact distinct-term tally.
+    """
+    term_counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = term_counts.groupBy("grp").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("n") == 1).cast("long")).cast("long").alias("n_hapax"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        round_half_up(F.col("n_types") / F.col("n_tokens"), digits).alias(
+            "type_token_ratio"
+        ),
+        round_half_up(F.col("n_hapax") / F.col("n_types"), digits).alias(
+            "hapax_ratio"
+        ),
+    )

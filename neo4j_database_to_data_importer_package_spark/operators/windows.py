@@ -1083,3 +1083,41 @@ def funnel_steps(
         "step int, step_name string, n_users long, "
         "conv_from_prev double, conv_from_first double",
     )
+
+
+def top_event_paths(
+    events: DataFrame,
+    path_len: int = 3,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k most common length-3 event-type journeys (consecutive
+    per-user trigrams ordered by time) — the path-mining summary
+    behind "what do users actually do", one level deeper than the
+    Markov transition matrix (which only sees bigrams and therefore
+    cannot distinguish view→cart→purchase from view→cart→view).
+
+    Two leads over the per-user time window (partitioned by user_id —
+    never a global order), a hash aggregate on the bounded
+    event-type³ path domain, then TakeOrderedAndProject for the
+    top-k (count desc, path asc — deterministic). ``path_len`` is
+    fixed at 3; the parameter documents the shape.
+    """
+    assert path_len == 3, "trigram paths only (lead-window shape)"
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("step1"),
+            F.lead("event_type", 1).over(w).alias("step2"),
+            F.lead("event_type", 2).over(w).alias("step3"),
+        )
+        .where(F.col("step3").isNotNull())
+    )
+    return (
+        tri.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(
+            F.desc("n_paths"), F.asc("step1"), F.asc("step2"), F.asc("step3")
+        )
+        .limit(top_k)
+    )

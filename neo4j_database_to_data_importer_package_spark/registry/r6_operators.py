@@ -1664,3 +1664,196 @@ def events_fd_violations(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return fd_violations(view.tables["events"], "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Batch 8: edge truss support, lexical diversity, rank-sum drift,
+# path mining, join-key skew profiling
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_edge_triangle_support",
+    """WITH li AS (SELECT * FROM lineitem WHERE year(l_shipdate) = 1998),
+       raw AS (
+         SELECT 'O' || l_orderkey AS a, 'P' || l_partkey AS b FROM li
+         UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM li
+         UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey FROM li),
+       e0 AS (
+         SELECT least(a, b) AS u, greatest(a, b) AS v FROM raw
+         WHERE a != b GROUP BY 1, 2),
+       tri AS (
+         SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         FROM e0 e1
+         JOIN e0 e2 ON e2.u = e1.v
+         JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+       sides AS (
+         SELECT x AS u, y AS v FROM tri
+         UNION ALL SELECT y, z FROM tri
+         UNION ALL SELECT x, z FROM tri)
+       SELECT u, v, CAST(count(*) AS BIGINT) AS support
+       FROM sides GROUP BY 1, 2""",
+)
+def graph_edge_triangle_support(spark, sf_dir):
+    """Per-edge triangle support (the k-truss screen) on the same
+    1998-slice order/part/supplier co-occurrence graph as
+    graph_triangle_counts — edge-level where that one is node-level.
+    See graph_algos.edge_triangle_support for the degree-ordered
+    orientation that bounds wedge fan-out under hub skew."""
+    from ..operators.graph_algos import edge_triangle_support
+
+    view = _view(spark, sf_dir)
+    li = view.tables["lineitem"].filter(F.year("l_shipdate") == 1998)
+    e = (
+        li.select(
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+                F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+                F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+    )
+    return edge_triangle_support(e)
+
+
+@register(
+    "lexical_diversity_by_source",
+    """WITH tok AS (
+         SELECT source,
+                unnest(list_filter(string_split(lower(text), ' '),
+                                   x -> x != '')) AS term
+         FROM documents),
+       tc AS (SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2),
+       agg AS (
+         SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax
+         FROM tc GROUP BY 1)
+       SELECT source, n_tokens, n_types, n_hapax,
+              floor(n_types * 1.0 / n_tokens * 1000000.0 + 0.5) / 1000000.0
+                AS type_token_ratio,
+              floor(n_hapax * 1.0 / n_types * 1000000.0 + 0.5) / 1000000.0
+                AS hapax_ratio
+       FROM agg""",
+)
+def lexical_diversity_by_source(spark, sf_dir):
+    """Type-token ratio + hapax-legomenon share per source — the
+    corpus-richness screen that flags boilerplate-stamped sources.
+    See text_analysis.lexical_diversity."""
+    from ..operators.text_analysis import lexical_diversity
+
+    view = _view(spark, sf_dir)
+    return lexical_diversity(view.tables["documents"], group_col="source")
+
+
+@register(
+    "doc_length_rank_test",
+    """WITH sided AS (
+         SELECT CAST(n_chars AS BIGINT) AS v, (source = 'src0') AS is_a
+         FROM documents WHERE source IN ('src0', 'src1')),
+       counts AS (
+         SELECT v, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+                sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
+         FROM sided GROUP BY 1),
+       cum AS (
+         SELECT ca, cb, ca + cb AS t,
+                coalesce(sum(ca + cb) OVER (
+                  ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cum_before
+         FROM counts),
+       agg AS (
+         SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                CAST(sum(cb) AS BIGINT) AS n_b,
+                CAST(sum(ca * (2 * cum_before + t + 1)) AS BIGINT) AS r2a,
+                CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+         FROM cum)
+       SELECT n_a, n_b,
+              (r2a - n_a * (n_a + 1)) / 2.0 AS u_stat,
+              floor(((r2a - n_a * (n_a + 1)) - n_a * n_b)
+                    / (2.0 * sqrt(n_a * n_b
+                                  * ((n_a + n_b + 1.0)
+                                     - tie_term / ((n_a + n_b)
+                                                   * (n_a + n_b - 1.0)))
+                                  / 12.0))
+                    * 1000000.0 + 0.5) / 1000000.0 AS z_score,
+              floor((1.0 - (r2a - n_a * (n_a + 1))
+                           / CAST(n_a * n_b AS DOUBLE))
+                    * 1000000.0 + 0.5) / 1000000.0 AS rank_biserial
+       FROM agg""",
+)
+def doc_length_rank_test(spark, sf_dir):
+    """Mann–Whitney U rank-sum test on doc length between src0 and
+    src1 (tie-corrected z + rank-biserial effect size) — the
+    location-shift companion to doc_length_ks_drift's shape test.
+    All rank algebra in integers (2·R_A), cumulative midranks over
+    the bounded distinct-length histogram. See
+    statistics.mann_whitney_u."""
+    from ..operators.statistics import mann_whitney_u
+
+    view = _view(spark, sf_dir)
+    return mann_whitney_u(
+        view.tables["documents"], "n_chars", "source", "src0", "src1"
+    )
+
+
+@register(
+    "events_top_paths",
+    """WITH seq AS (
+         SELECT event_type AS step1,
+                lead(event_type, 1) OVER w AS step2,
+                lead(event_type, 2) OVER w AS step3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+       FROM seq WHERE step3 IS NOT NULL
+       GROUP BY 1, 2, 3
+       ORDER BY n_paths DESC, step1, step2, step3 LIMIT 10""",
+)
+def events_top_paths(spark, sf_dir):
+    """Top-10 three-step event-type journeys (per-user consecutive
+    trigrams) — path mining one level deeper than the Markov bigram
+    matrix. See windows.top_event_paths."""
+    from ..operators.windows import top_event_paths
+
+    view = _view(spark, sf_dir)
+    return top_event_paths(view.tables["events"])
+
+
+@register(
+    "join_key_skew_profile",
+    """WITH pk AS (
+         SELECT l_suppkey AS key, count(*) AS n_rows
+         FROM lineitem GROUP BY 1),
+       tot AS (
+         SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+                CAST(count(*) AS BIGINT) AS n_keys
+         FROM pk)
+       SELECT key, CAST(n_rows AS BIGINT) AS n_rows, total_rows, n_keys,
+              floor(n_rows * 1.0 / total_rows * 1000000.0 + 0.5) / 1000000.0
+                AS share,
+              floor(n_rows * n_keys * 1.0 / total_rows * 1000000.0 + 0.5)
+                / 1000000.0 AS skew_factor
+       FROM pk CROSS JOIN tot
+       ORDER BY n_rows DESC, key LIMIT 5""",
+)
+def join_key_skew_profile(spark, sf_dir):
+    """Top-5 heaviest lineitem join keys (l_suppkey) with share and
+    skew factor — the pre-shuffle skew audit that finds the keys the
+    salted-join shape exists for (the testdata plants hot suppliers;
+    this is the query that would catch them before
+    skewed_join_hot_suppliers pays for them). See
+    profiling.join_key_skew_profile."""
+    from ..operators.profiling import join_key_skew_profile as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["lineitem"], "l_suppkey")

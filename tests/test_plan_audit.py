@@ -127,6 +127,7 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/text_analysis.py", "totals"),
     ("operators/text_analysis.py", "corp_tot"),
     ("operators/statistics.py", "tot"),  # 1-row totals (KS / chi2 / MI)
+    ("operators/profiling.py", "tot"),   # 1-row totals (join-key skew)
     ("operators/statistics.py", "thr"),  # 1-row percentile threshold
     ("operators/analytics.py", "rng"),   # 1-row x-range (skyline buckets)
     ("operators/windows.py", "tot"),

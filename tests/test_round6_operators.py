@@ -957,3 +957,114 @@ def test_streaming_zscore_state_is_commutative(spark):
     n = len(milli)
     mean_u = sum(milli) / n
     assert fwd["mean_value"] == math.floor(mean_u / 1e3 * 1e6 + 0.5) / 1e6
+
+
+# --- batch 8: truss support, lexical diversity, rank test, paths, skew ------
+
+
+def test_edge_triangle_support_planted(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        edge_triangle_support,
+    )
+
+    # K4 on {a,b,c,d}: every edge sits in exactly 2 triangles; a
+    # pendant edge (d,e) sits in none and must not appear.
+    k4 = ["a", "b", "c", "d"]
+    edges = [(x, y) for i, x in enumerate(k4) for y in k4[i + 1 :]] + [("d", "e")]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    out = {(r["u"], r["v"]): r["support"] for r in edge_triangle_support(edf).collect()}
+    assert len(out) == 6
+    assert all(s == 2 for s in out.values())
+    assert ("d", "e") not in out
+
+    # one triangle + one wedge: triangle edges support 1, wedge edge absent
+    edf2 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "src string, dst string"
+    )
+    out2 = {(r["u"], r["v"]): r["support"] for r in edge_triangle_support(edf2).collect()}
+    assert out2 == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1}
+
+
+def test_lexical_diversity_planted(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        lexical_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "the cat sat"),          # 3 tokens, 3 types, 3 hapax
+            ("s1", "the cat ran"),          # s1 total: 6 tok, 4 types, hapax {sat,ran}
+            ("s2", "go go go go"),          # 4 tok, 1 type, 0 hapax
+        ],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in lexical_diversity(df).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1["n_tokens"], s1["n_types"], s1["n_hapax"]) == (6, 4, 2)
+    assert abs(s1["type_token_ratio"] - 0.666667) < 1e-9
+    assert s1["hapax_ratio"] == 0.5
+    assert (s2["n_tokens"], s2["n_types"], s2["n_hapax"]) == (4, 1, 0)
+    assert s2["type_token_ratio"] == 0.25 and s2["hapax_ratio"] == 0.0
+
+
+def test_mann_whitney_u_against_scipy_formula(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        mann_whitney_u,
+    )
+
+    # hand-checkable with ties: A = [1,2,2,5], B = [2,3,4]
+    rows = [("a", v) for v in (1, 2, 2, 5)] + [("b", v) for v in (2, 3, 4)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    # midranks: v=1→1; v=2 (t=3)→3; v=3→5; v=4→6; v=5→7
+    # R_A = 1 + 3 + 3 + 7 = 14 ; U_A = 14 - 4*5/2 = 4
+    assert (r["n_a"], r["n_b"]) == (4, 3)
+    assert r["u_stat"] == 4.0
+    # tie-corrected var = (4*3/12) * ((8) - (27-3)/(7*6)) = 1*(8-24/42)
+    var = 4 * 3 * (8.0 - 24 / 42.0) / 12.0
+    z = (4.0 - 6.0) / math.sqrt(var)
+    assert abs(r["z_score"] - z) < 1e-6
+    # rank-biserial r = 1 - 2U/(n_a n_b) = 1 - 8/12
+    assert abs(r["rank_biserial"] - (1 - 8 / 12)) < 1e-6
+
+
+def test_top_event_paths_planted(spark):
+    import datetime as dt
+
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        top_event_paths,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: A B C D  -> paths ABC, BCD ; user 2: A B C -> ABC
+    for u, seq in ((1, "ABCD"), (2, "ABC")):
+        for i, e in enumerate(seq):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), u, e))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = [(r["step1"], r["step2"], r["step3"], r["n_paths"])
+           for r in top_event_paths(df).collect()]
+    assert out[0] == ("A", "B", "C", 2)
+    assert ("B", "C", "D", 1) in out
+    assert len(out) == 2
+
+
+def test_join_key_skew_profile_planted(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.profiling import (
+        join_key_skew_profile,
+    )
+
+    # key 7 is hot: 6 of 10 rows over 5 distinct keys
+    rows = [(7,)] * 6 + [(1,), (2,), (3,), (4,)]
+    df = spark.createDataFrame(rows, "k long")
+    out = join_key_skew_profile(df, "k", top_k=3).collect()
+    assert out[0]["key"] == 7 and out[0]["n_rows"] == 6
+    assert out[0]["total_rows"] == 10 and out[0]["n_keys"] == 5
+    assert out[0]["share"] == 0.6
+    assert out[0]["skew_factor"] == 3.0  # 6 / (10/5)
+    # remaining rows tie at n=1 -> key asc tiebreak
+    assert [r["key"] for r in out[1:]] == [1, 2]
