@@ -152,6 +152,11 @@ _NEXT_ROTATION: list[str] = [
     "doc_length_rank_test",
     "events_top_paths",
     "join_key_skew_profile",
+    "embedding_silhouette",
+    "embedding_davies_bouldin",
+    "retrieval_ndcg_eval",
+    "order_total_reconciliation",
+    "nation_revenue_hhi",
 ]
 
 

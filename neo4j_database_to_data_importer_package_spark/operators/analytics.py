@@ -582,3 +582,43 @@ def pareto_skyline_2d(
         )
     )
     return cand.exceptAll(dominated).select("x", "y")
+
+
+def order_total_reconciliation(
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Cross-table reconciliation audit: recompute each order's total
+    from its lineitems (Σ extendedprice·(1−discount)·(1+tax), exact
+    decimal) and histogram the recomputed/o_totalprice ratio in 0.1
+    buckets — the referential-consistency check a pipeline runs after
+    ingesting two "should agree" feeds (here they DON'T: the synthetic
+    generator's totals are independent of the lineitems, and this
+    query is what catches that class of upstream bug).
+
+    One per-order decimal aggregate (map-side combined), one keyed
+    equi-join to orders, one bounded histogram aggregate (ratio range
+    / 0.1 buckets). Ratios are 6-dp rounded before bucketing/min/max,
+    so every emitted number is partition- and engine-independent.
+    """
+    rec = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        dsum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax")),
+            6,
+        ).alias("recomputed")
+    )
+    ratio = round_half_up(F.col("recomputed") / F.col("o_totalprice"), 6)
+    joined = orders.select("o_orderkey", "o_totalprice").join(
+        rec, "o_orderkey"
+    ).select(ratio.alias("ratio"))
+    bucket = F.floor(F.col("ratio") * 10.0 + 0.5) / 10.0
+    return (
+        joined.groupBy(bucket.alias("ratio_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("ratio").alias("min_ratio"),
+            F.max("ratio").alias("max_ratio"),
+        )
+    )

@@ -396,3 +396,87 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("tfidf_cosine") >= threshold)
     )
+
+
+def ndcg_eval(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """nDCG@k of the single-term BM25 ranking against a term-frequency
+    relevance label, per probe term — the retrieval-quality eval loop
+    (is the ranker ordering the genuinely term-dense docs first?),
+    using tf as the graded gain so the ideal ranking is defined by the
+    data itself, no human labels needed.
+
+    Same pruned token stream as ``bm25_topk`` (shuffle volume ∝ probe
+    occurrences, not the corpus); both the actual (BM25) and ideal
+    (tf-sorted) rankings are per-term windows cut at k (bounded,
+    partitioned by term); per-rank DCG terms are 9-dp rounded and
+    decimal-summed so the k-term sums are order- and
+    engine-independent. Scores are rounded BEFORE ranking with doc-id
+    tiebreaks, so ranks are stable across engines too.
+    """
+    from ..functions.numeric import dsum
+
+    stream = _term_stream(df, text_col, id_col)
+    tf = (
+        stream.where(F.col("term").isin(query_terms))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_matched"))
+    dl = df.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
+    globals_ = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("n_matched") + 0.5)
+        / (F.col("n_matched") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(globals_))
+        .select(
+            "term",
+            F.col(id_col),
+            "tf",
+            round_half_up(idf * F.col("tf") * (k1 + 1.0) / denom, 6).alias(
+                "score"
+            ),
+        )
+    )
+    wa = Window.partitionBy("term").orderBy(F.desc("score"), F.asc(id_col))
+    wi = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc(id_col))
+    gain = lambda rank: round_half_up(  # noqa: E731 — shared DCG term
+        F.col("tf") / F.log2(rank + F.lit(1.0)), 9
+    )
+    dcg = (
+        scored.withColumn("rank", F.row_number().over(wa))
+        .filter(F.col("rank") <= k)
+        .groupBy("term")
+        .agg(dsum(gain(F.col("rank")), 9).alias("dcg"))
+    )
+    idcg = (
+        scored.withColumn("rank", F.row_number().over(wi))
+        .filter(F.col("rank") <= k)
+        .groupBy("term")
+        .agg(dsum(gain(F.col("rank")), 9).alias("idcg"))
+    )
+    return (
+        doc_freq.join(dcg, "term")
+        .join(idcg, "term")
+        .select(
+            "term",
+            F.col("n_matched").cast("long").alias("n_matched"),
+            round_half_up(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+        )
+    )

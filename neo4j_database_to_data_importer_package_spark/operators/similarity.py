@@ -1280,3 +1280,140 @@ def ann_recall_curve(
             ),
         )
     )
+
+
+def simplified_silhouette(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster: a(x) is the
+    distance to the assigned centroid, b(x) the distance to the nearest
+    OTHER centroid, s = (b-a)/max(a,b) — the O(n·k) cluster-quality
+    read-out that replaces the O(n²) pairwise silhouette at corpus
+    scale (the standard large-n approximation; same deterministic
+    lowest-id seeding as ``kmeans_step`` so the two are comparable
+    across rounds).
+
+    One k-row centroid broadcast into a map-side distance projection,
+    one per-vector aggregate (the k candidate rows collapse to a
+    sorted k-struct array — bounded, never a window), one per-cluster
+    rollup. Per-vector s is 6-dp rounded then decimal-summed, so the
+    cluster means are partition-independent.
+    """
+    from ..functions.numeric import dsum, round_half_up
+
+    ed = df.select(
+        F.col(id_col), F.transform(vec_col, lambda x: x.cast("double")).alias("ed")
+    )
+    cent = ed.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col("ed").alias("cvec")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("ed", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = ed.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col), F.struct(dist2.alias("d2"), F.col("cid")).alias("c")
+    )
+    best2 = cand.groupBy(id_col).agg(
+        F.slice(F.array_sort(F.collect_list("c")), 1, 2).alias("top2")
+    )
+    a = F.sqrt(F.col("top2")[0]["d2"])
+    b = F.sqrt(F.col("top2")[1]["d2"])
+    s = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    per_vec = best2.select(
+        F.col("top2")[0]["cid"].alias("cluster_id"),
+        round_half_up(s, 6).alias("s"),
+    )
+    return per_vec.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        round_half_up(dsum("s", 6) / F.count(F.lit(1)), 6).alias(
+            "mean_silhouette"
+        ),
+    )
+
+
+def davies_bouldin(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Davies–Bouldin cluster-separation audit (lowest-id seeding, same
+    assignment as ``simplified_silhouette``): per cluster i the scatter
+    s_i (mean member→centroid distance) and the worst similarity ratio
+    max_{j≠i} (s_i+s_j)/d(c_i,c_j) — the complement to silhouette:
+    silhouette scores the members, DB scores the centroid layout (a
+    high ratio names WHICH other cluster it blurs into).
+
+    Assignment is the same broadcast + bounded per-vector argmin; the
+    pair grid is k×k (64 rows) built from two broadcasts of the k-row
+    centroid table; the per-i argmax is a window over that bounded
+    grid, partitioned by i. Scatters are 6-dp rounded then
+    decimal-summed — partition-independent.
+    """
+    from ..functions.numeric import dsum, round_half_up
+
+    ed = df.select(
+        F.col(id_col), F.transform(vec_col, lambda x: x.cast("double")).alias("ed")
+    )
+    cent = ed.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col("ed").alias("cvec")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("ed", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = ed.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col), F.struct(dist2.alias("d2"), F.col("cid")).alias("c")
+    )
+    own = cand.groupBy(id_col).agg(F.min("c").alias("own"))
+    scat = own.select(
+        F.col("own")["cid"].alias("cid"),
+        round_half_up(F.sqrt(F.col("own")["d2"]), 6).alias("d"),
+    ).groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        round_half_up(dsum("d", 6) / F.count(F.lit(1)), 6).alias("scatter"),
+    )
+    cdist = F.aggregate(
+        F.zip_with("cvec", "cvec2", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        cent.crossJoin(
+            F.broadcast(
+                cent.select(
+                    F.col("cid").alias("cjd"), F.col("cvec").alias("cvec2")
+                )
+            )
+        )
+        .where(F.col("cid") != F.col("cjd"))
+        .select("cid", "cjd", F.sqrt(cdist).alias("cd"))
+    )
+    si = scat.select(
+        F.col("cid"), F.col("n_members"), F.col("scatter").alias("s_i")
+    )
+    sj = scat.select(F.col("cid").alias("cjd"), F.col("scatter").alias("s_j"))
+    ratio = round_half_up((F.col("s_i") + F.col("s_j")) / F.col("cd"), 6)
+    grid = pairs.join(si, "cid").join(sj, "cjd").select(
+        "cid", "cjd", "n_members", "s_i", ratio.alias("r")
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("r"), F.asc("cjd"))
+    return (
+        grid.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.col("s_i").alias("scatter"),
+            F.col("cjd").alias("worst_other"),
+            F.col("r").alias("db_ratio"),
+        )
+    )

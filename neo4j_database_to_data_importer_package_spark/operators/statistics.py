@@ -659,3 +659,51 @@ def mann_whitney_u(
             F.lit(1.0) - u2 / (na * nb).cast("double"), digits
         ).alias("rank_biserial"),
     )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col,
+    scale: int = 4,
+    digits: int = 6,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of ``value_col`` mass
+    across ``key_col`` holders within each ``group_col`` — the
+    market-concentration companion to [gini]: HHI = Σ share² is the
+    antitrust-standard read-out ("is this nation's revenue one
+    customer deep?"), directly comparable across groups and rounds.
+
+    Two keyed aggregates: per-(group, key) exact decimal sums, then a
+    per-group rollup joined back for shares (the totals table is
+    group-cardinality — bounded — and re-aggregation of the per-key
+    decimal sums is still exact, so the denominator is
+    partition-independent). Share² terms are 9-dp rounded and
+    decimal-summed; output HHI, holder count, and the top holder's
+    share per group.
+    """
+    per_key = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("key")
+    ).agg(dsum(value_col, scale).alias("rev"))
+    totals = per_key.groupBy("grp").agg(
+        dsum("rev", scale).alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("rev").alias("max_rev"),
+    )
+    share_sq = round_half_up(
+        (F.col("rev") / F.col("tot")) * (F.col("rev") / F.col("tot")), 9
+    )
+    return (
+        per_key.join(totals, "grp")
+        .groupBy("grp", "n_keys", "tot", "max_rev")
+        .agg(round_half_up(dsum(share_sq, 9), digits).alias("hhi"))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_keys",
+            "hhi",
+            round_half_up(F.col("max_rev") / F.col("tot"), digits).alias(
+                "top_share"
+            ),
+        )
+    )

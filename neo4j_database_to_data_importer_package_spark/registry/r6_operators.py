@@ -1857,3 +1857,235 @@ def join_key_skew_profile(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     return op(view.tables["lineitem"], "l_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# Batch 9: cluster-quality audits, retrieval eval, cross-table
+# reconciliation, revenue concentration
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_silhouette",
+    """WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+         FROM embeddings),
+       c AS (SELECT vec_id AS cid, ed AS cvec FROM e WHERE vec_id < 8),
+       d AS (
+         SELECT e.vec_id, c.cid,
+                list_sum(list_transform(list_zip(e.ed, c.cvec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
+         FROM e, c),
+       rk AS (
+         SELECT vec_id, cid, dist2,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         FROM d),
+       sv AS (
+         SELECT o.cid,
+                CASE WHEN greatest(sqrt(o.dist2), sqrt(x.dist2)) = 0.0
+                     THEN 0.0
+                     ELSE floor((sqrt(x.dist2) - sqrt(o.dist2))
+                                / greatest(sqrt(o.dist2), sqrt(x.dist2))
+                                * 1000000.0 + 0.5) / 1000000.0 END AS s
+         FROM (SELECT vec_id, cid, dist2 FROM rk WHERE rn = 1) o
+         JOIN (SELECT vec_id, dist2 FROM rk WHERE rn = 2) x USING (vec_id))
+       SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+              floor(CAST(sum(CAST(s AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+                    * 1000000.0 + 0.5) / 1000000.0 AS mean_silhouette
+       FROM sv GROUP BY 1""",
+)
+def embedding_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per cluster under the
+    deterministic lowest-id k=8 seeding — O(n·k) member-fit audit.
+    See similarity.simplified_silhouette."""
+    from ..operators.similarity import simplified_silhouette
+
+    view = _view(spark, sf_dir)
+    return simplified_silhouette(view.tables["embeddings"], k=8)
+
+
+@register(
+    "embedding_davies_bouldin",
+    """WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+         FROM embeddings),
+       c AS (SELECT vec_id AS cid, ed AS cvec FROM e WHERE vec_id < 8),
+       d AS (
+         SELECT e.vec_id, c.cid,
+                list_sum(list_transform(list_zip(e.ed, c.cvec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
+         FROM e, c),
+       own AS (
+         SELECT vec_id, cid, dist2 FROM (
+           SELECT vec_id, cid, dist2,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist2, cid) AS rn
+           FROM d) WHERE rn = 1),
+       scat AS (
+         SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+                floor(CAST(sum(CAST(floor(sqrt(dist2) * 1000000.0 + 0.5)
+                                    / 1000000.0 AS DECIMAL(27,6))) AS DOUBLE)
+                      / count(*) * 1000000.0 + 0.5) / 1000000.0 AS scatter
+         FROM own GROUP BY 1),
+       cd AS (
+         SELECT ci.cid, cj.cid AS cjd,
+                sqrt(list_sum(list_transform(list_zip(ci.cvec, cj.cvec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])))) AS cdist
+         FROM c ci, c cj WHERE ci.cid != cj.cid),
+       grid AS (
+         SELECT cd.cid, cd.cjd, si.n_members, si.scatter,
+                floor((si.scatter + sj.scatter) / cd.cdist
+                      * 1000000.0 + 0.5) / 1000000.0 AS r
+         FROM cd
+         JOIN scat si ON si.cid = cd.cid
+         JOIN scat sj ON sj.cid = cd.cjd)
+       SELECT cid AS cluster_id, n_members, scatter,
+              cjd AS worst_other, r AS db_ratio
+       FROM (SELECT *, row_number() OVER (PARTITION BY cid
+                                          ORDER BY r DESC, cjd) AS rn
+             FROM grid)
+       WHERE rn = 1""",
+)
+def embedding_davies_bouldin(spark, sf_dir):
+    """Davies–Bouldin separation audit per cluster (worst (s_i+s_j)/d_ij
+    neighbor named per cluster) — the centroid-layout complement to
+    embedding_silhouette. See similarity.davies_bouldin."""
+    from ..operators.similarity import davies_bouldin
+
+    view = _view(spark, sf_dir)
+    return davies_bouldin(view.tables["embeddings"], k=8)
+
+
+@register(
+    "retrieval_ndcg_eval",
+    """WITH tok AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split(lower(text), ' '),
+                                   x -> x != '')) AS term
+         FROM documents),
+       tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY 1, 2),
+       dfq AS (SELECT term, count(*) AS n_matched FROM tf GROUP BY 1),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       g AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                    (SELECT avg(dl * 1.0) FROM dl) AS avgdl),
+       scored AS (
+         SELECT tf.term, tf.doc_id, tf.tf,
+                floor(ln(1.0 + (g.n_docs - dfq.n_matched + 0.5)
+                               / (dfq.n_matched + 0.5))
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / g.avgdl))
+                      * 1000000.0 + 0.5) / 1000000.0 AS score
+         FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+       dcg AS (
+         SELECT term,
+                CAST(sum(CAST(floor(tf / log2(rank + 1.0)
+                                    * 1000000000.0 + 0.5) / 1000000000.0
+                              AS DECIMAL(27,9))) AS DOUBLE) AS dcg
+         FROM (SELECT term, tf,
+                      row_number() OVER (PARTITION BY term
+                                         ORDER BY score DESC, doc_id) AS rank
+               FROM scored)
+         WHERE rank <= 10 GROUP BY 1),
+       idcg AS (
+         SELECT term,
+                CAST(sum(CAST(floor(tf / log2(rank + 1.0)
+                                    * 1000000000.0 + 0.5) / 1000000000.0
+                              AS DECIMAL(27,9))) AS DOUBLE) AS idcg
+         FROM (SELECT term, tf,
+                      row_number() OVER (PARTITION BY term
+                                         ORDER BY tf DESC, doc_id) AS rank
+               FROM scored)
+         WHERE rank <= 10 GROUP BY 1)
+       SELECT term, CAST(n_matched AS BIGINT) AS n_matched,
+              floor(dcg / idcg * 1000000.0 + 0.5) / 1000000.0 AS ndcg_at_k
+       FROM dfq JOIN dcg USING (term) JOIN idcg USING (term)""",
+)
+def retrieval_ndcg_eval(spark, sf_dir):
+    """nDCG@10 of the single-term BM25 ranking vs the tf-ideal ranking
+    for the standing probe terms — the label-free retrieval eval.
+    See retrieval.ndcg_eval."""
+    from ..operators.retrieval import ndcg_eval
+
+    view = _view(spark, sf_dir)
+    return ndcg_eval(view.tables["documents"], ["spark", "hash", "join"], k=10)
+
+
+@register(
+    "order_total_reconciliation",
+    f"""WITH rec AS (
+         SELECT l_orderkey AS o_orderkey,
+                {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
+                  AS recomputed
+         FROM lineitem GROUP BY 1),
+       r AS (
+         SELECT floor(recomputed / o_totalprice * 1000000.0 + 0.5)
+                / 1000000.0 AS ratio
+         FROM orders JOIN rec USING (o_orderkey))
+       SELECT floor(ratio * 10.0 + 0.5) / 10.0 AS ratio_bucket,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              min(ratio) AS min_ratio, max(ratio) AS max_ratio
+       FROM r GROUP BY 1""",
+)
+def order_total_reconciliation(spark, sf_dir):
+    """Recompute order totals from lineitems (exact decimal) and
+    histogram the recomputed/o_totalprice ratio — the cross-feed
+    consistency audit (the synthetic totals genuinely disagree; this
+    catches it). See analytics.order_total_reconciliation."""
+    from ..operators.analytics import order_total_reconciliation as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["orders"], view.tables["lineitem"])
+
+
+@register(
+    "nation_revenue_hhi",
+    f"""WITH pk AS (
+         SELECT n_name AS grp, c_custkey AS key,
+                {_dsum('l_extendedprice * (1 - l_discount)')} AS rev
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1, 2),
+       tot AS (
+         SELECT grp, {_dsum('rev')} AS tot,
+                CAST(count(*) AS BIGINT) AS n_keys, max(rev) AS max_rev
+         FROM pk GROUP BY 1)
+       SELECT grp AS n_name, n_keys,
+              floor(CAST(sum(CAST(floor((rev / tot) * (rev / tot)
+                                        * 1000000000.0 + 0.5) / 1000000000.0
+                                  AS DECIMAL(27,9))) AS DOUBLE)
+                    * 1000000.0 + 0.5) / 1000000.0 AS hhi,
+              floor(max_rev / tot * 1000000.0 + 0.5) / 1000000.0 AS top_share
+       FROM pk JOIN tot USING (grp)
+       GROUP BY grp, n_keys, tot, max_rev""",
+)
+def nation_revenue_hhi(spark, sf_dir):
+    """Herfindahl revenue-concentration index per nation over its
+    customers (share² decimal-summed, top holder share named) — the
+    market-concentration companion to source_gini_concentration.
+    See statistics.hhi_concentration."""
+    from ..operators.statistics import hhi_concentration
+
+    view = _view(spark, sf_dir)
+    li = (
+        view.tables["lineitem"]
+        .join(
+            view.tables["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            view.tables["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            view.tables["nation"].select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return hhi_concentration(
+        li,
+        "n_name",
+        "c_custkey",
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+    )

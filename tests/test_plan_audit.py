@@ -145,6 +145,8 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/similarity.py", "q"),           # query vectors (k rows)
     ("operators/similarity.py", "cents"),       # k-means centroids
     ("operators/similarity.py", "cent"),
+    # k-row centroid table, renamed for the DB pair grid
+    ("operators/similarity.py", 'cent.select( F.col("cid"'),
     ("operators/similarity.py", "carr"),
     ("operators/similarity.py", "codes"),       # PQ code grid (n_codes)
     ("operators/similarity.py", "codebook"),    # PQ codebook (m·n_codes)

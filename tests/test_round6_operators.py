@@ -1068,3 +1068,116 @@ def test_join_key_skew_profile_planted(spark):
     assert out[0]["skew_factor"] == 3.0  # 6 / (10/5)
     # remaining rows tie at n=1 -> key asc tiebreak
     assert [r["key"] for r in out[1:]] == [1, 2]
+
+
+# --- batch 9: silhouette, Davies-Bouldin, nDCG, reconciliation, HHI --------
+
+
+def test_simplified_silhouette_planted(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        simplified_silhouette,
+    )
+
+    # centroids are vec_id 0 and 1 (k=2): [0,0] and [10,0]; the two
+    # other points sit exactly on a centroid -> s = 1 - 0/dist = 1.0
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 0.0]),
+        (2, [0.0, 0.0]),   # a=0, b=10  -> s=1
+        (3, [10.0, 0.0]),  # a=0, b=10 -> s=1
+        (4, [4.0, 0.0]),   # a=4 (c0), b=6 (c1) -> s=(6-4)/6
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["cluster_id"]: r for r in simplified_silhouette(df, k=2).collect()}
+    assert out[0]["n_members"] == 3 and out[1]["n_members"] == 2
+    # cluster 0 members: vec 0 (s=1), vec 2 (s=1), vec 4 (s=1/3)
+    assert abs(out[0]["mean_silhouette"] - (1.0 + 1.0 + round(1 / 3, 6)) / 3) < 1e-6
+    assert out[1]["mean_silhouette"] == 1.0
+
+
+def test_davies_bouldin_planted(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        davies_bouldin,
+    )
+
+    # 3 clusters on a line at 0, 10, 100; member spread 1.0 around each
+    rows = [
+        (0, [0.0]), (1, [10.0]), (2, [100.0]),
+        (3, [1.0]), (4, [11.0]), (5, [101.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["cluster_id"]: r for r in davies_bouldin(df, k=3).collect()}
+    # scatter per cluster = mean(0, 1) = 0.5; worst neighbor of 0 is 1
+    for cid in (0, 1, 2):
+        assert out[cid]["scatter"] == 0.5 and out[cid]["n_members"] == 2
+    assert out[0]["worst_other"] == 1 and abs(out[0]["db_ratio"] - 0.1) < 1e-6
+    assert out[1]["worst_other"] == 0
+    assert out[2]["worst_other"] == 1  # 90 < 100 away
+    assert abs(out[2]["db_ratio"] - 1.0 / 90.0) < 1e-5
+
+
+def test_ndcg_eval_perfect_and_inverted(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.retrieval import (
+        ndcg_eval,
+    )
+
+    # single term; BM25 with b=0.75 penalizes long docs, so a long
+    # high-tf doc can rank below a short low-tf doc -> nDCG < 1
+    docs = [
+        (1, "x " * 50 + "pad " * 200),   # tf=50, long
+        (2, "x x x"),                      # tf=3, short
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in docs],
+                               "doc_id long, text string")
+    row = ndcg_eval(df, ["x"], k=10).collect()[0]
+    assert row["term"] == "x" and row["n_matched"] == 2
+    assert 0.0 < row["ndcg_at_k"] <= 1.0
+    # and a clean case: equal lengths, tf decides -> ideal ranking, nDCG=1
+    df2 = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x y y y")], "doc_id long, text string"
+    )
+    assert ndcg_eval(df2, ["x"], k=10).collect()[0]["ndcg_at_k"] == 1.0
+
+
+def test_order_total_reconciliation_planted(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        order_total_reconciliation,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (3, 50.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, 0.0),            # exact match -> ratio 1.0
+            (2, 100.0, 0.0, 0.0),
+            (2, 120.0, 0.5, 0.0),            # 100+60=160 -> ratio 0.8
+            (3, 100.0, 0.0, 0.1),            # 110 -> ratio 2.2
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_tax double",
+    )
+    out = {r["ratio_bucket"]: r for r in
+           order_total_reconciliation(orders, li).collect()}
+    assert out[1.0]["n_orders"] == 1 and out[1.0]["min_ratio"] == 1.0
+    assert out[0.8]["n_orders"] == 1 and out[0.8]["max_ratio"] == 0.8
+    assert out[2.2]["n_orders"] == 1
+
+
+def test_hhi_concentration_planted(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        hhi_concentration,
+    )
+
+    # group g1: shares 0.5/0.5 -> HHI 0.5; g2: monopoly -> HHI 1.0
+    rows = [
+        ("g1", "a", 50.0), ("g1", "b", 25.0), ("g1", "b", 25.0),
+        ("g2", "z", 42.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, k string, v double")
+    out = {r["g"]: r for r in
+           hhi_concentration(df, "g", "k", F.col("v")).collect()}
+    assert out["g1"]["n_keys"] == 2 and out["g1"]["hhi"] == 0.5
+    assert out["g1"]["top_share"] == 0.5
+    assert out["g2"]["n_keys"] == 1 and out["g2"]["hhi"] == 1.0
+    assert out["g2"]["top_share"] == 1.0
