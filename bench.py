@@ -277,6 +277,11 @@ BENCH_QUERIES = [
     "retrieval_ndcg_eval",
     "order_total_reconciliation",
     "nation_revenue_hhi",
+    "streaming_silent_keys",
+    "events_gap_exponential_gof",
+    "embedding_jl_distortion",
+    "customer_k_anonymity",
+    "graph_neighbor_jaccard",
 ]
 
 

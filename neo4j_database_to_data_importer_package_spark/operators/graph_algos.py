@@ -1334,3 +1334,45 @@ def edge_triangle_support(
         sides.groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-edge neighborhood Jaccard |N(u)∩N(v)| / |N(u)∪N(v)| — the
+    classic link-strength / link-prediction feature, scored here for
+    every EXISTING edge with ≥1 common neighbor (common = the edge's
+    triangle support, so this reuses the degree-ordered enumeration
+    that stays bounded under hub skew; union = deg(u)+deg(v)−common
+    needs no second traversal).
+
+    One support computation + one degree aggregate joined twice —
+    all keyed equi-joins.
+    """
+    from ..functions.numeric import round_half_up
+
+    sup = edge_triangle_support(edges, src, dst)
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        sup.join(deg.select(F.col("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            F.col("support").alias("n_common"),
+            round_half_up(
+                F.col("support")
+                / (F.col("du") + F.col("dv") - F.col("support")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -379,3 +379,28 @@ def join_key_skew_profile(
         .orderBy(F.desc("n_rows"), F.asc("key"))
         .limit(top_k)
     )
+
+
+def k_anonymity_classes(
+    df: DataFrame,
+    quasi_cols: list,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple: the histogram
+    of equivalence-class sizes (how many identical quasi-identifier
+    combinations exist, and how many individuals sit in classes of
+    each size). Classes of size < k are re-identification risks — the
+    screen a training-data pipeline runs before releasing "anonymized"
+    records, because a (nation, segment, balance-bucket) triple that
+    is unique IS an identifier even with the name column dropped.
+
+    Two hash aggregates: class sizes, then the size histogram —
+    output bounded by the distinct-size domain. No windows.
+    """
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        classes.groupBy(F.col("sz").alias("class_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("sz").cast("long").alias("n_individuals"),
+        )
+    )

@@ -1417,3 +1417,94 @@ def davies_bouldin(
             F.col("r").alias("db_ratio"),
         )
     )
+
+
+def jl_sign_matrix(d_in: int = 64, d_out: int = 16) -> list[list[float]]:
+    """Deterministic ±1 Johnson–Lindenstrauss sign matrix: entry (j, i)
+    is the parity of the first hex byte of md5("j:i") — reproducible in
+    any engine/language, no RNG state (the md5-derandomization rule
+    this package uses everywhere randomness appears)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1.0
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def random_projection_distortion(
+    df: DataFrame,
+    d_out: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss projection audit: project every vector
+    through the deterministic ±1/√d_out sign matrix and measure the
+    pairwise-distance distortion ‖y_a−y_b‖/‖x_a−x_b‖ over the
+    consecutive-id pair sample — the go/no-go check before swapping
+    full vectors for projected ones in a 100 TB ANN/dedup pipeline
+    (JL says the ratio concentrates near 1; this measures how tightly
+    at YOUR dimensionality).
+
+    The sign matrix is a driver-side constant folded into the plan as
+    literals (d_out sequential folds per row — codegen, no UDF); the
+    pair sample is one self-equi-join on id+1 (linear, never all
+    pairs); ratios are 6-dp rounded, then min/max/decimal-mean.
+    """
+    from ..functions.numeric import dsum, round_half_up
+
+    signs = jl_sign_matrix(64, d_out)
+    scale = 1.0 / float(d_out) ** 0.5
+    ed = df.select(
+        F.col(id_col), F.transform(vec_col, lambda x: x.cast("double")).alias("ed")
+    )
+    proj = ed.select(
+        F.col(id_col),
+        "ed",
+        F.array(
+            *[
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            "ed",
+                            F.array(*[F.lit(v) for v in row]),
+                            lambda x, s: x * s,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    * F.lit(scale)
+                ).alias(f"y{j}")
+                for j, row in enumerate(signs)
+            ]
+        ).alias("y"),
+    )
+    b = proj.select(
+        (F.col(id_col) - 1).alias(id_col),
+        F.col("ed").alias("ed2"),
+        F.col("y").alias("y2"),
+    )
+    d2 = lambda a, c: F.aggregate(  # noqa: E731 — shared fold
+        F.zip_with(a, c, lambda x, z: (x - z) * (x - z)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = proj.join(b, id_col).select(
+        round_half_up(
+            F.sqrt(d2("y", "y2")) / F.sqrt(d2("ed", "ed2")), digits
+        ).alias("ratio")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+        round_half_up(dsum("ratio", digits) / F.count(F.lit(1)), digits).alias(
+            "mean_ratio"
+        ),
+    )

@@ -1121,3 +1121,78 @@ def top_event_paths(
         )
         .limit(top_k)
     )
+
+
+def gap_exponential_gof(
+    events: DataFrame,
+    n_bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Exponential goodness-of-fit for inter-event gaps per event type:
+    fit λ by maximum likelihood (n/Σgap), then a probability-integral-
+    transform chi-square — bin each gap by its fitted CDF decile and
+    compare observed counts to the uniform n/10 expectation. A Poisson
+    process scores low; bursty or periodic traffic (which breaks
+    capacity models that assume exponential arrivals) scores high.
+    The companion to ``burst_days``: that one finds WHEN, this one
+    quantifies HOW non-Poisson the whole process is.
+
+    Gaps come from one per-(user, type) lag window (never global);
+    λ is a per-type aggregate joined back (type-bounded); the CDF
+    binning is map-side arithmetic and the final grid is the DENSE
+    type × n_bins cross join (zero-observed bins still contribute
+    expected mass). χ² terms are 9-dp rounded and decimal-summed.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    t_us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp'1970-01-01 00:00:00', ts)"
+    )
+    gaps = (
+        events.select(
+            "event_type",
+            (t_us - F.lag(t_us).over(w)).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+        .select("event_type", F.expr("gap_us div 1000000").alias("g"))
+    )
+    lam = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        (
+            F.count(F.lit(1)) / F.sum("g")
+        ).alias("lam"),
+    )
+    binned = (
+        gaps.join(lam, "event_type")
+        .select(
+            "event_type",
+            F.least(
+                F.floor(
+                    n_bins * (1.0 - F.exp(-F.col("lam") * F.col("g")))
+                ).cast("int"),
+                F.lit(n_bins - 1),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    bins = lam.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    grid = lam.crossJoin(F.broadcast(bins)).join(
+        binned, ["event_type", "bin"], "left"
+    )
+    e = F.col("n_gaps") / F.lit(float(n_bins))
+    term = round_half_up(
+        (F.coalesce(F.col("o"), F.lit(0)) - e) * (F.coalesce(F.col("o"), F.lit(0)) - e) / e,
+        9,
+    )
+    return (
+        grid.groupBy("event_type", "n_gaps", "lam")
+        .agg(round_half_up(dsum(term, 9), digits).alias("chi2_gof"))
+        .select(
+            "event_type",
+            "n_gaps",
+            round_half_up(F.col("lam") * 3600.0, digits).alias("lambda_per_hour"),
+            "chi2_gof",
+        )
+    )

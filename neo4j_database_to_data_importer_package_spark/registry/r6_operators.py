@@ -2089,3 +2089,242 @@ def nation_revenue_hhi(spark, sf_dir):
         "c_custkey",
         F.col("l_extendedprice") * (1 - F.col("l_discount")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 10: silent-key streaming, exponential GoF, JL distortion,
+# k-anonymity, neighborhood Jaccard
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_silent_keys",
+    """WITH l AS (
+         SELECT user_id,
+                max(date_diff('microsecond',
+                              TIMESTAMP '1970-01-01 00:00:00', ts))
+                  AS last_epoch_us
+         FROM events GROUP BY 1),
+       g AS (SELECT max(last_epoch_us) AS gm FROM l)
+       SELECT CAST(user_id AS BIGINT) AS user_id,
+              CAST(last_epoch_us AS BIGINT) AS last_epoch_us,
+              CAST(gm - last_epoch_us AS BIGINT) AS lag_us
+       FROM l, g WHERE gm - last_epoch_us > 86400000000""",
+)
+def streaming_silent_keys(spark, sf_dir):
+    """Silent-key liveness alert from the streaming last-seen tracker
+    (one commutative max of wall-clock micros per user): users whose
+    last event lags the stream's frontier by > 24 h. The batch oracle
+    is exact because the state is a pure max. See
+    streaming/stateful.streaming_last_seen."""
+    from ..streaming.events import run_stream_to_memory
+    from ..streaming.stateful import streaming_last_seen as op
+    from .streaming import _STREAM_SEQ, _replayed_events_stream
+
+    stream = _replayed_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    _STREAM_SEQ[0] += 1
+    got = run_stream_to_memory(
+        op(stream), f"q_stream_lastseen_{_STREAM_SEQ[0]}",
+        output_mode="update", state_partitions=8,
+    )
+    final = got.groupBy("key").agg(F.max("last_epoch_us").alias("last_epoch_us"))
+    frontier = final.agg(F.max("last_epoch_us").alias("gm"))
+    return (
+        final.crossJoin(F.broadcast(frontier))
+        .where(F.col("gm") - F.col("last_epoch_us") > 86400000000)
+        .select(
+            F.col("key").cast("long").alias("user_id"),
+            "last_epoch_us",
+            (F.col("gm") - F.col("last_epoch_us")).alias("lag_us"),
+        )
+    )
+
+
+@register(
+    "events_gap_exponential_gof",
+    """WITH t AS (
+         SELECT event_type, user_id, event_id, ts,
+                date_diff('microsecond',
+                          TIMESTAMP '1970-01-01 00:00:00', ts) AS t_us
+         FROM events),
+       gp AS (
+         SELECT event_type,
+                (t_us - lag(t_us) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id)) // 1000000
+                  AS g
+         FROM t),
+       gaps AS (SELECT event_type, g FROM gp WHERE g IS NOT NULL),
+       lam AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                count(*) * 1.0 / sum(g) AS lam
+         FROM gaps GROUP BY 1),
+       binned AS (
+         SELECT gaps.event_type,
+                least(CAST(floor(10 * (1.0 - exp(-lam.lam * gaps.g)))
+                           AS INT), 9) AS bin,
+                count(*) AS o
+         FROM gaps JOIN lam USING (event_type) GROUP BY 1, 2),
+       grid AS (
+         SELECT lam.event_type, lam.n_gaps, lam.lam, b.bin,
+                coalesce(binned.o, 0) AS o
+         FROM lam
+         CROSS JOIN (SELECT unnest(range(10)) AS bin) b
+         LEFT JOIN binned ON binned.event_type = lam.event_type
+                         AND binned.bin = b.bin),
+       terms AS (
+         SELECT event_type, n_gaps, lam,
+                floor((o - n_gaps / 10.0) * (o - n_gaps / 10.0)
+                      / (n_gaps / 10.0) * 1000000000.0 + 0.5)
+                / 1000000000.0 AS term
+         FROM grid)
+       SELECT event_type, n_gaps,
+              floor(lam * 3600.0 * 1000000.0 + 0.5) / 1000000.0
+                AS lambda_per_hour,
+              floor(CAST(sum(CAST(term AS DECIMAL(27,9))) AS DOUBLE)
+                    * 1000000.0 + 0.5) / 1000000.0 AS chi2_gof
+       FROM terms GROUP BY event_type, n_gaps, lam""",
+)
+def events_gap_exponential_gof(spark, sf_dir):
+    """Exponential goodness-of-fit for per-type inter-event gaps: MLE
+    λ + probability-integral-transform chi-square over the dense
+    10-bin CDF grid — quantifies HOW non-Poisson the arrivals are.
+    See windows.gap_exponential_gof."""
+    from ..operators.windows import gap_exponential_gof
+
+    view = _view(spark, sf_dir)
+    return gap_exponential_gof(view.tables["events"])
+
+
+def _jl_oracle() -> str:
+    from ..operators.similarity import jl_sign_matrix
+
+    signs = jl_sign_matrix(64, 16)
+    ys = ",\n                ".join(
+        "list_sum(list_transform(list_zip(ed, ["
+        + ", ".join(str(v) for v in row)
+        + "]), p -> p[1] * p[2])) * 0.25"
+        for row in signs
+    )
+    return f"""WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+         FROM embeddings),
+       p AS (SELECT vec_id, ed, [{ys}] AS y FROM e),
+       j AS (
+         SELECT a.ed AS ed, b.ed AS ed2, a.y AS y, b.y AS y2
+         FROM p a JOIN p b ON b.vec_id = a.vec_id + 1),
+       r AS (
+         SELECT floor(sqrt(list_sum(list_transform(list_zip(y, y2),
+                             q -> (q[1] - q[2]) * (q[1] - q[2]))))
+                      / sqrt(list_sum(list_transform(list_zip(ed, ed2),
+                             q -> (q[1] - q[2]) * (q[1] - q[2]))))
+                      * 1000000.0 + 0.5) / 1000000.0 AS ratio
+         FROM j)
+       SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              min(ratio) AS min_ratio, max(ratio) AS max_ratio,
+              floor(CAST(sum(CAST(ratio AS DECIMAL(27,6))) AS DOUBLE)
+                    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_ratio
+       FROM r"""
+
+
+@register("embedding_jl_distortion", None)
+def embedding_jl_distortion(spark, sf_dir):
+    """Johnson–Lindenstrauss 64→16 projection distortion audit over
+    consecutive-id pairs: the md5-derandomized ±1 sign matrix folds
+    into the plan as literals; distance ratios should concentrate
+    near 1. See similarity.random_projection_distortion."""
+    from ..operators.similarity import random_projection_distortion
+
+    view = _view(spark, sf_dir)
+    return random_projection_distortion(view.tables["embeddings"], d_out=16)
+
+
+ORACLES["embedding_jl_distortion"] = _jl_oracle()
+
+
+@register(
+    "customer_k_anonymity",
+    """WITH cls AS (
+         SELECT c_nationkey, c_mktsegment,
+                floor(c_acctbal / 1000.0) AS bal_bucket,
+                count(*) AS sz
+         FROM customer GROUP BY 1, 2, 3)
+       SELECT CAST(sz AS BIGINT) AS class_size,
+              CAST(count(*) AS BIGINT) AS n_classes,
+              CAST(sum(sz) AS BIGINT) AS n_individuals
+       FROM cls GROUP BY 1""",
+)
+def customer_k_anonymity(spark, sf_dir):
+    """k-anonymity equivalence-class-size histogram over the
+    (nation, segment, balance-k$-bucket) quasi-identifier — size-1
+    classes are re-identifiable customers even with names dropped.
+    See profiling.k_anonymity_classes."""
+    from ..operators.profiling import k_anonymity_classes
+
+    view = _view(spark, sf_dir)
+    cust = view.tables["customer"].select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bal_bucket"),
+    )
+    return k_anonymity_classes(
+        cust, ["c_nationkey", "c_mktsegment", "bal_bucket"]
+    )
+
+
+@register(
+    "graph_neighbor_jaccard",
+    """WITH li AS (SELECT * FROM lineitem WHERE year(l_shipdate) = 1998),
+       raw AS (
+         SELECT 'O' || l_orderkey AS a, 'P' || l_partkey AS b FROM li
+         UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM li
+         UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey FROM li),
+       e0 AS (
+         SELECT least(a, b) AS u, greatest(a, b) AS v FROM raw
+         WHERE a != b GROUP BY 1, 2),
+       tri AS (
+         SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         FROM e0 e1
+         JOIN e0 e2 ON e2.u = e1.v
+         JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+       sides AS (
+         SELECT x AS u, y AS v FROM tri
+         UNION ALL SELECT y, z FROM tri
+         UNION ALL SELECT x, z FROM tri),
+       sup AS (SELECT u, v, count(*) AS support FROM sides GROUP BY 1, 2),
+       sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       dg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1)
+       SELECT s.u, s.v, CAST(s.support AS BIGINT) AS n_common,
+              floor(s.support / (du.deg + dv.deg - s.support)
+                    * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+       FROM sup s
+       JOIN dg du ON du.u = s.u
+       JOIN dg dv ON dv.u = s.v""",
+)
+def graph_neighbor_jaccard(spark, sf_dir):
+    """Neighborhood Jaccard per existing edge of the 1998 co-occurrence
+    graph (common = triangle support, union from degrees — no second
+    traversal) — the link-prediction feature layer over the truss
+    machinery. See graph_algos.neighbor_jaccard."""
+    from ..operators.graph_algos import neighbor_jaccard
+
+    view = _view(spark, sf_dir)
+    li = view.tables["lineitem"].filter(F.year("l_shipdate") == 1998)
+    e = (
+        li.select(
+            F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("O"), F.col("l_orderkey")).alias("src"),
+                F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+                F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+    )
+    return neighbor_jaccard(e)

@@ -760,3 +760,63 @@ def streaming_zscore_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+LASTSEEN_STATE_SCHEMA = StructType(
+    [StructField("last_us", LongType())]
+)
+LASTSEEN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("last_epoch_us", LongType()),
+    ]
+)
+
+
+def _update_last_seen(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last = state.get[0] if state.exists else None
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        bmax = int(pdf["t_us"].max())
+        last = bmax if last is None else max(last, bmax)
+    state.update((int(last),))
+    yield pd.DataFrame({"key": [key[0]], "last_epoch_us": [int(last)]})
+
+
+def streaming_last_seen(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming per-key last-seen tracker: one integer of state (max
+    wall-clock micros since the NTZ epoch) per key — the primitive
+    behind a silent-key alert ("which users/devices stopped sending?"),
+    which is a liveness question a batch job can only answer after the
+    fact. State is a single commutative max, so the final emission is
+    identical under any arrival order and micro-batch schedule — the
+    batch SQL oracle is exact (same discipline as the z-score and
+    CUSUM monitors).
+
+    The NTZ→micros conversion happens BEFORE the stateful operator
+    (wall-clock timestampdiff, session-timezone-proof per
+    streaming/events.py), so the pandas state never touches a
+    timezone-bearing value.
+    """
+    from pyspark.sql import functions as F
+
+    src = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.expr(
+            f"timestampdiff(MICROSECOND, timestamp'1970-01-01 00:00:00', {ts_col})"
+        ).cast("long").alias("t_us"),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _update_last_seen,
+        outputStructType=LASTSEEN_OUTPUT_SCHEMA,
+        stateStructType=LASTSEEN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -131,6 +131,8 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/statistics.py", "thr"),  # 1-row percentile threshold
     ("operators/analytics.py", "rng"),   # 1-row x-range (skyline buckets)
     ("operators/windows.py", "tot"),
+    ("operators/windows.py", "bins"),            # fixed 10-row CDF-bin grid
+    ("registry/r6_operators.py", "frontier"),    # 1-row stream frontier max
     ("operators/windows.py", "total"),
     ("operators/windows.py", "totals"),
     ("registry/distributions.py", "avg_bal"),

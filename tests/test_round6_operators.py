@@ -1181,3 +1181,118 @@ def test_hhi_concentration_planted(spark):
     assert out["g1"]["top_share"] == 0.5
     assert out["g2"]["n_keys"] == 1 and out["g2"]["hhi"] == 1.0
     assert out["g2"]["top_share"] == 1.0
+
+
+# --- batch 10: silent keys, GoF, JL, k-anonymity, Jaccard -------------------
+
+
+def test_streaming_last_seen_state_is_commutative():
+    import pandas as pd
+
+    from neo4j_database_to_data_importer_package_spark.streaming.stateful import (
+        _update_last_seen,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    vals = [(i * 37) % 1000 for i in range(300)]
+
+    def run(order):
+        st = FakeState()
+        out = None
+        for i in range(0, len(order), 70):
+            pdf = pd.DataFrame({"t_us": pd.Series(order[i:i + 70], dtype="int64")})
+            out = next(_update_last_seen(("u",), iter([pdf]), st))
+        return out.iloc[0]["last_epoch_us"]
+
+    assert run(vals) == run(list(reversed(vals))) == max(vals)
+
+
+def test_gap_exponential_gof_uniform_vs_exponential(spark):
+    import datetime as dt
+
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        gap_exponential_gof,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # type "clock": perfectly periodic gaps (60 s) -> all mass lands in
+    # one CDF bin -> chi2 near the 9x expected-count maximum
+    for i in range(101):
+        rows.append((eid, t0 + dt.timedelta(seconds=60 * i), 1, "clock", 0.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["event_type"]: r for r in gap_exponential_gof(df).collect()}
+    clock = out["clock"]
+    assert clock["n_gaps"] == 100
+    assert clock["lambda_per_hour"] == 60.0  # 1/60s = 60/hour
+    # all 100 gaps identical -> one bin holds all: chi2 = 9*10 + ... = 900
+    assert clock["chi2_gof"] == 900.0
+
+
+def test_jl_distortion_bounds(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        jl_sign_matrix,
+        random_projection_distortion,
+    )
+
+    m = jl_sign_matrix(64, 16)
+    assert len(m) == 16 and all(len(r) == 64 for r in m)
+    assert all(v in (1.0, -1.0) for r in m for v in r)
+    # deterministic: same call, same matrix
+    assert m == jl_sign_matrix(64, 16)
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(64)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = random_projection_distortion(df, d_out=16).collect()[0]
+    assert r["n_pairs"] == 39
+    # JL: ratios concentrate around 1 (loose bounds for d_out=16)
+    assert 0.3 < r["min_ratio"] and r["max_ratio"] < 2.0
+    assert 0.7 < r["mean_ratio"] < 1.3
+
+
+def test_k_anonymity_classes_planted(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.profiling import (
+        k_anonymity_classes,
+    )
+
+    rows = [("US", "A")] * 3 + [("US", "B")] * 3 + [("FR", "A")]
+    df = spark.createDataFrame(rows, "nat string, seg string")
+    out = {r["class_size"]: r for r in
+           k_anonymity_classes(df, ["nat", "seg"]).collect()}
+    assert out[3]["n_classes"] == 2 and out[3]["n_individuals"] == 6
+    assert out[1]["n_classes"] == 1 and out[1]["n_individuals"] == 1
+
+
+def test_neighbor_jaccard_planted(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        neighbor_jaccard,
+    )
+
+    # K4: every edge has 2 common neighbors, deg 3 each ->
+    # jaccard = 2/(3+3-2) = 0.5
+    k4 = ["a", "b", "c", "d"]
+    edges = [(x, y) for i, x in enumerate(k4) for y in k4[i + 1 :]]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = neighbor_jaccard(df).collect()
+    assert len(out) == 6
+    assert all(r["n_common"] == 2 and r["jaccard"] == 0.5 for r in out)

@@ -89,6 +89,11 @@ QUERIES = [
     "retrieval_ndcg_eval",
     "order_total_reconciliation",
     "nation_revenue_hhi",
+    "streaming_silent_keys",
+    "events_gap_exponential_gof",
+    "embedding_jl_distortion",
+    "customer_k_anonymity",
+    "graph_neighbor_jaccard",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
