@@ -622,3 +622,60 @@ def order_total_reconciliation(
             F.max("ratio").alias("max_ratio"),
         )
     )
+
+
+def changepoint_day(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+) -> DataFrame:
+    """Single-changepoint locator for a daily value series (binary
+    segmentation, one split): the day boundary that maximizes the
+    between-segment sum-of-squares reduction n_l·n_r/N·(μ_l−μ_r)² —
+    the batch companion to the streaming CUSUM monitor (CUSUM says
+    "drifting now", this pinpoints WHERE the level shifted in the
+    history).
+
+    Per-day decimal aggregates first (the only pass over raw rows),
+    then cumulative sums over the bounded distinct-day table and a
+    TakeOrdered argmax — the same bounded-window discipline as
+    ``ks_drift``. All candidate statistics derive from exact decimal
+    day sums, and the argmax orders by the 6-dp-rounded statistic with
+    a day tiebreak, so the chosen split is engine-stable.
+    """
+    days = orders.groupBy(
+        F.date_format(F.col(date_col), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(27,4)")).alias("s"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = days.select(
+        "day",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+    )
+    totals = days.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("s").alias("st")
+    )
+    # decimal sums stay exact through the cumulative window (a double
+    # cumsum would depend on the engine's window-summation tree); cast
+    # to double only at the division
+    cand = cum.crossJoin(F.broadcast(totals)).where(
+        (F.col("cn") > 0) & (F.col("nn") - F.col("cn") > 0)
+    )
+    ml = F.col("cs").cast("double") / F.col("cn")
+    mr = (F.col("st") - F.col("cs")).cast("double") / (F.col("nn") - F.col("cn"))
+    delta = (
+        (ml - mr) * (ml - mr)
+        * F.col("cn") * (F.col("nn") - F.col("cn")) / F.col("nn")
+    )
+    scored = cand.select(
+        F.col("day").alias("split_day"),
+        F.col("cn").cast("long").alias("n_before"),
+        (F.col("nn") - F.col("cn")).cast("long").alias("n_after"),
+        round_half_up(ml, 2).alias("mean_before"),
+        round_half_up(mr, 2).alias("mean_after"),
+        round_half_up(delta, 6).alias("delta_stat"),
+    )
+    return scored.orderBy(F.desc("delta_stat"), F.asc("split_day")).limit(1)

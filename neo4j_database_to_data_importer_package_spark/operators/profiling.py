@@ -404,3 +404,32 @@ def k_anonymity_classes(
             F.sum("sz").cast("long").alias("n_individuals"),
         )
     )
+
+
+def l_diversity_classes(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+) -> DataFrame:
+    """l-diversity audit — the k-anonymity companion: within each
+    quasi-identifier equivalence class, how many DISTINCT sensitive
+    values appear? A class can be large (k-anonymous) yet carry a
+    single sensitive value, which still leaks it for every member;
+    this histogram (diversity level → classes / individuals) is the
+    release gate for that failure mode.
+
+    Two hash aggregates: per-class (size, distinct-sensitive via a
+    distinct pre-aggregate), then the diversity histogram — bounded
+    output, no windows.
+    """
+    pairs = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    classes = pairs.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("l_div"),
+        F.sum("n").cast("long").alias("sz"),
+    )
+    return classes.groupBy(F.col("l_div").alias("l_diversity")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("sz").cast("long").alias("n_individuals"),
+    )

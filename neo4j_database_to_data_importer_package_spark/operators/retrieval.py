@@ -480,3 +480,81 @@ def ndcg_eval(
             round_half_up(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
         )
     )
+
+
+def bloom_fp_audit(
+    keys: DataFrame,
+    key_col: str,
+    probes: DataFrame,
+    probe_col: str,
+    m: int = 65536,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter false-positive audit: build the k-hash/m-bit filter
+    over ``keys`` as an OCCUPIED-POSITION SET (the distributed dual of
+    a bitmap — set-semantics make the construction one distinct
+    aggregate), probe it with known non-members, and report the
+    MEASURED false-positive rate next to the load-based prediction
+    (bits_set/m)^k. This is the sizing loop for bloom-pruned joins at
+    100 TB (ship a bloom of the small side's keys instead of the keys
+    themselves); the audit is how you pick m before trusting the
+    prune, and shows when a fixed m has saturated at scale.
+
+    Hashes are md5-derived (engine-reproducible); the probe check is
+    one equi-join of probe-hash pairs against the occupied set with a
+    count-k filter — no bitmaps, no UDFs, no driver state.
+    """
+    from ..functions.numeric import round_half_up
+
+    def pos(col, i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(col.cast("string"), F.lit(f":{i}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m
+        )
+
+    kd = keys.select(F.col(key_col).alias("key")).distinct()
+    occ = (
+        kd.select(
+            F.explode(F.array(*[pos(F.col("key"), i) for i in range(k)])).alias("h")
+        )
+        .distinct()
+    )
+    nk = kd.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    bits = occ.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    ph = probes.select(
+        F.col(probe_col).alias("p"),
+        F.explode(F.array(*[pos(F.col(probe_col), i) for i in range(k)])).alias("h"),
+    )
+    fp = (
+        ph.join(occ, "h")
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .where(F.col("hits") == k)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_false_positives"))
+    )
+    np_ = probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    load = F.col("n_bits_set") / F.lit(float(m))
+    theo = load
+    for _ in range(k - 1):
+        theo = theo * load
+    return (
+        nk.crossJoin(F.broadcast(bits))
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(fp))
+        .select(
+            "n_keys",
+            "n_bits_set",
+            "n_probes",
+            "n_false_positives",
+            round_half_up(
+                F.col("n_false_positives") / F.col("n_probes"), 6
+            ).alias("fp_rate"),
+            round_half_up(theo, 6).alias("predicted_fp_rate"),
+        )
+    )

@@ -1508,3 +1508,52 @@ def random_projection_distortion(
             "mean_ratio"
         ),
     )
+
+
+def fisher_discriminant_dims(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-dimension Fisher discriminant ratio (between-class variance /
+    within-class variance) of an embedding against its labels — the
+    feature-selection audit that names WHICH coordinates carry the
+    label signal (dims with F ≈ 0 are label-blind; a handful of high-F
+    dims means a cheap projected classifier will work).
+
+    One posexplode into (label, dim) moment aggregates (state bounded
+    by labels × dims), then a per-dim rollup using the algebraic
+    decomposition B = (Σ s_c²/n_c − S²/N)/N, W = (Σ q_c − Σ s_c²/n_c)/N
+    — no second data pass, no windows. Double-sum order is absorbed by
+    the 6-dp rounding (the ``dim_stats`` precedent).
+    """
+    from ..functions.numeric import round_half_up
+
+    exploded = df.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"),
+    )
+    t1 = exploded.groupBy("lbl", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    agg = t1.groupBy("dim").agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+        F.sum("q").alias("qq"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+    )
+    between = (F.col("sb") - F.col("ss") * F.col("ss") / F.col("nn")) / F.col("nn")
+    within = (F.col("qq") - F.col("sb")) / F.col("nn")
+    return agg.select(
+        "dim",
+        "n_labels",
+        round_half_up(between, digits).alias("between_var"),
+        round_half_up(within, digits).alias("within_var"),
+        F.when(within > 0, round_half_up(between / within, digits)).alias(
+            "f_ratio"
+        ),
+    )

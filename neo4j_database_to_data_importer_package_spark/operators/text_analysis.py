@@ -1329,3 +1329,49 @@ def lexical_diversity(
             "hapax_ratio"
         ),
     )
+
+
+def readability_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Flesch-reading-ease profile using fully deterministic
+    proxies (whitespace words, ``[.!?]+`` sentence breaks, vowel-run
+    syllables) — the readability screen a corpus pipeline uses to
+    separate prose from code/tables/boilerplate before mixing. The
+    proxies are regex-only so the score is reproducible in any engine;
+    the CONSTANTS are standard Flesch (206.835 − 1.015·w/s −
+    84.6·syll/w).
+
+    Pure map-side regex counting (codegen, no UDFs) + one group
+    aggregate; per-doc scores are 6-dp rounded then decimal-summed.
+    """
+    from ..functions.numeric import dsum, round_half_up
+
+    w = F.size(tokens(text_col))
+    snt = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    )
+    syl = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[aeiou]+"), 0)
+    )
+    flesch = round_half_up(
+        F.lit(206.835)
+        - F.lit(1.015) * (w / snt)
+        - F.lit(84.6) * (syl / w),
+        digits,
+    )
+    per_doc = df.select(
+        F.col(group_col).alias("grp"), w.alias("w"), flesch.alias("score")
+    ).where(F.col("w") > 0)
+    return per_doc.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        round_half_up(dsum("score", digits) / F.count(F.lit(1)), digits).alias(
+            "mean_flesch"
+        ),
+        F.min("score").alias("min_flesch"),
+        F.max("score").alias("max_flesch"),
+    ).withColumnRenamed("grp", group_col)

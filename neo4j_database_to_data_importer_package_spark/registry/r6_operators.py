@@ -2328,3 +2328,194 @@ def graph_neighbor_jaccard(spark, sf_dir):
         )
     )
     return neighbor_jaccard(e)
+
+
+# ---------------------------------------------------------------------------
+# Batch 11: readability, Fisher dims, changepoint, l-diversity, bloom audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_readability_by_source",
+    """WITH per_doc AS (
+         SELECT source,
+                len(list_filter(string_split(lower(text), ' '),
+                                x -> x != '')) AS w,
+                greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS snt,
+                len(regexp_extract_all(lower(text), '[aeiou]+')) AS syl
+         FROM documents),
+       scored AS (
+         SELECT source,
+                floor((206.835 - 1.015 * (w / snt) - 84.6 * (syl / w))
+                      * 1000000.0 + 0.5) / 1000000.0 AS score
+         FROM per_doc WHERE w > 0)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              floor(CAST(sum(CAST(score AS DECIMAL(27,6))) AS DOUBLE)
+                    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_flesch,
+              min(score) AS min_flesch, max(score) AS max_flesch
+       FROM scored GROUP BY 1""",
+)
+def doc_readability_by_source(spark, sf_dir):
+    """Flesch-reading-ease profile per source with deterministic regex
+    proxies (vowel-run syllables, [.!?]+ sentences) — prose vs
+    boilerplate screening. See text_analysis.readability_stats."""
+    from ..operators.text_analysis import readability_stats
+
+    view = _view(spark, sf_dir)
+    return readability_stats(view.tables["documents"], group_col="source")
+
+
+@register(
+    "embedding_fisher_dims",
+    """WITH e AS (
+         SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+         FROM embeddings),
+       px AS (
+         SELECT label, i - 1 AS dim, ed[i] AS v
+         FROM (SELECT label, ed, unnest(range(1, len(ed) + 1)) AS i FROM e) t),
+       t1 AS (
+         SELECT label, dim, count(*) AS n, sum(v) AS s, sum(v * v) AS q
+         FROM px GROUP BY 1, 2),
+       a AS (
+         SELECT dim, sum(n) AS nn, sum(s) AS ss, sum(s * s / n) AS sb,
+                sum(q) AS qq, CAST(count(*) AS BIGINT) AS n_labels
+         FROM t1 GROUP BY 1)
+       SELECT CAST(dim AS INT) AS dim, n_labels,
+              floor((sb - ss * ss / nn) / nn * 1000000.0 + 0.5) / 1000000.0
+                AS between_var,
+              floor((qq - sb) / nn * 1000000.0 + 0.5) / 1000000.0
+                AS within_var,
+              CASE WHEN (qq - sb) / nn > 0
+                   THEN floor(((sb - ss * ss / nn) / nn) / ((qq - sb) / nn)
+                              * 1000000.0 + 0.5) / 1000000.0 END AS f_ratio
+       FROM a""",
+)
+def embedding_fisher_dims(spark, sf_dir):
+    """Per-dimension Fisher discriminant ratio of the embedding space
+    against its labels — names which coordinates carry label signal.
+    See similarity.fisher_discriminant_dims."""
+    from ..operators.similarity import fisher_discriminant_dims
+
+    view = _view(spark, sf_dir)
+    return fisher_discriminant_dims(view.tables["embeddings"])
+
+
+@register(
+    "orders_changepoint_day",
+    """WITH d AS (
+         SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n,
+                sum(CAST(o_totalprice AS DECIMAL(27,4))) AS s
+         FROM orders GROUP BY 1),
+       c AS (
+         SELECT day,
+                sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cn,
+                sum(s) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cs
+         FROM d),
+       t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(s) AS st FROM d),
+       scored AS (
+         SELECT day AS split_day, CAST(cn AS BIGINT) AS n_before,
+                CAST(nn - cn AS BIGINT) AS n_after,
+                floor(CAST(cs AS DOUBLE) / cn * 100.0 + 0.5) / 100.0
+                  AS mean_before,
+                floor(CAST(st - cs AS DOUBLE) / (nn - cn) * 100.0 + 0.5)
+                  / 100.0 AS mean_after,
+                floor((CAST(cs AS DOUBLE) / cn
+                       - CAST(st - cs AS DOUBLE) / (nn - cn))
+                      * (CAST(cs AS DOUBLE) / cn
+                         - CAST(st - cs AS DOUBLE) / (nn - cn))
+                      * cn * (nn - cn) / nn * 1000000.0 + 0.5) / 1000000.0
+                  AS delta_stat
+         FROM c, t WHERE cn > 0 AND nn - cn > 0)
+       SELECT * FROM scored
+       ORDER BY delta_stat DESC, split_day LIMIT 1""",
+)
+def orders_changepoint_day(spark, sf_dir):
+    """Single-changepoint locator over the daily order-value series
+    (binary segmentation): the split day maximizing the between-
+    segment SSE reduction, decimal-exact cumulative sums. See
+    analytics.changepoint_day."""
+    from ..operators.analytics import changepoint_day
+
+    view = _view(spark, sf_dir)
+    return changepoint_day(view.tables["orders"])
+
+
+@register(
+    "customer_l_diversity",
+    """WITH pairs AS (
+         SELECT c_nationkey, floor(c_acctbal / 1000.0) AS bal_bucket,
+                c_mktsegment, count(*) AS n
+         FROM customer GROUP BY 1, 2, 3),
+       cls AS (
+         SELECT c_nationkey, bal_bucket,
+                CAST(count(*) AS BIGINT) AS l_div,
+                CAST(sum(n) AS BIGINT) AS sz
+         FROM pairs GROUP BY 1, 2)
+       SELECT l_div AS l_diversity, CAST(count(*) AS BIGINT) AS n_classes,
+              CAST(sum(sz) AS BIGINT) AS n_individuals
+       FROM cls GROUP BY 1""",
+)
+def customer_l_diversity(spark, sf_dir):
+    """l-diversity histogram: distinct sensitive values (mktsegment)
+    within each (nation, balance-bucket) quasi-identifier class — the
+    k-anonymity companion that catches large-but-uniform classes.
+    See profiling.l_diversity_classes."""
+    from ..operators.profiling import l_diversity_classes
+
+    view = _view(spark, sf_dir)
+    cust = view.tables["customer"].select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    return l_diversity_classes(
+        cust, ["c_nationkey", "bal_bucket"], "c_mktsegment"
+    )
+
+
+@register(
+    "bloom_filter_fp_audit",
+    """WITH kd AS (SELECT DISTINCT c_custkey AS key FROM customer),
+       ix AS (SELECT unnest(range(4)) AS i),
+       occ AS (
+         SELECT DISTINCT
+                ('0x' || substr(md5(CAST(key AS VARCHAR) || ':' || i), 1, 8))
+                  ::BIGINT % 65536 AS h
+         FROM kd CROSS JOIN ix),
+       pr AS (SELECT -CAST(i AS BIGINT) AS p
+              FROM (SELECT unnest(range(1, 5001)) AS i)),
+       ph AS (
+         SELECT p,
+                ('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || i), 1, 8))
+                  ::BIGINT % 65536 AS h
+         FROM pr CROSS JOIN ix),
+       fp AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_false_positives
+         FROM (SELECT p FROM ph JOIN occ USING (h)
+               GROUP BY p HAVING count(*) = 4)),
+       nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM occ),
+       nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM kd),
+       np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM pr)
+       SELECT n_keys, n_bits_set, n_probes, n_false_positives,
+              floor(n_false_positives / (n_probes * 1.0) * 1000000.0 + 0.5)
+                / 1000000.0 AS fp_rate,
+              floor((n_bits_set / 65536.0) * (n_bits_set / 65536.0)
+                    * (n_bits_set / 65536.0) * (n_bits_set / 65536.0)
+                    * 1000000.0 + 0.5) / 1000000.0 AS predicted_fp_rate
+       FROM nk, nb, np, fp""",
+)
+def bloom_filter_fp_audit(spark, sf_dir):
+    """Measured vs predicted false-positive rate of a 65536-bit 4-hash
+    Bloom filter over customer keys, probed with 5000 known
+    non-members — the sizing loop for bloom-pruned joins. See
+    retrieval.bloom_fp_audit."""
+    from ..operators.retrieval import bloom_fp_audit
+
+    view = _view(spark, sf_dir)
+    probes = spark.range(1, 5001).select(
+        (-F.col("id")).cast("long").alias("probe_id")
+    )
+    return bloom_fp_audit(
+        view.tables["customer"], "c_custkey", probes, "probe_id"
+    )

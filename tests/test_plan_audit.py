@@ -130,6 +130,10 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/profiling.py", "tot"),   # 1-row totals (join-key skew)
     ("operators/statistics.py", "thr"),  # 1-row percentile threshold
     ("operators/analytics.py", "rng"),   # 1-row x-range (skyline buckets)
+    ("operators/analytics.py", "totals"),  # 1-row day-series totals (changepoint)
+    ("operators/retrieval.py", "bits"),    # 1-row occupied-bit count (bloom)
+    ("operators/retrieval.py", "fp"),      # 1-row false-positive count (bloom)
+    ("operators/retrieval.py", "np_"),     # 1-row probe count (bloom)
     ("operators/windows.py", "tot"),
     ("operators/windows.py", "bins"),            # fixed 10-row CDF-bin grid
     ("registry/r6_operators.py", "frontier"),    # 1-row stream frontier max

@@ -1296,3 +1296,95 @@ def test_neighbor_jaccard_planted(spark):
     out = neighbor_jaccard(df).collect()
     assert len(out) == 6
     assert all(r["n_common"] == 2 and r["jaccard"] == 0.5 for r in out)
+
+
+# --- batch 11: readability, Fisher, changepoint, l-diversity, bloom ---------
+
+
+def test_readability_orders_prose_vs_wall(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        readability_stats,
+    )
+
+    prose = "The cat sat. It was happy. The sun shone. All was well."
+    wall = ("polysyllabic incomprehensibility notwithstanding "
+            "interdisciplinary organizational responsibilities") * 3
+    df = spark.createDataFrame(
+        [("a", prose), ("b", wall.strip())], "source string, text string"
+    )
+    out = {r["source"]: r for r in readability_stats(df).collect()}
+    assert out["a"]["n_docs"] == 1 and out["b"]["n_docs"] == 1
+    # short sentences + short words read far easier than the wall
+    assert out["a"]["mean_flesch"] > out["b"]["mean_flesch"] + 50
+
+
+def test_fisher_dims_separable_vs_noise(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        fisher_discriminant_dims,
+    )
+
+    # dim 0 separates labels perfectly; dim 1 is identical noise
+    rows = []
+    for i in range(20):
+        lbl = i % 2
+        rows.append((i, [float(lbl * 10), float(i % 5)], lbl))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["dim"]: r for r in fisher_discriminant_dims(df).collect()}
+    assert out[0]["within_var"] == 0.0 and out[0]["f_ratio"] is None
+    assert out[1]["between_var"] == 0.0
+    assert out[0]["n_labels"] == 2
+
+
+def test_changepoint_finds_level_shift(spark):
+    import datetime as dt
+
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        changepoint_day,
+    )
+
+    rows = []
+    d0 = dt.datetime(2024, 1, 1)
+    for day in range(20):
+        level = 100.0 if day < 12 else 500.0
+        for _ in range(5):
+            rows.append((d0 + dt.timedelta(days=day), level))
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    r = changepoint_day(df).collect()[0]
+    assert r["split_day"] == "2024-01-12"  # last day of the low segment
+    assert r["n_before"] == 60 and r["n_after"] == 40
+    assert r["mean_before"] == 100.0 and r["mean_after"] == 500.0
+
+
+def test_l_diversity_uniform_class_flagged(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.profiling import (
+        l_diversity_classes,
+    )
+
+    # class (US,1): 4 rows but ONE sensitive value -> l=1
+    rows = [("US", 1, "A")] * 4 + [("FR", 1, "A"), ("FR", 1, "B")]
+    df = spark.createDataFrame(rows, "nat string, b int, seg string")
+    out = {r["l_diversity"]: r for r in
+           l_diversity_classes(df, ["nat", "b"], "seg").collect()}
+    assert out[1]["n_classes"] == 1 and out[1]["n_individuals"] == 4
+    assert out[2]["n_classes"] == 1 and out[2]["n_individuals"] == 2
+
+
+def test_bloom_fp_audit_members_always_hit(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.retrieval import (
+        bloom_fp_audit,
+    )
+
+    keys = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    # probing with the MEMBERS themselves: every probe must hit (FP
+    # definition aside, the filter can never miss a member)
+    r = bloom_fp_audit(keys, "k", keys, "k", m=4096, k=3).collect()[0]
+    assert r["n_keys"] == 200 and r["n_probes"] == 200
+    assert r["n_false_positives"] == 200  # all members "hit"
+    assert r["n_bits_set"] <= 600
+    # disjoint probes: rate should be near the prediction, both small
+    probes = spark.createDataFrame([(-i,) for i in range(1, 2001)], "p long")
+    r2 = bloom_fp_audit(keys, "k", probes, "p", m=4096, k=3).collect()[0]
+    assert r2["fp_rate"] < 0.05
+    assert abs(r2["fp_rate"] - r2["predicted_fp_rate"]) < 0.02

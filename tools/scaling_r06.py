@@ -94,6 +94,11 @@ QUERIES = [
     "embedding_jl_distortion",
     "customer_k_anonymity",
     "graph_neighbor_jaccard",
+    "doc_readability_by_source",
+    "embedding_fisher_dims",
+    "orders_changepoint_day",
+    "customer_l_diversity",
+    "bloom_filter_fp_audit",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
