@@ -167,6 +167,11 @@ _NEXT_ROTATION: list[str] = [
     "orders_changepoint_day",
     "customer_l_diversity",
     "bloom_filter_fp_audit",
+    "embedding_pair_cosine_histogram",
+    "orders_daily_backlog",
+    "nation_customer_median_ltv",
+    "supplier_delay_trend",
+    "brand_return_wilson",
 ]
 
 

@@ -287,6 +287,11 @@ BENCH_QUERIES = [
     "orders_changepoint_day",
     "customer_l_diversity",
     "bloom_filter_fp_audit",
+    "embedding_pair_cosine_histogram",
+    "orders_daily_backlog",
+    "nation_customer_median_ltv",
+    "supplier_delay_trend",
+    "brand_return_wilson",
 ]
 
 

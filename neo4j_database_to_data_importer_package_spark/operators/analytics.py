@@ -679,3 +679,139 @@ def changepoint_day(
         round_half_up(delta, 6).alias("delta_stat"),
     )
     return scored.orderBy(F.desc("delta_stat"), F.asc("split_day")).limit(1)
+
+
+def daily_order_backlog(
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Daily order backlog: cumulative orders opened minus cumulative
+    orders fully shipped (an order closes when its LAST lineitem
+    ships) — the operational work-in-progress series that neither
+    feed shows alone, and a second cross-feed alignment check next to
+    ``order_total_reconciliation`` (that one audits money, this one
+    audits lifecycle).
+
+    One per-order max-shipdate aggregate, two per-day counts, a full
+    outer day-join, then integer cumulative sums over the bounded
+    distinct-day table (the ``ks_drift`` bounded-window discipline).
+    Everything is exact integers — engine-identical by construction.
+    """
+    opened = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_opened"))
+    closed = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("close_ts"))
+        .groupBy(F.date_format("close_ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    days = opened.join(closed, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+        F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return days.select(
+        "day",
+        F.col("n_opened").cast("long").alias("n_opened"),
+        F.col("n_closed").cast("long").alias("n_closed"),
+        (F.sum("n_opened").over(w) - F.sum("n_closed").over(w))
+        .cast("long")
+        .alias("backlog"),
+    )
+
+
+def supplier_delay_trend(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-supplier delivery-delay TREND: OLS slope of (ship − order)
+    days against order date, surfacing the ``top_k`` suppliers whose
+    lead times are WORSENING fastest — the procurement early-warning
+    that a level metric (mean delay) hides until it is already bad.
+
+    One keyed join, then a single sums-only aggregate per supplier:
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over exact integer sums. The
+    x axis is recentered to days-since-1995 so every sum stays far
+    from long overflow even at 10⁹ rows per supplier; single-day
+    suppliers (zero x-variance) are excluded before the ANSI-safe
+    division. TakeOrderedAndProject for the top-k.
+    """
+    j = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_suppkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("y"),
+    )
+    agg = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    )
+    scored = agg.where(den > 0).select(
+        "l_suppkey",
+        F.col("n").cast("long").alias("n_lineitems"),
+        round_half_up(F.col("sy") / F.col("n"), 2).alias("mean_delay_days"),
+        round_half_up(slope * 365.0, 6).alias("delay_trend_days_per_year"),
+    )
+    return scored.orderBy(
+        F.desc("delay_trend_days_per_year"), F.asc("l_suppkey")
+    ).limit(top_k)
+
+
+def brand_return_wilson(
+    lineitem: DataFrame,
+    part: DataFrame,
+    z: float = 1.96,
+) -> DataFrame:
+    """Return-rate ranking per part brand with the Wilson score lower
+    bound — the small-sample-honest way to rank rates (a brand with
+    2/2 returns must NOT outrank one with 90/1000; the raw rate says
+    it does, the Wilson bound says otherwise). The go-to pattern for
+    any "worst offenders by rate" leaderboard.
+
+    One keyed join to the part dim (AQE will broadcast it), one
+    counts-only aggregate per brand, then pure arithmetic — the
+    Wilson expression is written with identical structure in the
+    oracle so the doubles agree bit-for-bit before rounding.
+    """
+    j = lineitem.select(
+        "l_partkey", (F.col("l_returnflag") == "R").cast("long").alias("r")
+    ).join(
+        part.select("p_partkey", "p_brand"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    agg = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("n_returns"),
+    )
+    p = F.col("n_returns") / F.col("n")
+    n = F.col("n")
+    z2 = F.lit(z * z)
+    lb = (
+        p
+        + z2 / (2 * n)
+        - F.lit(z)
+        * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    ) / (1 + z2 / n)
+    return agg.select(
+        "p_brand",
+        "n",
+        "n_returns",
+        round_half_up(p, 6).alias("return_rate"),
+        round_half_up(lb, 6).alias("wilson_lower_bound"),
+    )

@@ -1557,3 +1557,39 @@ def fisher_discriminant_dims(
             "f_ratio"
         ),
     )
+
+
+def pair_cosine_histogram(
+    df: DataFrame,
+    offset: int = 25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Anisotropy audit: histogram (0.1-wide bins) of cosines between
+    id-offset vector pairs — a healthy embedding space concentrates
+    pair cosines near 0; a collapsed/anisotropic one (the classic
+    "all my embeddings are similar" failure after bad pooling or
+    fine-tuning) shifts the whole mass toward 1, which silently
+    breaks every cosine threshold downstream. The fixed-id-offset
+    pairing is deterministic and unclustered — the same role the
+    consecutive pairing plays in the JL audit.
+
+    One equi-join on id+offset, map-side cosine, one bounded
+    histogram aggregate (≤ 21 bins). No windows, no sampling state.
+    """
+    from ..functions.numeric import round_half_up
+
+    a = with_norm(df, vec_col, id_col)
+    b = a.select(
+        (F.col(id_col) - offset).alias(id_col),
+        F.col("v").alias("v2"),
+        F.col("norm").alias("n2"),
+    )
+    cos = round_half_up(
+        _dot(F.col("v"), F.col("v2")) / (F.col("norm") * F.col("n2")), 6
+    )
+    pairs = a.join(b, id_col).select(cos.alias("c"))
+    bucket = F.floor(F.col("c") * 10.0 + 0.5) / 10.0
+    return pairs.groupBy(bucket.alias("cos_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

@@ -707,3 +707,48 @@ def hhi_concentration(
             ),
         )
     )
+
+
+def exact_group_median(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col,
+    scale: int = 4,
+    digits: int = 2,
+) -> DataFrame:
+    """Exact median of per-key totals within each group (e.g. median
+    customer lifetime value per nation) — the nested-aggregate query
+    every BI layer gets wrong with approximate percentiles: the
+    per-key totals are exact decimal sums, and the median is the
+    true middle element (or the mean of the two middles), not an
+    interpolation of a sketch.
+
+    Per-key totals first (one keyed shuffle), then a row_number
+    window PARTITIONED by group over the per-key aggregate (bounded:
+    one row per key within the group, never raw rows) with a
+    (value, key) tiebreak, and the middle pick by exact rank
+    arithmetic. Decimal totals are exactly representable as doubles
+    at the 4-dp money scale, so the two-middle mean is
+    engine-deterministic.
+    """
+    per_key = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("key")
+    ).agg(dsum(value_col, scale).alias("total"))
+    w = Window.partitionBy("grp").orderBy("total", "key")
+    ranked = per_key.select(
+        "grp",
+        "total",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("cnt"),
+    )
+    mid = ranked.where(
+        (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
+    )
+    return mid.groupBy("grp").agg(
+        F.max("cnt").cast("long").alias("n_keys"),
+        round_half_up(F.sum("total") / F.count(F.lit(1)), digits).alias(
+            "median_total"
+        ),
+    ).withColumnRenamed("grp", group_col)

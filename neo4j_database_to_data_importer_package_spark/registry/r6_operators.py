@@ -2519,3 +2519,186 @@ def bloom_filter_fp_audit(spark, sf_dir):
     return bloom_fp_audit(
         view.tables["customer"], "c_custkey", probes, "probe_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 12: anisotropy, backlog, exact group median, delay trend, Wilson
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_pair_cosine_histogram",
+    """WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, ed,
+                sqrt(list_sum(list_transform(ed, x -> x * x))) AS nrm
+         FROM e),
+       p AS (
+         SELECT floor(list_sum(list_transform(list_zip(a.ed, b.ed),
+                                q -> q[1] * q[2]))
+                      / (a.nrm * b.nrm) * 1000000.0 + 0.5) / 1000000.0 AS c
+         FROM n a JOIN n b ON b.vec_id = a.vec_id + 25)
+       SELECT floor(c * 10.0 + 0.5) / 10.0 AS cos_bucket,
+              CAST(count(*) AS BIGINT) AS n_pairs
+       FROM p GROUP BY 1""",
+)
+def embedding_pair_cosine_histogram(spark, sf_dir):
+    """Anisotropy audit: cosine histogram over fixed-offset id pairs —
+    collapsed embedding spaces shift the mass toward 1. See
+    similarity.pair_cosine_histogram."""
+    from ..operators.similarity import pair_cosine_histogram
+
+    view = _view(spark, sf_dir)
+    return pair_cosine_histogram(view.tables["embeddings"], offset=25)
+
+
+@register(
+    "orders_daily_backlog",
+    """WITH opened AS (
+         SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                count(*) AS n_opened
+         FROM orders GROUP BY 1),
+       closed AS (
+         SELECT strftime(mx, '%Y-%m-%d') AS day, count(*) AS n_closed
+         FROM (SELECT l_orderkey, max(l_shipdate) AS mx
+               FROM lineitem GROUP BY 1)
+         GROUP BY 1),
+       days AS (
+         SELECT coalesce(o.day, c.day) AS day,
+                coalesce(o.n_opened, 0) AS n_opened,
+                coalesce(c.n_closed, 0) AS n_closed
+         FROM opened o FULL OUTER JOIN closed c ON o.day = c.day)
+       SELECT day, CAST(n_opened AS BIGINT) AS n_opened,
+              CAST(n_closed AS BIGINT) AS n_closed,
+              CAST(sum(n_opened) OVER w - sum(n_closed) OVER w AS BIGINT)
+                AS backlog
+       FROM days
+       WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)""",
+)
+def orders_daily_backlog(spark, sf_dir):
+    """Daily work-in-progress backlog: cumulative opened minus
+    cumulative fully-shipped orders — the lifecycle cross-feed audit.
+    See analytics.daily_order_backlog."""
+    from ..operators.analytics import daily_order_backlog
+
+    view = _view(spark, sf_dir)
+    return daily_order_backlog(view.tables["orders"], view.tables["lineitem"])
+
+
+@register(
+    "nation_customer_median_ltv",
+    f"""WITH pk AS (
+         SELECT n_name AS grp, c_custkey AS key,
+                {_dsum('l_extendedprice * (1 - l_discount)')} AS total
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1, 2),
+       rk AS (
+         SELECT grp, total,
+                row_number() OVER (PARTITION BY grp
+                                   ORDER BY total, key) AS rn,
+                count(*) OVER (PARTITION BY grp) AS cnt
+         FROM pk)
+       SELECT grp AS n_name, CAST(max(cnt) AS BIGINT) AS n_keys,
+              floor(sum(total) / count(*) * 100.0 + 0.5) / 100.0
+                AS median_total
+       FROM rk
+       WHERE rn = floor((cnt + 1) / 2) OR rn = floor((cnt + 2) / 2)
+       GROUP BY grp""",
+)
+def nation_customer_median_ltv(spark, sf_dir):
+    """Exact median customer lifetime revenue per nation (true middle
+    element over exact decimal totals, not a sketch interpolation).
+    See statistics.exact_group_median."""
+    from ..operators.statistics import exact_group_median
+
+    view = _view(spark, sf_dir)
+    li = (
+        view.tables["lineitem"]
+        .join(
+            view.tables["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            view.tables["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            view.tables["nation"].select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return exact_group_median(
+        li,
+        "n_name",
+        "c_custkey",
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+    )
+
+
+@register(
+    "supplier_delay_trend",
+    """WITH j AS (
+         SELECT l_suppkey,
+                date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                  AS x,
+                date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE)) AS y
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       a AS (
+         SELECT l_suppkey, count(*) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx
+         FROM j GROUP BY 1)
+       SELECT l_suppkey, CAST(n AS BIGINT) AS n_lineitems,
+              floor(sy * 1.0 / n * 100.0 + 0.5) / 100.0 AS mean_delay_days,
+              floor((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * 365.0
+                    * 1000000.0 + 0.5) / 1000000.0
+                AS delay_trend_days_per_year
+       FROM a WHERE n * sxx - sx * sx > 0
+       ORDER BY delay_trend_days_per_year DESC, l_suppkey LIMIT 5""",
+)
+def supplier_delay_trend(spark, sf_dir):
+    """Top-5 suppliers with the fastest-WORSENING delivery delay (OLS
+    slope over exact integer sums, recentered x to dodge overflow).
+    See analytics.supplier_delay_trend."""
+    from ..operators.analytics import supplier_delay_trend as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["orders"], view.tables["lineitem"])
+
+
+@register(
+    "brand_return_wilson",
+    """WITH j AS (
+         SELECT p_brand,
+                CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+         FROM lineitem JOIN part ON l_partkey = p_partkey),
+       a AS (
+         SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(r) AS BIGINT) AS n_returns
+         FROM j GROUP BY 1)
+       SELECT p_brand, n, n_returns,
+              floor(n_returns / (n * 1.0) * 1000000.0 + 0.5) / 1000000.0
+                AS return_rate,
+              floor((n_returns / (n * 1.0) + (1.96 * 1.96) / (2 * n)
+                     - 1.96 * sqrt((n_returns / (n * 1.0))
+                                   * (1 - n_returns / (n * 1.0)) / n
+                                   + (1.96 * 1.96) / (4 * n * n)))
+                    / (1 + (1.96 * 1.96) / n) * 1000000.0 + 0.5) / 1000000.0
+                AS wilson_lower_bound
+       FROM a""",
+)
+def brand_return_wilson(spark, sf_dir):
+    """Return-rate per brand with the Wilson score lower bound — the
+    small-sample-honest rate leaderboard. See
+    analytics.brand_return_wilson."""
+    from ..operators.analytics import brand_return_wilson as op
+
+    view = _view(spark, sf_dir)
+    return op(view.tables["lineitem"], view.tables["part"])

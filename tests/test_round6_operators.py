@@ -1388,3 +1388,111 @@ def test_bloom_fp_audit_members_always_hit(spark):
     r2 = bloom_fp_audit(keys, "k", probes, "p", m=4096, k=3).collect()[0]
     assert r2["fp_rate"] < 0.05
     assert abs(r2["fp_rate"] - r2["predicted_fp_rate"]) < 0.02
+
+
+# --- batch 12: anisotropy, backlog, median, trend, Wilson -------------------
+
+
+def test_pair_cosine_histogram_collapsed_space(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        pair_cosine_histogram,
+    )
+
+    # all vectors identical -> every pair cosine exactly 1.0
+    rows = [(i, [3.0, 4.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pair_cosine_histogram(df, offset=5).collect()
+    assert len(out) == 1
+    assert out[0]["cos_bucket"] == 1.0 and out[0]["n_pairs"] == 5
+
+    # orthogonal alternating -> bucket 0
+    rows2 = [(i, [1.0, 0.0] if i < 5 else [0.0, 1.0]) for i in range(10)]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    out2 = pair_cosine_histogram(df2, offset=5).collect()
+    assert len(out2) == 1 and out2[0]["cos_bucket"] == 0.0
+
+
+def test_daily_backlog_planted(spark):
+    import datetime as dt
+
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        daily_order_backlog,
+    )
+
+    d = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    orders = spark.createDataFrame(
+        [(1, d("2024-01-01")), (2, d("2024-01-01")), (3, d("2024-01-02"))],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    # order 1 ships fully on the 2nd (last item), order 2 on the 1st
+    li = spark.createDataFrame(
+        [(1, d("2024-01-01")), (1, d("2024-01-02")), (2, d("2024-01-01"))],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    out = {r["day"]: r for r in daily_order_backlog(orders, li).collect()}
+    assert out["2024-01-01"]["n_opened"] == 2
+    assert out["2024-01-01"]["n_closed"] == 1
+    assert out["2024-01-01"]["backlog"] == 1
+    assert out["2024-01-02"]["backlog"] == 1  # +1 opened, +1 closed
+
+
+def test_exact_group_median_odd_even(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        exact_group_median,
+    )
+
+    rows = (
+        [("g1", k, float(v)) for k, v in [("a", 10), ("b", 20), ("c", 90)]]
+        + [("g2", k, float(v)) for k, v in [("a", 10), ("b", 20), ("c", 30), ("d", 100)]]
+    )
+    df = spark.createDataFrame(rows, "g string, k string, v double")
+    out = {r["g"]: r for r in
+           exact_group_median(df, "g", "k", F.col("v")).collect()}
+    assert out["g1"]["n_keys"] == 3 and out["g1"]["median_total"] == 20.0
+    assert out["g2"]["n_keys"] == 4 and out["g2"]["median_total"] == 25.0
+
+
+def test_supplier_delay_trend_planted(spark):
+    import datetime as dt
+
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        supplier_delay_trend,
+    )
+
+    d0 = dt.datetime(2024, 1, 1)
+    orders, li, ok = [], [], 0
+    # supplier 1: delay grows 1 day per order-day; supplier 2: constant
+    for day in range(10):
+        ok += 1
+        orders.append((ok, d0 + dt.timedelta(days=day)))
+        li.append((ok, 1, d0 + dt.timedelta(days=day + day)))   # delay=day
+        ok += 1
+        orders.append((ok, d0 + dt.timedelta(days=day)))
+        li.append((ok, 2, d0 + dt.timedelta(days=day + 3)))     # delay=3
+    odf = spark.createDataFrame(orders, "o_orderkey long, o_orderdate timestamp")
+    ldf = spark.createDataFrame(li, "l_orderkey long, l_suppkey long, l_shipdate timestamp")
+    out = supplier_delay_trend(odf, ldf, top_k=2).collect()
+    assert out[0]["l_suppkey"] == 1
+    assert out[0]["delay_trend_days_per_year"] == 365.0  # slope 1/day
+    assert out[1]["l_suppkey"] == 2
+    assert out[1]["delay_trend_days_per_year"] == 0.0
+
+
+def test_brand_return_wilson_small_n_demoted(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        brand_return_wilson,
+    )
+
+    # brand A: 2/2 returns (rate 1.0); brand B: 90/100 returns
+    li = spark.createDataFrame(
+        [(1, "R")] * 2 + [(2, "R")] * 90 + [(2, "N")] * 10,
+        "l_partkey long, l_returnflag string",
+    )
+    part = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "p_partkey long, p_brand string"
+    )
+    out = {r["p_brand"]: r for r in brand_return_wilson(li, part).collect()}
+    assert out["A"]["return_rate"] == 1.0
+    # Wilson lower bound demotes the n=2 brand below the n=100 brand
+    assert out["A"]["wilson_lower_bound"] < out["B"]["wilson_lower_bound"]
+    assert 0.8 < out["B"]["wilson_lower_bound"] < 0.9
