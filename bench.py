@@ -292,6 +292,11 @@ BENCH_QUERIES = [
     "nation_customer_median_ltv",
     "supplier_delay_trend",
     "brand_return_wilson",
+    "source_boilerplate_grams",
+    "orders_theil_sen_trend",
+    "customer_t_closeness",
+    "graph_adamic_adar",
+    "returnflag_qty_discount_spearman",
 ]
 
 

@@ -1154,3 +1154,73 @@ def cluster_size_histogram(
             F.sum("n_dups").cast("long").alias("n_docs"),
         )
     )
+
+
+def boilerplate_grams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 4,
+    min_ratio: float = 0.05,
+    top_k: int = 20,
+) -> DataFrame:
+    """Per-source boilerplate n-gram mining — the CCNet-style template
+    detector: an n-gram that appears in >= ``min_ratio`` of a source's
+    documents is domain boilerplate (headers, nav text, license
+    blurbs), the text every dedup/quality pipeline strips BEFORE
+    hashing so templates don't manufacture near-duplicates.
+
+    One distinct (source, doc, gram) inverted index, one (source,
+    gram) document-frequency aggregate, then a rank window PARTITIONED
+    by source over the >= min_ratio survivors — the survivor table is
+    bounded per source by total_grams / (min_ratio * n_docs), i.e.
+    ~(1/min_ratio) * avg_grams_per_doc rows regardless of corpus
+    size, so the window never sees an unbounded input. No all-pairs
+    joins anywhere; this is the aggregate-side complement of
+    ``_df_capped_index``'s drop rule (what that cap discards, this
+    operator reports).
+
+    Returns (source, gram_h, df_docs, n_docs, df_ratio, rank) with
+    rank 1..top_k per source by (df_docs desc, gram_h).
+    """
+    idx = (
+        fan_out(df)
+        .withColumn("__tokens", tokens(text_col))
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.explode(word_shingles(F.col("__tokens"), n)).alias("gram"),
+        )
+        .select(id_col, source_col, F.md5("gram").alias("gram_h"))
+        .distinct()
+    )
+    ndocs = idx.groupBy(source_col).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    dfreq = idx.groupBy(source_col, "gram_h").agg(
+        F.count(F.lit(1)).alias("df_docs")
+    )
+    survivors = dfreq.join(ndocs, source_col).where(
+        (F.col("df_docs") >= F.col("n_docs") * F.lit(min_ratio))
+        # a gram seen in ONE doc is never boilerplate, whatever the
+        # ratio says (guards single-doc sources where 1/1 = 100%)
+        & (F.col("df_docs") >= 2)
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("df_docs").desc(), "gram_h"
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            source_col,
+            "gram_h",
+            F.col("df_docs").cast("long").alias("df_docs"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            round_half_up(
+                F.col("df_docs") / F.col("n_docs"), 6
+            ).alias("df_ratio"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

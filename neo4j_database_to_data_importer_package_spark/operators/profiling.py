@@ -433,3 +433,88 @@ def l_diversity_classes(
         F.count(F.lit(1)).cast("long").alias("n_classes"),
         F.sum("sz").cast("long").alias("n_individuals"),
     )
+
+
+def t_closeness_classes(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """t-closeness audit — the third leg of the k-anonymity /
+    l-diversity release gate: within each quasi-identifier
+    equivalence class, how FAR is the sensitive-attribute
+    distribution from the global one? A class can be large
+    (k-anonymous) and diverse (l-diverse) yet still leak — if its
+    balance distribution skews far from the population's, membership
+    alone reveals the skew. t is the Earth Mover's Distance over the
+    ORDERED sensitive domain: t = Σᵢ |Pcum_i − Qcum_i| / (K−1).
+
+    Shape: a bounded global histogram (the sensitive bucket domain),
+    a per-class count, and a class × bucket completion grid built by
+    broadcast-crossJoin of the BOUNDED bucket list (size = distinct
+    buckets of a fixed-width bucketing — never data-scaled); the
+    cumulative runs in a window PARTITIONED by class over that
+    bounded grid. EMD numerators stay INTEGER (|Pcum·N − Qcum·n_c|,
+    exact and order-independent); the single final division is the
+    only double op, so both engines agree bit-for-bit before
+    rounding.
+
+    Returns (quasi_cols..., n, t_closeness) per equivalence class.
+    """
+    from ..functions.numeric import round_half_up
+
+    glob = df.groupBy(F.col(sensitive_col).alias("__bucket")).agg(
+        F.count(F.lit(1)).alias("__qn")
+    )
+    totals = glob.select(
+        F.sum("__qn").alias("__N"),
+        F.count(F.lit(1)).alias("__K"),
+    )
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__nc")
+    )
+    cls_cells = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("__bucket")
+    ).agg(F.count(F.lit(1)).alias("__pn"))
+    # Completion grid: every class × every observed bucket (bounded:
+    # the bucket domain is fixed-width, not data-scaled).
+    grid = classes.crossJoin(F.broadcast(glob)).join(
+        cls_cells, [*quasi_cols, "__bucket"], "left"
+    ).withColumn("__pn", F.coalesce(F.col("__pn"), F.lit(0)))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        *quasi_cols,
+        "__nc",
+        F.sum("__pn").over(w).alias("__cp"),
+        F.sum("__qn").over(w).alias("__cq"),
+    )
+    emd_num = F.sum(
+        F.abs(
+            F.col("__cp") * F.col("__N") - F.col("__cq") * F.col("__nc")
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .groupBy(*quasi_cols, "__nc", "__N", "__K")
+        .agg(emd_num.alias("__emd"))
+        .select(
+            *quasi_cols,
+            F.col("__nc").cast("long").alias("n"),
+            round_half_up(
+                F.col("__emd").cast("double")
+                / (
+                    F.col("__nc").cast("double")
+                    * F.col("__N").cast("double")
+                    * (F.col("__K") - 1).cast("double")
+                ),
+                digits,
+            ).alias("t_closeness"),
+        )
+    )

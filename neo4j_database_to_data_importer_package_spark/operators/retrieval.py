@@ -558,3 +558,149 @@ def bloom_fp_audit(
             round_half_up(theo, 6).alias("predicted_fp_rate"),
         )
     )
+
+
+def mrr_eval(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    rel_tf: int = 2,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MRR / precision@k of the single-term BM25 ranking, per probe
+    term — the binary-relevance companion to [ndcg_eval]: a doc is
+    "relevant" when the term occurs >= ``rel_tf`` times (term-dense,
+    label-free ground truth), and the eval asks how high the FIRST
+    such doc ranks (reciprocal rank) and how many fill the top k
+    (precision@k) — the two numbers a search-quality dashboard leads
+    with.
+
+    Same pruned token stream and bounded per-term rank window as
+    ndcg_eval (shuffle volume ∝ probe occurrences, not the corpus);
+    scores are rounded before ranking with doc-id tiebreaks so ranks
+    are engine-stable. A term with no relevant doc reports rank 0 /
+    rr 0.0 (never NULL).
+
+    Returns (term, n_matched, n_relevant, first_rel_rank, rr,
+    precision_at_k).
+    """
+    stream = _term_stream(df, text_col, id_col)
+    tf = (
+        stream.where(F.col("term").isin(query_terms))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_matched"))
+    dl = df.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
+    globals_ = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("n_matched") + 0.5)
+        / (F.col("n_matched") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(globals_))
+        .select(
+            "term",
+            F.col(id_col),
+            "tf",
+            round_half_up(idf * F.col("tf") * (k1 + 1.0) / denom, 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc(id_col))
+    ranked = scored.withColumn("rank", F.row_number().over(w)).select(
+        "term",
+        "rank",
+        (F.col("tf") >= rel_tf).cast("long").alias("rel"),
+    )
+    agg = ranked.groupBy("term").agg(
+        F.sum("rel").cast("long").alias("n_relevant"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("first_rel_rank"),
+        F.sum(
+            F.when((F.col("rank") <= k) & (F.col("rel") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("__rel_in_k"),
+    )
+    return (
+        doc_freq.join(agg, "term")
+        .select(
+            "term",
+            F.col("n_matched").cast("long").alias("n_matched"),
+            "n_relevant",
+            "first_rel_rank",
+            round_half_up(
+                F.when(
+                    F.col("first_rel_rank") > 0,
+                    F.lit(1.0) / F.col("first_rel_rank"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("rr"),
+            round_half_up(F.col("__rel_in_k") / F.lit(float(k)), 6).alias(
+                "precision_at_k"
+            ),
+        )
+    )
+
+
+def posting_list_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index posting-list length histogram in log2 buckets —
+    the index-capacity planning read-out: how many terms have 1-2
+    postings (the long tail that bloats the dictionary) vs millions
+    (the hot lists that need skipping/caching)? Every search-index
+    sizing exercise starts from exactly this table.
+
+    One (term, doc) distinct aggregate, one per-term df count, one
+    bounded histogram rollup (buckets ≤ log2(n_docs)) with a 1-row
+    totals broadcast for shares. No windows, no joins beyond the
+    scalar.
+    """
+    postings = (
+        _term_stream(df, text_col, id_col)
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tot = dfreq.agg(
+        F.count(F.lit(1)).alias("n_terms_total"),
+        F.sum("df").alias("n_postings_total"),
+    )
+    hist = dfreq.groupBy(
+        F.floor(F.log2("df")).cast("long").alias("log2_df_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "log2_df_bucket",
+            "n_terms",
+            "n_postings",
+            round_half_up(
+                F.col("n_postings") / F.col("n_postings_total"), 6
+            ).alias("postings_share"),
+            round_half_up(
+                F.col("n_terms") / F.col("n_terms_total"), 6
+            ).alias("terms_share"),
+        )
+    )

@@ -752,3 +752,175 @@ def exact_group_median(
             "median_total"
         ),
     ).withColumnRenamed("grp", group_col)
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Theil–Sen robust trend estimate over a BOUNDED (x, y) series —
+    the median of all pairwise slopes, the standard outlier-immune
+    alternative to OLS for "is this metric drifting?" monitoring (one
+    wild month moves OLS arbitrarily; it moves the pairwise-slope
+    median not at all).
+
+    The caller aggregates the raw fact table down to the bounded
+    series FIRST (e.g. one row per month) — the pairwise self-join is
+    O(k²) of the SERIES length, never of the data, and the median
+    pick is a row_number over those ≤ k² slope rows (allow-listed
+    bounded unpartitioned window, like vocab_growth_curve). Slopes
+    are computed as double((y_j − y_i)) / (x_j − x_i) with integer x
+    distances; the even-count median is the mean of the two middle
+    slopes, ordered with an (x_i, x_j) tiebreak so rank selection is
+    engine-deterministic.
+
+    Returns one row: (n_points, n_pairs, median_slope, pct_positive).
+    """
+    a = df.select(
+        F.col(x_col).cast("long").alias("xi"),
+        F.col(y_col).alias("yi"),
+    )
+    b = df.select(
+        F.col(x_col).cast("long").alias("xj"),
+        F.col(y_col).alias("yj"),
+    )
+    pairs = a.join(b, F.col("xi") < F.col("xj")).select(
+        "xi",
+        "xj",
+        (
+            (F.col("yj") - F.col("yi")).cast("double")
+            / (F.col("xj") - F.col("xi")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "xi", "xj")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ).alias("np"),
+        (F.col("slope") > 0).cast("long").alias("pos"),
+    )
+    n_points = df.select(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    mid = ranked.groupBy("np").agg(
+        round_half_up(
+            F.sum(
+                F.when(
+                    (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+                    | (F.col("rn") == F.floor((F.col("np") + 2) / 2)),
+                    F.col("slope"),
+                )
+            )
+            / F.sum(
+                F.when(
+                    (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+                    | (F.col("rn") == F.floor((F.col("np") + 2) / 2)),
+                    F.lit(1),
+                )
+            ),
+            digits,
+        ).alias("median_slope"),
+        round_half_up(F.sum("pos") / F.max("np"), digits).alias(
+            "pct_positive"
+        ),
+    )
+    return n_points.crossJoin(
+        mid.select(
+            F.col("np").cast("long").alias("n_pairs"),
+            "median_slope",
+            "pct_positive",
+        )
+    )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation of two LOW-CARDINALITY numeric
+    columns within each group, computed entirely from the joint
+    histogram — the scale-correct way to rank-correlate fact-table
+    columns: ranking a 100-TB table through a window is a single-task
+    global sort, but when the value domains are bounded (quantities,
+    discount steps, ratings), the average rank of every VALUE is pure
+    prefix arithmetic over the per-value counts, and all Pearson
+    moments over ranks are exact integer sums over the joint cells.
+
+    Shape: one (group, x, y) hash aggregate (bounded cells), two
+    marginal rollups with a cumulative window PARTITIONED by group
+    over the bounded value domain, then integer moment sums — the
+    doubled average rank 2r(v) = 2·count(<v) + count(=v) + 1 keeps
+    every intermediate a BIGINT (exact, order-independent), and the
+    single final rho division is the only double op, so both engines
+    agree bit-for-bit before rounding.
+
+    Returns (group, n, rho) per group.
+    """
+    cells = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).alias("xv"),
+        F.col(y_col).alias("yv"),
+    ).agg(F.count(F.lit(1)).alias("n_cell"))
+    xm = cells.groupBy("grp", "xv").agg(F.sum("n_cell").alias("cx"))
+    wx = (
+        Window.partitionBy("grp")
+        .orderBy("xv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    xr = xm.select(
+        "grp",
+        "xv",
+        (2 * F.sum("cx").over(wx) - F.col("cx") + 1).alias("rx2"),
+    )
+    ym = cells.groupBy("grp", "yv").agg(F.sum("n_cell").alias("cy"))
+    wy = (
+        Window.partitionBy("grp")
+        .orderBy("yv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    yr = ym.select(
+        "grp",
+        "yv",
+        (2 * F.sum("cy").over(wy) - F.col("cy") + 1).alias("ry2"),
+    )
+    j = cells.join(xr, ["grp", "xv"]).join(yr, ["grp", "yv"])
+    sums = j.groupBy("grp").agg(
+        F.sum("n_cell").cast("long").alias("n"),
+        F.sum(F.col("n_cell") * F.col("rx2")).cast("long").alias("sx"),
+        F.sum(F.col("n_cell") * F.col("ry2")).cast("long").alias("sy"),
+        F.sum(F.col("n_cell") * F.col("rx2") * F.col("rx2"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(F.col("n_cell") * F.col("ry2") * F.col("ry2"))
+        .cast("long")
+        .alias("syy"),
+        F.sum(F.col("n_cell") * F.col("rx2") * F.col("ry2"))
+        .cast("long")
+        .alias("sxy"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    denx = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    deny = (
+        F.col("n").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return sums.select(
+        F.col("grp").alias(group_col),
+        "n",
+        round_half_up(
+            num / F.sqrt(denx * deny), digits
+        ).alias("rho"),
+    )

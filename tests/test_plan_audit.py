@@ -50,6 +50,9 @@ _ALLOWED_UNPARTITIONED_WINDOW = {
     "term_zipf_fit",
     # rank over the TakeOrderedAndProject(limit=10000) vocab slice
     "vocab_coverage_curve",
+    # median pick over the ≤ k² pairwise-slope table of the BOUNDED
+    # monthly series (k ≈ 80 months) — like vocab_growth_curve
+    "orders_theil_sen_trend",
 }
 
 _AUDIT = sorted(
@@ -128,6 +131,10 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/text_analysis.py", "corp_tot"),
     ("operators/statistics.py", "tot"),  # 1-row totals (KS / chi2 / MI)
     ("operators/profiling.py", "tot"),   # 1-row totals (join-key skew)
+    # bounded sensitive-bucket histogram (fixed-width bucketing domain,
+    # never data-scaled) + 1-row (N, K) totals — t-closeness grid
+    ("operators/profiling.py", "glob"),
+    ("operators/profiling.py", "totals"),
     ("operators/statistics.py", "thr"),  # 1-row percentile threshold
     ("operators/analytics.py", "rng"),   # 1-row x-range (skyline buckets)
     ("operators/analytics.py", "totals"),  # 1-row day-series totals (changepoint)

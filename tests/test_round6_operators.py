@@ -1496,3 +1496,131 @@ def test_brand_return_wilson_small_n_demoted(spark):
     # Wilson lower bound demotes the n=2 brand below the n=100 brand
     assert out["A"]["wilson_lower_bound"] < out["B"]["wilson_lower_bound"]
     assert 0.8 < out["B"]["wilson_lower_bound"] < 0.9
+
+
+# --- batch 13: boilerplate grams, Theil–Sen, t-closeness, Adamic–Adar,
+# --- histogram Spearman ----------------------------------------------------
+
+
+def test_boilerplate_grams_flags_shared_template(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        boilerplate_grams,
+    )
+
+    tpl = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            (1, tpl + " alpha beta gamma delta", "s1"),
+            (2, tpl + " epsilon zeta eta theta", "s1"),
+            (3, "iota kappa lambda mu nu xi omicron pi", "s1"),
+            (4, "one two three four five six seven", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = boilerplate_grams(docs, n=5, min_ratio=0.5, top_k=10).collect()
+    # the 5-gram template appears in 2 of 3 s1 docs (ratio 2/3 >= 0.5);
+    # s2 has no repeated grams
+    assert all(r["source"] == "s1" for r in out)
+    assert out and max(r["df_docs"] for r in out) == 2
+    assert all(r["df_ratio"] == pytest.approx(2 / 3, abs=1e-6) for r in out)
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        theil_sen_trend,
+    )
+
+    # y = 2x except one wild outlier; OLS would be dragged, the
+    # pairwise-slope median is not
+    rows = [(x, 2.0 * x) for x in range(1, 12)] + [(12, 1000.0)]
+    df = spark.createDataFrame(rows, "xi long, yi double")
+    out = theil_sen_trend(df, "xi", "yi").collect()[0]
+    assert out["n_points"] == 12
+    assert out["n_pairs"] == 66
+    assert out["median_slope"] == pytest.approx(2.0, abs=1e-6)
+    assert 0.9 <= out["pct_positive"] <= 1.0
+
+
+def test_t_closeness_uniform_class_is_zero(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.profiling import (
+        t_closeness_classes,
+    )
+
+    # class A mirrors the global bucket distribution exactly -> t = 0;
+    # class B holds only bucket 0 -> maximal skew
+    rows = (
+        [("A", 0)] * 2 + [("A", 1)] * 2
+        + [("B", 0)] * 4
+    )
+    df = spark.createDataFrame(rows, "grp string, b long")
+    out = {r["grp"]: r for r in t_closeness_classes(df, ["grp"], "b").collect()}
+    # global: bucket0 6/8, bucket1 2/8. Class A: 1/2, 1/2.
+    # K=2 -> t = |cp*N - cq*nc| / (nc*N*(K-1)) summed over buckets
+    # class A bucket0: |2*8 - 6*4| = 8; bucket1: 0 -> t = 8/(4*8*1) = 0.25
+    assert out["A"]["t_closeness"] == pytest.approx(0.25, abs=1e-6)
+    # class B bucket0: |4*8 - 6*4| = 8 -> t = 8/(4*8) = 0.25
+    assert out["B"]["t_closeness"] == pytest.approx(0.25, abs=1e-6)
+    # a class that mirrors the global distribution exactly
+    rows2 = [("A", 0)] * 3 + [("A", 1)] + [("B", 0)] * 3 + [("B", 1)]
+    df2 = spark.createDataFrame(rows2, "grp string, b long")
+    out2 = {r["grp"]: r for r in t_closeness_classes(df2, ["grp"], "b").collect()}
+    assert out2["A"]["t_closeness"] == 0.0
+    assert out2["B"]["t_closeness"] == 0.0
+
+
+def test_adamic_adar_scores_and_exclusions(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        adamic_adar_topk,
+    )
+
+    # path a-c-b plus c-d: (a,b), (a,d), (b,d) share the center c
+    # (deg 3); a-c edge means (a,c) must NOT appear
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    out = {(r["u"], r["v"]): r for r in adamic_adar_topk(edges).collect()}
+    w = 1.0 / math.log(3.0)
+    assert set(out) == {("a", "b"), ("a", "d"), ("b", "d")}
+    for r in out.values():
+        assert r["n_common"] == 1
+        assert r["aa_score"] == pytest.approx(w, abs=1e-6)
+
+
+def test_adamic_adar_hub_cap_drops_center(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        adamic_adar_topk,
+    )
+
+    # hub h connects x1..x5 (deg 5 > cap 4) -> no wedges survive
+    edges = spark.createDataFrame(
+        [("h", f"x{i}") for i in range(5)], "src string, dst string"
+    )
+    out = adamic_adar_topk(edges, max_center_degree=4).collect()
+    assert out == []
+
+
+def test_spearman_monotone_and_inverse(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        spearman_by_group,
+    )
+
+    rows = [("up", x, x * 10) for x in range(1, 8)] + [
+        ("down", x, -x) for x in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    out = {r["grp"]: r for r in spearman_by_group(df, "grp", "x", "y").collect()}
+    assert out["up"]["rho"] == pytest.approx(1.0, abs=1e-6)
+    assert out["down"]["rho"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_spearman_ties_average_rank(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        spearman_by_group,
+    )
+
+    # x = [1,1,2,2], y = [1,2,1,2] -> rho = 0 (independent with ties)
+    rows = [("g", 1, 1), ("g", 1, 2), ("g", 2, 1), ("g", 2, 2)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    out = spearman_by_group(df, "grp", "x", "y").collect()[0]
+    assert out["n"] == 4
+    assert out["rho"] == pytest.approx(0.0, abs=1e-6)
