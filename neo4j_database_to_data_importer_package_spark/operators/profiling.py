@@ -518,3 +518,64 @@ def t_closeness_classes(
             ).alias("t_closeness"),
         )
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    num_cols: list,
+    scale: int = 6,
+    digits: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation across a list of numeric fact
+    columns — the schema-profiling staple ("which measures move
+    together?") computed the scale-correct way: ONE pass aggregates
+    every moment (n, Σx, Σx², Σxy for each of the C(k,2) pairs) as
+    exact decimal sums, and the k² arithmetic happens on the single
+    moment row — never k² scans, never a driver loop over columns.
+
+    The decimal cast makes every sum order- and engine-exact (money
+    columns are ≤ 2-dp, products ≤ 2·scale dp); correlations are the
+    only double ops, identical in both engines. Returns one row per
+    pair: (col_x, col_y, n, corr).
+    """
+    from pyspark.sql import functions as F
+    from ..functions.numeric import dsum, round_half_up
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in num_cols:
+        aggs.append(dsum(c, scale).alias(f"s_{c}"))
+        aggs.append(
+            dsum(
+                round_half_up(F.col(c) * F.col(c), 2 * scale), 2 * scale
+            ).alias(f"ss_{c}")
+        )
+    pairs = [
+        (num_cols[i], num_cols[j])
+        for i in range(len(num_cols))
+        for j in range(i + 1, len(num_cols))
+    ]
+    for a, b in pairs:
+        aggs.append(
+            dsum(
+                round_half_up(F.col(a) * F.col(b), 2 * scale), 2 * scale
+            ).alias(f"sp_{a}_{b}")
+        )
+    mom = df.agg(*aggs)
+    nn = F.col("n").cast("double")
+    outs = []
+    for a, b in pairs:
+        num = nn * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        da = nn * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        db = nn * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        outs.append(
+            mom.select(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n"),
+                round_half_up(num / F.sqrt(da * db), digits).alias("corr"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -1593,3 +1593,72 @@ def pair_cosine_histogram(
     return pairs.groupBy(bucket.alias("cos_bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+def hubness_audit(
+    df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-occurrence (hubness) histogram of the exact k-NN graph: for
+    every vector, count how many OTHER vectors list it in their top-k,
+    then roll up the distribution — the standard high-dimensional
+    pathology audit (hubs appear in thousands of lists and poison
+    retrieval; antihubs appear in none and are unreachable). A healthy
+    embedding space concentrates near n_appearances = k.
+
+    Exact all-pairs scoring like [cosine_pairs] — the O(n²)
+    correctness baseline over the audited sample; at corpus scale the
+    same rollup runs over IVF-bucketed candidate lists
+    ([ivf_topk] / [ivf_pq_topk]) instead of the dense graph. Cosines
+    are rounded before ranking with neighbor-id tiebreaks
+    (engine-stable ranks); the k-occurrence count and histogram are
+    two hash aggregates, with id-complete zero rows (antihubs) via a
+    left anti pattern on the occurrence table.
+
+    Returns (n_appearances, n_vectors) — the k-occurrence histogram
+    including the zero bucket.
+    """
+    n = with_norm(df, vec_col, id_col)
+    a = n.select(
+        F.col(id_col).alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    b = n.select(
+        F.col(id_col).alias("nid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    scored = a.join(b, F.col("qid") != F.col("nid")).select(
+        "qid",
+        "nid",
+        round_half_up(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid")
+    )
+    occ = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).alias("n_appearances"))
+    )
+    per_vec = (
+        df.select(F.col(id_col).alias("nid"))
+        .join(occ, "nid", "left")
+        .select(
+            F.coalesce(F.col("n_appearances"), F.lit(0)).alias(
+                "n_appearances"
+            )
+        )
+    )
+    return per_vec.groupBy("n_appearances").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    ).select(
+        F.col("n_appearances").cast("long").alias("n_appearances"),
+        "n_vectors",
+    )

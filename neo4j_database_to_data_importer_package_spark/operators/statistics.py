@@ -924,3 +924,233 @@ def spearman_by_group(
             num / F.sqrt(denx * deny), digits
         ).alias("rho"),
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Mann–Kendall trend test over a BOUNDED (x, y) series — the
+    nonparametric "is there ANY monotonic trend" significance test
+    that pairs with [theil_sen_trend]'s magnitude estimate: S is the
+    sum of pairwise sign(y_j − y_i), and the tie-corrected normal
+    approximation turns it into a z-score a monitoring alert can
+    threshold on.
+
+    Like theil_sen_trend, the caller aggregates down to the bounded
+    series first; the pairwise join is O(k²) of the series length.
+    S and both variance terms are exact integers (sign sums and the
+    Σt(t−1)(2t+5) tie correction from a groupBy on y); the z-score's
+    continuity-corrected division is the only double op.
+
+    Returns one row: (n_points, s_stat, var_s, z_score).
+    """
+    a = df.select(
+        F.col(x_col).cast("long").alias("xi"), F.col(y_col).alias("yi")
+    )
+    b = df.select(
+        F.col(x_col).cast("long").alias("xj"), F.col(y_col).alias("yj")
+    )
+    s_stat = (
+        a.join(b, F.col("xi") < F.col("xj"))
+        .select(F.signum(F.col("yj") - F.col("yi")).alias("sgn"))
+        .agg(F.sum("sgn").cast("long").alias("s_stat"))
+    )
+    n_tot = df.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    ties = (
+        df.groupBy(F.col(y_col).alias("yv"))
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    joined = s_stat.crossJoin(n_tot).crossJoin(ties)
+    n = F.col("n_points")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie_term")
+    ).cast("double") / F.lit(18.0)
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / F.sqrt(var_s),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / F.sqrt(var_s),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        "n_points",
+        "s_stat",
+        round_half_up(var_s, digits).alias("var_s"),
+        round_half_up(z, digits).alias("z_score"),
+    )
+
+
+def kendall_tau_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Kendall τ-b rank correlation within each group, computed from
+    the joint value histogram — the concordant/discordant companion
+    to [spearman_by_group] for the same bounded-domain setting: all
+    pair tallies come from a self-join of the CELL table (cells², not
+    rows²), so a 100-TB fact table costs one histogram shuffle plus
+    arithmetic over a few thousand cells.
+
+    Concordant/discordant weights are exact integer products of cell
+    counts; the tie corrections n1 = Σ tx(tx−1)/2, n2 = Σ ty(ty−1)/2
+    come from the marginal histograms; τ-b's denominator
+    √((n0−n1)(n0−n2)) is computed double-side (the factors overflow
+    BIGINT at scale) with both engines casting identically.
+
+    Returns (group, n, n_concordant, n_discordant, tau_b).
+    """
+    cells = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).alias("xv"),
+        F.col(y_col).alias("yv"),
+    ).agg(F.count(F.lit(1)).alias("n_cell"))
+    a = cells.select(
+        "grp",
+        F.col("xv").alias("x1"),
+        F.col("yv").alias("y1"),
+        F.col("n_cell").alias("n1"),
+    )
+    b = cells.select(
+        F.col("grp").alias("grp2"),
+        F.col("xv").alias("x2"),
+        F.col("yv").alias("y2"),
+        F.col("n_cell").alias("n2"),
+    )
+    pairs = a.join(
+        b, (F.col("grp") == F.col("grp2")) & (F.col("x1") < F.col("x2"))
+    )
+    pq = pairs.groupBy("grp").agg(
+        F.sum(
+            F.when(F.col("y2") > F.col("y1"), F.col("n1") * F.col("n2"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_concordant"),
+        F.sum(
+            F.when(F.col("y2") < F.col("y1"), F.col("n1") * F.col("n2"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_discordant"),
+    )
+    totals = cells.groupBy("grp").agg(
+        F.sum("n_cell").cast("long").alias("n")
+    )
+    tx = (
+        cells.groupBy("grp", "xv")
+        .agg(F.sum("n_cell").alias("t"))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1))
+            .cast("long")
+            .alias("tx2")
+        )
+    )
+    ty = (
+        cells.groupBy("grp", "yv")
+        .agg(F.sum("n_cell").alias("t"))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1))
+            .cast("long")
+            .alias("ty2")
+        )
+    )
+    j = pq.join(totals, "grp").join(tx, "grp").join(ty, "grp")
+    n0x2 = F.col("n") * (F.col("n") - 1)  # 2·n0, exact long
+    tau = (
+        (F.col("n_concordant") - F.col("n_discordant")).cast("double")
+        / F.sqrt(
+            ((n0x2 - F.col("tx2")).cast("double") / F.lit(2.0))
+            * ((n0x2 - F.col("ty2")).cast("double") / F.lit(2.0))
+        )
+    )
+    return j.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "n_concordant",
+        "n_discordant",
+        round_half_up(tau, digits).alias("tau_b"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Cramér's V association strength between two categorical
+    columns — the [0,1]-normalized scalar on top of
+    [chi2_association]'s per-cell table: V = √(χ²/(n·(min(r,c)−1)))
+    is comparable across column pairs and table sizes, the number a
+    schema-profiling pass reports for every categorical pair.
+
+    Same bounded dense grid as chi2_association (observed counts,
+    margins, zero cells contribute expected mass); χ² cell terms are
+    9-dp rounded and decimal-summed so the total is order- and
+    engine-independent. Returns one row:
+    (n, n_rows, n_cols, chi2, cramers_v).
+    """
+    obs = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rm = obs.groupBy("r").agg(F.sum("o").alias("nr"))
+    cm = obs.groupBy("c").agg(F.sum("o").alias("nc"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        rm.crossJoin(cm)
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["r", "c"], "left")
+        .select(
+            "n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("nr") * F.col("nc") / F.col("n")).alias("e"),
+        )
+    )
+    cell_chi2 = round_half_up(
+        F.pow(F.col("o") - F.col("e"), F.lit(2.0)) / F.col("e"), 9
+    )
+    agg = grid.groupBy("n").agg(dsum(cell_chi2, 9).alias("chi2"))
+    dims = (
+        rm.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .crossJoin(cm.agg(F.count(F.lit(1)).cast("long").alias("n_cols")))
+    )
+    return (
+        agg.crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "n_rows",
+            "n_cols",
+            round_half_up(F.col("chi2"), digits).alias("chi2"),
+            round_half_up(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * (
+                            F.least(F.col("n_rows"), F.col("n_cols")) - 1
+                        ).cast("double")
+                    )
+                ),
+                digits,
+            ).alias("cramers_v"),
+        )
+    )

@@ -1375,3 +1375,141 @@ def readability_stats(
         F.min("score").alias("min_flesch"),
         F.max("score").alias("max_flesch"),
     ).withColumnRenamed("grp", group_col)
+
+
+def term_burstiness_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Church–Gale term burstiness leaderboard: for every term with
+    document frequency >= ``min_df``, the mean within-document
+    frequency E[tf | tf > 0] (= total_tf / df — how hard a term hits
+    the docs it appears in) and the Fano factor var(tf)/mean(tf) over
+    its containing documents; content terms burst (high Fano),
+    function words spread uniformly (Fano ≈ 1 under Poisson). The
+    top-k by burstiness is the topical-vocabulary extractor that
+    needs no stopword list.
+
+    One (term, doc) tf aggregate, one per-term integer moment rollup
+    (Σtf, Σtf² — exact longs, order-independent), then TakeOrdered
+    on (burstiness desc, term) — no windows, no joins.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    mom = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("s1"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("s2"),
+    )
+    filt = mom.where(F.col("df") >= min_df)
+    mean = F.col("s1").cast("double") / F.col("df").cast("double")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double")
+        * F.col("s1").cast("double")
+        / F.col("df").cast("double")
+    ) / F.col("df").cast("double")
+    scored = filt.select(
+        "term",
+        "df",
+        F.col("s1").alias("total_tf"),
+        round_half_up(mean, 6).alias("burstiness"),
+        round_half_up(var / mean, 6).alias("fano_factor"),
+    )
+    return scored.orderBy(
+        F.col("burstiness").desc(), "term"
+    ).limit(top_k)
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Heaps'-law exponent fit V = K·N^β over the ingestion-order
+    vocabulary growth curve — the scalar companion to
+    [vocab_growth_curve]: β (typically 0.4–0.6 for natural text)
+    says how fast new vocabulary keeps arriving; β near 0 means the
+    crawl is exhausted, β near 1 means noise/IDs are flooding the
+    dictionary. Fit by OLS of ln V on ln N over the bounded curve.
+
+    Same linear first-occurrence attribution as vocab_growth_curve
+    (a term's min doc id picks its bucket — one shuffle), cumulative
+    sums over the ``n_buckets``-row aggregate, then the OLS moments
+    with 9-dp-rounded log terms decimal-summed (order- and
+    engine-independent). Returns one row:
+    (n_buckets_used, beta, k_coef, r2).
+    """
+    from pyspark.sql import Window
+    from ..functions.numeric import dsum
+
+    mx = df.agg(F.max(F.col(id_col)).alias("__mx"))
+    bucket = lambda c: F.least(  # noqa: E731 — shared bucketing expr
+        F.lit(n_buckets - 1), F.floor(c * n_buckets / (F.col("__mx") + 1))
+    ).cast("int")
+    firsts = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.min(id_col).alias("first_doc"))
+    )
+    new_terms = (
+        firsts.crossJoin(F.broadcast(mx))
+        .groupBy(bucket(F.col("first_doc")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_new_terms"))
+    )
+    toks = (
+        df.crossJoin(F.broadcast(mx))
+        .groupBy(bucket(F.col(id_col)).alias("bucket"))
+        .agg(F.sum(F.size(tokens(text_col))).alias("n_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        toks.join(new_terms, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_tokens", F.lit(0)).alias("nt"),
+            F.coalesce("n_new_terms", F.lit(0)).alias("nv"),
+        )
+        .select(
+            F.sum("nt").over(w).alias("cum_n"),
+            F.sum("nv").over(w).alias("cum_v"),
+        )
+        .where((F.col("cum_n") > 0) & (F.col("cum_v") > 0))
+    )
+    pts = curve.select(
+        round_half_up(F.log("cum_n"), 9).alias("x"),
+        round_half_up(F.log("cum_v"), 9).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        dsum("x", 9).alias("sx"),
+        dsum("y", 9).alias("sy"),
+        dsum(round_half_up(F.col("x") * F.col("x"), 9), 9).alias("sxx"),
+        dsum(round_half_up(F.col("y") * F.col("y"), 9), 9).alias("syy"),
+        dsum(round_half_up(F.col("x") * F.col("y"), 9), 9).alias("sxy"),
+    )
+    kk = F.col("k").cast("double")
+    beta = (kk * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        kk * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    lnk = (F.col("sy") - beta * F.col("sx")) / kk
+    r2num = kk * F.col("sxy") - F.col("sx") * F.col("sy")
+    r2 = (r2num * r2num) / (
+        (kk * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (kk * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("k").alias("n_buckets_used"),
+        round_half_up(beta, 6).alias("beta"),
+        round_half_up(F.exp(lnk), 6).alias("k_coef"),
+        round_half_up(r2, 6).alias("r2"),
+    )

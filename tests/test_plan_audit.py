@@ -121,6 +121,7 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/mixing.py", "tot"),
     ("operators/retrieval.py", "n_docs"),
     ("operators/retrieval.py", "globals_"),
+    ("operators/retrieval.py", "tot"),  # 1-row index totals (posting stats)
     ("operators/similarity.py", "n"),
     ("operators/similarity.py", "qtot"),  # 1-row distinct-query count
     ("operators/similarity.py", "df.sparkSession.createDataFrame([(k,"),  # fixed k grid

@@ -1624,3 +1624,159 @@ def test_spearman_ties_average_rank(spark):
     out = spearman_by_group(df, "grp", "x", "y").collect()[0]
     assert out["n"] == 4
     assert out["rho"] == pytest.approx(0.0, abs=1e-6)
+
+
+# --- batch 14: MRR, posting lists, Mann–Kendall, Kendall tau, hubness ------
+
+
+def test_mrr_first_relevant_rank(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.retrieval import (
+        mrr_eval,
+    )
+
+    # doc 1: "spark" x3 (relevant, highest tf -> rank 1);
+    # doc 2: "spark" x1 (matched, not relevant under rel_tf=2)
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark alpha"),
+            (2, "spark beta gamma delta"),
+            (3, "unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in mrr_eval(docs, ["spark"], k=10).collect()}
+    r = out["spark"]
+    assert r["n_matched"] == 2
+    assert r["n_relevant"] == 1
+    assert r["first_rel_rank"] == 1
+    assert r["rr"] == 1.0
+    assert r["precision_at_k"] == pytest.approx(0.1, abs=1e-6)
+
+
+def test_mrr_no_relevant_is_zero(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.retrieval import (
+        mrr_eval,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark alpha"), (2, "spark beta")], "doc_id long, text string"
+    )
+    r = mrr_eval(docs, ["spark"], k=5, rel_tf=2).collect()[0]
+    assert r["n_relevant"] == 0
+    assert r["first_rel_rank"] == 0
+    assert r["rr"] == 0.0
+
+
+def test_posting_list_histogram_buckets(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.retrieval import (
+        posting_list_stats,
+    )
+
+    # "a" in 4 docs (bucket log2(4)=2), "b" in 2 (bucket 1),
+    # "c" in 1 (bucket 0)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b"),
+            (3, "a"),
+            (4, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["log2_df_bucket"]: r for r in posting_list_stats(docs).collect()}
+    assert out[2]["n_terms"] == 1 and out[2]["n_postings"] == 4
+    assert out[1]["n_terms"] == 1 and out[1]["n_postings"] == 2
+    assert out[0]["n_terms"] == 1 and out[0]["n_postings"] == 1
+    assert out[2]["postings_share"] == pytest.approx(4 / 7, abs=1e-6)
+
+
+def test_mann_kendall_monotone_series(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        mann_kendall_trend,
+    )
+
+    # strictly increasing: S = C(10,2) = 45, no ties
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "xi long, yi double"
+    )
+    r = mann_kendall_trend(df, "xi", "yi").collect()[0]
+    assert r["n_points"] == 10
+    assert r["s_stat"] == 45
+    # var = 10*9*25/18 = 125; z = 44/sqrt(125)
+    assert r["var_s"] == pytest.approx(125.0, abs=1e-6)
+    assert r["z_score"] == pytest.approx(44 / math.sqrt(125.0), abs=1e-6)
+
+
+def test_mann_kendall_constant_series_zero(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        mann_kendall_trend,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(6)], "xi long, yi double"
+    )
+    r = mann_kendall_trend(df, "xi", "yi").collect()[0]
+    assert r["s_stat"] == 0
+    assert r["z_score"] == 0.0
+    # all 6 tied: var = (6*5*17 - 6*5*17)/18 = 0
+    assert r["var_s"] == 0.0
+
+
+def test_kendall_tau_perfect_and_inverse(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        kendall_tau_by_group,
+    )
+
+    rows = [("up", x, x * 2) for x in range(1, 6)] + [
+        ("down", x, -x) for x in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    out = {
+        r["grp"]: r for r in kendall_tau_by_group(df, "grp", "x", "y").collect()
+    }
+    assert out["up"]["tau_b"] == pytest.approx(1.0, abs=1e-6)
+    assert out["up"]["n_concordant"] == 10
+    assert out["up"]["n_discordant"] == 0
+    assert out["down"]["tau_b"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_kendall_tau_ties_against_known_value(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        kendall_tau_by_group,
+    )
+
+    # x = [1,1,2,3], y = [1,2,2,3]:
+    # pairs with x1<x2: (1,.)->(2,2): y 1<2 C, y 2=2 tie; (1,.)->(3,3):
+    # 1<3 C, 2<3 C; (2,2)->(3,3): 2<3 C  => P=4, Q=0
+    # n=4, n0=6, tx=C(2,2)=1, ty=1 -> tau = 4/sqrt(5*5) = 0.8
+    rows = [("g", 1, 1), ("g", 1, 2), ("g", 2, 2), ("g", 3, 3)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    r = kendall_tau_by_group(df, "grp", "x", "y").collect()[0]
+    assert r["n_concordant"] == 4
+    assert r["n_discordant"] == 0
+    assert r["tau_b"] == pytest.approx(0.8, abs=1e-6)
+
+
+def test_hubness_histogram_star_geometry(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        hubness_audit,
+    )
+
+    # hub vector [1,0]; three satellites close to it; one orthogonal
+    # antihub [0,1]-ish vectors chosen so the hub is everyone's 1-NN
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.9, -0.1]),
+        (3, [0.95, 0.05]),
+        (4, [-1.0, 0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["n_appearances"]: r["n_vectors"]
+        for r in hubness_audit(df, k=1).collect()
+    }
+    # with k=1 there are 5 list slots; the antihub appears in none
+    assert out.get(0, 0) >= 1
+    assert sum(k * v for k, v in out.items()) == 5
+    assert sum(out.values()) == 5

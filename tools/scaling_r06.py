@@ -109,6 +109,11 @@ QUERIES = [
     "customer_t_closeness",
     "graph_adamic_adar",
     "returnflag_qty_discount_spearman",
+    "retrieval_mrr_eval",
+    "posting_list_stats",
+    "events_mann_kendall",
+    "returnflag_qty_discount_kendall",
+    "embedding_hubness_histogram",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
