@@ -182,6 +182,11 @@ _NEXT_ROTATION: list[str] = [
     "events_mann_kendall",
     "returnflag_qty_discount_kendall",
     "embedding_hubness_histogram",
+    "term_burstiness",
+    "doc_heaps_law_fit",
+    "lineitem_correlation_matrix",
+    "part_brand_type_cramers_v",
+    "events_dominant_transition_scc",
 ]
 
 

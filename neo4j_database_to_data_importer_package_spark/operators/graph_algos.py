@@ -1500,10 +1500,17 @@ def functional_scc(
         .unionByName(e.select(F.col("b").alias("node")))
         .distinct()
     )
-    # reach includes the identity pairs so min-mutual-reach is total
-    reach = nodes.select(
-        F.col("node").alias("a"), F.col("node").alias("b")
-    ).unionByName(e).distinct()
+    # reach includes the identity pairs so min-mutual-reach is total.
+    # Each doubling references `reach` twice, so without a per-round
+    # materialization the logical plan (and analysis memory) grows
+    # exponentially in max_doublings — the closure table itself is
+    # bounded (≤ V² pairs), so the eager localCheckpoint is cheap.
+    reach = (
+        nodes.select(F.col("node").alias("a"), F.col("node").alias("b"))
+        .unionByName(e)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_doublings):
         step = (
             reach.alias("r1")
@@ -1513,7 +1520,9 @@ def functional_scc(
             )
             .select(F.col("r1.a").alias("a"), F.col("r2.b").alias("b"))
         )
-        reach = reach.unionByName(step).distinct()
+        reach = (
+            reach.unionByName(step).distinct().localCheckpoint(eager=True)
+        )
     back = reach.select(F.col("b").alias("a"), F.col("a").alias("b"))
     mutual = reach.intersect(back)
     scc = mutual.groupBy("a").agg(F.min("b").alias("scc_id"))

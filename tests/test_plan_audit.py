@@ -53,6 +53,8 @@ _ALLOWED_UNPARTITIONED_WINDOW = {
     # median pick over the ≤ k² pairwise-slope table of the BOUNDED
     # monthly series (k ≈ 80 months) — like vocab_growth_curve
     "orders_theil_sen_trend",
+    # cumulative sum over the 20-bucket growth-curve aggregate
+    "doc_heaps_law_fit",
 }
 
 _AUDIT = sorted(
@@ -131,6 +133,7 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/text_analysis.py", "totals"),
     ("operators/text_analysis.py", "corp_tot"),
     ("operators/statistics.py", "tot"),  # 1-row totals (KS / chi2 / MI)
+    ("operators/statistics.py", "dims"),  # 1-row (n_rows, n_cols) pair
     ("operators/profiling.py", "tot"),   # 1-row totals (join-key skew)
     # bounded sensitive-bucket histogram (fixed-width bucketing domain,
     # never data-scaled) + 1-row (N, K) totals — t-closeness grid

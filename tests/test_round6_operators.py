@@ -1780,3 +1780,117 @@ def test_hubness_histogram_star_geometry(spark):
     assert out.get(0, 0) >= 1
     assert sum(k * v for k, v in out.items()) == 5
     assert sum(out.values()) == 5
+
+
+# --- batch 15: burstiness, Heaps fit, correlation matrix, Cramér's V,
+# --- functional SCC --------------------------------------------------------
+
+
+def test_burstiness_content_term_beats_uniform(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        term_burstiness_topk,
+    )
+
+    # "topic" hits 2 docs 5x each (bursty); "the" hits 5 docs once each
+    docs = spark.createDataFrame(
+        [
+            (1, "topic topic topic topic topic the"),
+            (2, "topic topic topic topic topic the"),
+            (3, "the filler words"),
+            (4, "the filler words"),
+            (5, "the filler words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["term"]: r
+        for r in term_burstiness_topk(docs, min_df=2, top_k=10).collect()
+    }
+    assert out["topic"]["burstiness"] == 5.0
+    assert out["the"]["burstiness"] == 1.0
+    assert out["topic"]["fano_factor"] == 0.0  # constant tf -> zero variance
+    assert out["topic"]["df"] == 2 and out["topic"]["total_tf"] == 10
+
+
+def test_heaps_fit_recovers_power_law(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        heaps_law_fit,
+    )
+
+    # every doc introduces exactly one new term and repeats an old one:
+    # V grows linearly with docs, N = 2 tokens/doc -> beta ~ 1
+    rows = [(i, f"t{i} t0") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = heaps_law_fit(docs, n_buckets=10).collect()[0]
+    assert r["n_buckets_used"] == 10
+    assert 0.9 <= r["beta"] <= 1.1
+    assert r["r2"] > 0.99
+
+
+def test_correlation_matrix_known_pairs(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.profiling import (
+        correlation_matrix,
+    )
+
+    # y = 2x (corr 1), z = -x (corr -1 with x), w independent-ish
+    rows = [(float(i), 2.0 * i, float(-i)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in correlation_matrix(df, ["x", "y", "z"], scale=2).collect()
+    }
+    assert out[("x", "y")] == pytest.approx(1.0, abs=1e-6)
+    assert out[("x", "z")] == pytest.approx(-1.0, abs=1e-6)
+    assert out[("y", "z")] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_cramers_v_perfect_association(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        cramers_v,
+    )
+
+    # perfectly associated 2x2 -> V = 1
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = cramers_v(df, "r", "c").collect()[0]
+    assert out["cramers_v"] == pytest.approx(1.0, abs=1e-6)
+    # independent 2x2 -> V = 0
+    rows2 = [("a", "x")] * 5 + [("a", "y")] * 5 + [("b", "x")] * 5 + [("b", "y")] * 5
+    out2 = cramers_v(
+        spark.createDataFrame(rows2, "r string, c string"), "r", "c"
+    ).collect()[0]
+    assert out2["cramers_v"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_functional_scc_cycle_and_tail(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        functional_scc,
+    )
+
+    # a -> b -> c -> a (3-cycle); d -> a (tail, own SCC, not in cycle);
+    # e -> e (self-loop: own SCC, in cycle)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("e", "e")],
+        "src string, dst string",
+    )
+    out = {r["node"]: r for r in functional_scc(edges).collect()}
+    assert out["a"]["scc_id"] == out["b"]["scc_id"] == out["c"]["scc_id"] == "a"
+    assert out["a"]["scc_size"] == 3 and out["a"]["in_cycle"]
+    assert out["d"]["scc_size"] == 1 and not out["d"]["in_cycle"]
+    assert out["e"]["scc_size"] == 1 and out["e"]["in_cycle"]
+
+
+def test_functional_scc_long_path_closure(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        functional_scc,
+    )
+
+    # a 12-node directed cycle needs paths up to length 11 — closed by
+    # 5 doublings (2^5 = 32 >= 11)
+    n = 12
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{(i + 1) % n:02d}") for i in range(n)],
+        "src string, dst string",
+    )
+    out = functional_scc(edges).collect()
+    assert all(r["scc_size"] == n and r["in_cycle"] for r in out)

@@ -114,6 +114,11 @@ QUERIES = [
     "events_mann_kendall",
     "returnflag_qty_discount_kendall",
     "embedding_hubness_histogram",
+    "term_burstiness",
+    "doc_heaps_law_fit",
+    "lineitem_correlation_matrix",
+    "part_brand_type_cramers_v",
+    "events_dominant_transition_scc",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
