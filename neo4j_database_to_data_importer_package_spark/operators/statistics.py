@@ -1154,3 +1154,175 @@ def cramers_v(
             ).alias("cramers_v"),
         )
     )
+
+
+def levene_brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Brown–Forsythe test statistic for equality of VARIANCES across
+    groups (Levene's test with the median center — the robust form):
+    a one-way ANOVA on |x − group median|. The companion check to
+    [oneway_anova], which compares means and silently assumes the
+    variances already match — exactly the assumption this audits.
+
+    Scale shape: everything runs on the bounded (group, value)
+    HISTOGRAM — group medians come from a cumulative walk over the
+    per-group value domain (never a row sort), and the deviation
+    moments are integer sums in doubled units (Z = |2v − 2·median| is
+    exact BIGINT arithmetic; the factor 4 cancels in the W ratio).
+    Per-group terms are 9-dp rounded and decimal-summed.
+
+    Returns one row: (n_groups, n_total, w_stat).
+    """
+    h = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ng = h.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select("g", "v", "c", F.sum("c").over(w).alias("cum")).join(
+        ng, "g"
+    )
+    r1 = F.floor((F.col("n_g") + 1) / 2)
+    r2 = F.floor((F.col("n_g") + 2) / 2)
+    m1 = cum.where(
+        (F.col("cum") - F.col("c") < r1) & (r1 <= F.col("cum"))
+    ).select("g", F.col("v").alias("m1"))
+    m2 = cum.where(
+        (F.col("cum") - F.col("c") < r2) & (r2 <= F.col("cum"))
+    ).select("g", F.col("v").alias("m2"))
+    med = m1.join(m2, "g").select(
+        "g", (F.col("m1") + F.col("m2")).cast("long").alias("med2")
+    )
+    z = h.join(med, "g").select(
+        "g",
+        "c",
+        F.abs(2 * F.col("v").cast("long") - F.col("med2")).alias("z2"),
+    )
+    per_g = z.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_g"),
+        F.sum(F.col("c") * F.col("z2")).cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("z2") * F.col("z2"))
+        .cast("long")
+        .alias("s2"),
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n_tot"),
+        F.sum("s1").cast("long").alias("s1_tot"),
+    )
+    joined = per_g.crossJoin(F.broadcast(tot))
+    m_g = F.col("s1").cast("double") / F.col("n_g").cast("double")
+    m_all = F.col("s1_tot").cast("double") / F.col("n_tot").cast("double")
+    between_term = round_half_up(
+        F.col("n_g").cast("double") * (m_g - m_all) * (m_g - m_all), 9
+    )
+    within_term = round_half_up(
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double")
+        * F.col("s1").cast("double")
+        / F.col("n_g").cast("double"),
+        9,
+    )
+    agg = joined.groupBy("k", "n_tot").agg(
+        dsum(between_term, 9).alias("between"),
+        dsum(within_term, 9).alias("within"),
+    )
+    return agg.select(
+        F.col("k").alias("n_groups"),
+        F.col("n_tot").alias("n_total"),
+        round_half_up(
+            (F.col("n_tot") - F.col("k")).cast("double")
+            / (F.col("k") - 1).cast("double")
+            * F.col("between")
+            / F.col("within"),
+            digits,
+        ).alias("w_stat"),
+    )
+
+
+def holt_linear_backtest(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    digits: int = 6,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over a BOUNDED
+    series with a one-step-ahead backtest: level/trend recursion from
+    (l = y₂, b = y₂ − y₁), forecasting each next point and scoring
+    the mean absolute error — the five-line forecaster every capacity
+    dashboard runs before anyone reaches for a model, with the MAE
+    saying whether even that is beating persistence.
+
+    The recursion is inherently sequential, so it runs as ONE
+    Arrow-batched applyInPandas over the caller-aggregated bounded
+    series (a few hundred rows — same contract as theil_sen /
+    mann_kendall: aggregate first, then O(k) state). Plain-Python
+    float ops in data order, so the DuckDB recursive-CTE oracle
+    reproduces the exact IEEE sequence.
+
+    Returns one row: (n_points, mae, level, trend, forecast_next).
+    """
+    import pandas as pd
+
+    a, b_ = float(alpha), float(beta)
+    scale = float(10**digits)
+
+    def _fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__x")
+        y = [float(v) for v in pdf["__y"]]
+        n = len(y)
+        if n < 3:
+            return pd.DataFrame(
+                [
+                    {
+                        "n_points": n,
+                        "mae": None,
+                        "level": None,
+                        "trend": None,
+                        "forecast_next": None,
+                    }
+                ]
+            )
+        lvl = y[1]
+        trd = y[1] - y[0]
+        serr = 0.0
+        cnt = 0
+        import math
+
+        for t in range(2, n):
+            f = lvl + trd
+            serr += abs(y[t] - f)
+            cnt += 1
+            new_l = a * y[t] + (1 - a) * (lvl + trd)
+            trd = b_ * (new_l - lvl) + (1 - b_) * trd
+            lvl = new_l
+        rnd = lambda v: math.floor(v * scale + 0.5) / scale  # noqa: E731
+        return pd.DataFrame(
+            [
+                {
+                    "n_points": n,
+                    "mae": rnd(serr / cnt),
+                    "level": rnd(lvl),
+                    "trend": rnd(trd),
+                    "forecast_next": rnd(lvl + trd),
+                }
+            ]
+        )
+
+    bounded = df.select(
+        F.col(x_col).alias("__x"), F.col(y_col).cast("double").alias("__y")
+    )
+    return bounded.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        _fit,
+        "n_points long, mae double, level double, trend double, "
+        "forecast_next double",
+    )

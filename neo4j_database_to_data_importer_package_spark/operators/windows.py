@@ -1196,3 +1196,129 @@ def gap_exponential_gof(
             "chi2_gof",
         )
     )
+
+
+def position_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    channels: tuple = ("view", "click", "signup", "error"),
+    digits: int = 6,
+) -> DataFrame:
+    """Position-based (U-shaped) conversion attribution: each
+    conversion gives 40% of the credit to the user's FIRST prior
+    touch, 40% to the LAST touch before converting, and splits the
+    remaining 20% across the middle touches — the industry-standard
+    compromise between first-touch ("what introduced them") and
+    last-touch ("what closed them"). One touch → 100%; two touches →
+    50/50; none → '(none)'.
+
+    Same one-pass shape as [linear_attribution]: per-channel prefix
+    counts PLUS first/last channel via first_value/last_value (ignore
+    nulls) over the same per-user prefix frame — still zero joins
+    against history, zero per-(conversion, touch) pairs. Credits are
+    9-dp rounded and decimal-summed per channel.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col).isin(list(channels)), F.col(type_col))
+    prior = {
+        ch: F.sum((F.col(type_col) == ch).cast("long")).over(w)
+        for ch in channels
+    }
+    conv = events.select(
+        F.col(user_col),
+        F.col(type_col),
+        F.first(touch, ignorenulls=True).over(w).alias("__first"),
+        F.last(touch, ignorenulls=True).over(w).alias("__last"),
+        *[prior[ch].alias(f"__n_{i}") for i, ch in enumerate(channels)],
+    ).filter(F.col(type_col) == conversion_type)
+    tot = sum(
+        (F.coalesce(F.col(f"__n_{i}"), F.lit(0)) for i in range(len(channels))),
+        F.lit(0),
+    )
+    per_channel = []
+    for i, ch in enumerate(channels):
+        is_first = (F.col("__first") == ch).cast("long")
+        is_last = (F.col("__last") == ch).cast("long")
+        n_c = F.coalesce(F.col(f"__n_{i}"), F.lit(0))
+        credit = (
+            F.when(tot == 0, F.lit(0.0))
+            .when(tot == 1, is_first.cast("double"))
+            .when(
+                tot == 2,
+                0.5 * is_first.cast("double") + 0.5 * is_last.cast("double"),
+            )
+            .otherwise(
+                0.4 * is_first.cast("double")
+                + 0.4 * is_last.cast("double")
+                + 0.2 * (n_c - is_first - is_last).cast("double") / (tot - 2)
+            )
+        )
+        per_channel.append(
+            conv.agg(
+                round_half_up(
+                    dsum(round_half_up(credit, 9), 9), digits
+                ).alias("credit")
+            ).select(F.lit(ch).alias("channel"), "credit")
+        )
+    none_credit = conv.agg(
+        F.sum((tot == 0).cast("long")).cast("double").alias("credit")
+    ).select(
+        F.lit("(none)").alias("channel"),
+        round_half_up(F.col("credit"), digits).alias("credit"),
+    )
+    out = per_channel[0]
+    for p in per_channel[1:]:
+        out = out.unionByName(p)
+    return out.unionByName(none_credit)
+
+
+def weekday_index(
+    df: DataFrame,
+    ts_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+    digits: int = 6,
+) -> DataFrame:
+    """Day-of-week seasonal index on order volume and revenue: each
+    ISO weekday's share of orders/revenue against the uniform 1/7
+    baseline (index > 1 = over-indexed day) — the weekly-grain
+    companion to [monthly_seasonality] every staffing / capacity
+    review starts from.
+
+    One 7-row aggregate (decimal-exact revenue) plus a 1-row totals
+    broadcast. ISO weekday (0 = Monday) so both engines agree on the
+    labels without locale state.
+    """
+    from ..functions.numeric import dsum, round_half_up
+
+    per_dow = df.groupBy(F.weekday(ts_col).alias("iso_weekday")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum(value_col, 4).alias("revenue"),
+    )
+    tot = per_dow.agg(
+        F.sum("n_orders").alias("__tn"),
+        F.sum(
+            F.col("revenue").cast("decimal(27,4)")
+        ).cast("double").alias("__tr"),
+    )
+    return (
+        per_dow.crossJoin(F.broadcast(tot))
+        .select(
+            "iso_weekday",
+            "n_orders",
+            round_half_up(F.col("revenue"), 2).alias("revenue"),
+            round_half_up(
+                F.col("n_orders") / F.col("__tn") * 7.0, digits
+            ).alias("order_index"),
+            round_half_up(
+                F.col("revenue") / F.col("__tr") * 7.0, digits
+            ).alias("revenue_index"),
+        )
+    )

@@ -1894,3 +1894,115 @@ def test_functional_scc_long_path_closure(spark):
     )
     out = functional_scc(edges).collect()
     assert all(r["scc_size"] == n and r["in_cycle"] for r in out)
+
+
+# --- batch 16: position attribution, Levene, Holt, weekday index, funnel ---
+
+
+def test_position_attribution_u_shape(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        position_attribution,
+    )
+
+    # user 1: view -> click -> signup -> purchase
+    #   first=view (.4), last=signup (.4), middle=click (.2)
+    # user 2: view -> purchase (single touch -> view gets 1.0)
+    # user 3: purchase with no touches -> (none)
+    rows = [
+        (1, "view", 1, 1),
+        (1, "click", 2, 2),
+        (1, "signup", 3, 3),
+        (1, "purchase", 4, 4),
+        (2, "view", 1, 5),
+        (2, "purchase", 2, 6),
+        (3, "purchase", 1, 7),
+    ]
+    ev = spark.createDataFrame(
+        [
+            (u, t, f"2024-01-01 00:0{s}:00", i)
+            for u, t, s, i in rows
+        ],
+        "user_id long, event_type string, ts string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["channel"]: r["credit"] for r in position_attribution(ev).collect()}
+    assert out["view"] == pytest.approx(1.4, abs=1e-6)
+    assert out["click"] == pytest.approx(0.2, abs=1e-6)
+    assert out["signup"] == pytest.approx(0.4, abs=1e-6)
+    assert out["(none)"] == pytest.approx(1.0, abs=1e-6)
+    # total credit = one per converting-with-touch conversion + none bucket
+    assert sum(out.values()) == pytest.approx(3.0, abs=1e-5)
+
+
+def test_levene_equal_vs_unequal_variance(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        levene_brown_forsythe,
+    )
+
+    # group a: tight around 100; group b: wide spread
+    rows = [("a", v) for v in [99, 100, 100, 101] * 5] + [
+        ("b", v) for v in [50, 100, 100, 150] * 5
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = levene_brown_forsythe(df, "g", "v").collect()[0]
+    assert r["n_groups"] == 2
+    assert r["n_total"] == 40
+    assert r["w_stat"] > 10  # clearly unequal variances
+    # identical groups -> W = 0
+    rows2 = [("a", v) for v in [1, 2, 3, 4]] + [("b", v) for v in [1, 2, 3, 4]]
+    r2 = levene_brown_forsythe(
+        spark.createDataFrame(rows2, "g string, v long"), "g", "v"
+    ).collect()[0]
+    assert r2["w_stat"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_holt_tracks_linear_series(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        holt_linear_backtest,
+    )
+
+    # exactly linear y = 3 + 2x: Holt locks on, MAE = 0, forecast exact
+    df = spark.createDataFrame(
+        [(x, 3.0 + 2.0 * x) for x in range(20)], "xi long, yi double"
+    )
+    r = holt_linear_backtest(df, "xi", "yi").collect()[0]
+    assert r["n_points"] == 20
+    assert r["mae"] == pytest.approx(0.0, abs=1e-6)
+    assert r["forecast_next"] == pytest.approx(3.0 + 2.0 * 20, abs=1e-4)
+
+
+def test_weekday_index_uniform_is_one(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        weekday_index,
+    )
+
+    # 2024-01-01 is a Monday; 14 consecutive days = 2 of each weekday
+    import datetime
+
+    rows = [
+        (datetime.date(2024, 1, 1) + datetime.timedelta(days=i), 100.0)
+        for i in range(14)
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate date, o_totalprice double")
+    out = weekday_index(df).collect()
+    assert len(out) == 7
+    for r in out:
+        assert r["n_orders"] == 2
+        assert r["order_index"] == pytest.approx(1.0, abs=1e-6)
+        assert r["revenue_index"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_corpus_filter_funnel_monotone(spark, sf_dir):
+    from neo4j_database_to_data_importer_package_spark import registry
+
+    out = registry.QUERIES["corpus_filter_funnel"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert (
+            r["n_raw"]
+            >= r["n_after_dedup"]
+            >= r["n_after_lang"]
+            >= r["n_after_quality"]
+            >= 0
+        )
+        assert r["tokens_raw"] >= r["tokens_kept"]
+        assert 0.0 <= r["keep_rate"] <= 1.0

@@ -119,6 +119,11 @@ QUERIES = [
     "lineitem_correlation_matrix",
     "part_brand_type_cramers_v",
     "events_dominant_transition_scc",
+    "events_position_attribution",
+    "doc_length_levene",
+    "events_holt_forecast",
+    "orders_weekday_index",
+    "corpus_filter_funnel",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
