@@ -192,6 +192,11 @@ _NEXT_ROTATION: list[str] = [
     "events_holt_forecast",
     "orders_weekday_index",
     "corpus_filter_funnel",
+    "events_bot_score_histogram",
+    "events_out_of_order",
+    "customer_cohort_ltv",
+    "events_transition_reciprocity",
+    "multimodal_ahash_near_dup",
 ]
 
 

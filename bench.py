@@ -312,6 +312,11 @@ BENCH_QUERIES = [
     "events_holt_forecast",
     "orders_weekday_index",
     "corpus_filter_funnel",
+    "events_bot_score_histogram",
+    "events_out_of_order",
+    "customer_cohort_ltv",
+    "events_transition_reciprocity",
+    "multimodal_ahash_near_dup",
 ]
 
 

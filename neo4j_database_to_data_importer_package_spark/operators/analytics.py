@@ -815,3 +815,76 @@ def brand_return_wilson(
         round_half_up(p, 6).alias("return_rate"),
         round_half_up(lb, 6).alias("wilson_lower_bound"),
     )
+
+
+def cohort_ltv_curve(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+    max_age_months: int = 12,
+    digits: int = 2,
+) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by FIRST-order
+    month, then cumulative revenue per cohort member at each month of
+    age — the money-grain companion to the retention-cohort triangle
+    (retention says who came back; this says what coming back was
+    worth), and the curve whose flattening point sets the payback
+    window every acquisition budget is judged against.
+
+    One min-aggregate for cohort assignment (month index = y·12+m,
+    integer), one keyed join back, one (cohort, age) decimal revenue
+    aggregate, and a cumulative window over the BOUNDED (cohort ×
+    age ≤ max_age) grid. LTV divides by the fixed cohort size (the
+    denominator every later age reuses — not survivors).
+    """
+    from pyspark.sql import Window
+    from ..functions.numeric import dsum, round_half_up
+
+    mon = F.year(ts_col) * 12 + F.month(ts_col)
+    first = orders.groupBy(F.col(cust_col).alias("cust")).agg(
+        F.min(mon).alias("cohort_m")
+    )
+    sizes = first.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    aged = (
+        orders.select(
+            F.col(cust_col).alias("cust"),
+            mon.alias("m"),
+            F.col(value_col).alias("v"),
+        )
+        .join(first, "cust")
+        .select(
+            "cohort_m",
+            (F.col("m") - F.col("cohort_m")).alias("age_months"),
+            "v",
+        )
+        .where(F.col("age_months") <= max_age_months)
+    )
+    cell = aged.groupBy("cohort_m", "age_months").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum("v", 4).alias("revenue"),
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cell.join(sizes, "cohort_m")
+        .select(
+            F.col("cohort_m").cast("long").alias("cohort_month"),
+            F.col("age_months").cast("long").alias("age_months"),
+            "n_orders",
+            "cohort_size",
+            round_half_up(F.col("revenue"), digits).alias("revenue"),
+            round_half_up(
+                F.sum(
+                    F.col("revenue").cast("decimal(27,4)")
+                ).over(w).cast("double")
+                / F.col("cohort_size"),
+                digits,
+            ).alias("cum_ltv_per_customer"),
+        )
+    )

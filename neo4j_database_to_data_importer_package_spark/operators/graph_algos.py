@@ -1546,3 +1546,53 @@ def functional_scc(
             ).alias("in_cycle"),
         )
     )
+
+
+def weighted_reciprocity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "n",
+    digits: int = 6,
+) -> DataFrame:
+    """Weighted reciprocity of a directed graph: what fraction of
+    directed edge weight is matched by flow in the opposite
+    direction, r = Σ min(w_ij, w_ji) / Σ w_ij over ordered pairs
+    (self-loops excluded — they are trivially reciprocal). r ≈ 1
+    means symmetric interaction (conversation), r ≈ 0 pure broadcast
+    — the one-number digraph-symmetry audit that complements the
+    SCC decomposition.
+
+    One full-outer self-join of the (src, dst, w) aggregate against
+    its transpose (keyed equi-join), then exact integer sums.
+    Returns one row: (n_directed_edges, total_weight,
+    reciprocated_weight, reciprocity).
+    """
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(
+            F.col(src).alias("a"),
+            F.col(dst).alias("b"),
+            F.col(weight).cast("long").alias("w"),
+        )
+    )
+    t = e.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), F.col("w").alias("wr")
+    )
+    j = e.join(t, ["a", "b"], "left").select(
+        "w", F.coalesce("wr", F.lit(0)).alias("wr")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_directed_edges"),
+        F.sum("w").cast("long").alias("total_weight"),
+        F.sum(F.least(F.col("w"), F.col("wr")))
+        .cast("long")
+        .alias("reciprocated_weight"),
+    ).select(
+        "n_directed_edges",
+        "total_weight",
+        "reciprocated_weight",
+        round_half_up(
+            F.col("reciprocated_weight") / F.col("total_weight"), digits
+        ).alias("reciprocity"),
+    )

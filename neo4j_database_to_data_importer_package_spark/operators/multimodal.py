@@ -178,3 +178,76 @@ def resize_plan(
     return media.withColumn("scale", scale).withColumn(
         "out_w", F.greatest(snap(w), F.lit(multiple_of))
     ).withColumn("out_h", F.greatest(snap(h), F.lit(multiple_of)))
+
+
+def ahash_near_dup(
+    features: DataFrame,
+    id_col: str = "media_id",
+    n_bins: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate candidates over media byte
+    features: an aHash-style signature (bit k = is byte-histogram bin
+    k over-represented vs the uniform 1/16 share) with BANDED
+    blocking — candidates must agree on at least one of the 4 nibble
+    bands (the simhash/LSH shape: equi-joins on (band, value), never
+    all-pairs), then the exact Hamming distance filters to
+    <= ``max_hamming``. The image-dedup plumbing of a multimodal
+    pipeline with the decode step stubbed (see decode_stub): the
+    signature math, banding, and verification are the real, tested
+    Spark shapes a pHash would drop into.
+
+    Bit thresholds are INTEGER comparisons (n_bins·count > n_bytes —
+    no float shares), so signatures are engine-exact. Returns
+    (id_a, id_b, hash_a, hash_b, hamming) with id_a < id_b.
+    """
+    # counts back out of the exact share entries: features[k] are
+    # multiples of 1/n_bytes, so round() recovers the integer count
+    cnt = lambda k: F.round(  # noqa: E731 — shared per-bin expression
+        F.element_at("features", k + 1) * F.col("n_bytes")
+    ).cast("long")
+    bit = lambda k: (  # noqa: E731
+        F.lit(n_bins) * cnt(k) > F.col("n_bytes")
+    ).cast("long")
+    sig = features.select(
+        F.col(id_col).alias("id"),
+        sum(
+            (bit(k) * F.lit(1 << k) for k in range(n_bins)), F.lit(0)
+        ).cast("long").alias("h"),
+    )
+    bands = sig.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        ((F.col("h") / F.lit(1 << (4 * b))).cast("long")
+                         % 16).alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "h", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a = bands.select(
+        F.col("band"), F.col("bv"),
+        F.col("id").alias("id_a"), F.col("h").alias("hash_a"),
+    )
+    b = bands.select(
+        F.col("band"), F.col("bv"),
+        F.col("id").alias("id_b"), F.col("h").alias("hash_b"),
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hash_a", "hash_b")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("hash_a").bitwiseXOR(F.col("hash_b"))
+    ).cast("long")
+    return cand.select(
+        "id_a", "id_b", "hash_a", "hash_b", ham.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

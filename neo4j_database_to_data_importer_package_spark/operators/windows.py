@@ -1322,3 +1322,157 @@ def weekday_index(
             ).alias("revenue_index"),
         )
     )
+
+
+def bot_score_histogram(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_events: int = 10,
+) -> DataFrame:
+    """Heuristic bot screen over per-user behavior — the traffic-
+    quality gate a training-data pipeline runs before user-generated
+    text enters a corpus. Four standard signals, each a boolean flag:
+    (1) metronome regularity (second-grain inter-event gap CV < 0.5 —
+    humans are bursty), (2) sustained rate (> 1 event/minute across
+    the whole span), (3) low action diversity (type entropy < 0.5 nats), and
+    (4) night-heavy activity (> 30% of events in the 00:00–05:59
+    wall-clock hours). The score is how many flags fire; output is
+    the score → user-count histogram over users with >=
+    ``min_events``.
+
+    One lag window per user (gap moments as exact integer µs sums),
+    one (user, type) count for entropy, one hash rollup — all keyed
+    by user, no cross-user state. Flag metrics are 9-dp rounded
+    BEFORE thresholding so both engines compare identical doubles.
+    """
+    from ..functions.numeric import round_half_up
+
+    # gap moments in SECONDS: Σgap² at µs grain overflows BIGINT for
+    # month-long spans (1e13² ≫ 2⁶³); CV is unit-invariant
+    secs = F.expr(
+        f"timestampdiff(SECOND, timestamp'1970-01-01 00:00:00', {ts_col})"
+    )
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    gaps = events.select(
+        F.col(user_col),
+        (secs - F.lag(secs).over(w)).alias("gap_s"),
+    )
+    gap_m = gaps.where(F.col("gap_s").isNotNull()).groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_s").cast("long").alias("g1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("g2"),
+    )
+    per_type = events.groupBy(user_col, type_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot_u = per_type.groupBy(user_col).agg(
+        F.sum("c").cast("long").alias("n_events")
+    )
+    # entropy terms are 12-dp rounded then decimal-summed so the ≤
+    # |event types| additions are order- and engine-independent before
+    # the threshold compare
+    ent_term = round_half_up(
+        (F.col("c") / F.col("n_events"))
+        * F.log(F.col("c") / F.col("n_events")),
+        12,
+    )
+    ent = (
+        per_type.join(tot_u, user_col)
+        .groupBy(user_col, "n_events")
+        .agg(
+            round_half_up(-dsum(ent_term, 12), 9).alias("entropy")
+        )
+    )
+    night = events.groupBy(user_col).agg(
+        F.sum((F.hour(ts_col) < 6).cast("long")).alias("n_night"),
+        (F.max(secs) - F.min(secs)).alias("span_s"),
+    )
+    j = gap_m.join(ent, user_col).join(night, user_col).where(
+        F.col("n_events") >= min_events
+    )
+    mean_gap = F.col("g1").cast("double") / F.col("n_gaps").cast("double")
+    var_gap = (
+        F.col("g2").cast("double")
+        - F.col("g1").cast("double")
+        * F.col("g1").cast("double")
+        / F.col("n_gaps").cast("double")
+    ) / F.col("n_gaps").cast("double")
+    cv = round_half_up(F.sqrt(var_gap) / mean_gap, 9)
+    rate_per_min = F.when(
+        F.col("span_s") > 0,
+        round_half_up(
+            F.col("n_events").cast("double")
+            / (F.col("span_s").cast("double") / 60.0),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    night_share = round_half_up(
+        F.col("n_night") / F.col("n_events"), 9
+    )
+    score = (
+        (cv < 0.5).cast("int")
+        + (rate_per_min > 1.0).cast("int")
+        + (F.col("entropy") < 0.5).cast("int")
+        + (night_share > 0.3).cast("int")
+    )
+    return (
+        j.select(score.alias("bot_score"))
+        .groupBy("bot_score")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.col("bot_score").cast("long").alias("bot_score"), "n_users")
+    )
+
+
+def out_of_order_audit(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stream disorder audit: treating ``id_col`` as ARRIVAL order,
+    how late does each event land behind the running per-key
+    event-time high-water mark? The resulting lateness histogram is
+    the exact input for choosing a Structured-Streaming watermark
+    delay (pick the bucket that keeps the loss you can tolerate) —
+    measured BEFORE deploying the stream, from the same log.
+
+    One running-max window per user over arrival order (NTZ-safe µs),
+    then a fixed 5-bucket rollup with a 1-row total for shares.
+    """
+    from ..functions.numeric import round_half_up
+
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, timestamp'1970-01-01 00:00:00', {ts_col})"
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # first-arrival rows have an empty prefix frame (NULL running max):
+    # explicitly on-time, not engine-dependent NULL-in-greatest behavior
+    late = events.select(
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce((F.max(us).over(w) - us), F.lit(0)).cast("long"),
+        ).alias("late_us")
+    )
+    bucket = (
+        F.when(F.col("late_us") == 0, "0_on_time")
+        .when(F.col("late_us") <= 60 * 1000000, "1_under_1m")
+        .when(F.col("late_us") <= 300 * 1000000, "2_under_5m")
+        .when(F.col("late_us") <= 3600 * 1000000, "3_under_1h")
+        .otherwise("4_over_1h")
+    )
+    hist = late.groupBy(bucket.alias("lateness_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    tot = hist.agg(F.sum("n_events").alias("__t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "lateness_bucket",
+        "n_events",
+        round_half_up(F.col("n_events") / F.col("__t"), 6).alias("share"),
+    )

@@ -2006,3 +2006,129 @@ def test_corpus_filter_funnel_monotone(spark, sf_dir):
         )
         assert r["tokens_raw"] >= r["tokens_kept"]
         assert 0.0 <= r["keep_rate"] <= 1.0
+
+
+# --- batch 17: bot screen, disorder audit, cohort LTV, reciprocity, aHash --
+
+
+def test_bot_score_flags_metronome_user(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        bot_score_histogram,
+    )
+
+    # bot: 12 events exactly every 10s, one type, night hours
+    # human: 12 events at irregular gaps, mixed types, daytime
+    bot = [
+        (1, "click", f"2024-01-01 02:00:{10 * i // 60:01d}{10 * i % 60:02d}"[:19], i)
+        for i in range(12)
+    ]
+    bot = [
+        (1, "click", f"2024-01-01 02:{(10 * i) // 60:02d}:{(10 * i) % 60:02d}", i)
+        for i in range(12)
+    ]
+    import random
+
+    gaps = [5, 90, 33, 800, 12, 420, 66, 240, 7, 1300, 55]
+    t = 0
+    human = []
+    types = ["view", "click", "purchase", "signup"]
+    for i, g in enumerate([0] + gaps):
+        t += g
+        human.append(
+            (2, types[i % 4], f"2024-01-01 12:{t // 60:02d}:{t % 60:02d}", 100 + i)
+        )
+    ev = spark.createDataFrame(
+        bot + human, "user_id long, event_type string, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["bot_score"]: r["n_users"] for r in bot_score_histogram(ev).collect()}
+    # the metronome user scores >= 3 (cv=0, rate 6/min, entropy 0, night)
+    assert any(k >= 3 and v >= 1 for k, v in out.items())
+    assert sum(out.values()) == 2
+
+
+def test_out_of_order_buckets(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        out_of_order_audit,
+    )
+
+    # arrival order (event_id) vs event time: third event is 2 min late
+    rows = [
+        (1, "2024-01-01 10:00:00", 1),
+        (1, "2024-01-01 10:05:00", 2),
+        (1, "2024-01-01 10:03:00", 3),  # 120 s behind the watermark
+        (1, "2024-01-01 10:06:00", 4),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["lateness_bucket"]: r["n_events"] for r in out_of_order_audit(ev).collect()}
+    assert out["0_on_time"] == 3
+    assert out["2_under_5m"] == 1
+
+
+def test_cohort_ltv_cumulative(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        cohort_ltv_curve,
+    )
+
+    import datetime
+
+    rows = [
+        (1, datetime.date(2024, 1, 5), 100.0),
+        (1, datetime.date(2024, 2, 10), 50.0),
+        (2, datetime.date(2024, 1, 20), 200.0),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    out = {
+        (r["cohort_month"], r["age_months"]): r
+        for r in cohort_ltv_curve(orders).collect()
+    }
+    jan = 2024 * 12 + 1
+    assert out[(jan, 0)]["cohort_size"] == 2
+    assert out[(jan, 0)]["revenue"] == 300.0
+    assert out[(jan, 0)]["cum_ltv_per_customer"] == 150.0
+    assert out[(jan, 1)]["cum_ltv_per_customer"] == 175.0
+
+
+def test_reciprocity_symmetric_vs_oneway(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        weighted_reciprocity,
+    )
+
+    sym = spark.createDataFrame(
+        [("a", "b", 5), ("b", "a", 5)], "src string, dst string, n long"
+    )
+    r = weighted_reciprocity(sym).collect()[0]
+    assert r["reciprocity"] == 1.0
+    oneway = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 3)], "src string, dst string, n long"
+    )
+    r2 = weighted_reciprocity(oneway).collect()[0]
+    assert r2["reciprocity"] == 0.0
+    # asymmetric: 5 forward, 2 back -> 2*min/total = (2+2)/7
+    asym = spark.createDataFrame(
+        [("a", "b", 5), ("b", "a", 2)], "src string, dst string, n long"
+    )
+    r3 = weighted_reciprocity(asym).collect()[0]
+    assert r3["reciprocity"] == pytest.approx(4 / 7, abs=1e-6)
+
+
+def test_ahash_near_dup_identical_payloads(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.multimodal import (
+        ahash_near_dup,
+        extract_features,
+    )
+
+    # two identical payloads (hamming 0) and one very different
+    rows = [
+        (1, bytes([10, 200] * 24)),
+        (2, bytes([10, 200] * 24)),
+        (3, bytes(range(48))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = extract_features(media, fake=True)
+    out = {(r["id_a"], r["id_b"]): r for r in ahash_near_dup(feats).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)]["hamming"] == 0

@@ -124,6 +124,11 @@ QUERIES = [
     "events_holt_forecast",
     "orders_weekday_index",
     "corpus_filter_funnel",
+    "events_bot_score_histogram",
+    "events_out_of_order",
+    "customer_cohort_ltv",
+    "events_transition_reciprocity",
+    "multimodal_ahash_near_dup",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
