@@ -317,6 +317,11 @@ BENCH_QUERIES = [
     "customer_cohort_ltv",
     "events_transition_reciprocity",
     "multimodal_ahash_near_dup",
+    "customer_value_tier_migration",
+    "language_id_margin",
+    "events_dwell_by_transition",
+    "events_conversion_latency",
+    "part_revenue_abc",
 ]
 
 

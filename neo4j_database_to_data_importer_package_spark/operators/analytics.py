@@ -888,3 +888,127 @@ def cohort_ltv_curve(
             ).alias("cum_ltv_per_customer"),
         )
     )
+
+
+def value_tier_migration(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+    year_a: int = 1995,
+    year_b: int = 1996,
+    digits: int = 6,
+) -> DataFrame:
+    """Customer value-tier migration matrix between two periods: each
+    customer's revenue quartile (within-period thresholds) in year A
+    vs year B, with '(absent)' for customers active in only one —
+    the segment-migration table behind every churn/upsell review
+    ("are my top-quartile customers staying top-quartile?").
+
+    Per-period per-customer decimal totals (one keyed aggregate
+    each), quartile THRESHOLDS as three scalar percentiles
+    (broadcast — never a global rank window over customers), tiers
+    by comparison, and a full-outer join on customer for the
+    bounded 5×5 matrix.
+    """
+    from ..functions.numeric import dsum, round_half_up
+
+    def tiers(year: int, label: str) -> DataFrame:
+        per_cust = (
+            orders.where(F.year(ts_col) == year)
+            .groupBy(F.col(cust_col).alias("cust"))
+            .agg(dsum(value_col, 4).alias("v"))
+        )
+        q = per_cust.agg(
+            F.expr("percentile(v, 0.25)").alias("q1"),
+            F.expr("percentile(v, 0.50)").alias("q2"),
+            F.expr("percentile(v, 0.75)").alias("q3"),
+        )
+        tier = (
+            F.when(F.col("v") <= F.col("q1"), "T1_low")
+            .when(F.col("v") <= F.col("q2"), "T2")
+            .when(F.col("v") <= F.col("q3"), "T3")
+            .otherwise("T4_top")
+        )
+        return per_cust.crossJoin(F.broadcast(q)).select(
+            "cust", tier.alias(label)
+        )
+    a = tiers(year_a, "tier_from")
+    b = tiers(year_b, "tier_to")
+    j = a.join(b, "cust", "full_outer").select(
+        F.coalesce("tier_from", F.lit("(absent)")).alias("tier_from"),
+        F.coalesce("tier_to", F.lit("(absent)")).alias("tier_to"),
+    )
+    cell = j.groupBy("tier_from", "tier_to").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    tot = cell.agg(F.sum("n_customers").alias("__t"))
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "tier_from",
+        "tier_to",
+        "n_customers",
+        round_half_up(F.col("n_customers") / F.col("__t"), digits).alias(
+            "share"
+        ),
+    )
+
+
+def revenue_abc_classes(
+    lineitem: DataFrame,
+    key_col: str = "l_partkey",
+    digits: int = 6,
+) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A = the head covering 80% of cumulative revenue, B = the
+    next 15%, C = the tail 5% — the classic stock-policy split,
+    reported as class-level counts and revenue shares.
+
+    Per-key exact decimal revenue (one keyed shuffle), then the
+    ranking/cumulative window runs over the PER-PART aggregate —
+    dimension-sized like customer_balance_deciles (allow-listed with
+    the same caveat), never over raw lineitem rows. Deterministic
+    (revenue desc, key) ordering; output is the bounded 3-row class
+    rollup.
+    """
+    from pyspark.sql import Window
+    from ..functions.numeric import dsum, round_half_up
+
+    rev = lineitem.groupBy(F.col(key_col).alias("key")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "rev"
+        )
+    )
+    tot = rev.agg(
+        F.sum(F.col("rev").cast("decimal(27,4)")).cast("double").alias("__t")
+    )
+    w = Window.orderBy(F.col("rev").desc(), "key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "rev",
+        (
+            F.sum(F.col("rev").cast("decimal(27,4)")).over(w).cast("double")
+            / F.col("__t")
+        ).alias("cum_share"),
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    out = ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("rev").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("__r"),
+    )
+    t2 = out.agg(F.sum("__r").alias("__tt"))
+    return out.crossJoin(F.broadcast(t2)).select(
+        "abc_class",
+        "n_keys",
+        round_half_up(F.col("__r"), 2).alias("revenue"),
+        round_half_up(F.col("__r") / F.col("__tt"), digits).alias(
+            "revenue_share"
+        ),
+    )

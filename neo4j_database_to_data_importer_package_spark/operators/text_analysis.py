@@ -1513,3 +1513,41 @@ def heaps_law_fit(
         round_half_up(F.exp(lnk), 6).alias("k_coef"),
         round_half_up(r2, 6).alias("r2"),
     )
+
+
+def language_id_margin(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-ID confidence audit: the margin between the best and
+    second-best language scores per document, rolled up per detected
+    language — margin 0 means the classifier flipped a coin (tie
+    broken alphabetically), the docs any curation pass should route
+    to a stronger model or drop. The standard "how sure was the
+    cheap classifier" companion to the confusion matrix.
+
+    One projection (5 array_intersect scores + a sort_array for the
+    top-2 gap — all codegen), one bounded (lang, margin) rollup.
+    """
+    t = tokens(text_col)
+    langs = sorted(LANG_STOPWORDS)
+    score_arr = F.array(
+        *[
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(t),
+                    F.array([F.lit(w) for w in LANG_STOPWORDS[lang]]),
+                )
+            )
+            for lang in langs
+        ]
+    )
+    srt = F.sort_array(score_arr, asc=False)
+    cols = language_columns(text_col)
+    scored = df.select(
+        cols["detected_lang"].alias("detected_lang"),
+        (srt[0] - srt[1]).cast("long").alias("margin"),
+    )
+    return scored.groupBy("detected_lang", "margin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

@@ -1476,3 +1476,99 @@ def out_of_order_audit(
         "n_events",
         round_half_up(F.col("n_events") / F.col("__t"), 6).alias("share"),
     )
+
+
+def dwell_by_transition(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Dwell-time profile per behavioral transition: for every
+    consecutive (from → to) event pair within a user's stream, the
+    count and mean/max gap in seconds — "how long do users sit on a
+    view before they click vs before they bail to an error" — the
+    timing layer on top of the Markov transition matrix.
+
+    One lead window per user (the same sort every sequence operator
+    reuses), then an integer-exact (from, to) rollup over the
+    bounded type-pair domain.
+    """
+    from ..functions.numeric import round_half_up
+
+    secs = F.expr(
+        f"timestampdiff(SECOND, timestamp'1970-01-01 00:00:00', {ts_col})"
+    )
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+        (F.lead(secs).over(w) - secs).alias("gap_s"),
+    ).where(F.col("to_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        round_half_up(
+            F.sum("gap_s").cast("double") / F.count(F.lit(1)), 2
+        ).alias("avg_dwell_s"),
+        F.max("gap_s").cast("long").alias("max_dwell_s"),
+    )
+
+
+def conversion_latency(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    from_type: str = "view",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """First-exposure → first-conversion latency: per user, the time
+    from their FIRST ``from_type`` to the first ``to_type`` at or
+    after it, summarized as conversion rate and latency stats — the
+    "how long does the funnel take" number next to the funnel's
+    "how many make it".
+
+    Two per-user min-aggregates (no windows), one join, then a
+    1-row summary; the median uses the exact percentile aggregate
+    (scalar — the winsorized_stats contract).
+    """
+    from ..functions.numeric import round_half_up
+
+    secs = F.expr(
+        f"timestampdiff(SECOND, timestamp'1970-01-01 00:00:00', {ts_col})"
+    )
+    first_from = (
+        events.where(F.col(type_col) == from_type)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(secs).alias("t_from"))
+    )
+    conv = (
+        events.where(F.col(type_col) == to_type)
+        .select(F.col(user_col).alias("u"), secs.alias("t_to"))
+        .join(first_from, "u")
+        .where(F.col("t_to") >= F.col("t_from"))
+        .groupBy("u", "t_from")
+        .agg(F.min("t_to").alias("t_conv"))
+        .select("u", (F.col("t_conv") - F.col("t_from")).alias("lat_s"))
+    )
+    n_exposed = first_from.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_exposed")
+    )
+    agg = conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.sum("lat_s").cast("long").alias("__s"),
+        F.expr("percentile(lat_s, 0.5)").alias("__p50"),
+    )
+    return n_exposed.crossJoin(agg).select(
+        "n_users_exposed",
+        "n_converted",
+        round_half_up(
+            F.col("n_converted") / F.col("n_users_exposed"), 6
+        ).alias("conversion_rate"),
+        round_half_up(
+            F.col("__s").cast("double") / F.col("n_converted"), 2
+        ).alias("avg_latency_s"),
+        round_half_up(F.col("__p50"), 2).alias("p50_latency_s"),
+    )

@@ -55,6 +55,9 @@ _ALLOWED_UNPARTITIONED_WINDOW = {
     "orders_theil_sen_trend",
     # cumulative sum over the 20-bucket growth-curve aggregate
     "doc_heaps_law_fit",
+    # cumulative revenue share over the PER-PART aggregate
+    # (dimension-sized; customer_balance_deciles precedent)
+    "part_revenue_abc",
 }
 
 _AUDIT = sorted(
@@ -141,6 +144,9 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/profiling.py", "totals"),
     ("operators/statistics.py", "thr"),  # 1-row percentile threshold
     ("operators/analytics.py", "rng"),   # 1-row x-range (skyline buckets)
+    ("operators/analytics.py", "q"),     # 1-row quartile thresholds (tier migration)
+    ("operators/analytics.py", "tot"),   # 1-row totals (tier migration / ABC)
+    ("operators/analytics.py", "t2"),    # 1-row class-revenue total (ABC)
     ("operators/analytics.py", "totals"),  # 1-row day-series totals (changepoint)
     ("operators/retrieval.py", "bits"),    # 1-row occupied-bit count (bloom)
     ("operators/retrieval.py", "fp"),      # 1-row false-positive count (bloom)

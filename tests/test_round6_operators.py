@@ -2132,3 +2132,112 @@ def test_ahash_near_dup_identical_payloads(spark):
     out = {(r["id_a"], r["id_b"]): r for r in ahash_near_dup(feats).collect()}
     assert (1, 2) in out
     assert out[(1, 2)]["hamming"] == 0
+
+
+# --- batch 18: tier migration, lang margin, dwell, latency, ABC ------------
+
+
+def test_tier_migration_matrix(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        value_tier_migration,
+    )
+
+    import datetime
+
+    # 4 customers in both years; customer 1 jumps from bottom to top
+    rows = []
+    for cust, (va, vb) in enumerate(
+        [(10.0, 900.0), (200.0, 200.0), (500.0, 60.0), (900.0, 800.0)], 1
+    ):
+        rows.append((cust, datetime.date(1995, 3, 1), va))
+        rows.append((cust, datetime.date(1996, 3, 1), vb))
+    rows.append((9, datetime.date(1996, 5, 1), 50.0))  # new in year B
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    out = {
+        (r["tier_from"], r["tier_to"]): r["n_customers"]
+        for r in value_tier_migration(orders).collect()
+    }
+    assert out[("T1_low", "T4_top")] == 1
+    assert out[("(absent)", "T1_low")] == 1
+    assert sum(out.values()) == 5
+
+
+def test_language_margin_zero_on_tie(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        language_id_margin,
+    )
+
+    # pure English stopwords -> positive margin; gibberish -> und margin 0
+    docs = spark.createDataFrame(
+        [(1, "the of and to in is it the of"), (2, "zzz qqq xxx yyy")],
+        "doc_id long, text string",
+    )
+    out = {r["detected_lang"]: r for r in language_id_margin(docs).collect()}
+    assert out["en"]["margin"] > 0
+    assert out["und"]["margin"] == 0
+
+
+def test_dwell_by_transition_gaps(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        dwell_by_transition,
+    )
+
+    rows = [
+        (1, "view", "2024-01-01 10:00:00", 1),
+        (1, "click", "2024-01-01 10:00:30", 2),
+        (1, "view", "2024-01-01 10:01:30", 3),
+        (1, "click", "2024-01-01 10:02:40", 4),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in dwell_by_transition(ev).collect()
+    }
+    # view->click gaps: 30 s and 70 s
+    assert out[("view", "click")]["n_transitions"] == 2
+    assert out[("view", "click")]["avg_dwell_s"] == 50.0
+    assert out[("view", "click")]["max_dwell_s"] == 70
+    assert out[("click", "view")]["n_transitions"] == 1
+
+
+def test_conversion_latency_first_pair(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        conversion_latency,
+    )
+
+    rows = [
+        (1, "view", "2024-01-01 10:00:00", 1),
+        (1, "purchase", "2024-01-01 10:10:00", 2),   # 600 s
+        (1, "purchase", "2024-01-01 11:00:00", 3),   # later, ignored
+        (2, "view", "2024-01-01 09:00:00", 4),        # never converts
+        (3, "purchase", "2024-01-01 08:00:00", 5),    # converts pre-view
+        (3, "view", "2024-01-01 09:00:00", 6),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    r = conversion_latency(ev).collect()[0]
+    assert r["n_users_exposed"] == 3
+    assert r["n_converted"] == 1
+    assert r["conversion_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert r["avg_latency_s"] == 600.0
+
+
+def test_abc_classes_pareto(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        revenue_abc_classes,
+    )
+
+    # one whale part (80% of revenue) and many minnows
+    rows = [(1, 8000.0, 0.0)] + [(k, 25.0, 0.0) for k in range(2, 82)]
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_extendedprice double, l_discount double"
+    )
+    out = {r["abc_class"]: r for r in revenue_abc_classes(li).collect()}
+    assert out["A"]["n_keys"] == 1
+    assert out["A"]["revenue_share"] == pytest.approx(0.8, abs=1e-3)
+    assert out["B"]["n_keys"] + out["C"]["n_keys"] == 80
