@@ -322,6 +322,11 @@ BENCH_QUERIES = [
     "events_dwell_by_transition",
     "events_conversion_latency",
     "part_revenue_abc",
+    "streaming_conversion_latency",
+    "quality_threshold_sweep",
+    "embedding_centrality_length_corr",
+    "bm25_tfidf_rank_agreement",
+    "nation_quarter_yoy",
 ]
 
 

@@ -1012,3 +1012,60 @@ def revenue_abc_classes(
             "revenue_share"
         ),
     )
+
+
+def quarterly_yoy_growth(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    digits: int = 6,
+) -> DataFrame:
+    """Year-over-year revenue growth per nation and quarter — the BI
+    staple that deseasonalizes by construction (Q3-vs-Q3 needs no
+    seasonal model): revenue per (nation, year, quarter) plus the
+    growth rate against the SAME quarter one year earlier, computed
+    by a keyed self-join on the bounded quarterly aggregate (no
+    windows at all — the prior-year cell is an equi-join key).
+
+    Two dim joins (AQE broadcasts nation/customer-slim), one decimal
+    aggregate, one self-join over ~nations·years·4 rows.
+    """
+    from ..functions.numeric import dsum, round_half_up
+
+    j = (
+        orders.select(
+            "o_custkey",
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qt"),
+            "o_totalprice",
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            nation.select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    cell = j.groupBy("n_name", "yr", "qt").agg(
+        dsum("o_totalprice", 4).alias("revenue")
+    )
+    prev = cell.select(
+        "n_name",
+        (F.col("yr") + 1).alias("yr"),
+        "qt",
+        F.col("revenue").alias("prev_revenue"),
+    )
+    return (
+        cell.join(prev, ["n_name", "yr", "qt"], "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("yr").cast("long").alias("year"),
+            F.col("qt").cast("long").alias("quarter"),
+            round_half_up(F.col("revenue"), 2).alias("revenue"),
+            round_half_up(
+                F.col("revenue") / F.col("prev_revenue") - 1.0, digits
+            ).alias("yoy_growth"),
+        )
+    )

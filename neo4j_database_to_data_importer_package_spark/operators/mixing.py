@@ -473,3 +473,81 @@ def token_budget_plan(
             ).alias("epochs"),
         )
     )
+
+
+def quality_threshold_sweep(
+    df: DataFrame,
+    quality_col,
+    tokens_col,
+    source_col: str = "source",
+    n_steps: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Quality-threshold survival curves per source: for each cutoff
+    θ ∈ {0.0, 0.1, …, 0.9}, how many documents and tokens survive
+    "keep iff quality ≥ θ"? The curve a curation review reads BEFORE
+    fixing the threshold a filter funnel then applies — where the
+    token cliff is, and whether it hits every source equally.
+
+    Exact-integer shape: the 6-dp-rounded quality becomes a scaled
+    integer (q·10⁶), docs collapse to the bounded (source, decile-
+    bucket) histogram, and the θ grid is a comparison over INTEGER
+    bucket ids — no floating thresholds anywhere (0.3·10 = 2.999…
+    in IEEE; the integer path has no such edge). One scan, bounded
+    rollup, ≤ sources·n_steps output rows.
+    """
+    from ..functions.numeric import round_half_up
+
+    q6 = F.round(quality_col * 1000000.0).cast("long")
+    step = 1000000 // n_steps
+    cells = df.select(
+        F.col(source_col).alias("source"),
+        (q6 / step).cast("long").alias("bucket"),
+        tokens_col.alias("n_tokens"),
+    ).groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_toks"),
+    )
+    grid = cells.sparkSession.range(n_steps).select(
+        F.col("id").cast("long").alias("k")
+    )
+    tot = cells.groupBy("source").agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("n_toks").alias("t_toks")
+    )
+    kept = (
+        cells.join(F.broadcast(grid), F.col("bucket") >= F.col("k"))
+        .groupBy("source", "k")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs_kept"),
+            F.sum("n_toks").cast("long").alias("n_tokens_kept"),
+        )
+    )
+    # grid-complete: a threshold that kills a source entirely still
+    # reports its zero row (the curve's cliff edge IS the signal)
+    full = tot.crossJoin(F.broadcast(grid)).join(
+        kept, ["source", "k"], "left"
+    ).select(
+        "source",
+        "k",
+        "t_docs",
+        "t_toks",
+        F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+        F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+    )
+    return (
+        full
+        .select(
+            "source",
+            round_half_up(F.col("k") / F.lit(float(n_steps)), 2).alias(
+                "threshold"
+            ),
+            "n_docs_kept",
+            "n_tokens_kept",
+            round_half_up(
+                F.col("n_docs_kept") / F.col("t_docs"), digits
+            ).alias("doc_keep_rate"),
+            round_half_up(
+                F.col("n_tokens_kept") / F.col("t_toks"), digits
+            ).alias("token_keep_rate"),
+        )
+    )

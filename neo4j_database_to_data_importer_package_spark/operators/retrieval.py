@@ -704,3 +704,89 @@ def posting_list_stats(
             ).alias("terms_share"),
         )
     )
+
+
+def bm25_tfidf_rank_agreement(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ranker-agreement audit: Spearman correlation between the BM25
+    and TF-IDF orderings of each probe term's matched documents — how
+    much the length normalization and saturation actually change who
+    ranks where (rho ≈ 1 says the simpler scorer would do; a low rho
+    is the evidence file for keeping BM25).
+
+    Both scores come off the same pruned term stream and are rounded
+    before ranking (engine-stable ranks, doc-id tiebreak); ranks are
+    per-term row_numbers (bounded matched sets), so Spearman reduces
+    to the exact integer formula 1 − 6·Σd²/(n(n²−1)) — no float
+    moments at all.
+
+    Returns (term, n_matched, rho).
+    """
+    from ..functions.numeric import round_half_up
+
+    stream = _term_stream(df, text_col, id_col)
+    tf = (
+        stream.where(F.col("term").isin(query_terms))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_matched"))
+    dl = df.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
+    globals_ = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+    )
+    bm25_idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("n_matched") + 0.5)
+        / (F.col("n_matched") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    tfidf_idf = F.log(
+        (F.col("n_docs") + 1.0) / (F.col("n_matched") + 1.0)
+    ) + 1.0
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(globals_))
+        .select(
+            "term",
+            F.col(id_col),
+            round_half_up(
+                bm25_idf * F.col("tf") * (k1 + 1.0) / denom, 6
+            ).alias("s_bm25"),
+            round_half_up(F.col("tf") * tfidf_idf, 6).alias("s_tfidf"),
+        )
+    )
+    wa = Window.partitionBy("term").orderBy(
+        F.desc("s_bm25"), F.asc(id_col)
+    )
+    wb = Window.partitionBy("term").orderBy(
+        F.desc("s_tfidf"), F.asc(id_col)
+    )
+    ranked = scored.select(
+        "term",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    agg = ranked.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum(d2).cast("long").alias("sd2"),
+    )
+    nn = F.col("n_matched").cast("double")
+    return agg.select(
+        "term",
+        "n_matched",
+        round_half_up(
+            1.0
+            - 6.0 * F.col("sd2").cast("double") / (nn * (nn * nn - 1.0)),
+            6,
+        ).alias("rho"),
+    )

@@ -1662,3 +1662,85 @@ def hubness_audit(
         F.col("n_appearances").cast("long").alias("n_appearances"),
         "n_vectors",
     )
+
+
+def centrality_length_correlation(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    doc_id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Cross-modal drift probe: Pearson correlation between document
+    LENGTH and the embedding's cosine to the corpus CENTROID over the
+    id-aligned (doc, vector) pairs — do long documents embed
+    systematically nearer (or farther from) the center of the space?
+    A strong correlation means retrieval/clustering on this embedding
+    will stratify by length, not content. (The naive norm-vs-length
+    probe is DEGENERATE on unit-normalized embeddings — norms are all
+    1.0 and the correlation is 0/0; cosine-to-centroid varies
+    genuinely.)
+
+    Shape: one posexplode for the 64-dim centroid (9-dp-rounded
+    coordinate terms, decimal-summed — order-independent), a
+    broadcast join back by dimension for per-vector dots, one keyed
+    doc join, then Pearson from rounded-decimal x-moments against
+    exact integer length moments. Returns one row: (n, corr).
+    """
+    from ..functions.numeric import dsum, round_half_up
+
+    ex = embeddings.select(
+        F.col(vec_id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "pos", "v"
+        ),
+    )
+    cent = ex.groupBy("pos").agg(
+        (dsum(round_half_up(F.col("v"), 9), 9) / F.count(F.lit(1))).alias(
+            "c"
+        )
+    )
+    dots = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("id")
+        .agg(
+            dsum(round_half_up(F.col("v") * F.col("c"), 9), 9).alias(
+                "dot"
+            ),
+            dsum(round_half_up(F.col("v") * F.col("v"), 9), 9).alias(
+                "nn"
+            ),
+        )
+    )
+    cc = cent.agg(
+        dsum(round_half_up(F.col("c") * F.col("c"), 9), 9).alias("cc")
+    )
+    xs = dots.crossJoin(F.broadcast(cc)).select(
+        "id",
+        round_half_up(
+            F.col("dot") / F.sqrt(F.col("nn") * F.col("cc")), 9
+        ).alias("x"),
+    )
+    j = docs.select(
+        F.col(doc_id_col).alias("id"),
+        F.col(len_col).cast("long").alias("y"),
+    ).join(xs, "id")
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("x", 9).alias("sx"),
+        dsum(round_half_up(F.col("x") * F.col("x"), 9), 9).alias("sxx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        dsum(round_half_up(F.col("x") * F.col("y"), 9), 9).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    num = nn * F.col("sxy") - F.col("sx") * F.col("sy").cast("double")
+    dx = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = nn * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return s.select(
+        "n", round_half_up(num / F.sqrt(dx * dy), digits).alias("corr")
+    )

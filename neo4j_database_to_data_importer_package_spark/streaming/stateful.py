@@ -820,3 +820,105 @@ def streaming_last_seen(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+LATENCY_STATE_SCHEMA = StructType(
+    [
+        StructField("n_views", LongType()),
+        StructField("n_purchases", LongType()),
+        StructField("first_view", TimestampNTZType()),
+        StructField("first_purchase", TimestampNTZType()),
+    ]
+)
+
+LATENCY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_views", LongType()),
+        StructField("n_purchases", LongType()),
+        StructField("first_view", TimestampNTZType()),
+        StructField("first_purchase", TimestampNTZType()),
+        StructField("converted", BooleanType()),
+        StructField("latency_s", LongType()),
+    ]
+)
+
+
+def _update_conversion_latency(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        nv, np_, fv, fp = state.get
+    else:
+        nv, np_, fv, fp = 0, 0, None, None
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        views = pdf[pdf["event_type"] == "view"]
+        purch = pdf[pdf["event_type"] == "purchase"]
+        nv += int(len(views))
+        np_ += int(len(purch))
+        if len(views):
+            bmn = views["ts"].min()
+            fv = bmn if fv is None else min(fv, bmn)
+        if len(purch):
+            pmn = purch["ts"].min()
+            fp = pmn if fp is None else min(fp, pmn)
+    state.update((nv, np_, fv, fp))
+    conv = fv is not None and fp is not None and fp > fv
+    lat = None
+    if conv:
+        # whole seconds by integer floor of the µs difference — the
+        # exact arithmetic the SQL oracle replays with date_diff.
+        # State restores as datetime.datetime; fresh batch mins are
+        # pandas Timestamps — normalize before the ns arithmetic.
+        lat = int(
+            (pd.Timestamp(fp).value - pd.Timestamp(fv).value)
+            // 1_000
+            // 1_000_000
+        )
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_views": [nv],
+            "n_purchases": [np_],
+            "first_view": [fv],
+            "first_purchase": [fp],
+            "converted": [conv],
+            "latency_s": [lat],
+        }
+    )
+
+
+def streaming_conversion_latency(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Incrementally maintained first-view → first-purchase latency
+    per user — the streaming twin of windows.conversion_latency,
+    with the COMMUTATIVE definition the bounded state forces:
+    latency = first_purchase − first_view, converted iff the overall
+    first purchase lands strictly after the first view. ("First
+    purchase AT OR AFTER the first view" needs unbounded purchase
+    history to stay exact under out-of-order arrival — same design
+    call as streaming_funnel_state's last-purchase; the docstring IS
+    the contract.) State: two counts + two min-timestamps per user;
+    every statistic is a commutative min/count, so the final emission
+    equals the batch answer under any micro-batching.
+    """
+    from pyspark.sql import functions as F
+
+    src = events.filter(F.col(type_col).isin("view", "purchase")).select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("event_type"),
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _update_conversion_latency,
+        outputStructType=LATENCY_OUTPUT_SCHEMA,
+        stateStructType=LATENCY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -124,6 +124,8 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/mixing.py", "wsum"),         # 1-row weight total
     ("operators/graph_algos.py", "hmax"),
     ("operators/mixing.py", "tot"),
+    ("operators/mixing.py", "grid"),  # fixed 10-row threshold grid
+    ("operators/similarity.py", "cc"),  # 1-row centroid squared-norm
     ("operators/retrieval.py", "n_docs"),
     ("operators/retrieval.py", "globals_"),
     ("operators/retrieval.py", "tot"),  # 1-row index totals (posting stats)

@@ -2241,3 +2241,105 @@ def test_abc_classes_pareto(spark):
     assert out["A"]["n_keys"] == 1
     assert out["A"]["revenue_share"] == pytest.approx(0.8, abs=1e-3)
     assert out["B"]["n_keys"] + out["C"]["n_keys"] == 80
+
+
+# --- batch 19: quality sweep, centrality corr, rank agreement, YoY ---------
+
+
+def test_quality_sweep_monotone_and_exact_buckets(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.mixing import (
+        quality_threshold_sweep,
+    )
+
+    rows = [
+        ("s1", 0.30, 100),  # exactly on the 0.3 boundary: kept at 0.3
+        ("s1", 0.75, 200),
+        ("s1", 0.10, 50),
+    ]
+    df = spark.createDataFrame(rows, "source string, q double, toks long")
+    out = {
+        r["threshold"]: r
+        for r in quality_threshold_sweep(
+            df, F.col("q"), F.col("toks")
+        ).collect()
+    }
+    assert out[0.0]["n_docs_kept"] == 3
+    # the 0.3-exact doc SURVIVES threshold 0.3 (integer path, no IEEE slip)
+    assert out[0.3]["n_docs_kept"] == 2
+    assert out[0.3]["n_tokens_kept"] == 300
+    assert out[0.8]["n_docs_kept"] == 0
+    # monotone decreasing
+    ks = sorted(out)
+    kept = [out[k]["n_docs_kept"] for k in ks]
+    assert kept == sorted(kept, reverse=True)
+
+
+def test_centrality_length_correlation_sign(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        centrality_length_correlation,
+    )
+
+    # centroid ~ [1, 0]; long docs aligned with centroid, short ones
+    # orthogonal -> strong positive correlation
+    docs = spark.createDataFrame(
+        [(1, 1000), (2, 1000), (3, 10), (4, 10)],
+        "doc_id long, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1]),
+            (2, [1.0, -0.1]),
+            (3, [0.1, 1.0]),
+            (4, [0.1, -1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    r = centrality_length_correlation(docs, emb).collect()[0]
+    assert r["n"] == 4
+    assert r["corr"] > 0.9
+
+
+def test_rank_agreement_identical_scorers(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.retrieval import (
+        bm25_tfidf_rank_agreement,
+    )
+
+    # docs of EQUAL length: BM25 and TF-IDF are both monotone in tf,
+    # so the orderings agree exactly -> rho = 1
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark pad1 pad2"),
+            (2, "spark spark pad1 pad2 pad3"),
+            (3, "spark pad1 pad2 pad3 pad4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in bm25_tfidf_rank_agreement(docs, ["spark"]).collect()}
+    assert out["spark"]["n_matched"] == 3
+    assert out["spark"]["rho"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_yoy_growth_join(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        quarterly_yoy_growth,
+    )
+
+    import datetime
+
+    orders = spark.createDataFrame(
+        [
+            (1, datetime.date(1995, 2, 1), 100.0),
+            (1, datetime.date(1996, 2, 1), 150.0),
+            (1, datetime.date(1996, 8, 1), 70.0),
+        ],
+        "o_custkey long, o_orderdate date, o_totalprice double",
+    )
+    cust = spark.createDataFrame([(1, 7)], "c_custkey long, c_nationkey long")
+    nat = spark.createDataFrame([(7, "GERMANY")], "n_nationkey long, n_name string")
+    out = {
+        (r["year"], r["quarter"]): r
+        for r in quarterly_yoy_growth(orders, cust, nat).collect()
+    }
+    assert out[(1995, 1)]["yoy_growth"] is None
+    assert out[(1996, 1)]["yoy_growth"] == pytest.approx(0.5, abs=1e-6)
+    assert out[(1996, 3)]["yoy_growth"] is None  # no 1995-Q3 baseline
