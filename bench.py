@@ -327,6 +327,11 @@ BENCH_QUERIES = [
     "embedding_centrality_length_corr",
     "bm25_tfidf_rank_agreement",
     "nation_quarter_yoy",
+    "graph_type_mixing_matrix",
+    "customer_reorder_intervals",
+    "token_length_histogram",
+    "supplier_share_shift",
+    "events_session_bounce",
 ]
 
 

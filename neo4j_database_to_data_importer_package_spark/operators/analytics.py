@@ -1069,3 +1069,131 @@ def quarterly_yoy_growth(
             ).alias("yoy_growth"),
         )
     )
+
+
+def reorder_interval_profile(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    digits: int = 2,
+) -> DataFrame:
+    """Purchase-cadence profile: the distribution of days between a
+    customer's consecutive orders, as a log2-bucketed histogram plus
+    exact overall median/mean — the replenishment-cycle read-out that
+    sets reorder-reminder timing and flags subscription-like behavior
+    (a spike at a fixed bucket).
+
+    One lag window per customer (the standard per-key sequence
+    sort), one bounded histogram rollup; the median comes from a
+    cumulative walk over the bounded day-gap domain — never a global
+    sort of raw intervals.
+    """
+    from pyspark.sql import Window
+    from ..functions.numeric import round_half_up
+
+    w = Window.partitionBy(cust_col).orderBy(F.col(ts_col))
+    gaps = orders.select(
+        F.datediff(F.col(ts_col), F.lag(ts_col).over(w)).alias("gap_d")
+    ).where(F.col("gap_d").isNotNull())
+    by_gap = gaps.groupBy("gap_d").agg(F.count(F.lit(1)).alias("c"))
+    tot = by_gap.agg(
+        F.sum("c").cast("long").alias("n_intervals"),
+        F.sum(F.col("c") * F.col("gap_d")).cast("long").alias("sum_d"),
+    )
+    wc = (
+        Window.orderBy("gap_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = by_gap.select(
+        "gap_d", "c", F.sum("c").over(wc).alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    r1 = F.floor((F.col("n_intervals") + 1) / 2)
+    r2 = F.floor((F.col("n_intervals") + 2) / 2)
+    med = cum.where(
+        (F.col("cum") - F.col("c") < r1) & (r1 <= F.col("cum"))
+    ).select(F.col("gap_d").alias("m1")).crossJoin(
+        cum.where(
+            (F.col("cum") - F.col("c") < r2) & (r2 <= F.col("cum"))
+        ).select(F.col("gap_d").alias("m2"))
+    ).select(((F.col("m1") + F.col("m2")) / 2.0).alias("median_gap_d"))
+    hist = by_gap.groupBy(
+        F.floor(F.log2(F.col("gap_d") + 1)).cast("long").alias(
+            "log2_gap_bucket"
+        )
+    ).agg(F.sum("c").cast("long").alias("n_intervals_bucket"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "log2_gap_bucket",
+            "n_intervals_bucket",
+            F.col("n_intervals"),
+            round_half_up(
+                F.col("sum_d").cast("double") / F.col("n_intervals"),
+                digits,
+            ).alias("mean_gap_d"),
+            round_half_up(F.col("median_gap_d"), 1).alias("median_gap_d"),
+        )
+    )
+
+
+def share_shift_leaderboard(
+    lineitem: DataFrame,
+    key_col: str = "l_suppkey",
+    ts_col: str = "l_shipdate",
+    year_a: int = 1995,
+    year_b: int = 1996,
+    top_k: int = 20,
+    digits: int = 6,
+) -> DataFrame:
+    """Market-share movers: each supplier's share of total revenue in
+    year A vs year B and the top-k by absolute share change — the
+    "who is winning/losing ground" leaderboard, share-based so it is
+    immune to overall market growth.
+
+    Two per-period keyed decimal aggregates + 1-row totals; shares
+    are 9-dp rounded BEFORE the delta so ordering is
+    engine-deterministic; top-k via TakeOrdered on
+    (|delta| desc, key) — no windows.
+    """
+    from ..functions.numeric import dsum, round_half_up
+
+    def shares(year: int, share_name: str) -> DataFrame:
+        rev = (
+            lineitem.where(F.year(ts_col) == year)
+            .groupBy(F.col(key_col).alias("key"))
+            .agg(
+                dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).alias("rev")
+            )
+        )
+        tot = rev.agg(
+            F.sum(F.col("rev").cast("decimal(27,4)"))
+            .cast("double")
+            .alias("__t")
+        )
+        return rev.crossJoin(F.broadcast(tot)).select(
+            "key",
+            round_half_up(F.col("rev") / F.col("__t"), 9).alias(share_name),
+        )
+    a = shares(year_a, "share_a")
+    b = shares(year_b, "share_b")
+    j = a.join(b, "key", "full_outer").select(
+        "key",
+        F.coalesce("share_a", F.lit(0.0)).alias("share_a"),
+        F.coalesce("share_b", F.lit(0.0)).alias("share_b"),
+    )
+    delta = F.col("share_b") - F.col("share_a")
+    return (
+        j.select(
+            F.col("key").cast("long").alias(key_col),
+            round_half_up(F.col("share_a"), digits).alias("share_a"),
+            round_half_up(F.col("share_b"), digits).alias("share_b"),
+            round_half_up(delta, digits).alias("share_delta"),
+            F.abs(delta).alias("__ad"),
+        )
+        .orderBy(F.col("__ad").desc(), key_col)
+        .limit(top_k)
+        .drop("__ad")
+    )

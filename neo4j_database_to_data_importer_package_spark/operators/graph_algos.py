@@ -1596,3 +1596,88 @@ def weighted_reciprocity(
             F.col("reciprocated_weight") / F.col("total_weight"), digits
         ).alias("reciprocity"),
     )
+
+
+def type_mixing_matrix(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    digits: int = 6,
+) -> DataFrame:
+    """Categorical mixing matrix + Newman's discrete assortativity
+    over node TYPES (the first character of the id in the standard
+    prefix encoding): what fraction of undirected edge ends connect
+    type X to type Y, and the one-number r = (Σeᵢᵢ − Σaᵢbᵢ)/(1 − Σaᵢbᵢ)
+    — the categorical companion to degree assortativity (is this
+    graph type-homophilous or bipartite-ish?).
+
+    One (type_a, type_b) count over the undirected edge set (both
+    orientations, so the matrix is symmetric and margins are exact),
+    then pure integer/rational algebra over the bounded type-pair
+    table. Returns one row per (type_a, type_b) cell with the SAME
+    assortativity_r on each (flat driver-friendly shape).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    cell = sym.groupBy(
+        F.substring("u", 1, 1).alias("type_a"),
+        F.substring("v", 1, 1).alias("type_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_ends"))
+    tot = cell.agg(F.sum("n_ends").alias("m2"))
+    am = cell.groupBy("type_a").agg(F.sum("n_ends").alias("na"))
+    bm = cell.groupBy("type_b").agg(F.sum("n_ends").alias("nb"))
+    # Σ e_ii and Σ a_i·b_i from the bounded margins
+    tr = (
+        cell.where(F.col("type_a") == F.col("type_b"))
+        .agg(F.coalesce(F.sum("n_ends"), F.lit(0)).alias("diag"))
+    )
+    ab = (
+        am.join(bm, F.col("type_a") == F.col("type_b"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("na").cast("double")
+                * F.col("nb").cast("double")
+            ).alias("__ab_num")
+        )
+    )
+    stats = (
+        tr.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ab))
+        .select(
+            (
+                (
+                    F.col("diag").cast("double") / F.col("m2").cast("double")
+                    - F.col("__ab_num")
+                    / (F.col("m2").cast("double") * F.col("m2").cast("double"))
+                )
+                / (
+                    1.0
+                    - F.col("__ab_num")
+                    / (F.col("m2").cast("double") * F.col("m2").cast("double"))
+                )
+            ).alias("__r")
+        )
+    )
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ends",
+            round_half_up(
+                F.col("n_ends") / F.col("m2"), digits
+            ).alias("share"),
+            round_half_up(F.col("__r"), digits).alias("assortativity_r"),
+        )
+    )

@@ -1551,3 +1551,33 @@ def language_id_margin(
     return scored.groupBy("detected_lang", "margin").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+def token_length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token character-length histogram over the whole corpus (by
+    OCCURRENCE, not distinct type) with per-length share — the other
+    half of the tokenizer-planning pair next to fertility: where the
+    mass sits tells you what a subword vocab must cover, and a heavy
+    tail of 20+-char "tokens" is the classic URL/hash contamination
+    signal.
+
+    One explode + one bounded (length ≤ max token length) rollup
+    with a 1-row total broadcast.
+    """
+    from ..functions.numeric import round_half_up
+
+    lens = df.select(
+        F.explode(tokens(text_col)).alias("t")
+    ).select(F.length("t").alias("tok_len"))
+    hist = lens.groupBy("tok_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    tot = hist.agg(F.sum("n_tokens").alias("__t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        F.col("tok_len").cast("long").alias("tok_len"),
+        "n_tokens",
+        round_half_up(F.col("n_tokens") / F.col("__t"), 6).alias("share"),
+    )

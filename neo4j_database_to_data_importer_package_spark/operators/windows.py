@@ -1572,3 +1572,46 @@ def conversion_latency(
         ).alias("avg_latency_s"),
         round_half_up(F.col("__p50"), 2).alias("p50_latency_s"),
     )
+
+
+def session_bounce_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session bounce accounting over gap-based sessions: how many
+    sessions contain exactly ONE event (the bounce), the bounce
+    rate, and the session-depth profile — the engagement headline
+    every funnel report opens with.
+
+    One session_window aggregate (the built-in gap-based session
+    operator — partial-aggregated, one shuffle on (user, session)),
+    then a bounded rollup over session sizes. Returns one row:
+    (n_sessions, n_bounces, bounce_rate, avg_events_per_session,
+    max_events_per_session).
+    """
+    from ..functions.numeric import round_half_up
+
+    sess = events.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long"))
+        .cast("long")
+        .alias("n_bounces"),
+    ).select(
+        "n_sessions",
+        "n_bounces",
+        round_half_up(
+            F.col("n_bounces") / F.col("n_sessions"), 6
+        ).alias("bounce_rate"),
+    ).crossJoin(
+        sess.agg(
+            round_half_up(
+                F.sum("n_events").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_events_per_session"),
+            F.max("n_events").cast("long").alias("max_events_per_session"),
+        )
+    )

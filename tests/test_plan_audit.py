@@ -58,6 +58,8 @@ _ALLOWED_UNPARTITIONED_WINDOW = {
     # cumulative revenue share over the PER-PART aggregate
     # (dimension-sized; customer_balance_deciles precedent)
     "part_revenue_abc",
+    # cumulative walk over the bounded day-gap histogram
+    "customer_reorder_intervals",
 }
 
 _AUDIT = sorted(
@@ -123,6 +125,10 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/graph_algos.py", "e_rich"),  # 1-row rich-edge count
     ("operators/mixing.py", "wsum"),         # 1-row weight total
     ("operators/graph_algos.py", "hmax"),
+    ("operators/graph_algos.py", "tot"),    # 1-row edge-end total (mixing)
+    ("operators/graph_algos.py", "ab"),     # 1-row Σa·b margin product
+    ("operators/graph_algos.py", "stats"),  # 1-row assortativity r
+    ("operators/analytics.py", "med"),      # 1-row exact-median pick
     ("operators/mixing.py", "tot"),
     ("operators/mixing.py", "grid"),  # fixed 10-row threshold grid
     ("operators/similarity.py", "cc"),  # 1-row centroid squared-norm

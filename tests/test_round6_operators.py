@@ -2343,3 +2343,124 @@ def test_yoy_growth_join(spark):
     assert out[(1995, 1)]["yoy_growth"] is None
     assert out[(1996, 1)]["yoy_growth"] == pytest.approx(0.5, abs=1e-6)
     assert out[(1996, 3)]["yoy_growth"] is None  # no 1995-Q3 baseline
+
+
+# --- batch 20: type mixing, reorder intervals, token lengths, share shift,
+# --- session bounce --------------------------------------------------------
+
+
+def test_type_mixing_bipartite_negative_r(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        type_mixing_matrix,
+    )
+
+    # perfectly bipartite A-B graph: no same-type edges -> r < 0
+    edges = spark.createDataFrame(
+        [("A1", "B1"), ("A1", "B2"), ("A2", "B1"), ("A2", "B2")],
+        "src string, dst string",
+    )
+    out = type_mixing_matrix(edges).collect()
+    r = out[0]["assortativity_r"]
+    assert all(row["assortativity_r"] == r for row in out)
+    assert r < 0
+    cells = {(row["type_a"], row["type_b"]): row["n_ends"] for row in out}
+    assert ("A", "A") not in cells
+    assert cells[("A", "B")] == 4 and cells[("B", "A")] == 4
+
+
+def test_type_mixing_homophilous_positive_r(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        type_mixing_matrix,
+    )
+
+    # two same-type cliques + one cross edge -> r near 1
+    edges = spark.createDataFrame(
+        [("A1", "A2"), ("A2", "A3"), ("B1", "B2"), ("B2", "B3"), ("A1", "B1")],
+        "src string, dst string",
+    )
+    out = type_mixing_matrix(edges).collect()
+    assert out[0]["assortativity_r"] > 0.5
+
+
+def test_reorder_intervals_known_gaps(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        reorder_interval_profile,
+    )
+
+    import datetime
+
+    d = datetime.date
+    rows = [
+        (1, d(2024, 1, 1)), (1, d(2024, 1, 8)), (1, d(2024, 1, 15)),  # 7, 7
+        (2, d(2024, 1, 1)), (2, d(2024, 2, 1)),                       # 31
+    ]
+    orders = spark.createDataFrame(rows, "o_custkey long, o_orderdate date")
+    out = reorder_interval_profile(orders).collect()
+    r = out[0]
+    assert r["n_intervals"] == 3
+    assert r["mean_gap_d"] == pytest.approx((7 + 7 + 31) / 3, abs=0.01)
+    assert r["median_gap_d"] == 7.0
+    buckets = {row["log2_gap_bucket"]: row["n_intervals_bucket"] for row in out}
+    assert buckets[3] == 2  # gap 7 -> log2(8) = 3
+    assert buckets[5] == 1  # gap 31 -> log2(32) = 5
+
+
+def test_token_length_histogram_shares(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        token_length_histogram,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a bb bb cccc")], "doc_id long, text string"
+    )
+    out = {r["tok_len"]: r for r in token_length_histogram(docs).collect()}
+    assert out[1]["n_tokens"] == 1
+    assert out[2]["n_tokens"] == 2
+    assert out[2]["share"] == pytest.approx(0.5, abs=1e-6)
+    assert out[4]["n_tokens"] == 1
+
+
+def test_share_shift_top_mover(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        share_shift_leaderboard,
+    )
+
+    import datetime
+
+    rows = [
+        # 1995: supplier 1 has 90%, supplier 2 has 10%
+        (1, datetime.date(1995, 5, 1), 900.0, 0.0),
+        (2, datetime.date(1995, 5, 1), 100.0, 0.0),
+        # 1996: flipped
+        (1, datetime.date(1996, 5, 1), 100.0, 0.0),
+        (2, datetime.date(1996, 5, 1), 900.0, 0.0),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_suppkey long, l_shipdate date, l_extendedprice double, "
+        "l_discount double",
+    )
+    out = {r["l_suppkey"]: r for r in share_shift_leaderboard(li).collect()}
+    assert out[1]["share_delta"] == pytest.approx(-0.8, abs=1e-6)
+    assert out[2]["share_delta"] == pytest.approx(0.8, abs=1e-6)
+
+
+def test_session_bounce_counts(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        session_bounce_stats,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # session 1: two events (no bounce)
+        (1, "2024-01-01 10:10:00"),
+        (1, "2024-01-01 14:00:00"),  # session 2: bounce
+        (2, "2024-01-01 09:00:00"),  # session 3: bounce
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    r = session_bounce_stats(ev).collect()[0]
+    assert r["n_sessions"] == 3
+    assert r["n_bounces"] == 2
+    assert r["bounce_rate"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["max_events_per_session"] == 2
