@@ -1197,3 +1197,51 @@ def share_shift_leaderboard(
         .limit(top_k)
         .drop("__ad")
     )
+
+
+def cumulative_distinct_customers(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    cust_col: str = "o_custkey",
+) -> DataFrame:
+    """Monthly active / new / cumulative-distinct customer curve — the
+    growth-accounting view every warehouse wants and the classic
+    example of a metric that is WRONG to compute naively at scale: a
+    ``count(distinct)`` over an ever-growing unbounded window re-scans
+    all history per month.
+
+    Scale-correct decomposition instead: "cumulative distinct as of
+    month m" ≡ "customers whose FIRST order is ≤ m", so one
+    per-customer min-date aggregate (customer-keyed shuffle, exact)
+    turns the running distinct into a running SUM of first-order
+    counts. The only window runs over the aggregated MONTH domain —
+    bounded (#months rows, single partition of a ~100-row frame), the
+    same bounded-domain exemption as ``orders_daily_backlog``.
+
+    Output: month ('yyyy-MM' string — engine-portable rendering, the
+    module's timestamp convention), n_active (distinct customers that
+    month), n_new (customers whose first order is that month),
+    cum_customers (running distinct).
+    """
+    month = F.date_format(F.col(date_col), "yyyy-MM")
+    active = (
+        orders.select(month.alias("month"), F.col(cust_col).alias("c"))
+        .groupBy("month")
+        .agg(F.count_distinct(F.col("c")).alias("n_active"))
+    )
+    new = (
+        orders.groupBy(F.col(cust_col).alias("c"))
+        .agg(F.min(month).alias("month"))
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(new, "month", "left")
+        .select(
+            "month",
+            "n_active",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+        .withColumn("cum_customers", F.sum("n_new").over(w))
+    )

@@ -551,3 +551,79 @@ def quality_threshold_sweep(
             ).alias("token_keep_rate"),
         )
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    NON-target document by the log-likelihood ratio of its hashed
+    unigram features under the target-domain LM vs the raw-pool LM, so
+    the raw pool can be resampled toward the target distribution.
+
+    Features are md5-hashed token buckets (``n_buckets``-way — the
+    hashed n-gram trick that keeps the feature space fixed no matter
+    the vocabulary), both LMs are Laplace-smoothed bucket unigrams
+    (c+1)/(T+B), and the per-doc weight is the sum of per-token bucket
+    log-ratios.
+
+    Determinism: each token's log-ratio is rounded to 9 dp and summed
+    as DECIMAL(28,9) — exact, order-independent addition (the standing
+    "round terms, then decimal-sum" rule), then the doc weight is
+    rounded to 4 dp.
+
+    Scale shape: two B-row LM aggregates (B = ``n_buckets``, a
+    constant) broadcast into a map-side lookup join keyed on the
+    bucket id; the only data-sized shuffle is the final per-doc sum,
+    keyed on the document id. The 100 TB path is exactly this plan —
+    the LMs are sketch-sized no matter the corpus.
+    """
+    from ..functions.text import tokens
+
+    terms = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(tokens(text_col)).alias("__term"),
+    ).select(
+        id_col,
+        source_col,
+        (
+            F.conv(F.substring(F.md5(F.col("__term")), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % n_buckets
+        ).alias("bucket"),
+    )
+    is_target = F.col(source_col) == target_source
+    counts = terms.groupBy("bucket").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_target, 0).otherwise(1)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lm = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        round_half_up(
+            F.log((F.col("ct") + 1) / (F.col("tt") + n_buckets))
+            - F.log((F.col("cr") + 1) / (F.col("tr") + n_buckets)),
+            9,
+        ).alias("llr"),
+    )
+    return (
+        terms.filter(~is_target)
+        .join(F.broadcast(lm), "bucket")
+        .groupBy(id_col, source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            round_half_up(
+                F.sum(F.col("llr").cast("decimal(28,9)")).cast("double"), 4
+            ).alias("dsir_weight"),
+        )
+    )

@@ -1744,3 +1744,100 @@ def centrality_length_correlation(
     return s.select(
         "n", round_half_up(num / F.sqrt(dx * dy), digits).alias("corr")
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    pool: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): retrieve a relevance top-``pool`` for one query vector, then
+    greedily pick ``k`` results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked — the standard
+    diversity-aware retrieval epilogue for RAG / dedup'd search.
+
+    Two-phase by design, and that IS the 100 TB shape: phase 1 is the
+    fully distributed relevance scan + top-``pool`` cut (same plan as
+    ``brute_force_topk``; the IVF variants swap in unchanged as the
+    candidate generator); phase 2 is the greedy re-rank, inherently
+    sequential (each pick changes the next argmax) but touching only
+    the CONSTANT-size pool — an O(k·pool²) driver epilogue on ≤
+    ``pool`` rows, the same bounded-collect contract as
+    ``bpe_train_merges``' per-round argmax.
+
+    Determinism: relevance and pairwise cosines are rounded to 6 dp
+    (the module standard), every argmax breaks ties on the vector id
+    ascending, and the epilogue uses the identical left-fold dot
+    product and floor(x·1e6+0.5) rounding as the engines, so a SQL
+    oracle replays the greedy trace exactly.
+    """
+    import math
+
+    n = with_norm(df, vec_col, id_col)
+    q = n.filter(F.col(id_col) == query_id).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    rel = (
+        n.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            "v",
+            "norm",
+            round_half_up(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")), 6
+            ).alias("rel"),
+        )
+    )
+    pool_rows = (
+        rel.orderBy(F.col("rel").desc(), F.col(id_col).asc())
+        .limit(pool)  # TakeOrderedAndProject — per-partition heaps, no sort
+        .select(id_col, "v", "norm", "rel")
+        .collect()  # bounded: `pool` is a constant parameter, not data-sized
+    )
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def cos(a: int, b: int) -> float:
+        va, na, _ = vecs[a]
+        vb, nb, _ = vecs[b]
+        s = 0.0
+        for x, y in zip(va, vb):  # left fold — matches _dot / list_dot_product
+            s += x * y
+        return r6(s / (na * nb))
+
+    vecs = {
+        int(r[id_col]): (list(r["v"]), float(r["norm"]), float(r["rel"]))
+        for r in pool_rows
+    }
+    remaining = set(vecs)
+    picked: list[tuple[int, int, float, float]] = []
+    sim: dict[tuple[int, int], float] = {}
+    while remaining and len(picked) < k:
+        best = None
+        for cid in sorted(remaining):
+            relv = vecs[cid][2]
+            if picked:
+                maxsim = None
+                for _, pid, _, _ in picked:
+                    key = (min(cid, pid), max(cid, pid))
+                    if key not in sim:
+                        sim[key] = cos(cid, pid)
+                    if maxsim is None or sim[key] > maxsim:
+                        maxsim = sim[key]  # true max — may be NEGATIVE
+                score = r6(lam * relv - (1.0 - lam) * maxsim)
+            else:
+                score = r6(lam * relv)
+            if best is None or score > best[3] or (score == best[3] and cid < best[1]):
+                best = (len(picked) + 1, cid, relv, score)
+        picked.append(best)
+        remaining.discard(best[1])
+    return df.sparkSession.createDataFrame(
+        picked, schema="rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+    )

@@ -1581,3 +1581,62 @@ def token_length_histogram(
         "n_tokens",
         round_half_up(F.col("n_tokens") / F.col("__t"), 6).alias("share"),
     )
+
+
+def perplexity_tercile_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus-unigram LM (mean token log-probability, the same cheap
+    perplexity proxy as ``unigram_logprob_score``), then split each
+    language into head / middle / tail terciles by score and report the
+    per-bucket population. CCNet keeps "head" (lowest perplexity =
+    highest logprob) for LM training and drops "tail"; this operator is
+    that routing decision as a first-class aggregate.
+
+    Determinism: the per-doc score is rounded to 4 dp BEFORE ranking
+    (the proven cross-engine granularity of ``unigram_logprob_score``)
+    and the tercile is ``ntile(3)`` over (score DESC, doc_id) — a total
+    order, so both engines split identically even at score ties.
+
+    Scale shape: the LM fit is two term-keyed aggregates + one join
+    (corpus-linear); the tercile window partitions BY LANGUAGE — state
+    per partition is one row per doc of that language, and the ntile
+    frame never crosses languages. Final output is 3 rows per language.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col), F.col(lang_col), F.explode(tokens(text_col)).alias("term")
+    )
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    scored = (
+        terms.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            round_half_up(
+                F.avg(F.log(F.col("c") / F.col("total"))), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    bucketed = scored.withColumn("__t", F.ntile(3).over(w)).withColumn(
+        "bucket",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("__t")
+        ),
+    )
+    return bucketed.groupBy(F.col(lang_col).alias("lang"), "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("score").alias("min_logprob"),
+        F.max("score").alias("max_logprob"),
+    )

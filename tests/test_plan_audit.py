@@ -131,6 +131,8 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/analytics.py", "med"),      # 1-row exact-median pick
     ("operators/mixing.py", "tot"),
     ("operators/mixing.py", "grid"),  # fixed 10-row threshold grid
+    ("operators/mixing.py", "totals"),  # 1-row (target, raw) token totals
+    ("operators/mixing.py", "lm"),  # n_buckets-row hashed-unigram LM (constant)
     ("operators/similarity.py", "cc"),  # 1-row centroid squared-norm
     ("operators/retrieval.py", "n_docs"),
     ("operators/retrieval.py", "globals_"),

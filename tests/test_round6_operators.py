@@ -2464,3 +2464,110 @@ def test_session_bounce_counts(spark):
     assert r["n_bounces"] == 2
     assert r["bounce_rate"] == pytest.approx(2 / 3, abs=1e-6)
     assert r["max_events_per_session"] == 2
+
+
+# --- batch 21: CCNet buckets / DSIR / Katz / growth curve / MMR -------------
+
+
+def test_perplexity_terciles_routing(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        perplexity_tercile_buckets,
+    )
+
+    # 6 docs, one language: docs of common words score higher logprob
+    # (head) than docs of rare words (tail); ntile(3) puts 2 per bucket
+    docs = [
+        (1, "the the the the", "en"),
+        (2, "the the the cat", "en"),
+        (3, "the the cat cat", "en"),
+        (4, "the cat dog dog", "en"),
+        (5, "cat dog rare1 rare2", "en"),
+        (6, "rare3 rare4 rare5 rare6", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    rows = {r["bucket"]: r for r in perplexity_tercile_buckets(df).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    assert all(r["n_docs"] == 2 for r in rows.values())
+    assert rows["head"]["min_logprob"] >= rows["middle"]["max_logprob"]
+    assert rows["middle"]["min_logprob"] >= rows["tail"]["max_logprob"]
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.mixing import (
+        dsir_importance_weights,
+    )
+
+    # target domain speaks "alpha beta"; raw pool doc 10 mimics it,
+    # doc 11 does not — DSIR must rank 10 above 11
+    docs = [(i, "alpha beta alpha beta", "tgt") for i in range(5)] + [
+        (10, "alpha beta alpha beta", "raw"),
+        (11, "gamma delta gamma delta", "raw"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_importance_weights(df, target_source="tgt").collect()
+    }
+    assert set(got) == {10, 11}  # target docs are never scored
+    assert got[10] > got[11]
+
+
+def test_katz_centrality_star_exact(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        katz_centrality,
+    )
+
+    # star: hub h with 4 leaves; alpha = 1/20, integer micro-units.
+    # c0 = 1e6 each. c1(h) = 1e6 + 4e6//20 = 1.2e6; c1(leaf) = 1.05e6
+    # c2(h) = 1e6 + 4*1.05e6//20 = 1_210_000
+    # c2(leaf) = 1e6 + 1.2e6//20 = 1_060_000
+    # c3(h) = 1e6 + 4*1_060_000//20 = 1_212_000
+    # c3(leaf) = 1e6 + 1_210_000//20 = 1_060_500
+    edges = [("h", f"l{i}") for i in range(4)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["katz_micro"] for r in katz_centrality(edf, rounds=3).collect()}
+    assert got["h"] == 1_212_000
+    assert all(got[f"l{i}"] == 1_060_500 for i in range(4))
+
+
+def test_cumulative_distinct_customers_curve(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        cumulative_distinct_customers,
+    )
+    import datetime
+
+    rows = [
+        (1, 100, datetime.datetime(1995, 1, 5)),
+        (2, 100, datetime.datetime(1995, 2, 5)),  # repeat customer
+        (3, 200, datetime.datetime(1995, 2, 6)),  # new in Feb
+        (4, 300, datetime.datetime(1995, 4, 1)),  # new in Apr (gap month)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    )
+    got = {r["month"]: r for r in cumulative_distinct_customers(df).collect()}
+    assert got["1995-01"]["n_active"] == 1 and got["1995-01"]["cum_customers"] == 1
+    assert got["1995-02"]["n_active"] == 2 and got["1995-02"]["n_new"] == 1
+    assert got["1995-02"]["cum_customers"] == 2
+    assert got["1995-04"]["cum_customers"] == 3  # repeat never double-counted
+
+
+def test_mmr_penalizes_redundant_candidate(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        mmr_topk,
+    )
+
+    # query q=[1,0]; a and b nearly coincide at +26° (rel ≈ 0.9), c
+    # mirrors them at −26° (rel ≈ 0.9 too, but nearly orthogonal-ish to
+    # a: sim ≈ 0.62). Plain top-2 by relevance picks {a, b}; MMR must
+    # pick a then c, because b is redundant with a (sim ≈ 1).
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.436]),
+        (2, [0.9, 0.437]),
+        (3, [0.9, -0.436]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = mmr_topk(df, query_id=0, pool=3, k=2, lam=0.5).collect()
+    assert [r["vec_id"] for r in got] == [1, 3]
+    assert got[0]["rank"] == 1 and got[1]["rank"] == 2

@@ -144,6 +144,11 @@ QUERIES = [
     "token_length_histogram",
     "supplier_share_shift",
     "events_session_bounce",
+    "ccnet_perplexity_buckets",
+    "dsir_importance_weights",
+    "graph_katz_centrality",
+    "orders_cumulative_distinct_customers",
+    "embedding_mmr_topk",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
