@@ -337,6 +337,11 @@ BENCH_QUERIES = [
     "graph_katz_centrality",
     "orders_cumulative_distinct_customers",
     "embedding_mmr_topk",
+    "events_ab_variant_lift",
+    "kneser_ney_bigram_score",
+    "graph_link_prediction_eval",
+    "customer_mahalanobis_outliers",
+    "corpus_token_budget_packing",
 ]
 
 

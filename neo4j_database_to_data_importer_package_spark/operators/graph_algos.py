@@ -1752,3 +1752,101 @@ def katz_centrality(
         return scores
     finally:
         und.unpersist()
+
+
+def link_prediction_eval(
+    edges: DataFrame,
+    holdout_frac: float = 0.2,
+    neg_sample: int = 200,
+    src: str = "src",
+    dst: str = "dst",
+    digits: int = 6,
+) -> DataFrame:
+    """Link-prediction evaluation harness: hold out an md5-deterministic
+    ``holdout_frac`` of edges, score the held-out pairs AND a
+    deterministic sample of non-edges by their common-neighbor count in
+    the RETAINED graph, and report the separation — the eval loop that
+    decides whether a link predictor (CN here; Adamic–Adar swaps in)
+    carries signal before anyone trusts its recommendations.
+
+    Negative pairs are built from two disjoint md5-ordered node samples
+    (first/last ``neg_sample`` nodes by md5 — TakeOrdered, constant-size
+    at ANY graph scale, no global window), crossed and anti-joined
+    against the true edge set: the standard "random non-edges" control
+    with every random choice derandomized through md5.
+
+    Output: one row per class (pos/neg) — n_pairs, mean_cn,
+    share_cn_pos (share of pairs with ≥1 common neighbor). All from
+    integer counts; double division over exact inputs, rounded at
+    ``digits``.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "a", "b")), 1, 8), 16, 10
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    tagged = canon.withColumn("__ho", frac < holdout_frac).persist()
+    try:
+        train = tagged.filter(~F.col("__ho")).select("a", "b")
+        pos = tagged.filter(F.col("__ho")).select(
+            F.col("a").alias("x"), F.col("b").alias("y"), F.lit("pos").alias("cls")
+        )
+        nodes = canon.select(F.col("a").alias("node")).union(
+            canon.select("b")
+        ).distinct().withColumn("__h", F.md5(F.col("node").cast("string")))
+        sa = nodes.orderBy(F.col("__h").asc()).limit(neg_sample).select(
+            F.col("node").alias("na")
+        )
+        sb = nodes.orderBy(F.col("__h").desc()).limit(neg_sample).select(
+            F.col("node").alias("nb")
+        )
+        neg = (
+            sa.crossJoin(sb)
+            .select(
+                F.least("na", "nb").alias("x"),
+                F.greatest("na", "nb").alias("y"),
+            )
+            .where(F.col("x") != F.col("y"))
+            .distinct()
+            .join(
+                canon,
+                (F.col("x") == canon["a"]) & (F.col("y") == canon["b"]),
+                "left_anti",
+            )
+            .withColumn("cls", F.lit("neg"))
+        )
+        pairs = pos.unionByName(neg)
+        adj = train.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
+            train.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+        )
+        cn = (
+            pairs.join(adj, pairs["x"] == adj["node"])
+            .select("x", "y", "cls", "nbr")
+            .join(
+                adj.select(F.col("node").alias("y2"), F.col("nbr").alias("nbr2")),
+                (F.col("y") == F.col("y2")) & (F.col("nbr") == F.col("nbr2")),
+            )
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("cn"))
+        )
+        scored = pairs.join(cn, ["x", "y"], "left").select(
+            "cls", F.coalesce(F.col("cn"), F.lit(0)).alias("cn")
+        )
+        return scored.groupBy("cls").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            round_half_up(F.avg("cn"), digits).alias("mean_cn"),
+            round_half_up(
+                F.avg((F.col("cn") > 0).cast("int")), digits
+            ).alias("share_cn_pos"),
+        )
+    finally:
+        tagged.unpersist()

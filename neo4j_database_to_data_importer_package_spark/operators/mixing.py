@@ -627,3 +627,52 @@ def dsir_importance_weights(
             ).alias("dsir_weight"),
         )
     )
+
+
+def token_budget_packing(
+    df: DataFrame,
+    budget: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Sequential token-budget shard packing: walk each source's
+    documents in id order, accumulate token counts, and start a new
+    shard every time the running total crosses ``budget`` — the
+    "pack documents into fixed-token-budget training shards" step of a
+    sequence-packing pipeline (shard = floor(tokens-before-me /
+    budget); a doc may straddle its boundary, the standard greedy
+    overflow rule). Deterministic by construction: integer token
+    counts, integer division, total (source, doc_id) order.
+
+    Scale shape: the running sum partitions BY SOURCE (never a global
+    window) — per-partition state is one counter; the output is one
+    row per (source, shard). Contrast ``corpus_shard_manifest`` (hash
+    sharding, order-free): packing is the ORDER-PRESERVING variant a
+    curriculum needs.
+    """
+    from ..functions.text import tokens
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "shard",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget)
+        ).cast("bigint"),
+    )
+    return packed.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

@@ -1326,3 +1326,140 @@ def holt_linear_backtest(
         "n_points long, mae double, level double, trend double, "
         "forecast_next double",
     )
+
+
+def ab_variant_lift(
+    df: DataFrame,
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    conversion_event: str = "purchase",
+    value_col: str = "value",
+    min_value: float = 150.0,
+    digits: int = 6,
+) -> DataFrame:
+    """A/B experiment readout with a deterministic hash split: users are
+    assigned variant A/B by md5 parity (the classic stable bucketing —
+    the same user lands in the same arm on every run, every engine, at
+    any parallelism), conversion = the user emitted ``conversion_event``
+    with ``value_col`` ≥ ``min_value`` at least once (the value floor
+    keeps the metric non-degenerate on a fixture where every user
+    purchases — and mirrors real "qualified conversion" definitions),
+    and the readout is each arm's rate plus the lift and
+    the two-proportion pooled z statistic — the decision row an
+    experimentation platform computes per metric.
+
+    Determinism: arm sizes and conversion counts are exact integers;
+    rate / lift / z are double arithmetic over those exact inputs
+    (engine-identical), rounded at ``digits``.
+
+    Scale shape: one user-keyed aggregate (conversion flag via max), one
+    4-row (variant × converted) count table, then scalar algebra — the
+    z computation never touches row-level data again.
+    """
+    per_user = (
+        df.select(
+            F.col(user_col).alias("u"),
+            (
+                (F.col(event_col) == conversion_event)
+                & (F.col(value_col) >= min_value)
+            ).cast("int").alias("conv"),
+        )
+        .groupBy("u")
+        .agg(F.max("conv").alias("converted"))
+        .select(
+            "u",
+            "converted",
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.col("u").cast("string")), 1, 8), 16, 10
+                ).cast("bigint")
+                % 2
+                == 0,
+                F.lit("A"),
+            )
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+        )
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    a = arms.filter(F.col("variant") == "A").select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
+    )
+    b = arms.filter(F.col("variant") == "B").select(
+        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
+    )
+    wide = a.crossJoin(b)
+    pa = F.col("ca") / F.col("na")
+    pb = F.col("cb") / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
+    z = (pa - pb) / F.sqrt(
+        pool * (1 - pool) * (1 / F.col("na") + 1 / F.col("nb"))
+    )
+    tall = wide.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("A").alias("variant"),
+                    F.col("na").alias("n_users"),
+                    F.col("ca").alias("n_converted"),
+                    round_half_up(pa, digits).alias("rate"),
+                ),
+                F.struct(
+                    F.lit("B").alias("variant"),
+                    F.col("nb").alias("n_users"),
+                    F.col("cb").alias("n_converted"),
+                    round_half_up(pb, digits).alias("rate"),
+                ),
+            )
+        ).alias("s"),
+        round_half_up(pa - pb, digits).alias("lift"),
+        round_half_up(z, digits).alias("z_score"),
+    )
+    return tall.select("s.variant", "s.n_users", "s.n_converted", "s.rate", "lift", "z_score")
+
+
+def diag_mahalanobis_outliers(
+    df: DataFrame,
+    id_col: str,
+    feature_cols: list[str],
+    threshold: float = 9.0,
+    digits: int = 4,
+) -> DataFrame:
+    """Multivariate outlier screen under a diagonal covariance: each
+    entity's squared Mahalanobis distance Σ_f ((x_f − μ_f)/σ_f)² against
+    the population, flagging rows above ``threshold`` (9.0 ≈ the 3σ
+    ellipsoid for uncorrelated features). The multi-feature upgrade of
+    the per-column z-score screens — an account that is mildly extreme
+    on EVERY axis outscores one wild on a single axis.
+
+    Determinism contract: μ and σ² come from exact decimal sums (the
+    ``dsum`` discipline — feature columns must be ≤2-dp money or
+    integers, which TPC-H's are), so the per-row double arithmetic runs
+    on engine-identical inputs; m2 rounds at ``digits`` BEFORE the
+    threshold compare, so the cut is the same everywhere.
+
+    Scale shape: one 1-row global aggregate (broadcast), then a
+    map-side projection — no shuffle after the stats pass; the filter
+    pushes the entire screen into one scan.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in feature_cols:
+        aggs.append(dsum(F.col(f), 4).alias(f"__s1_{f}"))
+        aggs.append(dsum(F.col(f) * F.col(f), 4).alias(f"__s2_{f}"))
+    stats1 = df.agg(*aggs)
+    joined = df.crossJoin(F.broadcast(stats1))
+    m2 = F.lit(0.0)
+    for f in feature_cols:
+        n = F.col("__n")
+        mu = F.col(f"__s1_{f}") / n
+        var = (F.col(f"__s2_{f}") - F.col(f"__s1_{f}") * mu) / (n - 1)
+        m2 = m2 + F.pow((F.col(f) - mu) / F.sqrt(var), F.lit(2.0))
+    return (
+        joined.select(
+            F.col(id_col), round_half_up(m2, digits).alias("m2")
+        )
+        .filter(F.col("m2") > threshold)
+    )

@@ -146,6 +146,8 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/text_analysis.py", "totals"),
     ("operators/text_analysis.py", "corp_tot"),
     ("operators/statistics.py", "tot"),  # 1-row totals (KS / chi2 / MI)
+    ("operators/statistics.py", "stats1"),  # 1-row moment sums (Mahalanobis)
+    ("operators/text_analysis.py", "tv"),  # 1-row (bigram types, vocab) pair
     ("operators/statistics.py", "dims"),  # 1-row (n_rows, n_cols) pair
     ("operators/profiling.py", "tot"),   # 1-row totals (join-key skew)
     # bounded sensitive-bucket histogram (fixed-width bucketing domain,

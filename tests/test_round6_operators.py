@@ -2571,3 +2571,104 @@ def test_mmr_penalizes_redundant_candidate(spark):
     got = mmr_topk(df, query_id=0, pool=3, k=2, lam=0.5).collect()
     assert [r["vec_id"] for r in got] == [1, 3]
     assert got[0]["rank"] == 1 and got[1]["rank"] == 2
+
+
+# --- batch 22: A/B lift / KN bigram / link-pred / Mahalanobis / packing -----
+
+
+def test_ab_variant_lift_algebra(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        ab_variant_lift,
+    )
+
+    # 8 users, conversion = purchase with value >= 150; arms split by
+    # md5 parity — recompute expected arms in-test from the same hash
+    import hashlib
+
+    rows = []
+    conv_users = {1, 2, 3}
+    for u in range(1, 9):
+        rows.append((u, "purchase", 200.0 if u in conv_users else 10.0))
+        rows.append((u, "view", 0.0))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    got = {r["variant"]: r for r in ab_variant_lift(df).collect()}
+
+    def variant(u):
+        return "A" if int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2 == 0 else "B"
+
+    na = sum(1 for u in range(1, 9) if variant(u) == "A")
+    ca = sum(1 for u in conv_users if variant(u) == "A")
+    assert got["A"]["n_users"] == na and got["A"]["n_converted"] == ca
+    assert got["B"]["n_users"] == 8 - na and got["B"]["n_converted"] == 3 - ca
+    assert abs(got["A"]["lift"] - (ca / na - (3 - ca) / (8 - na))) < 1e-5
+    assert got["A"]["lift"] == got["B"]["lift"]  # experiment-level columns repeat
+
+
+def test_kneser_ney_discount_and_continuation(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        kneser_ney_bigram_score,
+    )
+    import math
+
+    # train: "a b a b" (bigrams ab, ba, ab) and "c b" — heldout "a b"
+    # c12(a,b)=2, c1(a)=2, n1f(a)=1; n1b(b)=2 (follows a and c), T=3
+    # types, V=3 vocab. P(b|a) = (2-.75)/2 + .75*1/2 * (2+1)/(3+3+1)
+    docs = [
+        (1, "a b a b", "tr"),
+        (2, "c b", "tr"),
+        (3, "a b", "ho"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = kneser_ney_bigram_score(df, heldout_source="ho").collect()
+    assert len(got) == 1 and got[0]["n_bigrams"] == 1
+    p = (2 - 0.75) / 2 + 0.75 * 1 / 2 * ((2 + 1) / (3 + 3 + 1))
+    expected_nll = -math.log2(p)
+    assert abs(got[0]["avg_nll"] - expected_nll) < 1e-5
+
+
+def test_link_prediction_separates_pos_from_neg(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        link_prediction_eval,
+    )
+
+    # dense-ish community graph: positives (held-out edges) should have
+    # more common neighbors than random non-edges from two samples
+    edges = [
+        (f"n{i}", f"n{j}")
+        for i in range(12)
+        for j in range(i + 1, 12)
+        if (i + j) % 3 != 0
+    ]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["cls"]: r for r in link_prediction_eval(edf, neg_sample=5).collect()}
+    assert got["pos"]["n_pairs"] > 0
+    assert got["pos"]["mean_cn"] > 0
+
+
+def test_mahalanobis_flags_planted_outlier(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        diag_mahalanobis_outliers,
+    )
+
+    rows = [(i, 100.0 + (i % 5), 10 + (i % 3)) for i in range(40)]
+    rows.append((99, 500.0, 90))  # extreme on both axes
+    df = spark.createDataFrame(rows, "id long, bal double, cnt long")
+    got = [r["id"] for r in diag_mahalanobis_outliers(df, "id", ["bal", "cnt"]).collect()]
+    assert got == [99]
+
+
+def test_token_budget_packing_boundaries(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.mixing import (
+        token_budget_packing,
+    )
+
+    # each doc = 4 tokens; budget 8 → shards of exactly 2 docs in id order
+    docs = [(i, "w x y z", "s1") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = sorted(
+        token_budget_packing(df, budget=8).collect(), key=lambda r: r["shard"]
+    )
+    assert [r["shard"] for r in got] == [0, 1, 2]
+    assert all(r["n_docs"] == 2 and r["sum_tokens"] == 8 for r in got)
+    assert got[0]["first_doc"] == 0 and got[0]["last_doc"] == 1
+    assert got[2]["first_doc"] == 4 and got[2]["last_doc"] == 5
