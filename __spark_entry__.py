@@ -222,6 +222,11 @@ _NEXT_ROTATION: list[str] = [
     "graph_link_prediction_eval",
     "customer_mahalanobis_outliers",
     "corpus_token_budget_packing",
+    "corpus_bigram_entropy_rate",
+    "events_dispersion_index",
+    "graph_spectral_radius",
+    "multimodal_audio_energy_windows",
+    "part_recs_coverage_diversity",
 ]
 
 

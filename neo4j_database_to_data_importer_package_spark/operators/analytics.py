@@ -1245,3 +1245,62 @@ def cumulative_distinct_customers(
         )
         .withColumn("cum_customers", F.sum("n_new").over(w))
     )
+
+
+def recs_coverage_diversity(
+    view: GraphView, k: int = 5, min_orders: int = 2, digits: int = 6
+) -> DataFrame:
+    """Recommender-quality audit of the item-item co-purchase lists
+    (``part_copurchase_topk``): catalog coverage (what share of the
+    catalog is ever recommended — low coverage means the recommender
+    only resurfaces bestsellers) and mean intra-list brand diversity
+    (distinct brands / list length per list — redundancy of each
+    slate), plus list-length accounting. The offline eval every recsys
+    team runs before an online test.
+
+    Determinism: coverage and lengths are integer-count ratios; each
+    list's diversity ratio is rounded to 9 dp then decimal-summed
+    before the mean (the standing contract).
+
+    Scale shape: everything downstream of the recs table is either a
+    part-keyed aggregate (lists) or a distinct count; the part-dim
+    join is an equi-join AQE will broadcast when the dim fits.
+    """
+    recs = part_copurchase_topk(view, k=k, min_orders=min_orders)
+    brands = view.tables["part"].select(
+        F.col("p_partkey").alias("co_part"), "p_brand"
+    )
+    lists = (
+        recs.join(brands, "co_part")
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("len"),
+            F.count_distinct("p_brand").alias("nb"),
+        )
+    )
+    div9 = round_half_up(F.col("nb") / F.col("len"), 9)
+    per = lists.agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum("len").cast("bigint").alias("__lens"),
+        F.sum(div9.cast("decimal(28,9)")).cast("double").alias("__sdiv"),
+    )
+    cov = recs.agg(F.count_distinct("co_part").alias("__nrec"))
+    cat = view.tables["part"].agg(F.count(F.lit(1)).alias("n_catalog"))
+    return (
+        per.crossJoin(F.broadcast(cov))
+        .crossJoin(F.broadcast(cat))
+        .select(
+            "n_lists",
+            "n_catalog",
+            F.col("__nrec").alias("n_recommended"),
+            round_half_up(F.col("__nrec") / F.col("n_catalog"), digits).alias(
+                "coverage"
+            ),
+            round_half_up(F.col("__lens") / F.col("n_lists"), digits).alias(
+                "mean_list_len"
+            ),
+            round_half_up(F.col("__sdiv") / F.col("n_lists"), digits).alias(
+                "mean_brand_diversity"
+            ),
+        )
+    )

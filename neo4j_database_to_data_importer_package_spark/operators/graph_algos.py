@@ -1850,3 +1850,110 @@ def link_prediction_eval(
         )
     finally:
         tagged.unpersist()
+
+
+def spectral_radius_estimate(
+    edges: DataFrame,
+    rounds: int = 3,
+    top_k: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    digits: int = 6,
+) -> DataFrame:
+    """Spectral radius (largest adjacency eigenvalue) estimate by
+    ``rounds`` un-normalized power iterations from the all-ones vector,
+    read off as the Rayleigh quotient λ ≈ (x₃·x₂)/(x₂·x₂) — the
+    one-number connectivity/epidemic-threshold summary of a graph, and
+    the eigenvector-centrality probe (x₃'s top components) in the same
+    pass.
+
+    ENTIRELY INTEGER ALGEBRA until the final division: x₀ = 1 and each
+    superstep is an exact integer neighbor-sum (no normalization, no
+    float drift — the ``katz_centrality`` discipline); the two Rayleigh
+    dot products accumulate as DECIMAL(38,0) (per-node products reach
+    ~deg⁵, past int64 but exact in decimal), and only the last ratio is
+    a double, rounded at ``digits``. Identical on every engine and
+    partitioning by construction. Magnitude guard: x₃ ≤ deg_max³ —
+    int64-safe for any graph with deg_max < ~20k; beyond that, start
+    from a scaled-down x₀ (documented, not needed on these fixtures).
+
+    Output: the ``top_k`` nodes by x₃ (eigenvector-centrality ranking,
+    ties on node id) with their x₃ share, each row carrying the same
+    λ estimate and node count.
+
+    Scale shape: per round one edges ⋈ scores shuffle join + a
+    node-keyed sum (hash partitioning reused across rounds,
+    localCheckpoint per superstep); the Rayleigh read-off is one 1-row
+    aggregate; the read-out is TakeOrdered(top_k).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    n_edges = und.count()
+    from ..partitioning import superstep_scope
+
+    try:
+        with superstep_scope(edges.sparkSession, n_edges):
+            hist = []
+            x = nodes.withColumn("x", F.lit(1).cast("long")).localCheckpoint(
+                eager=True
+            )
+            hist.append(x)
+            for _ in range(rounds):
+                nxt = (
+                    und.join(x, und["b"] == x["node"])
+                    .select(F.col("a").alias("node"), "x")
+                    .groupBy("node")
+                    .agg(F.sum("x").alias("__s"))
+                )
+                x = (
+                    nodes.join(nxt, "node", "left")
+                    .select(
+                        "node",
+                        F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("x"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                hist.append(x)
+        x_last, x_prev = hist[-1], hist[-2]
+        both = x_last.select(F.col("node"), F.col("x").alias("xl")).join(
+            x_prev.select(F.col("node"), F.col("x").alias("xp")), "node"
+        )
+        ray = both.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(
+                (F.col("xl").cast("decimal(38,0)") * F.col("xp")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("__num"),
+            F.sum(
+                (F.col("xp").cast("decimal(38,0)") * F.col("xp")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("__den"),
+            F.sum(F.col("xl").cast("decimal(38,0)")).alias("__tot"),
+        )
+        top = x_last.orderBy(F.col("x").desc(), F.col("node")).limit(top_k)
+        return (
+            top.crossJoin(F.broadcast(ray))
+            .select(
+                "node",
+                round_half_up(
+                    F.col("x").cast("double")
+                    / F.col("__tot").cast("double"),
+                    9,
+                ).alias("x_share"),
+                round_half_up(
+                    F.col("__num").cast("double") / F.col("__den").cast("double"),
+                    digits,
+                ).alias("lambda_est"),
+                F.col("n_nodes"),
+            )
+        )
+    finally:
+        und.unpersist()

@@ -251,3 +251,57 @@ def ahash_near_dup(
     return cand.select(
         "id_a", "id_b", "hash_a", "hash_b", ham.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def audio_energy_windows(
+    media: DataFrame,
+    window_bytes: int = 256,
+    digits: int = 6,
+) -> DataFrame:
+    """Windowed audio-energy profile over binary payloads: treat each
+    payload as 8-bit centered PCM, cut it into ``window_bytes`` frames,
+    and emit per-window RMS energy — the silence-detection /
+    voice-activity front-end of an audio pipeline, with only the codec
+    decode stubbed (the byte-level arithmetic, Arrow batching, window
+    bookkeeping, and schema are the real plumbing).
+
+    Runs as ``mapInPandas`` (the module's Arrow-batched contract — one
+    batch of payloads in memory per task, column-pruned to id+payload).
+    Per-window sums of (b−128)² are exact integers, so
+    rms = sqrt(ss/n) is double arithmetic over exact inputs —
+    engine-identical, rounded at ``digits``; the DuckDB oracle replays
+    the same bytes from the committed fixture via hex-nibble
+    extraction.
+    """
+    import math
+
+    out_schema = (
+        "media_id long, w long, n_samples long, rms double"
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                for w in range((len(data) + window_bytes - 1) // window_bytes):
+                    chunk = data[w * window_bytes : (w + 1) * window_bytes]
+                    ss = 0
+                    for b in chunk:
+                        d = b - 128
+                        ss += d * d
+                    n = len(chunk)
+                    rms = (
+                        math.floor(
+                            math.sqrt(ss / n) * 10**digits + 0.5
+                        )
+                        / 10**digits
+                        if n
+                        else 0.0
+                    )
+                    rows.append((int(mid), w, n, rms))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "w", "n_samples", "rms"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, out_schema)

@@ -1463,3 +1463,49 @@ def diag_mahalanobis_outliers(
         )
         .filter(F.col("m2") > threshold)
     )
+
+
+def dispersion_index(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    digits: int = 6,
+) -> DataFrame:
+    """Overdispersion screen per key: the variance-to-mean ratio (index
+    of dispersion) of DAILY event counts plus the chi-square statistic
+    (n−1)·VMR — VMR ≈ 1 is Poisson-compatible arrivals, VMR ≫ 1 means
+    bursty/clumped traffic (bots, batch jobs, incident retries), the
+    standard first look before any rate-based alerting threshold is
+    trusted.
+
+    Daily counts are exact integers, so mean and sample variance are
+    double arithmetic over exact sums — engine-identical; outputs round
+    at ``digits``.
+
+    Scale shape: one (key, day) count aggregate, then a key-sized
+    moment aggregate — the raw stream is touched once.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = daily.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    n = F.col("n_days")
+    mean = F.col("s1") / n
+    var = (F.col("s2") - F.col("s1") * mean) / (n - 1)
+    return m.select(
+        F.col("key").alias(key_col),
+        "n_days",
+        round_half_up(mean, digits).alias("mean_daily"),
+        round_half_up(var, digits).alias("var_daily"),
+        round_half_up(var / mean, digits).alias("vmr"),
+        round_half_up((n - 1) * var / mean, digits).alias("chi2"),
+    )

@@ -1735,3 +1735,87 @@ def kneser_ney_bigram_score(
         round_half_up(F.col("__avg"), 6).alias("avg_nll"),
         round_half_up(F.pow(F.lit(2.0), F.col("__avg")), 4).alias("perplexity"),
     )
+
+
+def bigram_entropy_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-language information-theoretic profile: unigram entropy
+    H(W), conditional bigram entropy rate H(W₂|W₁), and redundancy
+    1 − H(W₂|W₁)/H(W) — how much each language's corpus is compressible
+    by context, the Shannon diagnostic that separates natural text
+    (redundancy ≈ 0.3–0.5) from shuffled or templated filler.
+
+    Every probability is a ratio of integer counts; each −p·log2(p)
+    term is rounded to 9 dp and summed as exact decimal (the standing
+    round-then-decimal-sum rule), so both entropies are engine- and
+    partitioning-identical.
+
+    Scale shape: two vocabulary-sized count aggregates per language
+    (unigram, bigram) with per-language totals joined back — never a
+    corpus-sized shuffle after the counts; output is one row per
+    language.
+    """
+    t = F.col("__t")
+    grams = F.transform(
+        F.slice(t, 1, F.greatest(F.lit(0), F.size(t) - 1)),
+        lambda x, i: F.struct(
+            x.alias("w1"), F.element_at(t, i + F.lit(2)).alias("w2")
+        ),
+    )
+    toked = df.withColumn("__t", tokens(text_col))
+    uni = (
+        toked.select(F.col(lang_col).alias("lang"), F.explode("__t").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    utot = uni.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tu"))
+    bi = (
+        toked.select(F.col(lang_col).alias("lang"), F.explode(grams).alias("g"))
+        .select("lang", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = bi.groupBy("lang", "w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    btot = bi.groupBy("lang").agg(F.sum("c12").cast("bigint").alias("tb"))
+
+    h1_term = round_half_up(
+        -(F.col("c") / F.col("tu")) * F.log2(F.col("c") / F.col("tu")), 9
+    )
+    h1 = (
+        uni.join(utot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("tu").alias("n_tokens"),
+            F.sum(h1_term.cast("decimal(28,9)")).cast("double").alias("__h1"),
+        )
+    )
+    h2_term = round_half_up(
+        -(F.col("c12") / F.col("tb")) * F.log2(F.col("c12") / F.col("c1")), 9
+    )
+    h2 = (
+        bi.join(c1, ["lang", "w1"])
+        .join(btot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("tb").alias("n_bigrams"),
+            F.sum(h2_term.cast("decimal(28,9)")).cast("double").alias("__h2"),
+        )
+    )
+    return (
+        h1.join(h2, "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            "n_bigrams",
+            round_half_up(F.col("__h1"), digits).alias("h_unigram"),
+            round_half_up(F.col("__h2"), digits).alias("h_bigram_cond"),
+            round_half_up(1 - F.col("__h2") / F.col("__h1"), digits).alias(
+                "redundancy"
+            ),
+        )
+    )

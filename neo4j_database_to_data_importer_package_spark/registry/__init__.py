@@ -58,5 +58,6 @@ from . import r6h_operators  # noqa: E402,F401
 from . import r6i_operators  # noqa: E402,F401
 from . import r6j_operators  # noqa: E402,F401
 from . import r6k_operators  # noqa: E402,F401
+from . import r6l_operators  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register", "_view"]

@@ -129,6 +129,9 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/graph_algos.py", "ab"),     # 1-row Σa·b margin product
     ("operators/graph_algos.py", "stats"),  # 1-row assortativity r
     ("operators/analytics.py", "med"),      # 1-row exact-median pick
+    ("operators/analytics.py", "cov"),      # 1-row distinct-rec count
+    ("operators/analytics.py", "cat"),      # 1-row catalog count
+    ("operators/graph_algos.py", "ray"),    # 1-row Rayleigh aggregates
     ("operators/mixing.py", "tot"),
     ("operators/mixing.py", "grid"),  # fixed 10-row threshold grid
     ("operators/mixing.py", "totals"),  # 1-row (target, raw) token totals

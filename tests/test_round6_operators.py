@@ -2672,3 +2672,103 @@ def test_token_budget_packing_boundaries(spark):
     assert all(r["n_docs"] == 2 and r["sum_tokens"] == 8 for r in got)
     assert got[0]["first_doc"] == 0 and got[0]["last_doc"] == 1
     assert got[2]["first_doc"] == 4 and got[2]["last_doc"] == 5
+
+
+# --- batch 23: entropy rate / dispersion / spectral / audio / recs eval -----
+
+
+def test_entropy_rate_deterministic_text_zero_conditional(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        bigram_entropy_rate,
+    )
+    import math
+
+    # "a b a b a b": every context fully determines the next token →
+    # conditional entropy 0, redundancy 1. Unigram entropy = 1 bit.
+    df = spark.createDataFrame(
+        [(1, "a b a b a b", "en")], "doc_id long, text string, lang string"
+    )
+    row = bigram_entropy_rate(df).collect()[0]
+    assert row["h_bigram_cond"] == 0.0
+    assert abs(row["h_unigram"] - 1.0) < 1e-6
+    assert row["redundancy"] == 1.0
+
+    # uniform random-ish: "a b c d" once — every bigram unique, H2 = 0
+    # too (each context seen once); two docs of shuffled pairs raise it
+    df2 = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "a c", "en")], "doc_id long, text string, lang string"
+    )
+    row2 = bigram_entropy_rate(df2).collect()[0]
+    # contexts: a→b, a→c each p=1/2 given a → H(W2|W1) = 1 bit
+    assert abs(row2["h_bigram_cond"] - 1.0) < 1e-6
+
+
+def test_dispersion_index_poisson_vs_bursty(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        dispersion_index,
+    )
+    import datetime
+
+    rows = []
+    # "steady": 5 events every day for 4 days → var 0, VMR 0
+    for d in range(4):
+        for i in range(5):
+            rows.append(("steady", datetime.datetime(2024, 1, 1 + d, 10, i)))
+    # "bursty": 17 events day 1, 1 event each other day
+    for i in range(17):
+        rows.append(("bursty", datetime.datetime(2024, 1, 1, 10, i)))
+    for d in range(1, 4):
+        rows.append(("bursty", datetime.datetime(2024, 1, 1 + d, 10, 0)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["event_type"]: r for r in dispersion_index(df).collect()}
+    assert got["steady"]["var_daily"] == 0.0 and got["steady"]["vmr"] == 0.0
+    assert got["bursty"]["vmr"] > 5  # mean 5, var ((17-5)^2+3*16)/3 = 64
+    assert abs(got["bursty"]["var_daily"] - 64.0) < 1e-6
+
+
+def test_spectral_radius_complete_graph(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        spectral_radius_estimate,
+    )
+
+    # K5: adjacency eigenvalue is exactly n-1 = 4; the all-ones vector
+    # is the exact eigenvector, so 3 iterations give λ exactly
+    edges = [(f"n{i}", f"n{j}") for i in range(5) for j in range(i + 1, 5)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = spectral_radius_estimate(edf, rounds=3, top_k=3).collect()
+    assert len(got) == 3
+    assert all(r["lambda_est"] == 4.0 for r in got)
+    assert all(abs(r["x_share"] - 0.2) < 1e-9 for r in got)
+
+
+def test_audio_energy_windows_known_bytes(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.multimodal import (
+        audio_energy_windows,
+    )
+    import math
+
+    # payload: 256 bytes of 128 (silence, rms 0) + 4 bytes of 138
+    # (rms sqrt(100) = 10 over the 4-sample tail window)
+    payload = bytes([128] * 256 + [138] * 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    got = {r["w"]: r for r in audio_energy_windows(df).collect()}
+    assert got[0]["n_samples"] == 256 and got[0]["rms"] == 0.0
+    assert got[1]["n_samples"] == 4 and abs(got[1]["rms"] - 10.0) < 1e-9
+
+
+def test_recs_coverage_diversity_bounds(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        recs_coverage_diversity,
+    )
+    from neo4j_database_to_data_importer_package_spark.sources.star_schema import (
+        load_graph_view,
+    )
+
+    view = load_graph_view(spark, "/root/testdata/sf0.001")
+    row = recs_coverage_diversity(view).collect()[0]
+    assert 0.0 < row["coverage"] <= 1.0
+    assert 0.0 < row["mean_brand_diversity"] <= 1.0
+    assert 0 < row["mean_list_len"] <= 5
+    assert row["n_recommended"] <= row["n_catalog"]

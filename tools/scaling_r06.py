@@ -154,6 +154,11 @@ QUERIES = [
     "graph_link_prediction_eval",
     "customer_mahalanobis_outliers",
     "corpus_token_budget_packing",
+    "corpus_bigram_entropy_rate",
+    "events_dispersion_index",
+    "graph_spectral_radius",
+    "multimodal_audio_energy_windows",
+    "part_recs_coverage_diversity",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
