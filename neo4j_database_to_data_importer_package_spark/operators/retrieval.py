@@ -790,3 +790,62 @@ def bm25_tfidf_rank_agreement(
             6,
         ).alias("rho"),
     )
+
+
+def prf_expansion_terms(
+    df: DataFrame,
+    query_terms: list[str],
+    n_rel: int = 10,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Robertson–Sparck
+    Jones): take the BM25 top-``n_rel`` documents as pseudo-relevant,
+    weight every candidate term by the RSJ relevance weight
+
+        w(t) = ln( ((r+0.5)(N−n−R+r+0.5)) / ((n−r+0.5)(R−r+0.5)) )
+
+    (r = pseudo-relevant docs containing t, n = document frequency,
+    R = ``n_rel``, N = corpus size) and emit the top-``k`` expansion
+    terms — the classical automatic query-expansion step of a
+    retrieval stack, with the original query terms excluded.
+
+    Determinism: r, n, R, N are integers; the single ln runs on an
+    exact rational — engine-identical, rounded at ``digits``; ranking
+    breaks ties (w, then df desc, then term).
+
+    Scale shape: rides ``bm25_topk`` (query-filtered token stream);
+    candidate statistics are one distinct (doc, term) aggregate for df
+    and one semi-joined aggregate for r (the n_rel doc ids broadcast);
+    read-out is TakeOrderedAndProject.
+    """
+    rel = bm25_topk(df, query_terms, k=n_rel, text_col=text_col, id_col=id_col)
+    rel_ids = rel.select(id_col)
+    stream = _term_stream(df, text_col, id_col).distinct()
+    dfreq = stream.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    rfreq = (
+        stream.join(F.broadcast(rel_ids), id_col, "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    ndocs = df.agg(F.count(F.lit(1)).alias("nd"))
+    cand = (
+        rfreq.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .filter(~F.col("term").isin(query_terms))
+    )
+    w = F.log(
+        ((F.col("r") + 0.5) * (F.col("nd") - F.col("n") - n_rel + F.col("r") + 0.5))
+        / ((F.col("n") - F.col("r") + 0.5) * (n_rel - F.col("r") + 0.5))
+    )
+    scored = cand.select(
+        "term",
+        F.col("n").alias("doc_freq"),
+        F.col("r").alias("n_rel_docs"),
+        round_half_up(w, digits).alias("rsj_weight"),
+    )
+    return scored.orderBy(
+        F.desc("rsj_weight"), F.desc("doc_freq"), F.asc("term")
+    ).limit(k)

@@ -1509,3 +1509,253 @@ def dispersion_index(
         round_half_up(var / mean, digits).alias("vmr"),
         round_half_up((n - 1) * var / mean, digits).alias("chi2"),
     )
+
+
+def kaplan_meier_curve(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    cust_col: str = "o_custkey",
+    censor_months: int = 6,
+    digits: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival curve of customer lifetime (months between
+    first and last order), with right-censoring: a customer whose last
+    order falls within ``censor_months`` of the corpus end is CENSORED
+    (still alive — we just stopped watching), not churned; ignoring
+    censoring is the classic retention-analysis mistake this estimator
+    exists to fix. S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over event (churn)
+    times.
+
+    Determinism: lifetimes are integer month diffs (year·12+month
+    arithmetic on string-formatted parts — no tz-dependent date math),
+    dᵢ/nᵢ are integer ratios, and the product accumulates as a
+    cumulative sum of 9-dp-rounded ln(1−dᵢ/nᵢ) terms (decimal-exact)
+    exponentiated once — with an exact-zero flag so a 100%-event time
+    renders S = 0 instead of exp(−∞).
+
+    Scale shape: one customer-keyed aggregate, one bounded
+    (months-domain) aggregate, then windows over that bounded table
+    only.
+    """
+    ym = (
+        F.date_format(F.col(date_col), "yyyy").cast("int") * 12
+        + F.date_format(F.col(date_col), "MM").cast("int")
+    )
+    per = orders.groupBy(F.col(cust_col).alias("c")).agg(
+        F.min(ym).alias("first_m"), F.max(ym).alias("last_m")
+    )
+    corpus_end = per.agg(F.max("last_m").alias("end_m"))
+    life = per.crossJoin(F.broadcast(corpus_end)).select(
+        (F.col("last_m") - F.col("first_m")).alias("t"),
+        (F.col("last_m") <= F.col("end_m") - censor_months)
+        .cast("int")
+        .alias("event"),
+    )
+    at_t = life.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_at_t"),
+        F.sum("event").cast("bigint").alias("d"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_after = Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    risk = at_t.withColumn("n_risk", F.sum("n_at_t").over(w_after))
+    term = F.when(
+        F.col("d") > 0,
+        round_half_up(F.log(1 - F.col("d") / F.col("n_risk")), 9),
+    ).otherwise(F.lit(0.0))
+    dead = (F.col("d") == F.col("n_risk")).cast("int")
+    curve = (
+        risk.withColumn("__term", term)
+        .withColumn("__dead", F.max(dead).over(w_all))
+        .withColumn(
+            "__logs",
+            F.sum(
+                F.when(F.col("d") < F.col("n_risk"), F.col("__term"))
+                .otherwise(F.lit(0.0))
+                .cast("decimal(28,9)")
+            ).over(w_all),
+        )
+    )
+    return curve.select(
+        F.col("t").alias("t_months"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.when(F.col("__dead") == 1, F.lit(0.0))
+        .otherwise(
+            round_half_up(F.exp(F.col("__logs").cast("double")), digits)
+        )
+        .alias("survival"),
+    )
+
+
+def two_way_anova(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    y_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Two-way factorial ANOVA with interaction (unweighted/sequential
+    sums of squares — exact for near-balanced designs, the standard
+    screening decomposition otherwise): how much of ``y_col``'s
+    variance each factor, and their interaction, explains — upgrading
+    the one-way ANOVA already in the suite to the crossed design every
+    "does the effect differ by segment" question needs.
+
+    SS_A = Σ_a n_a(ȳ_a−ȳ)², SS_B likewise, SS_cells = Σ_ab n_ab(ȳ_ab−ȳ)²,
+    SS_AB = SS_cells − SS_A − SS_B, SS_err = SS_tot − SS_cells; F per
+    term against MS_err. ``y_col`` must be integer-valued (quantities,
+    counts) so every moment is an exact integer sum and the double
+    algebra runs on engine-identical inputs.
+
+    Scale shape: ONE scan building the (a, b) cell moment table
+    (bounded grid); margins and totals are aggregates of the cells.
+    Output: one row per source of variation (a, b, interaction,
+    residual) with df, ss, ms, f.
+    """
+    cells = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(y_col)).cast("bigint").alias("s"),
+        F.sum(F.col(y_col) * F.col(y_col)).cast("bigint").alias("q"),
+    )
+    am = cells.groupBy("a").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s")
+    )
+    bm = cells.groupBy("b").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s")
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count_distinct("a").alias("ka"),
+        F.count_distinct("b").alias("kb"),
+    )
+    gm = F.col("st") / F.col("nt")
+    # each group's n·(ȳ−ȳ..)² term is rounded at 9 dp and summed as
+    # exact decimal so the (tiny but shuffled) margin tables aggregate
+    # identically under any partial-aggregation order
+    dev_ss = lambda: F.sum(  # noqa: E731
+        round_half_up(
+            F.col("n")
+            * (F.col("s") / F.col("n") - gm)
+            * (F.col("s") / F.col("n") - gm),
+            9,
+        ).cast("decimal(38,9)")
+    ).cast("double")
+    ssa = am.crossJoin(F.broadcast(tot)).agg(
+        F.max("nt").alias("nt"), F.max("st").alias("st"),
+        F.max("qt").alias("qt"), F.max("n_cells").alias("n_cells"),
+        F.max("ka").alias("ka"), F.max("kb").alias("kb"),
+        dev_ss().alias("ss_a"),
+    )
+    ssb = bm.crossJoin(F.broadcast(tot)).agg(dev_ss().alias("ss_b"))
+    ssc = cells.crossJoin(F.broadcast(tot)).agg(dev_ss().alias("ss_cells"))
+    wide = ssa.crossJoin(F.broadcast(ssb)).crossJoin(F.broadcast(ssc))
+    ss_tot = F.col("qt") - F.col("st") * (F.col("st") / F.col("nt"))
+    ss_ab = F.col("ss_cells") - F.col("ss_a") - F.col("ss_b")
+    ss_err = ss_tot - F.col("ss_cells")
+    df_a = F.col("ka") - 1
+    df_b = F.col("kb") - 1
+    df_ab = F.col("n_cells") - F.col("ka") - F.col("kb") + 1
+    df_err = F.col("nt") - F.col("n_cells")
+    ms_err = ss_err / df_err
+    rows = F.array(
+        F.struct(
+            F.lit("a").alias("term"),
+            df_a.cast("long").alias("df"),
+            round_half_up(F.col("ss_a"), digits).alias("ss"),
+            round_half_up(F.col("ss_a") / df_a, digits).alias("ms"),
+            round_half_up(F.col("ss_a") / df_a / ms_err, digits).alias("f"),
+        ),
+        F.struct(
+            F.lit("b").alias("term"),
+            df_b.cast("long").alias("df"),
+            round_half_up(F.col("ss_b"), digits).alias("ss"),
+            round_half_up(F.col("ss_b") / df_b, digits).alias("ms"),
+            round_half_up(F.col("ss_b") / df_b / ms_err, digits).alias("f"),
+        ),
+        F.struct(
+            F.lit("interaction").alias("term"),
+            df_ab.cast("long").alias("df"),
+            round_half_up(ss_ab, digits).alias("ss"),
+            round_half_up(ss_ab / df_ab, digits).alias("ms"),
+            round_half_up(ss_ab / df_ab / ms_err, digits).alias("f"),
+        ),
+        F.struct(
+            F.lit("residual").alias("term"),
+            df_err.cast("long").alias("df"),
+            round_half_up(ss_err, digits).alias("ss"),
+            round_half_up(ms_err, digits).alias("ms"),
+            F.lit(None).cast("double").alias("f"),
+        ),
+    )
+    return wide.select(F.explode(rows).alias("r")).select(
+        "r.term", "r.df", "r.ss", "r.ms", "r.f"
+    )
+
+
+def daily_entropy_trend(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    digits: int = 6,
+) -> DataFrame:
+    """Mix-drift monitor: the Shannon entropy of the event-type
+    distribution PER DAY, plus the OLS slope of entropy over the day
+    index — a negative slope means traffic is concentrating onto fewer
+    types (a bot flood, a dying feature), long before any single
+    type's share alarms.
+
+    Per-day entropy terms are integer-count ratios rounded at 9 dp and
+    decimal-summed; the regression runs over the bounded day domain
+    with x = row_number in day order and x·y products decimal-exact
+    (y is the 6-dp entropy). Output: one row — n_days, mean_entropy,
+    slope_per_day, intercept.
+    """
+    daily = (
+        df.select(
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+            F.col(key_col).alias("k"),
+        )
+        .groupBy("day", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dtot = daily.groupBy("day").agg(F.sum("c").cast("bigint").alias("n"))
+    hterm = round_half_up(
+        -(F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n")), 9
+    )
+    ent = (
+        daily.join(dtot, "day")
+        .groupBy("day")
+        .agg(
+            round_half_up(
+                F.sum(hterm.cast("decimal(28,9)")).cast("double"), digits
+            ).alias("h")
+        )
+    )
+    w = Window.orderBy("day")
+    xy = ent.withColumn("x", F.row_number().over(w).cast("long"))
+    reg = xy.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("h").cast("decimal(28,9)")).cast("double").alias("sy"),
+        F.sum(
+            (F.col("x") * F.col("h")).cast("decimal(28,9)")
+        ).cast("double").alias("sxy"),
+    )
+    nn = F.col("n_days")
+    slope = (nn * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return reg.select(
+        "n_days",
+        round_half_up(F.col("sy") / nn, digits).alias("mean_entropy"),
+        round_half_up(slope, digits).alias("slope_per_day"),
+        round_half_up(
+            (F.col("sy") - slope * F.col("sx")) / nn, digits
+        ).alias("intercept"),
+    )

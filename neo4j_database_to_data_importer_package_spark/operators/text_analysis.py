@@ -1819,3 +1819,85 @@ def bigram_entropy_rate(
             ),
         )
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    stopwords: list[str],
+    k: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digits: int = 6,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are the maximal stopword-free token runs; each word scores
+    degree/frequency (degree = Σ length of phrases containing it —
+    words that live in long multi-word phrases outrank equally-frequent
+    loners) and a phrase scores the sum of its words — the unsupervised
+    keyword miner that needs nothing but a stopword list.
+
+    Determinism: freq/degree are integers, word scores are ratios of
+    integers rounded at 9 dp, phrase scores decimal-sum those terms;
+    the read-out is top-``k`` by (score DESC, phrase) via
+    orderBy().limit — a total order both engines share.
+
+    Scale shape: phrase segmentation is a DOC-PARTITIONED running
+    count of stopword separators (never a global window), phrase/word
+    statistics are vocabulary-sized aggregates, and the final ranking
+    is TakeOrderedAndProject over the phrase aggregate.
+    """
+    from pyspark.sql import Window
+
+    pos = (
+        df.withColumn("__t", tokens(text_col))
+        .select(F.col(id_col), F.posexplode("__t").alias("pos", "tok"))
+        .withColumn("__stop", F.col("tok").isin(stopwords).cast("int"))
+    )
+    wrun = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = pos.withColumn("run", F.sum("__stop").over(wrun)).filter(
+        F.col("__stop") == 0
+    )
+    phrases = runs.groupBy(id_col, "run").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    words = phrases.select(
+        "phrase", "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    wstats = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    wscore = round_half_up(F.col("deg") / F.col("freq"), 9)
+    uniq = (
+        phrases.select("phrase")
+        .distinct()
+        .select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    )
+    pscores = (
+        uniq.join(wstats, "w")
+        .groupBy("phrase")
+        .agg(F.sum(wscore.cast("decimal(28,9)")).cast("double").alias("__s"))
+    )
+    pfreq = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    scored = (
+        pscores.join(pfreq, "phrase")
+        .select(
+            "phrase",
+            "n_occurrences",
+            round_half_up(F.col("__s"), digits).alias("rake_score"),
+        )
+    )
+    return scored.orderBy(F.desc("rake_score"), F.asc("phrase")).limit(k)

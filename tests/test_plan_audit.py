@@ -150,6 +150,11 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/text_analysis.py", "corp_tot"),
     ("operators/statistics.py", "tot"),  # 1-row totals (KS / chi2 / MI)
     ("operators/statistics.py", "stats1"),  # 1-row moment sums (Mahalanobis)
+    ("operators/statistics.py", "corpus_end"),  # 1-row max month
+    ("operators/statistics.py", "ssb"),  # 1-row factor-B sum of squares
+    ("operators/statistics.py", "ssc"),  # 1-row cell sum of squares
+    ("operators/retrieval.py", "ndocs"),  # 1-row corpus size
+    ("operators/retrieval.py", "rel_ids"),  # n_rel-row pseudo-relevant ids (constant)
     ("operators/text_analysis.py", "tv"),  # 1-row (bigram types, vocab) pair
     ("operators/statistics.py", "dims"),  # 1-row (n_rows, n_cols) pair
     ("operators/profiling.py", "tot"),   # 1-row totals (join-key skew)

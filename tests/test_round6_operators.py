@@ -2772,3 +2772,110 @@ def test_recs_coverage_diversity_bounds(spark):
     assert 0.0 < row["mean_brand_diversity"] <= 1.0
     assert 0 < row["mean_list_len"] <= 5
     assert row["n_recommended"] <= row["n_catalog"]
+
+
+# --- batch 24: RAKE / Kaplan-Meier / PRF / two-way ANOVA / entropy trend ----
+
+
+def test_rake_prefers_long_phrases(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        rake_keywords,
+    )
+
+    # "deep neural network" appears as a 3-word phrase; "cat" alone.
+    docs = [
+        (1, "the deep neural network of the cat", "en"),
+        (2, "a deep neural network", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = rake_keywords(df, stopwords=["the", "a", "of"], k=5).collect()
+    assert got[0]["phrase"] == "deep neural network"
+    assert got[0]["n_occurrences"] == 2
+    # each word: freq 2, deg 6 → score 3 each → phrase score 9
+    assert abs(got[0]["rake_score"] - 9.0) < 1e-6
+
+
+def test_kaplan_meier_known_curve(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        kaplan_meier_curve,
+    )
+    import datetime
+
+    # 4 customers: lifetimes 0, 12, 24, 24 months; corpus end = 1998-01.
+    # censor window 6mo: last orders at 1996-01 (t=0, event), 1997-01
+    # (t=12, event), 1998-01 ×2 (t=24, censored).
+    rows = []
+    rows += [(1, datetime.datetime(1996, 1, 1))]
+    rows += [(2, datetime.datetime(1996, 1, 1)), (2, datetime.datetime(1997, 1, 1))]
+    rows += [(3, datetime.datetime(1996, 1, 1)), (3, datetime.datetime(1998, 1, 1))]
+    rows += [(4, datetime.datetime(1996, 1, 1)), (4, datetime.datetime(1998, 1, 1))]
+    df = spark.createDataFrame(
+        [(c, c, d) for c, d in rows], "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    )
+    got = {r["t_months"]: r for r in kaplan_meier_curve(df).collect()}
+    # t=0: n_risk 4, d 1 → S = 3/4; t=12: n_risk 3, d 1 → S = 1/2
+    assert got[0]["n_at_risk"] == 4 and got[0]["n_events"] == 1
+    assert abs(got[0]["survival"] - 0.75) < 1e-5
+    assert abs(got[12]["survival"] - 0.5) < 1e-5
+    # t=24 both censored: survival unchanged
+    assert abs(got[24]["survival"] - 0.5) < 1e-5 and got[24]["n_events"] == 0
+
+
+def test_prf_expansion_surfaces_cooccurring_terms(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.retrieval import (
+        prf_expansion_terms,
+    )
+
+    # docs about "spark" also say "shuffle"; unrelated docs say "cow"
+    docs = [(i, "spark shuffle cluster", "en") for i in range(5)] + [
+        (i + 10, "cow barn hay", "en") for i in range(5)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = prf_expansion_terms(df, ["spark"], n_rel=5, k=3).collect()
+    terms = [r["term"] for r in got]
+    assert "shuffle" in terms and "cluster" in terms
+    assert "spark" not in terms  # query terms excluded
+    byt = {r["term"]: r for r in got}
+    assert byt["shuffle"]["rsj_weight"] > (byt.get("cow").rsj_weight if "cow" in byt else -99)
+
+
+def test_two_way_anova_planted_main_effect(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        two_way_anova,
+    )
+
+    # y depends only on factor A (+10 for a2); B and interaction are 0
+    rows = []
+    for rep in range(5):
+        for b in ["x", "y"]:
+            rows.append(("a1", b, 10 + rep))
+            rows.append(("a2", b, 20 + rep))
+    df = spark.createDataFrame(rows, "fa string, fb string, y long")
+    got = {r["term"]: r for r in two_way_anova(df, "fa", "fb", "y").collect()}
+    assert got["a"]["df"] == 1 and got["b"]["df"] == 1
+    assert got["a"]["ss"] == 500.0  # n_a*(5)^2 * 2 groups = 10*25*2
+    assert got["b"]["ss"] == 0.0 and got["interaction"]["ss"] == 0.0
+    assert got["a"]["f"] > 100
+    assert got["residual"]["df"] == 20 - 4
+
+
+def test_daily_entropy_trend_detects_concentration(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        daily_entropy_trend,
+    )
+    import datetime
+
+    # day 1: 50/50 two types (H=1); day 2: 75/25 (H≈0.811); day 3: all
+    # one type (H=0) — strictly falling entropy, slope ≈ -0.5/day
+    rows = []
+    for i in range(2):
+        rows.append(("a", datetime.datetime(2024, 1, 1, 10, i)))
+        rows.append(("b", datetime.datetime(2024, 1, 1, 11, i)))
+    rows += [("a", datetime.datetime(2024, 1, 2, 10, i)) for i in range(3)]
+    rows.append(("b", datetime.datetime(2024, 1, 2, 11, 0)))
+    rows += [("a", datetime.datetime(2024, 1, 3, 10, i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    row = daily_entropy_trend(df).collect()[0]
+    assert row["n_days"] == 3
+    assert row["slope_per_day"] < -0.4
+    assert abs(row["mean_entropy"] - (1.0 + 0.811278 + 0.0) / 3) < 1e-3

@@ -159,6 +159,11 @@ QUERIES = [
     "graph_spectral_radius",
     "multimodal_audio_energy_windows",
     "part_recs_coverage_diversity",
+    "text_rake_keywords",
+    "customer_kaplan_meier",
+    "bm25_prf_expansion",
+    "lineitem_two_way_anova",
+    "events_daily_entropy_trend",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
