@@ -232,6 +232,10 @@ _NEXT_ROTATION: list[str] = [
     "bm25_prf_expansion",
     "lineitem_two_way_anova",
     "events_daily_entropy_trend",
+    "streaming_dispersion_index",
+    "graph_effective_diameter",
+    "quality_margin_sample",
+    "events_cuped_lift",
 ]
 
 

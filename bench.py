@@ -352,6 +352,10 @@ BENCH_QUERIES = [
     "bm25_prf_expansion",
     "lineitem_two_way_anova",
     "events_daily_entropy_trend",
+    "streaming_dispersion_index",
+    "graph_effective_diameter",
+    "quality_margin_sample",
+    "events_cuped_lift",
 ]
 
 

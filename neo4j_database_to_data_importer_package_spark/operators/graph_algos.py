@@ -1957,3 +1957,90 @@ def spectral_radius_estimate(
         )
     finally:
         und.unpersist()
+
+
+def effective_diameter_sampled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 6,
+    q_tenths: int = 9,
+    digits: int = 6,
+) -> DataFrame:
+    """Effective diameter (the hop count covering ``q_tenths``/10 of
+    reachable (seed, node) pairs) from a SAMPLED seed set, plus the
+    full hop-distance histogram — the "how far apart is this graph
+    really" summary (the mean/diameter alone hide the shape), computed
+    with the same landmark BFS state as ``closeness_sampled``.
+
+    The quantile cut is EXACT INTEGER algebra (cum·10 ≥ q·total — no
+    float ECDF), distances and counts are integers throughout; only
+    cum_share is a rounded double read-out.
+
+    Scale shape: k-seed bounded-hop BFS (k·O(E·diameter)), then a
+    histogram over the bounded hop domain (≤ max_hops rows) — windows
+    touch only that bounded table.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.numeric import round_half_up
+    from ..partitioning import superstep_scope
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    n_edges = und.count()
+    try:
+        with superstep_scope(edges.sparkSession, n_edges):
+            dist = (
+                seeds.select(F.col(node_col).alias("seed"))
+                .distinct()
+                .select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            frontier = dist.select("seed", "node")
+            for hop in range(1, max_hops + 1):
+                nxt = (
+                    frontier.join(und, frontier["node"] == und["a"])
+                    .select("seed", F.col("b").alias("node"))
+                    .distinct()
+                    .join(dist.select("seed", "node"), ["seed", "node"], "left_anti")
+                    .withColumn("dist", F.lit(hop))
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.limit(1).count() == 0:
+                    break
+                dist = dist.union(nxt).localCheckpoint(eager=True)
+                frontier = nxt.select("seed", "node")
+    finally:
+        und.unpersist()
+    hist = (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("n_pairs").over(w))
+    tot = cum.agg(F.max("cum").alias("total"))
+    marked = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "__covers", (F.col("cum") * 10 >= q_tenths * F.col("total")).cast("int")
+    )
+    eff = marked.filter(F.col("__covers") == 1).agg(
+        F.min("dist").alias("eff_diameter")
+    )
+    return (
+        marked.crossJoin(F.broadcast(eff))
+        .select(
+            "dist",
+            "n_pairs",
+            round_half_up(F.col("cum") / F.col("total"), digits).alias(
+                "cum_share"
+            ),
+            F.col("eff_diameter"),
+        )
+    )

@@ -1901,3 +1901,32 @@ def rake_keywords(
         )
     )
     return scored.orderBy(F.desc("rake_score"), F.asc("phrase")).limit(k)
+
+
+def quality_margin_sample(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Margin (uncertainty) sampling for quality-filter curation: the
+    ``k`` documents whose heuristic quality score sits CLOSEST to the
+    decision ``threshold`` — exactly the docs where the cheap filter is
+    least sure and a human label (or an LLM judge) buys the most
+    information; the active-learning batch-selection step of a
+    data-curation loop.
+
+    Margin = |quality − threshold| on the already-rounded score, ties
+    broken on the doc id; read-out is orderBy().limit —
+    TakeOrderedAndProject, a distributed partial top-k at any corpus
+    size.
+    """
+    from ..functions.numeric import round_half_up
+
+    scored = quality_score(df, text_col, id_col).select(
+        F.col(id_col),
+        "quality",
+        round_half_up(F.abs(F.col("quality") - threshold), 9).alias("margin"),
+    )
+    return scored.orderBy(F.asc("margin"), F.asc(id_col)).limit(k)

@@ -922,3 +922,101 @@ def streaming_conversion_latency(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DISPERSION_STATE_SCHEMA = StructType(
+    [
+        StructField("days", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+DISPERSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_obs", LongType()),
+        StructField("n_days", LongType()),
+        StructField("mean_daily", DoubleType()),
+        StructField("var_daily", DoubleType()),
+        StructField("vmr", DoubleType()),
+        StructField("chi2", DoubleType()),
+    ]
+)
+
+
+def _update_dispersion(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    d: dict[str, int] = {}
+    if state.exists:
+        days, counts = state.get
+        d = dict(zip(days, counts))
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        for day, c in pdf.groupby("day").size().items():
+            d[day] = d.get(day, 0) + int(c)
+    ordered = sorted(d)
+    state.update((ordered, [int(d[k]) for k in ordered]))
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    n = len(d)
+    s1 = sum(d.values())
+    s2 = sum(v * v for v in d.values())
+    if n > 1:
+        mean = s1 / n
+        var = (s2 - s1 * mean) / (n - 1)
+        out = (r6(mean), r6(var), r6(var / mean), r6((n - 1) * var / mean))
+    else:
+        out = (r6(s1 / n), None, None, None)
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_obs": [int(s1)],
+            "n_days": [int(n)],
+            "mean_daily": [out[0]],
+            "var_daily": [out[1]],
+            "vmr": [out[2]],
+            "chi2": [out[3]],
+        }
+    )
+
+
+def streaming_dispersion_monitor(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming per-key overdispersion monitor: per-(key, day) counts
+    held as bounded map state, emitting the variance-to-mean ratio of
+    daily arrival counts after every micro-batch — the always-on twin
+    of the batch ``dispersion_index`` (bursty-traffic detector).
+
+    State is COMMUTATIVE (per-day integer counts merge by addition), so
+    the final emission equals the batch computation under any arrival
+    order and micro-batch schedule — the property that makes the batch
+    SQL oracle exact. State per key is one counter per observed day
+    (bounded by the monitoring horizon; a production deployment ages
+    out days past the horizon with the same watermark discipline as
+    the windowed operators — the fixture's 90-day span never needs it).
+
+    The day string comes from the NTZ event time (no session-timezone
+    dependence — the module's timestamp contract).
+    """
+    from pyspark.sql import functions as F
+
+    src = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _update_dispersion,
+        outputStructType=DISPERSION_OUTPUT_SCHEMA,
+        stateStructType=DISPERSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

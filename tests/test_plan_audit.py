@@ -132,6 +132,9 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/analytics.py", "cov"),      # 1-row distinct-rec count
     ("operators/analytics.py", "cat"),      # 1-row catalog count
     ("operators/graph_algos.py", "ray"),    # 1-row Rayleigh aggregates
+    ("operators/graph_algos.py", "eff"),    # 1-row effective-diameter pick
+    ("operators/statistics.py", "g"),       # 1-row CUPED moment sums
+    ("operators/statistics.py", "lifts"),   # 1-row A-minus-B lift pair
     ("operators/mixing.py", "tot"),
     ("operators/mixing.py", "grid"),  # fixed 10-row threshold grid
     ("operators/mixing.py", "totals"),  # 1-row (target, raw) token totals

@@ -2879,3 +2879,100 @@ def test_daily_entropy_trend_detects_concentration(spark):
     assert row["n_days"] == 3
     assert row["slope_per_day"] < -0.4
     assert abs(row["mean_entropy"] - (1.0 + 0.811278 + 0.0) / 3) < 1e-3
+
+
+# --- batch 25: streaming dispersion / diameter / margin / CUPED -------------
+
+
+def test_effective_diameter_path_graph(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        effective_diameter_sampled,
+    )
+
+    # path a-b-c-d-e, seed {a}: dists 1,2,3,4 → 90% cut at dist 4
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["dist"]: r for r in effective_diameter_sampled(edf, seeds, max_hops=6).collect()}
+    assert got[1]["n_pairs"] == 1 and got[4]["cum_share"] == 1.0
+    assert all(r["eff_diameter"] == 4 for r in got.values())
+    # 50% cut: 2 of 4 pairs at dist <= 2
+    got50 = effective_diameter_sampled(edf, seeds, max_hops=6, q_tenths=5).collect()
+    assert all(r["eff_diameter"] == 2 for r in got50)
+
+
+def test_quality_margin_sample_orders_by_closeness(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        quality_margin_sample,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again", "en"),
+        (2, "a a a a a a a a", "en"),
+        (3, "completely different words entirely here now then", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = quality_margin_sample(df, k=3).collect()
+    margins = [r["margin"] for r in got]
+    assert margins == sorted(margins)
+    assert all(abs(abs(r["quality"] - 0.5) - r["margin"]) < 1e-9 for r in got)
+
+
+def test_cuped_reduces_known_covariate_variance(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        cuped_adjusted_lift,
+    )
+    import datetime
+
+    # users with heterogeneous budgets: post spend = pre spend exactly
+    # (perfect covariate, rho2 → 1); budgets vary wildly by user
+    rows = []
+    for u in range(1, 21):
+        budget = 10.0 * u
+        rows.append((u, "purchase", budget, datetime.datetime(2024, 1, 5)))
+        rows.append((u, "purchase", budget, datetime.datetime(2024, 1, 20)))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double, ts timestamp")
+    got = cuped_adjusted_lift(df).collect()
+    assert len(got) == 2
+    r = got[0]
+    assert abs(r["theta"] - 1.0) < 1e-6 and abs(r["rho2"] - 1.0) < 1e-6
+    # Y' = Y - (X - mean X) → identical for every user → adjusted lift 0
+    assert abs(r["lift_cuped"]) < 1e-6
+    assert all(x["mean_adjusted"] == got[0]["mean_adjusted"] for x in got)
+
+
+def test_streaming_dispersion_matches_batch(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        dispersion_index,
+    )
+    from neo4j_database_to_data_importer_package_spark.streaming.stateful import (
+        streaming_dispersion_monitor,
+    )
+    from neo4j_database_to_data_importer_package_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+    import datetime, tempfile
+
+    rows = []
+    for d in range(4):
+        for i in range(3 + 2 * d):  # growing daily counts → dispersion
+            rows.append(("x", datetime.datetime(2024, 2, 1 + d, 9, i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    tmp = tempfile.mkdtemp(prefix="disp_stream_")
+    df.repartition(3).write.mode("overwrite").parquet(tmp)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(tmp).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    got = run_stream_to_memory(
+        streaming_dispersion_monitor(stream), "t_disp_stream", output_mode="update",
+        state_partitions=4,
+    )
+    final = (
+        got.orderBy(got["n_obs"].desc()).limit(1).collect()[0]
+    )
+    batch = dispersion_index(df).collect()[0]
+    assert final["n_days"] == batch["n_days"] == 4
+    assert final["vmr"] == batch["vmr"]
+    assert final["chi2"] == batch["chi2"]
