@@ -2044,3 +2044,92 @@ def effective_diameter_sampled(
             F.col("eff_diameter"),
         )
     )
+
+
+def node2vec_transition_weights(
+    edges: DataFrame,
+    w_return: int = 1,
+    w_common: int = 2,
+    w_far: int = 4,
+    n_pairs: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+    digits: int = 6,
+) -> DataFrame:
+    """node2vec second-order transition mass (Grover & Leskovec 2016):
+    for a deterministic sample of directed (prev → cur) edges, classify
+    every neighbor w of cur by its distance to prev — ``return``
+    (w = prev, weight 1/p), ``common`` (w adjacent to prev, weight 1),
+    ``far`` (weight 1/q) — and report each class's normalized
+    transition mass. This is the biased-walk kernel that interpolates
+    BFS-like (homophily) and DFS-like (structural) exploration; the
+    class masses are what p/q tuning actually moves.
+
+    Weights are DOUBLED-INTEGER units (default p = 2, q = ½ →
+    1 : 2 : 4), so every probability is an exact integer ratio —
+    bit-identical everywhere. The pair sample is md5-ordered
+    TakeOrdered(``n_pairs``) — constant size at any graph scale.
+
+    Scale shape: sample ⋈ adjacency (Σ deg(cur) over the constant
+    sample), one left-semi adjacency probe for the ``common`` class,
+    dimension-sized aggregates after.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    pairs = (
+        und.select(F.col("a").alias("prev"), F.col("b").alias("cur"))
+        .orderBy(F.md5(F.concat_ws("|", "a", "b")).asc())
+        .limit(n_pairs)
+    )
+    nbrs = pairs.join(
+        und.select(F.col("a").alias("cur"), F.col("b").alias("w")), "cur"
+    )
+    adj2 = und.select(F.col("a").alias("prev"), F.col("b").alias("w"))
+    common = nbrs.join(adj2, ["prev", "w"], "left_semi").select(
+        "prev", "cur", "w", F.lit("common").alias("cls")
+    )
+    classed = (
+        nbrs.withColumn(
+            "cls",
+            F.when(F.col("w") == F.col("prev"), F.lit("return")).otherwise(
+                F.lit("far")
+            ),
+        )
+        .join(
+            common.select("prev", "cur", "w", F.col("cls").alias("__c2")),
+            ["prev", "cur", "w"],
+            "left",
+        )
+        .select(
+            "prev",
+            "cur",
+            F.when(F.col("cls") == "return", F.col("cls"))
+            .otherwise(F.coalesce(F.col("__c2"), F.col("cls")))
+            .alias("cls"),
+        )
+    )
+    weights = F.when(F.col("cls") == "return", F.lit(w_return)).otherwise(
+        F.when(F.col("cls") == "common", F.lit(w_common)).otherwise(
+            F.lit(w_far)
+        )
+    )
+    per_class = classed.groupBy("prev", "cur", "cls").agg(
+        F.count(F.lit(1)).alias("n_nbrs"),
+        F.sum(weights).cast("bigint").alias("__num"),
+    )
+    tot = per_class.groupBy("prev", "cur").agg(
+        F.sum("__num").cast("bigint").alias("__tot")
+    )
+    return per_class.join(tot, ["prev", "cur"]).select(
+        "prev",
+        "cur",
+        F.col("cls").alias("nbr_class"),
+        "n_nbrs",
+        round_half_up(F.col("__num") / F.col("__tot"), digits).alias(
+            "prob_mass"
+        ),
+    )

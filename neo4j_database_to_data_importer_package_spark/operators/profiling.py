@@ -579,3 +579,56 @@ def correlation_matrix(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def incremental_rollup_check(
+    df: DataFrame,
+    split_id: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Incremental-view-maintenance audit for the per-group corpus
+    rollup: treat rows with ``id_col`` < ``split_id`` as the existing
+    snapshot's materialized rollup and the rest as a delta batch, merge
+    the two partial rollups (count/sum state is commutative — the IVM
+    merge is a pure aggregate union, NO rescan of the snapshot), and
+    verify the merged numbers equal a full recompute. At 100 TB the
+    difference is the whole point: maintaining the rollup costs
+    O(delta), rebuilding costs O(corpus); this operator is the
+    correctness harness that lets a pipeline trust the O(delta) path.
+
+    All integers; `consistent` is an exact equality flag.
+    """
+    def rollup(frame):
+        return frame.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(chars_col).cast("bigint").alias("total_chars"),
+        )
+
+    old = rollup(df.filter(F.col(id_col) < split_id))
+    delta = rollup(df.filter(F.col(id_col) >= split_id))
+    merged = (
+        old.unionByName(delta)
+        .groupBy(group_col)
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs_ivm"),
+            F.sum("total_chars").cast("bigint").alias("chars_ivm"),
+        )
+    )
+    full = rollup(df).select(
+        group_col,
+        F.col("n_docs").cast("bigint").alias("n_docs_full"),
+        F.col("total_chars").alias("chars_full"),
+    )
+    return full.join(merged, group_col).select(
+        group_col,
+        "n_docs_full",
+        "n_docs_ivm",
+        "chars_full",
+        "chars_ivm",
+        (
+            (F.col("n_docs_full") == F.col("n_docs_ivm"))
+            & (F.col("chars_full") == F.col("chars_ivm"))
+        ).cast("int").alias("consistent"),
+    )

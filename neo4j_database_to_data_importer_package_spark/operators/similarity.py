@@ -1841,3 +1841,58 @@ def mmr_topk(
     return df.sparkSession.createDataFrame(
         picked, schema="rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
     )
+
+
+def ood_centroid_distance_histogram(
+    df: DataFrame,
+    n_cells: int = 16,
+    bin_width: float = 0.1,
+    n_bins: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Out-of-distribution screen: each vector's squared distance to its
+    NEAREST IVF centroid, histogrammed into ``n_bins`` fixed-width
+    buckets — points far from every centroid are the OOD candidates an
+    embedding pipeline quarantines before they poison retrieval or
+    training. Same deterministic centroid seed as ``ivf_assign``.
+
+    Per-vector min-distance is rounded at 9 dp BEFORE the bucket floor
+    (so the bin cut is engine-identical), bucket means decimal-sum the
+    rounded distances.
+
+    Scale shape: one broadcast of the ``n_cells`` centroids, one narrow
+    scoring pass, a vector-keyed min aggregate, and a ``n_bins``-row
+    output — corpus-linear.
+    """
+    n = with_norm(df, vec_col, id_col)
+    cents = (
+        n.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell"), F.col("v").alias("cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        n.crossJoin(F.broadcast(cents))
+        .select(F.col(id_col), round_half_up(d2, 9).alias("d2"))
+        .groupBy(id_col)
+        .agg(F.min("d2").alias("min_d2"))
+    )
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("min_d2") / bin_width), F.lit(n_bins - 1)
+        ).cast("int").alias("bin"),
+        "min_d2",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        round_half_up(
+            F.sum(F.col("min_d2").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            digits,
+        ).alias("mean_min_d2"),
+    )

@@ -1615,3 +1615,67 @@ def session_bounce_stats(
             F.max("n_events").cast("long").alias("max_events_per_session"),
         )
     )
+
+
+def markov_stationary_distribution(
+    events: DataFrame,
+    iterations: int = 8,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Stationary distribution of the behavioral Markov chain: iterate
+    π ← πP ``iterations`` times from uniform over the (bounded,
+    |event types|²) transition matrix of ``markov_transitions`` — the
+    "where does a user session spend its time in the long run" summary
+    that a single-step transition table can't answer.
+
+    The matrix is BOUNDED STATE (type-vocabulary sized), so collecting
+    it to the driver is the manifest-scalar class of fetch (same
+    contract as BPE's per-round argmax); the power iteration runs in
+    Python with π rounded to 9 dp per step, replayable exactly by an
+    unrolled SQL recurrence. Transition probabilities are exact
+    integer-count ratios.
+
+    Output: one row per state — stationary_prob plus the state's total
+    outgoing transition count.
+    """
+    import math
+
+    counts = (
+        markov_transitions(
+            events, user_col, type_col, ts_col, id_col, digits=9
+        )
+        .select("from_type", "to_type", "n")
+        .collect()  # bounded: |event types|² rows
+    )
+    states = sorted({r["from_type"] for r in counts} | {r["to_type"] for r in counts})
+    tot = {s: 0 for s in states}
+    for r in counts:
+        tot[r["from_type"]] += r["n"]
+    p = {
+        (r["from_type"], r["to_type"]): r["n"] / tot[r["from_type"]]
+        for r in counts
+    }
+
+    def r9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    pi = {s: r9(1.0 / len(states)) for s in states}
+    for _ in range(iterations):
+        nxt = {}
+        for b in states:
+            acc = 0.0
+            for a in states:  # fixed sorted-state fold order
+                acc += pi[a] * p.get((a, b), 0.0)
+            nxt[b] = r9(acc)
+        pi = nxt
+    rows = [
+        (s, math.floor(pi[s] * 10**digits + 0.5) / 10**digits, tot.get(s, 0))
+        for s in states
+    ]
+    return events.sparkSession.createDataFrame(
+        rows, "event_type string, stationary_prob double, n_out bigint"
+    )

@@ -2976,3 +2976,76 @@ def test_streaming_dispersion_matches_batch(spark):
     assert final["n_days"] == batch["n_days"] == 4
     assert final["vmr"] == batch["vmr"]
     assert final["chi2"] == batch["chi2"]
+
+
+# --- batch 26: Markov stationary / IVM / OOD histogram / node2vec -----------
+
+
+def test_markov_stationary_two_state_chain(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.windows import (
+        markov_stationary_distribution,
+    )
+    import datetime
+
+    # chain a→b→a→b... for one user: P(b|a)=1, P(a|b)=1; after an even
+    # number of iterations from uniform, pi stays (0.5, 0.5)
+    rows = []
+    for i in range(10):
+        rows.append((i, 1, "a" if i % 2 == 0 else "b", datetime.datetime(2024, 3, 1, 9, i)))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp")
+    got = {r["event_type"]: r for r in markov_stationary_distribution(df, iterations=8).collect()}
+    assert abs(got["a"]["stationary_prob"] - 0.5) < 1e-6
+    assert abs(got["b"]["stationary_prob"] - 0.5) < 1e-6
+    assert got["a"]["n_out"] == 5 and got["b"]["n_out"] == 4
+
+
+def test_incremental_rollup_always_consistent(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.profiling import (
+        incremental_rollup_check,
+    )
+
+    docs = [(i, f"s{i % 3}", 100 + i) for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, n_chars long")
+    got = incremental_rollup_check(df, split_id=15).collect()
+    assert len(got) == 3
+    assert all(r["consistent"] == 1 for r in got)
+    assert sum(r["n_docs_full"] for r in got) == 30
+
+
+def test_ood_histogram_far_point_lands_high(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        ood_centroid_distance_histogram,
+    )
+
+    # 2 centroids (ids 0, 1) at e1/e2; id 2 on a centroid (d2=0, bin 0);
+    # id 3 far away (d2 >> 2.0 → clamped to top bin)
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 0.0]),
+        (3, [10.0, 10.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r["bin"]: r for r in ood_centroid_distance_histogram(df, n_cells=2).collect()}
+    assert got[0]["n_vectors"] >= 1  # the on-centroid point
+    assert 19 in got  # the far point clamps into the top bin
+    assert got[19]["mean_min_d2"] > 2.0
+
+
+def test_node2vec_classes_on_triangle_plus_pendant(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        node2vec_transition_weights,
+    )
+
+    # triangle a-b-c plus pendant c-d. For the pair (prev=a, cur=b):
+    # neighbors of b = {a: return, c: common}; masses 1/3 and 2/3
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = node2vec_transition_weights(edf, n_pairs=100).collect()
+    ab = {r["nbr_class"]: r for r in got if r["prev"] == "a" and r["cur"] == "b"}
+    assert set(ab) == {"return", "common"}
+    assert abs(ab["return"]["prob_mass"] - 1 / 3) < 1e-6
+    assert abs(ab["common"]["prob_mass"] - 2 / 3) < 1e-6
+    # pair (prev=a, cur=c): nbrs {a: return, b: common, d: far} → 1:2:4
+    ac = {r["nbr_class"]: r for r in got if r["prev"] == "a" and r["cur"] == "c"}
+    assert abs(ac["far"]["prob_mass"] - 4 / 7) < 1e-6

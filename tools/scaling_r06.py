@@ -168,6 +168,10 @@ QUERIES = [
     "graph_effective_diameter",
     "quality_margin_sample",
     "events_cuped_lift",
+    "events_markov_stationary",
+    "source_rollup_ivm_check",
+    "embedding_ood_histogram",
+    "graph_node2vec_weights",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
