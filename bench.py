@@ -360,6 +360,10 @@ BENCH_QUERIES = [
     "source_rollup_ivm_check",
     "embedding_ood_histogram",
     "graph_node2vec_weights",
+    "dedup_cluster_representatives",
+    "text_chargram_lang_confusion",
+    "events_funnel_ab_significance",
+    "supplier_dual_sourcing_overlap",
 ]
 
 

@@ -1304,3 +1304,58 @@ def recs_coverage_diversity(
             ),
         )
     )
+
+
+def dual_sourcing_overlap(
+    view: GraphView, k: int = 20, digits: int = 6
+) -> DataFrame:
+    """Supplier-pair sourcing overlap: for every supplier pair, how many
+    distinct parts BOTH ship (from the lineitem fact) and the Jaccard of
+    their part portfolios — the supply-chain "who could replace whom"
+    screen, top-``k`` by shared-part count.
+
+    Scale shape: the pair join keys on the PART (bounded by
+    suppliers-per-part², the same Σ group² bound as the co-purchase
+    join, never |suppliers|²); portfolio sizes come from one
+    supplier-keyed aggregate; the read-out is TakeOrderedAndProject.
+    Jaccard is an exact integer ratio.
+    """
+    sp = (
+        view.tables["lineitem"]
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sizes = sp.groupBy("s").agg(F.count(F.lit(1)).alias("n_parts"))
+    a = sp.select(F.col("s").alias("s1"), "p")
+    b = sp.select(F.col("s").alias("s2"), "p")
+    shared = (
+        a.join(b, "p")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    top = (
+        shared.join(
+            sizes.select(F.col("s").alias("s1"), F.col("n_parts").alias("n1")),
+            "s1",
+        )
+        .join(
+            sizes.select(F.col("s").alias("s2"), F.col("n_parts").alias("n2")),
+            "s2",
+        )
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            "n1",
+            "n2",
+            round_half_up(
+                F.col("n_shared")
+                / (F.col("n1") + F.col("n2") - F.col("n_shared")),
+                digits,
+            ).alias("jaccard"),
+        )
+    )
+    return top.orderBy(
+        F.desc("n_shared"), F.asc("s1"), F.asc("s2")
+    ).limit(k)

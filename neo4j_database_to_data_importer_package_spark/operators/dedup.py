@@ -1224,3 +1224,60 @@ def boilerplate_grams(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    components: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware canonical-document selection for near-dup clusters:
+    instead of keeping the OLDEST member (min id — what the plain
+    cluster pipeline reports), keep the BEST member (max heuristic
+    quality, ties on the smaller id) and account the bytes the drop
+    saves — the actual "which copy survives dedup" policy decision of
+    a training-corpus build, where near-dups often differ in boilerplate
+    and truncation.
+
+    Per-cluster argmax is a cluster-partitioned row_number (per-group
+    sorts, never global); everything else is equi-joins on the doc id
+    and integer sums.
+
+    Output per cluster: rep_doc, rep_quality, n_docs, chars_total,
+    chars_dropped (= Σ member chars − rep chars).
+    """
+    from pyspark.sql import Window
+
+    members = (
+        components.select(
+            F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+        )
+        .join(docs.select(F.col(id_col), F.col(chars_col)), id_col)
+        .join(quality.select(F.col(id_col), "quality"), id_col)
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    ranked = members.withColumn("__rn", F.row_number().over(w))
+    reps = ranked.filter(F.col("__rn") == 1).select(
+        "cluster_id",
+        F.col(id_col).alias("rep_doc"),
+        F.col("quality").alias("rep_quality"),
+        F.col(chars_col).alias("__rep_chars"),
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(chars_col).cast("bigint").alias("chars_total"),
+    )
+    return reps.join(sizes, "cluster_id").select(
+        "cluster_id",
+        "rep_doc",
+        "rep_quality",
+        "n_docs",
+        "chars_total",
+        (F.col("chars_total") - F.col("__rep_chars"))
+        .cast("bigint")
+        .alias("chars_dropped"),
+    )

@@ -1872,3 +1872,117 @@ def cuped_adjusted_lift(
             round_half_up(F.col("lift_cuped"), digits).alias("lift_cuped"),
         )
     )
+
+
+def funnel_step_ab_significance(
+    df: DataFrame,
+    steps: list[tuple[str, float]] | None = None,
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    value_col: str = "value",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-funnel-step A/B significance: for every (step, min_value)
+    of the funnel, each md5-parity arm's QUALIFIED completion rate
+    (share of users who emitted the step's event with value ≥ the
+    step's floor — the value floor keeps rates non-degenerate on a
+    fixture where every user touches every type, and mirrors real
+    "qualified action" definitions) and the two-proportion pooled z —
+    localizing WHERE in the funnel an experiment moves behavior
+    instead of reading a single end-conversion number.
+
+    Determinism: per-user step flags via integer max, arm counts exact;
+    rate/z double algebra over exact integers, rounded at ``digits``.
+
+    Scale shape: ONE user-keyed aggregate builds all step flags in a
+    single pass (conditional max per step), then a (steps × 2)-row
+    aggregate and scalar algebra.
+    """
+    steps = steps or [
+        ("view", 90.0), ("click", 90.0), ("signup", 90.0), ("purchase", 150.0)
+    ]
+    flags = [
+        F.max(
+            (
+                (F.col(event_col) == s) & (F.col(value_col) >= mv)
+            ).cast("int")
+        ).alias(f"__s{i}")
+        for i, (s, mv) in enumerate(steps)
+    ]
+    per_user = (
+        df.select(F.col(user_col).alias("u"), F.col(event_col), F.col(value_col))
+        .groupBy("u")
+        .agg(*flags)
+        .select(
+            "u",
+            *[F.col(f"__s{i}") for i in range(len(steps))],
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.col("u").cast("string")), 1, 8), 16, 10
+                ).cast("bigint")
+                % 2
+                == 0,
+                F.lit("A"),
+            )
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+        )
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[
+            F.sum(F.col(f"__s{i}")).cast("bigint").alias(f"__c{i}")
+            for i in range(len(steps))
+        ],
+    )
+    tall = arms.select(
+        "variant",
+        "n_users",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("step"),
+                        F.lit(i).alias("step_idx"),
+                        F.col(f"__c{i}").alias("n_completed"),
+                    )
+                    for i, (s, _mv) in enumerate(steps)
+                ]
+            )
+        ).alias("x"),
+    ).select(
+        "variant", "n_users", "x.step", "x.step_idx", "x.n_completed"
+    )
+    a = tall.filter(F.col("variant") == "A").select(
+        "step",
+        "step_idx",
+        F.col("n_users").alias("na"),
+        F.col("n_completed").alias("ca"),
+    )
+    b = tall.filter(F.col("variant") == "B").select(
+        F.col("step").alias("__step"),
+        F.col("n_users").alias("nb"),
+        F.col("n_completed").alias("cb"),
+    )
+    wide = a.join(b, a["step"] == b["__step"]).drop("__step")
+    pa = F.col("ca") / F.col("na")
+    pb = F.col("cb") / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
+    # pooled rate 0 or 1 → zero variance → z undefined (NULL), which a
+    # tiny fixture's all-qualify step can produce
+    z = F.when(
+        (pool > 0) & (pool < 1),
+        (pa - pb)
+        / F.sqrt(pool * (1 - pool) * (1 / F.col("na") + 1 / F.col("nb"))),
+    )
+    return wide.select(
+        "step",
+        F.col("step_idx").cast("int").alias("step_idx"),
+        F.col("na").alias("n_users_a"),
+        F.col("ca").alias("n_completed_a"),
+        F.col("nb").alias("n_users_b"),
+        F.col("cb").alias("n_completed_b"),
+        round_half_up(pa, digits).alias("rate_a"),
+        round_half_up(pb, digits).alias("rate_b"),
+        round_half_up(z, digits).alias("z_score"),
+    )

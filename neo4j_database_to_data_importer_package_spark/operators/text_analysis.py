@@ -1930,3 +1930,78 @@ def quality_margin_sample(
         round_half_up(F.abs(F.col("quality") - threshold), 9).alias("margin"),
     )
     return scored.orderBy(F.asc("margin"), F.asc(id_col)).limit(k)
+
+
+def chargram_lang_id_confusion(
+    df: DataFrame,
+    n: int = 3,
+    profile_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Character-n-gram language identification (Cavnar & Trenkle
+    1994), evaluated against the corpus's own language tags: build each
+    tagged language's profile (top-``profile_k`` char ``n``-grams by
+    corpus count, ties alphabetical), score every document by how many
+    of its DISTINCT n-grams hit each profile, assign the argmax
+    (ties alphabetical), and report the tagged-vs-predicted confusion
+    matrix — the method-diversity check against the stopword-based
+    ``text_language_id`` (two independent systems disagreeing flags
+    mislabeled corpus slices).
+
+    ENTIRELY INTEGER ALGEBRA: profile membership counts and hit counts
+    are exact, every tie-break total — bit-identical on any engine.
+
+    Scale shape: profile build = one (lang, gram) count aggregate +
+    per-lang rank window (lang-partitioned, vocabulary-sized); scoring
+    = doc-distinct grams ⋈ the (langs × k)-row broadcast profile;
+    output is the ≤|langs|² confusion grid.
+    """
+    from pyspark.sql import Window
+
+    t = F.col("__t")
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))
+            ),  # greatest(...,1): sequence(1,0) would run DESCENDING
+            lambda i: t.substr(i, F.lit(n)),
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(lang_col).alias("tagged"),
+        F.lower(F.col(text_col)).alias("__t"),
+    )
+    doc_grams = base.select(
+        id_col, "tagged", F.explode(grams_arr).alias("g")
+    ).filter(F.length("g") == n)
+    prof_counts = (
+        base.select("tagged", F.explode(grams_arr).alias("g"))
+        .filter(F.length("g") == n)
+        .groupBy("tagged", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = Window.partitionBy("tagged").orderBy(F.col("c").desc(), F.col("g"))
+    profile = (
+        prof_counts.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= profile_k)
+        .select(F.col("tagged").alias("plang"), "g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(profile), "g")
+        .groupBy(id_col, "tagged", "plang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    wd = Window.partitionBy(id_col).orderBy(
+        F.col("hits").desc(), F.col("plang").asc()
+    )
+    assigned = (
+        hits.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "tagged", F.col("plang").alias("predicted"))
+    )
+    return assigned.groupBy("tagged", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

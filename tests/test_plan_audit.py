@@ -159,6 +159,7 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/retrieval.py", "ndocs"),  # 1-row corpus size
     ("operators/retrieval.py", "rel_ids"),  # n_rel-row pseudo-relevant ids (constant)
     ("operators/text_analysis.py", "tv"),  # 1-row (bigram types, vocab) pair
+    ("operators/text_analysis.py", "profile"),  # |langs|×k char-gram profiles (constant)
     ("operators/statistics.py", "dims"),  # 1-row (n_rows, n_cols) pair
     ("operators/profiling.py", "tot"),   # 1-row totals (join-key skew)
     # bounded sensitive-bucket histogram (fixed-width bucketing domain,

@@ -3049,3 +3049,84 @@ def test_node2vec_classes_on_triangle_plus_pendant(spark):
     # pair (prev=a, cur=c): nbrs {a: return, b: common, d: far} → 1:2:4
     ac = {r["nbr_class"]: r for r in got if r["prev"] == "a" and r["cur"] == "c"}
     assert abs(ac["far"]["prob_mass"] - 4 / 7) < 1e-6
+
+
+# --- batch 27: cluster reps / chargram lang-ID / funnel z / dual sourcing ---
+
+
+def test_cluster_representatives_picks_best_quality(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 80), (3, 50)], "doc_id long, n_chars long"
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, component long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.9)], "doc_id long, quality double"
+    )
+    got = cluster_representatives(docs, comp, quality).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["rep_doc"] == 2  # max quality, tie broken on smaller id
+    assert r["n_docs"] == 3 and r["chars_total"] == 230
+    assert r["chars_dropped"] == 150  # 230 - rep's 80
+
+
+def test_chargram_lang_id_separates_scripts(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        chargram_lang_id_confusion,
+    )
+
+    # two "languages" with disjoint character inventories
+    docs = [
+        (1, "aaab aabb abab aabb", "xx"),
+        (2, "abab aaab bbba baba", "xx"),
+        (3, "zzzy zzyy zyzy yzzz", "yy"),
+        (4, "yzyz zzzy yyyz zyyy", "yy"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {(r["tagged"], r["predicted"]): r["n_docs"]
+           for r in chargram_lang_id_confusion(df).collect()}
+    assert got[("xx", "xx")] == 2 and got[("yy", "yy")] == 2
+    assert ("xx", "yy") not in got and ("yy", "xx") not in got
+
+
+def test_funnel_ab_z_null_when_degenerate(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        funnel_step_ab_significance,
+    )
+
+    # every user completes 'view' (pool=1 → z NULL); purchase split
+    rows = []
+    for u in range(1, 9):
+        rows.append((u, "view", 100.0))
+        if u <= 3:
+            rows.append((u, "purchase", 200.0))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    got = {r["step"]: r for r in funnel_step_ab_significance(df).collect()}
+    assert got["view"]["z_score"] is None
+    assert got["view"]["rate_a"] == 1.0 and got["view"]["rate_b"] == 1.0
+    assert got["signup"]["n_completed_a"] == 0  # nobody signs up
+    assert got["purchase"]["n_completed_a"] + got["purchase"]["n_completed_b"] == 3
+
+
+def test_dual_sourcing_overlap_jaccard(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.analytics import (
+        dual_sourcing_overlap,
+    )
+    from neo4j_database_to_data_importer_package_spark.sources.star_schema import (
+        load_graph_view,
+    )
+
+    view = load_graph_view(spark, "/root/testdata/sf0.001")
+    got = dual_sourcing_overlap(view, k=10).collect()
+    assert len(got) == 10
+    shared = [r["n_shared"] for r in got]
+    assert shared == sorted(shared, reverse=True)
+    for r in got:
+        expect = r["n_shared"] / (r["n1"] + r["n2"] - r["n_shared"])
+        assert abs(r["jaccard"] - expect) < 1e-5
