@@ -364,6 +364,10 @@ BENCH_QUERIES = [
     "text_chargram_lang_confusion",
     "events_funnel_ab_significance",
     "supplier_dual_sourcing_overlap",
+    "orders_seasonal_naive_backtest",
+    "embedding_triplet_margin",
+    "events_lead_lag_correlation",
+    "dedup_rate_projection",
 ]
 
 

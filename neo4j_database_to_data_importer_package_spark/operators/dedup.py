@@ -1281,3 +1281,66 @@ def cluster_representatives(
         .cast("bigint")
         .alias("chars_dropped"),
     )
+
+
+def dedup_rate_projection(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quarters: int = 4,
+    digits: int = 6,
+) -> DataFrame:
+    """Dedup-rate growth curve: evaluate the verified near-dup PAIR
+    count on nested md5-subsamples (25% / 50% / 75% / 100% of the
+    corpus) in ONE pass — duplicates grow superlinearly with corpus
+    size (every new doc can match all prior docs), so the curve is how
+    a pipeline forecasts dedup cost and dup fraction at the next crawl
+    scale before running it.
+
+    The nesting trick: a pair belongs to subsample s iff BOTH endpoint
+    hash-fractions fall below s, i.e. iff max(fracₐ, frac_b) < s — so
+    one bucket assignment per pair + a cumulative sum over the
+    ``quarters``-row grid replaces ``quarters`` separate pair joins.
+    Hash fractions are the standard md5 uniform; bucket floors are
+    engine-identical doubles. The cumulative windows run over the
+    ``quarters``-row grid only.
+
+    Output per subsample: share, n_docs, n_pairs,
+    pairs_per_kdoc (= 1000·pairs/docs).
+    """
+    from pyspark.sql import Window
+
+    from .mixing import hash_frac
+
+    q = F.lit(quarters)
+    doc_bucket = docs.select(
+        (F.floor(hash_frac(F.col(id_col)) * q) + 1).cast("int").alias("b")
+    ).groupBy("b").agg(F.count(F.lit(1)).alias("nd"))
+    fa = hash_frac(F.col("id_a"))
+    fb = hash_frac(F.col("id_b"))
+    pair_bucket = pairs.select(
+        (F.floor(F.greatest(fa, fb) * q) + 1).cast("int").alias("b")
+    ).groupBy("b").agg(F.count(F.lit(1)).alias("np"))
+    grid = docs.sparkSession.range(1, quarters + 1).select(
+        F.col("id").cast("int").alias("b")
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        grid.join(doc_bucket, "b", "left")
+        .join(pair_bucket, "b", "left")
+        .select(
+            "b",
+            F.coalesce(F.col("nd"), F.lit(0)).alias("nd"),
+            F.coalesce(F.col("np"), F.lit(0)).alias("np"),
+        )
+        .withColumn("n_docs", F.sum("nd").over(w).cast("bigint"))
+        .withColumn("n_pairs", F.sum("np").over(w).cast("bigint"))
+    )
+    return curve.select(
+        round_half_up(F.col("b") / q, 2).alias("share"),
+        "n_docs",
+        "n_pairs",
+        round_half_up(
+            F.lit(1000) * F.col("n_pairs") / F.col("n_docs"), digits
+        ).alias("pairs_per_kdoc"),
+    )

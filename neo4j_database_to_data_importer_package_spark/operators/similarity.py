@@ -1896,3 +1896,79 @@ def ood_centroid_distance_histogram(
             digits,
         ).alias("mean_min_d2"),
     )
+
+
+def triplet_margin_audit(
+    df: DataFrame,
+    n_anchors: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    digits: int = 6,
+) -> DataFrame:
+    """Metric-learning health check: for an md5-deterministic anchor
+    sample, find each anchor's nearest SAME-label vector (positive) and
+    nearest DIFFERENT-label vector (negative) and report the triplet
+    margin d²(a,n) − d²(a,p) — a violated triplet (margin < 0: some
+    other class sits closer than your own) is exactly what a triplet /
+    contrastive loss would penalize, so the violation rate measures how
+    well the embedding space respects the labels.
+
+    Determinism: squared distances round at 9 dp before both argmins
+    (ties on the candidate id), the margin at ``digits``; the anchor
+    sample is TakeOrdered(md5) — constant size at any corpus scale.
+
+    Scale shape: constant anchors × corpus scoring join (the
+    ``brute_force_topk`` shape), two anchor-partitioned argmin windows
+    bounded by the anchor count.
+    """
+    n = with_norm(df, vec_col, id_col)
+    labeled = n.join(
+        df.select(F.col(id_col), F.col(label_col).alias("__lbl")), id_col
+    )
+    anchors = (
+        labeled.orderBy(F.md5(F.col(id_col).cast("string")).asc())
+        .limit(n_anchors)
+        .select(
+            F.col(id_col).alias("anchor"),
+            F.col("v").alias("av"),
+            F.col("__lbl").alias("albl"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("av"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(anchors)
+        .join(labeled, F.col("anchor") != F.col(id_col))
+        .select(
+            "anchor",
+            "albl",
+            F.col(id_col).alias("cand"),
+            F.col("__lbl").alias("clbl"),
+            round_half_up(d2, 9).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(F.col("d2").asc(), F.col("cand"))
+    pos = (
+        scored.filter(F.col("clbl") == F.col("albl"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("anchor", "albl", F.col("cand").alias("pos_id"), F.col("d2").alias("__dp"))
+    )
+    neg = (
+        scored.filter(F.col("clbl") != F.col("albl"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("anchor", F.col("cand").alias("neg_id"), F.col("d2").alias("__dn"))
+    )
+    return pos.join(neg, "anchor").select(
+        "anchor",
+        F.col("albl").alias("label"),
+        "pos_id",
+        "neg_id",
+        round_half_up(F.col("__dn") - F.col("__dp"), digits).alias("margin"),
+        (F.col("__dn") - F.col("__dp") < 0).cast("int").alias("violated"),
+    )

@@ -1986,3 +1986,133 @@ def funnel_step_ab_significance(
         round_half_up(pb, digits).alias("rate_b"),
         round_half_up(z, digits).alias("z_score"),
     )
+
+
+def seasonal_naive_backtest(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+    digits: int = 6,
+) -> DataFrame:
+    """Forecast-baseline backtest: score the two baselines every
+    forecasting effort must beat — naive (next month = last month) and
+    seasonal-naive (next month = same month last year) — on the monthly
+    revenue series, reporting each method's MAPE and mean absolute
+    error over the months where both forecasts exist. The sanity bar
+    for ``events_holt_forecast``-class models: a fancy model that loses
+    to seasonal-naive is negative value.
+
+    Determinism: monthly revenue is an exact decimal sum (2-dp money),
+    so errors are exact 2-dp decimals summed exactly; APE terms round
+    at 9 dp then decimal-sum (standing rule). Month keys are integer
+    year·12+month arithmetic on string-formatted parts — no
+    tz-dependent date math.
+
+    Scale shape: one month-keyed aggregate, two self-joins on the
+    BOUNDED month table, one 2-row output.
+    """
+    ym = (
+        F.date_format(F.col(date_col), "yyyy").cast("int") * 12
+        + F.date_format(F.col(date_col), "MM").cast("int")
+    )
+    monthly = orders.groupBy(ym.alias("ym")).agg(
+        dsum(value_col, 2).alias("rev")
+    )
+    base = monthly.select("ym", "rev")
+
+    def backtest(lag: int, label: str) -> DataFrame:
+        f = base.select(
+            (F.col("ym") + lag).alias("ym"), F.col("rev").alias("fc")
+        )
+        joined = base.join(f, "ym")
+        ape = round_half_up(
+            F.abs(F.col("rev") - F.col("fc")) / F.col("rev"), 9
+        )
+        return joined.agg(
+            F.lit(label).alias("method"),
+            F.count(F.lit(1)).alias("n_months"),
+            round_half_up(
+                F.sum(ape.cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                digits,
+            ).alias("mape"),
+            round_half_up(
+                F.sum(
+                    F.abs(F.col("rev") - F.col("fc")).cast("decimal(27,2)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("mean_abs_err"),
+        )
+    return backtest(1, "naive").unionByName(
+        backtest(12, "seasonal_naive")
+    )
+
+
+def lead_lag_correlation(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    digits: int = 6,
+) -> DataFrame:
+    """Lead–lag discovery between event-type daily series: Pearson r at
+    lag 0 (co-movement) and lag 1 (does a's volume today predict b's
+    tomorrow) for every ordered type pair — the screen that surfaces
+    causal-ish orderings (views lead purchases) a same-day correlation
+    matrix hides.
+
+    Daily counts are integers, so every correlation moment is an exact
+    integer sum — engine-identical; r rounds at ``digits``. Day+1
+    arithmetic runs on parsed 'yyyy-MM-dd' strings (date math on the
+    NTZ-derived day key, no session-tz dependence).
+
+    Scale shape: one (type, day) aggregate, two self-joins on the
+    bounded day table (|types|²·|days| rows), one |types|²-row output.
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+        )
+        .groupBy("k", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def corr_at(lagged: DataFrame, label: str) -> DataFrame:
+        j = daily.select(
+            F.col("k").alias("ka"), F.col("day"), F.col("c").alias("x")
+        ).join(lagged, "day")
+        m = j.filter(F.col("ka") != F.col("kb")).groupBy("ka", "kb").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+        n = F.col("n")
+        num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+        den = F.sqrt(
+            (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            * (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        )
+        return m.select(
+            "ka",
+            "kb",
+            F.col("n").alias(f"n_{label}"),
+            round_half_up(num / den, digits).alias(f"r_{label}"),
+        )
+
+    same = daily.select(
+        F.col("k").alias("kb"), F.col("day"), F.col("c").alias("y")
+    )
+    tomorrow = daily.select(
+        F.col("k").alias("kb"),
+        F.date_format(
+            F.date_sub(F.to_date(F.col("day")), 1), "yyyy-MM-dd"
+        ).alias("day"),  # b's count indexed at the PREVIOUS day: x(t)·y(t+1)
+        F.col("c").alias("y"),
+    )
+    return corr_at(same, "lag0").join(
+        corr_at(tomorrow, "lag1"), ["ka", "kb"]
+    )

@@ -144,6 +144,7 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/retrieval.py", "globals_"),
     ("operators/retrieval.py", "tot"),  # 1-row index totals (posting stats)
     ("operators/similarity.py", "n"),
+    ("operators/similarity.py", "anchors"),  # n_anchors-row md5 sample (constant)
     ("operators/similarity.py", "qtot"),  # 1-row distinct-query count
     ("operators/similarity.py", "df.sparkSession.createDataFrame([(k,"),  # fixed k grid
     ("operators/text_analysis.py", "tot"),  # 1-row two-source totals (JS)

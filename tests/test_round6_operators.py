@@ -3130,3 +3130,85 @@ def test_dual_sourcing_overlap_jaccard(spark):
     for r in got:
         expect = r["n_shared"] / (r["n1"] + r["n2"] - r["n_shared"])
         assert abs(r["jaccard"] - expect) < 1e-5
+
+
+# --- batch 28: backtest / triplet margin / lead-lag / dedup projection ------
+
+
+def test_seasonal_naive_beats_naive_on_seasonal_series(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        seasonal_naive_backtest,
+    )
+    import datetime
+
+    # 3 years, strong monthly seasonality: revenue = 100*(1 + (month==12)).
+    # Seasonal-naive is exact (MAPE 0); naive misses every Dec/Jan edge.
+    rows = []
+    k = 0
+    for y in (1995, 1996, 1997):
+        for m in range(1, 13):
+            k += 1
+            amount = 200.0 if m == 12 else 100.0
+            rows.append((k, amount, datetime.datetime(y, m, 15)))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    got = {r["method"]: r for r in seasonal_naive_backtest(df).collect()}
+    assert got["seasonal_naive"]["mape"] == 0.0
+    assert got["naive"]["mape"] > 0.0
+    assert got["seasonal_naive"]["n_months"] == 24  # 36 - 12 lag
+    assert got["naive"]["n_months"] == 35
+
+
+def test_triplet_margin_separable_labels(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        triplet_margin_audit,
+    )
+
+    # two tight, well-separated clusters → no violated triplets
+    vecs = [(i, [1.0 + 0.01 * i, 0.0], 0) for i in range(5)] + [
+        (10 + i, [0.0, 1.0 + 0.01 * i], 1) for i in range(5)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    got = triplet_margin_audit(df, n_anchors=10).collect()
+    assert len(got) == 10
+    assert all(r["violated"] == 0 and r["margin"] > 0 for r in got)
+
+
+def test_lead_lag_detects_shifted_series(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        lead_lag_correlation,
+    )
+    import datetime
+
+    # b's daily count = a's count shifted one day later → r_lag1(a,b)=1
+    counts = [3, 7, 2, 9, 4, 8, 1, 6]
+    rows = []
+    for d, c in enumerate(counts):
+        for i in range(c):
+            rows.append(("a", datetime.datetime(2024, 5, 1 + d, 9, i)))
+        for i in range(c):
+            rows.append(("b", datetime.datetime(2024, 5, 2 + d, 9, i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {(r["ka"], r["kb"]): r for r in lead_lag_correlation(df).collect()}
+    assert got[("a", "b")]["r_lag1"] == 1.0
+    assert abs(got[("a", "b")]["r_lag0"]) < 1.0
+
+
+def test_dedup_projection_monotone_and_superlinear_capable(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        dedup_rate_projection,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    # every pair among ids 0..9 is a dup pair (dense cluster)
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(10) for b in range(a + 1, 10)],
+        "id_a long, id_b long",
+    )
+    got = sorted(dedup_rate_projection(docs, pairs).collect(), key=lambda r: r["share"])
+    assert [r["share"] for r in got] == [0.25, 0.5, 0.75, 1.0]
+    nd = [r["n_docs"] for r in got]
+    np_ = [r["n_pairs"] for r in got]
+    assert nd == sorted(nd) and np_ == sorted(np_)
+    assert nd[-1] == 100 and np_[-1] == 45

@@ -176,6 +176,10 @@ QUERIES = [
     "text_chargram_lang_confusion",
     "events_funnel_ab_significance",
     "supplier_dual_sourcing_overlap",
+    "orders_seasonal_naive_backtest",
+    "embedding_triplet_margin",
+    "events_lead_lag_correlation",
+    "dedup_rate_projection",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
