@@ -368,6 +368,10 @@ BENCH_QUERIES = [
     "embedding_triplet_margin",
     "events_lead_lag_correlation",
     "dedup_rate_projection",
+    "streaming_value_quantiles",
+    "embedding_binary_recall",
+    "orders_gini_by_year",
+    "events_gap_burstiness",
 ]
 
 

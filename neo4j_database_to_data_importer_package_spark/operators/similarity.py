@@ -1972,3 +1972,87 @@ def triplet_margin_audit(
         round_half_up(F.col("__dn") - F.col("__dp"), digits).alias("margin"),
         (F.col("__dn") - F.col("__dp") < 0).cast("int").alias("violated"),
     )
+
+
+def binary_quantization_recall(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Binary-quantization retrieval audit: collapse every vector to its
+    SIGN BITS (64 dims → two 32-bit words), rank neighbors by Hamming
+    distance, and measure recall@k against the exact cosine top-k —
+    the production question behind binary embeddings (32× memory cut;
+    how much of the ranking survives?).
+
+    All signature/Hamming arithmetic is integer (bit_count over XOR),
+    the exact side reuses ``brute_force_topk``'s rounded-cosine
+    contract, and overlap/recall are integer ratios — deterministic
+    everywhere.
+
+    Scale shape: signatures are a map-side projection; the Hamming scan
+    is queries×corpus with a per-query top-k window bounded by the
+    constant query set — the same plan as the exact baseline but
+    shuffling two ints per row instead of the float vector.
+    """
+    def words(v):
+        def word(lo: int):
+            return F.aggregate(
+                F.sequence(F.lit(lo), F.lit(lo + 31)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + F.when(
+                    F.element_at(v, i + 1) > 0,
+                    # shiftleft needs a literal count; 2^(i−lo) ≤ 2^31 is
+                    # double-exact, so pow→long is the same integer
+                    F.pow(F.lit(2.0), (i - lo).cast("double")).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+        return word(0).alias("w1"), word(32).alias("w2")
+
+    n = with_norm(df, vec_col, id_col)
+    sigs = n.select(F.col(id_col), *words(F.col("v")))
+    q = sigs.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("w1").alias("q1"),
+        F.col("w2").alias("q2"),
+    )
+    ham = (
+        F.broadcast(q)
+        .join(sigs, F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (
+                F.bit_count(F.col("q1").bitwiseXOR(F.col("w1")))
+                + F.bit_count(F.col("q2").bitwiseXOR(F.col("w2")))
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    approx = ham.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    exact = brute_force_topk(df, k=k, n_queries=n_queries, vec_col=vec_col, id_col=id_col)
+    overlap = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        q.select("query_id")
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            round_half_up(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(k), digits
+            ).alias("recall_at_k"),
+        )
+    )

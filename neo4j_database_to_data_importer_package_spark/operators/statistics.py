@@ -2116,3 +2116,96 @@ def lead_lag_correlation(
     return corr_at(same, "lag0").join(
         corr_at(tomorrow, "lag1"), ["ka", "kb"]
     )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Gini drift: the Gini coefficient of how ``value_col``
+    concentrates across ``key_col`` WITHIN each ``group_col`` slice —
+    e.g. revenue concentration across nations per year, the "is the
+    business getting more dependent on few markets" trend a single
+    all-time Gini hides.
+
+    Same sorted-formula shape as ``gini_concentration`` but the ranking
+    window partitions BY GROUP over the (group × key) aggregate —
+    bounded by the key domain per group, never raw rows. Per-key totals
+    are exact decimal sums, so ordering and score are
+    partition-independent.
+    """
+    per = df.groupBy(F.col(group_col).alias("grp"), F.col(key_col)).agg(
+        dsum(value_col).alias("__v")
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("__v").asc(), F.col(key_col))
+    ranked = per.select("grp", "__v", F.row_number().over(w).alias("__i"))
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            round_half_up(
+                (2.0 * F.sum(F.col("__i") * F.col("__v")))
+                / (F.count(F.lit(1)) * F.sum("__v"))
+                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+                digits,
+            ).alias("gini"),
+        )
+        .select(F.col("grp").alias(group_col), "n_groups", "gini")
+    )
+
+
+def gap_burstiness(
+    df: DataFrame,
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Goh–Barabási burstiness coefficient B = (σ−μ)/(σ+μ) of
+    inter-event gaps per key: B ≈ −1 for periodic arrivals, ≈ 0 for
+    Poisson, → 1 for heavy-tailed bursts — the one-number upgrade of
+    the dispersion screen that reads the GAP distribution instead of
+    binned counts (robust to bin-width choices).
+
+    Gaps are integer seconds (microsecond diffs integer-divided), so
+    μ and σ come from exact integer sums; B is double algebra over
+    exact inputs, rounded at ``digits``.
+
+    Scale shape: one user-partitioned lag window (per-user streams),
+    one key-sized moment aggregate.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    gaps = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(id_col),
+        )
+        .select(
+            "key",
+            F.timestamp_diff(
+                "MICROSECOND", F.lag(ts_col).over(w), F.col(ts_col)
+            ).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+        .select("key", F.expr("gap_us div 1000000").alias("g"))
+    )
+    m = gaps.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("g").cast("bigint").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("s2"),
+    )
+    n = F.col("n_gaps")
+    mu = F.col("s1") / n
+    sigma = F.sqrt((F.col("s2") - F.col("s1") * mu) / (n - 1))
+    return m.select(
+        F.col("key").alias(key_col),
+        "n_gaps",
+        round_half_up(mu, 2).alias("mean_gap_s"),
+        round_half_up((sigma - mu) / (sigma + mu), digits).alias("burstiness"),
+    )

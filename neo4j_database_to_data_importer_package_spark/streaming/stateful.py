@@ -1020,3 +1020,88 @@ def streaming_dispersion_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HISTQ_STATE_SCHEMA = StructType(
+    [
+        StructField("bins", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+HISTQ_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_events", LongType()),
+        StructField("quantile", DoubleType()),
+        StructField("estimate", DoubleType()),
+    ]
+)
+
+_HISTQ_QS = (0.5, 0.9, 0.99)
+_HISTQ_BINS = 400  # unit-width grid over [0, 400); top bin clamps
+
+
+def _update_histq(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    d: dict[int, int] = {}
+    if state.exists:
+        bins, counts = state.get
+        d = dict(zip(bins, counts))
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        for b, c in pdf.groupby("bin").size().items():
+            d[int(b)] = d.get(int(b), 0) + int(c)
+    ordered = sorted(d)
+    state.update((ordered, [int(d[b]) for b in ordered]))
+    total = sum(d.values())
+    rows = []
+    for q in _HISTQ_QS:
+        cum = 0
+        est = None
+        for b in ordered:
+            cum += d[b]
+            if cum >= q * total:
+                est = float(b + 1)  # bin upper edge — histogram_quantiles convention
+                break
+        rows.append((key[0], int(total), float(q), est))
+    yield pd.DataFrame(
+        rows, columns=["key", "n_events", "quantile", "estimate"]
+    )
+
+
+def streaming_histogram_quantiles(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming per-key quantile monitor over a fixed-grid histogram
+    sketch: state is unit-width bin counts (bounded by the grid size,
+    NOT the stream), and each micro-batch emits p50/p90/p99 read off
+    the cumulative histogram — the always-on latency/value-percentile
+    monitor, and the streaming twin of ``histogram_quantiles``'
+    mergeable-sketch pattern.
+
+    Bin counts are COMMUTATIVE integer state, and the quantile read-off
+    is pure integer arithmetic over the final counts, so the last
+    emission equals the batch computation under any arrival order —
+    the batch SQL oracle is exact.
+    """
+    from pyspark.sql import functions as F
+
+    src = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.least(
+            F.floor(F.col(value_col).cast("double")).cast("long"),
+            F.lit(_HISTQ_BINS - 1),
+        ).alias("bin"),
+    )
+    return src.groupBy("key").applyInPandasWithState(
+        _update_histq,
+        outputStructType=HISTQ_OUTPUT_SCHEMA,
+        stateStructType=HISTQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -3212,3 +3212,99 @@ def test_dedup_projection_monotone_and_superlinear_capable(spark):
     np_ = [r["n_pairs"] for r in got]
     assert nd == sorted(nd) and np_ == sorted(np_)
     assert nd[-1] == 100 and np_[-1] == 45
+
+
+# --- batch 29: streaming quantiles / binary recall / gini drift / burstiness
+
+
+def test_streaming_histogram_quantiles_matches_batch_readoff(spark):
+    from neo4j_database_to_data_importer_package_spark.streaming.stateful import (
+        streaming_histogram_quantiles,
+    )
+    from neo4j_database_to_data_importer_package_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+    import tempfile
+
+    # values 1..100 → unit bins 1..100; p50 cut at bin 50 → estimate 51
+    rows = [("x", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    tmp = tempfile.mkdtemp(prefix="histq_stream_")
+    df.repartition(4).write.mode("overwrite").parquet(tmp)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(tmp).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    got = run_stream_to_memory(
+        streaming_histogram_quantiles(stream), "t_histq", output_mode="update",
+        state_partitions=4,
+    )
+    final = {
+        r["quantile"]: r
+        for r in got.orderBy(got["n_events"].desc()).limit(3).collect()
+    }
+    assert final[0.5]["n_events"] == 100
+    assert final[0.5]["estimate"] == 51.0
+    assert final[0.9]["estimate"] == 91.0
+    assert final[0.99]["estimate"] == 100.0
+
+
+def test_binary_recall_perfect_on_axis_aligned(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        binary_quantization_recall,
+    )
+
+    # vectors on distinct orthants: sign bits identify each cluster, so
+    # Hamming ranking matches cosine ranking exactly → recall 1.0
+    import itertools
+    vecs = []
+    vid = 0
+    for signs in itertools.product([1.0, -1.0], repeat=3):
+        for j in range(4):
+            v = [s * (1.0 + 0.01 * j) for s in signs] + [0.5] * 61
+            vecs.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = binary_quantization_recall(df, n_queries=4, k=3).collect()
+    assert len(got) == 4
+    assert all(r["recall_at_k"] == 1.0 for r in got)
+
+
+def test_gini_by_group_even_vs_concentrated(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        gini_by_group,
+    )
+
+    rows = [("even", f"k{i}", 10.0) for i in range(10)] + [
+        ("conc", f"k{i}", 0.01) for i in range(9)
+    ] + [("conc", "k9", 1000.0)]
+    df = spark.createDataFrame(rows, "grp string, key string, v double")
+    got = {r["grp"]: r for r in gini_by_group(df, "grp", "key", "v").collect()}
+    assert abs(got["even"]["gini"]) < 1e-6
+    assert got["conc"]["gini"] > 0.85
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        gap_burstiness,
+    )
+    import datetime
+
+    rows = []
+    # periodic: one event exactly every 60s → sigma 0 → B = -1
+    for i in range(20):
+        rows.append((i, 1, "tick", datetime.datetime(2024, 6, 1, 9, 0, 0)
+                     + datetime.timedelta(seconds=60 * i)))
+    # bursty: 10 events in 10s, then a 10000s silence, repeated
+    t = datetime.datetime(2024, 6, 1, 9, 0, 0)
+    k = 100
+    for rep in range(3):
+        for i in range(10):
+            rows.append((k, 2, "burst", t)); k += 1
+            t += datetime.timedelta(seconds=1)
+        t += datetime.timedelta(seconds=10000)
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp")
+    got = {r["event_type"]: r for r in gap_burstiness(df).collect()}
+    assert got["tick"]["burstiness"] == -1.0
+    assert got["burst"]["burstiness"] > 0.5

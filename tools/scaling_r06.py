@@ -180,6 +180,10 @@ QUERIES = [
     "embedding_triplet_margin",
     "events_lead_lag_correlation",
     "dedup_rate_projection",
+    "streaming_value_quantiles",
+    "embedding_binary_recall",
+    "orders_gini_by_year",
+    "events_gap_burstiness",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
