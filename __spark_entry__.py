@@ -252,6 +252,8 @@ _NEXT_ROTATION: list[str] = [
     "embedding_binary_recall",
     "orders_gini_by_year",
     "events_gap_burstiness",
+    "events_circular_hour_stats",
+    "source_burrows_delta",
 ]
 
 

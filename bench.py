@@ -372,6 +372,8 @@ BENCH_QUERIES = [
     "embedding_binary_recall",
     "orders_gini_by_year",
     "events_gap_burstiness",
+    "events_circular_hour_stats",
+    "source_burrows_delta",
 ]
 
 

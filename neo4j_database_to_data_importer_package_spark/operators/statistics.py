@@ -2209,3 +2209,54 @@ def gap_burstiness(
         round_half_up(mu, 2).alias("mean_gap_s"),
         round_half_up((sigma - mu) / (sigma + mu), digits).alias("burstiness"),
     )
+
+
+def circular_hour_stats(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    digits: int = 6,
+) -> DataFrame:
+    """Circular (directional) statistics of event time-of-day per key:
+    map each event's second-of-day to an angle, report the mean
+    resultant length R̄ (0 = uniform around the clock, 1 = all events
+    at the same instant) and the mean direction as an hour — the
+    CORRECT way to average times-of-day (arithmetic means break at
+    midnight: 23:00 and 01:00 average to NOON, not midnight; the
+    circular mean gets it right).
+
+    Determinism: each event's cos/sin term is rounded to 9 dp and
+    decimal-summed (libm ulp differences sit far below that grid —
+    the ln/log2 precedent), angles come from exact integer
+    second-of-day, and atan2/sqrt run on the identical rounded sums.
+
+    Scale shape: one key-partitioned aggregate over a three-column
+    projection; output is one row per key.
+    """
+    import math
+
+    sec = (
+        F.date_format(F.col(ts_col), "HH").cast("int") * 3600
+        + F.date_format(F.col(ts_col), "mm").cast("int") * 60
+        + F.date_format(F.col(ts_col), "ss").cast("int")
+    )
+    theta = sec.cast("double") * (2.0 * math.pi / 86400.0)
+    c9 = round_half_up(F.cos(theta), 9).cast("decimal(28,9)")
+    s9 = round_half_up(F.sin(theta), 9).cast("decimal(28,9)")
+    agg = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(c9).cast("double").alias("sc"),
+        F.sum(s9).cast("double").alias("ss"),
+    )
+    n = F.col("n_events")
+    rbar = F.sqrt(F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")) / n
+    mean_angle = F.atan2(F.col("ss"), F.col("sc"))  # (-pi, pi]
+    mean_hour = (
+        (mean_angle / (2.0 * math.pi) * 24.0 + 24.0) % 24.0
+    )
+    return agg.select(
+        F.col("key").alias(key_col),
+        "n_events",
+        round_half_up(rbar, digits).alias("resultant_length"),
+        round_half_up(mean_hour, digits).alias("mean_hour"),
+    )

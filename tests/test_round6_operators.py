@@ -3308,3 +3308,48 @@ def test_burstiness_periodic_vs_bursty(spark):
     got = {r["event_type"]: r for r in gap_burstiness(df).collect()}
     assert got["tick"]["burstiness"] == -1.0
     assert got["burst"]["burstiness"] > 0.5
+
+
+# --- batch 30: circular hour stats / Burrows delta ---------------------------
+
+
+def test_circular_mean_wraps_midnight(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        circular_hour_stats,
+    )
+    import datetime
+
+    # events at 23:00 and 01:00 — circular mean is MIDNIGHT (0h), and
+    # the resultant length is high (tight cluster); an arithmetic mean
+    # would say noon.
+    rows = [
+        ("night", datetime.datetime(2024, 7, 1, 23, 0, 0)),
+        ("night", datetime.datetime(2024, 7, 2, 1, 0, 0)),
+        ("uniform", datetime.datetime(2024, 7, 1, 0, 0, 0)),
+        ("uniform", datetime.datetime(2024, 7, 1, 6, 0, 0)),
+        ("uniform", datetime.datetime(2024, 7, 1, 12, 0, 0)),
+        ("uniform", datetime.datetime(2024, 7, 1, 18, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["event_type"]: r for r in circular_hour_stats(df).collect()}
+    assert abs(got["night"]["mean_hour"] - 0.0) < 1e-4 or abs(got["night"]["mean_hour"] - 24.0) < 1e-4
+    assert got["night"]["resultant_length"] > 0.9
+    assert got["uniform"]["resultant_length"] < 1e-6  # perfectly spread
+
+
+def test_burrows_delta_separates_styles(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.text_analysis import (
+        burrows_delta,
+    )
+
+    # s1/s2 use the vocabulary with IDENTICAL relative frequencies
+    # (delta 0 by construction); s3 inverts the proportions
+    docs = [
+        (1, "the the the the cat dog", "s1"),
+        (2, "the the the the cat dog the the the the cat dog", "s2"),
+        (3, "cat cat cat cat the dog", "s3"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {(r["ga"], r["gb"]): r["delta"] for r in burrows_delta(df, top_k=10).collect()}
+    assert got[("s1", "s2")] == 0.0
+    assert got[("s1", "s3")] > 0.5 and got[("s2", "s3")] > 0.5

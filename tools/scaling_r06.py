@@ -184,6 +184,8 @@ QUERIES = [
     "embedding_binary_recall",
     "orders_gini_by_year",
     "events_gap_burstiness",
+    "events_circular_hour_stats",
+    "source_burrows_delta",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
