@@ -254,6 +254,8 @@ _NEXT_ROTATION: list[str] = [
     "events_gap_burstiness",
     "events_circular_hour_stats",
     "source_burrows_delta",
+    "orders_hill_tail_index",
+    "graph_percolation_robustness",
 ]
 
 

@@ -374,6 +374,8 @@ BENCH_QUERIES = [
     "events_gap_burstiness",
     "events_circular_hour_stats",
     "source_burrows_delta",
+    "orders_hill_tail_index",
+    "graph_percolation_robustness",
 ]
 
 

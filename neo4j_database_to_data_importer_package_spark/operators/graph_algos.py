@@ -2133,3 +2133,60 @@ def node2vec_transition_weights(
             "prob_mass"
         ),
     )
+
+
+def percolation_robustness(
+    edges: DataFrame,
+    n_hubs: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    digits: int = 6,
+) -> DataFrame:
+    """Targeted-attack robustness probe: connected-component structure
+    of the graph BEFORE and AFTER removing the ``n_hubs``
+    highest-degree nodes — scale-free graphs shatter under hub removal
+    while staying robust to random failure (Albert–Barabási), and the
+    largest-component share drop is the one-number summary
+    infrastructure/fraud teams track.
+
+    Hubs are a deterministic TakeOrdered cut (degree DESC, node id);
+    components come from the same hash-min propagation as
+    ``connected_components``; every output number is an integer or an
+    integer ratio.
+
+    Output: one row per variant (full / hubs_removed) — n_nodes,
+    n_components, largest_cc, largest_share.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    hubs = deg.orderBy(F.col("d").desc(), F.col("node")).limit(n_hubs).select(
+        "node"
+    )
+    cut = (
+        und.join(hubs, und["a"] == hubs["node"], "left_anti")
+        .join(hubs, und["b"] == hubs["node"], "left_anti")
+    )
+
+    def summarize(e: DataFrame, label: str) -> DataFrame:
+        comp = connected_components(
+            e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+        return sizes.agg(
+            F.lit(label).alias("variant"),
+            F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias("n_nodes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_components"),
+            F.coalesce(F.max("sz"), F.lit(0)).cast("bigint").alias("largest_cc"),
+            F.coalesce(
+                round_half_up(F.max("sz") / F.sum("sz"), digits), F.lit(0.0)
+            ).alias("largest_share"),  # empty graph → clean zeros, not NULLs
+        )
+
+    return summarize(und, "full").unionByName(summarize(cut, "hubs_removed"))

@@ -2260,3 +2260,46 @@ def circular_hour_stats(
         round_half_up(rbar, digits).alias("resultant_length"),
         round_half_up(mean_hour, digits).alias("mean_hour"),
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    k: int = 500,
+    digits: int = 6,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over the top-``k``
+    order statistics: α = k / Σᵢ ln(xᵢ/x_min) with x_min the (k+1)-th
+    largest value — the standard answer to "how heavy is this tail",
+    which decides whether means/variances are even meaningful for the
+    column (α ≤ 2 → infinite variance).
+
+    The top-(k+1) cut is TakeOrderedAndProject (ties on the row via the
+    value itself, deterministic for the value multiset); the ln terms
+    round at 9 dp and decimal-sum. Output: one row — k, x_min, alpha.
+
+    Scale shape: one distributed partial top-k, then arithmetic on
+    k+1 rows.
+    """
+    top = (
+        df.select(F.col(value_col).cast("double").alias("v"))
+        .orderBy(F.col("v").desc())
+        .limit(k + 1)
+    )
+    xmin = top.agg(F.min("v").alias("xmin"))
+    terms = (
+        top.crossJoin(F.broadcast(xmin))
+        .filter(F.col("v") > F.col("xmin"))
+        .select(
+            round_half_up(F.log(F.col("v") / F.col("xmin")), 9).alias("t"),
+            "xmin",
+        )
+    )
+    return terms.groupBy("xmin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        round_half_up(
+            F.count(F.lit(1))
+            / F.sum(F.col("t").cast("decimal(28,9)")).cast("double"),
+            digits,
+        ).alias("alpha"),
+    ).select("k", F.col("xmin").alias("x_min"), "alpha")

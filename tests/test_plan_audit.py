@@ -135,6 +135,7 @@ _ALLOWED_FORCED_BROADCASTS = {
     ("operators/graph_algos.py", "eff"),    # 1-row effective-diameter pick
     ("operators/statistics.py", "g"),       # 1-row CUPED moment sums
     ("operators/statistics.py", "lifts"),   # 1-row A-minus-B lift pair
+    ("operators/statistics.py", "xmin"),    # 1-row Hill threshold
     ("operators/mixing.py", "tot"),
     ("operators/mixing.py", "grid"),  # fixed 10-row threshold grid
     ("operators/mixing.py", "totals"),  # 1-row (target, raw) token totals

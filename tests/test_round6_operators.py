@@ -3353,3 +3353,45 @@ def test_burrows_delta_separates_styles(spark):
     got = {(r["ga"], r["gb"]): r["delta"] for r in burrows_delta(df, top_k=10).collect()}
     assert got[("s1", "s2")] == 0.0
     assert got[("s1", "s3")] > 0.5 and got[("s2", "s3")] > 0.5
+
+
+# --- batch 31: Hill tail index / percolation robustness ---------------------
+
+
+def test_hill_estimator_on_known_pareto(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.statistics import (
+        hill_tail_index,
+    )
+
+    # exact Pareto(alpha=2) quantiles: x_i = (i/n)^(-1/2) — Hill over
+    # the top-k should recover alpha ≈ 2
+    n = 2000
+    rows = [((i + 1) / n) ** (-0.5,)[0] for i in range(n)]
+    df = spark.createDataFrame([(float(x),) for x in rows], "v double")
+    got = hill_tail_index(df, "v", k=200).collect()[0]
+    assert 1.7 < got["alpha"] < 2.3
+    assert got["k"] <= 200 and got["x_min"] > 1.0
+
+
+def test_percolation_hub_removal_shatters_star(spark):
+    from neo4j_database_to_data_importer_package_spark.operators.graph_algos import (
+        percolation_robustness,
+    )
+
+    # two stars joined at a bridge: removing the 2 hubs isolates leaves
+    edges = [("h1", f"a{i}") for i in range(5)] + [
+        ("h2", f"b{i}") for i in range(5)
+    ] + [("h1", "h2")]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["variant"]: r for r in percolation_robustness(edf, n_hubs=2).collect()}
+    full = got["full"]
+    assert full["n_components"] == 1 and full["largest_share"] == 1.0
+    cut = got["hubs_removed"]
+    # both hubs gone → every edge is gone → clean zeros
+    assert cut["n_nodes"] == 0 and cut["n_components"] == 0
+    assert cut["largest_cc"] == 0 and cut["largest_share"] == 0.0
+
+    # removing only the bigger hub keeps the h2 star intact
+    got1 = {r["variant"]: r for r in percolation_robustness(edf, n_hubs=1).collect()}
+    cut1 = got1["hubs_removed"]
+    assert cut1["n_components"] == 1 and cut1["n_nodes"] == 6

@@ -186,6 +186,8 @@ QUERIES = [
     "events_gap_burstiness",
     "events_circular_hour_stats",
     "source_burrows_delta",
+    "orders_hill_tail_index",
+    "graph_percolation_robustness",
 ]
 
 # Optional subset: ``python tools/scaling_r06.py <name> [<name> ...]``
