@@ -25,85 +25,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate evaluates the FIRST 50 entries of this
-# dict (rounds 1-5 each produced rows for exactly list(queries())[:50],
-# bit-identical key sets — see COVERAGE.md for the evidence). Round-6
-# rotation (VERDICT r05 directive #1): the 28 round-5 additions that
-# post-dated the round-5 window freeze (the r05 `_NEXT_ROTATION` ledger,
-# all local-green in CORRECTNESS_local_r05.json) gate first — closing the
-# cumulative driver-green ledger at 191/191 — followed by 22 canaries
-# spanning every rotated-out family. Every entry, regardless of position,
-# is oracle-verified locally at sf0.01 by tools/local_gate.py and at
-# sf0.001 by tests/test_oracle_parity.py.
+# dict (rounds 1-6 each produced rows for exactly list(queries())[:50],
+# bit-identical key sets — see COVERAGE.md for the evidence). Round-7
+# rotation (VERDICT r06 directive #1 — burn down the never-driver-gated
+# backlog, oldest first): the first 44 entries of the round-6
+# `_NEXT_ROTATION` ledger (all local-green in
+# CORRECTNESS_local_r06.json) gate first, followed by 6 family-spanning
+# driver-green canaries — including `embedding_lsh_pairs`, whose
+# signature-width defaults changed this round (VERDICT r06 directive #2)
+# and therefore must re-face the driver. Every entry, regardless of
+# position, is oracle-verified locally at sf0.01 by tools/local_gate.py
+# and at sf0.001 by tests/test_oracle_parity.py.
 _GATE_FIRST_50 = [
-    # the 28 round-5 post-freeze additions (r05 _NEXT_ROTATION, verbatim)
-    "model_v3_table_schemas",
-    "term_zipf_fit",
-    "language_script_stats",
-    "domain_term_entropy",
-    "events_cusum_drift",
-    "curriculum_order_plan",
-    "cross_domain_neardup_matrix",
-    "embedding_dim_quantiles",
-    "dataset_card_stats",
-    "graph_closeness_sampled",
-    "bpe_train_merges",
-    "embedding_ivf_pq_topk",
-    "copurchase_recommendations",
-    "events_markov_transitions",
-    "events_first_touch_attribution",
-    "streaming_cusum_drift",
-    "data_quality_checks",
-    "user_sequence_anomaly",
-    "embedding_matryoshka_audit",
-    "embedding_pca_power_iteration",
-    "vocab_coverage_curve",
-    "graph_walk_corpus",
-    "brand_price_qty_regression",
-    "embedding_cluster_purity",
-    "graph_assortativity",
-    "graph_clustering_coefficients",
-    "events_active_user_curves",
-    "dedup_containment_pairs",
-    # 22 canaries: driver-green representatives of every rotated-out
-    # family — node/rel export pipelines, metadata scan, identifier
-    # cascade, bit-exact type inference, pattern discovery, TPC-H
-    # (decimal-exact q1, multi-join q7, exists/anti q21), exact dedup,
-    # MinHash-LSH near-dup, record linkage (hot-block fix), embedding
-    # LSH (the timing-watch query), ANN recall, text analysis, as-of
-    # join, tokenizer, hybrid retrieval, data mixing, multimodal,
-    # streaming windows, iterative graph
-    "rel_export_order_contains_part",
-    "node_export_customer",
-    "schema_union",
-    "identifier_detection",
-    "type_inference_samples",
-    "pattern_discovery",
-    "q1_pricing_summary",
-    "q7_nation_volume_shipping",
-    "q21_sole_late_supplier",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "part_name_linkage",
-    "embedding_lsh_pairs",
-    "ann_recall_at_k",
-    "text_token_stats",
-    "asof_latest_high_value",
-    "bpe_apply_merge_stats",
-    "hybrid_rrf_retrieval",
-    "domain_mixture_weights",
-    "multimodal_features",
-    "streaming_tumbling_events",
-    "graph_pagerank",
-]
-assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)
-_GATE_PRIORITY = _GATE_FIRST_50
-
-# Queries added AFTER this round's window was frozen — they rotate into
-# the round-7 gate window; until then they are verified by the local
-# sf0.01 gate replica and tests/test_oracle_parity.py (the rotation
-# ledger in COVERAGE.md tracks this set; the standing freeze discipline
-# is documented there too).
-_NEXT_ROTATION: list[str] = [
+    # the oldest 44 of the 152 round-6 post-freeze additions
+    # (r06 _NEXT_ROTATION prefix, verbatim order)
     "graph_walk_corpus_multi",
     "graph_modularity_lpa",
     "graph_bridge_edges",
@@ -148,6 +83,26 @@ _NEXT_ROTATION: list[str] = [
     "streaming_zscore_extremes",
     "events_fd_violations",
     "graph_edge_triangle_support",
+    "rel_export_order_contains_part",
+    "q1_pricing_summary",
+    "dedup_minhash_lsh_pairs",
+    "embedding_lsh_pairs",
+    "streaming_tumbling_events",
+    "graph_pagerank",
+    # 6 canaries: reference-parity flagship, TPC-H decimal-exact,
+    # MinHash-LSH near-dup, embedding LSH (re-gated: new defaults),
+    # streaming windows, iterative graph
+]
+assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)
+_GATE_PRIORITY = _GATE_FIRST_50
+
+# Queries never yet driver-gated: the remaining 108 round-6 additions
+# (oldest first — rounds 8-9 rotate them through the 50-slot window;
+# registry growth is frozen per VERDICT r06 directive #1 until this
+# ledger clears), plus any round-7 additions appended at the end. All
+# are verified by the local sf0.01 gate replica and
+# tests/test_oracle_parity.py (rotation ledger: COVERAGE.md).
+_NEXT_ROTATION: list[str] = [
     "lexical_diversity_by_source",
     "doc_length_rank_test",
     "events_top_paths",

@@ -5,11 +5,13 @@ Round 3 lost a slot to an off-by-one (51 names before the rotation
 marker, so ``skewed_join_hot_suppliers`` fell outside the window —
 ADVICE r03). These tests pin the boundary and the rotation's intent.
 
-Round-6 rotation: the window is the 28 round-5 post-freeze additions
-(the r05 ``_NEXT_ROTATION`` ledger) + 22 driver-green canaries, closing
-the cumulative driver-gated ledger at the full 191-query registry as of
-the round-5 freeze. Queries registered this round append to the (empty
-at freeze) ``_NEXT_ROTATION`` ledger per COVERAGE.md's standing rule.
+Round-7 rotation (VERDICT r06 directive #1): the window is the oldest
+44 of the 152 round-6 post-freeze additions (the r06 ``_NEXT_ROTATION``
+ledger prefix, verbatim order) + 6 driver-green canaries — growing the
+cumulative driver-gated ledger 191 -> 235 with the remaining 108
+backlogged entries staying in ``_NEXT_ROTATION`` for rounds 8-9.
+Registry growth is frozen until the backlog clears; the few queries
+registered this round append to the ledger per COVERAGE.md's rule.
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ _CORRECTNESS_FILES = (
     "CORRECTNESS_r03.json",
     "CORRECTNESS_r04.json",
     "CORRECTNESS_r05.json",
+    "CORRECTNESS_r06.json",
 )
 
 
@@ -91,29 +94,43 @@ def test_window_regates_all_prior_round_reds():
     assert not missing, f"prior-round red rows not re-gated: {sorted(missing)}"
 
 
-def test_window_includes_entire_r05_rotation_ledger():
-    """VERDICT r05 directive #1: the 28 queries ledgered as the round-5
-    ``_NEXT_ROTATION`` (committed in the r05 tree; reproduced here) must
-    all sit inside the round-6 window — closing the cumulative driver
-    ledger at 191/191."""
-    r05_ledger = {
-        "model_v3_table_schemas", "term_zipf_fit", "language_script_stats",
-        "domain_term_entropy", "events_cusum_drift", "curriculum_order_plan",
-        "cross_domain_neardup_matrix", "embedding_dim_quantiles",
-        "dataset_card_stats", "graph_closeness_sampled", "bpe_train_merges",
-        "embedding_ivf_pq_topk", "copurchase_recommendations",
-        "events_markov_transitions", "events_first_touch_attribution",
-        "streaming_cusum_drift", "data_quality_checks",
-        "user_sequence_anomaly", "embedding_matryoshka_audit",
-        "embedding_pca_power_iteration", "vocab_coverage_curve",
-        "graph_walk_corpus", "brand_price_qty_regression",
-        "embedding_cluster_purity", "graph_assortativity",
-        "graph_clustering_coefficients", "events_active_user_curves",
-        "dedup_containment_pairs",
-    }
-    assert len(r05_ledger) == 28
-    missing = r05_ledger - set(entrymod._GATE_FIRST_50)
-    assert not missing, f"r05 rotation entries not in the r06 window: {sorted(missing)}"
+def test_window_is_the_oldest_44_of_the_r06_rotation_ledger():
+    """VERDICT r06 directive #1: rotate the never-driver-gated backlog
+    oldest-first. The round-6 ``_NEXT_ROTATION`` ledger (152 names,
+    committed in the r06 tree — its 44-name prefix reproduced here) must
+    open this round's window, in order, before the canaries."""
+    r06_prefix = [
+        "graph_walk_corpus_multi", "graph_modularity_lpa",
+        "graph_bridge_edges", "source_gini_concentration",
+        "events_winsorized_stats", "doc_length_ks_drift",
+        "source_lang_chi2", "source_lang_mutual_information",
+        "doc_length_bootstrap_ci", "embedding_semdedup_prune",
+        "embedding_knn_label_agreement", "dedup_tfidf_cosine_pairs",
+        "events_ewma_daily", "orders_pareto_skyline",
+        "customer_top_percentile_share", "events_seasonal_anomalies",
+        "events_session_conversion", "dedup_rate_by_source",
+        "streaming_ewma_trend", "events_linear_attribution",
+        "orders_monthly_seasonality", "events_burst_days",
+        "events_churn_hazard", "source_length_bootstrap_ci",
+        "events_benford_audit", "embedding_centroid_split_drift",
+        "graph_degree_powerlaw_fit", "quality_calibration_bins",
+        "kmv_audience_overlap", "tokenizer_fertility_by_lang",
+        "dedup_cluster_size_histogram", "events_transition_entropy",
+        "doc_length_lang_anova", "doc_char_entropy", "graph_rich_club",
+        "embedding_intrinsic_dimension", "events_weekly_autocorrelation",
+        "lang_token_budget_plan", "events_funnel_steps",
+        "source_js_divergence", "ann_recall_curve",
+        "streaming_zscore_extremes", "events_fd_violations",
+        "graph_edge_triangle_support",
+    ]
+    assert len(r06_prefix) == 44
+    assert entrymod._GATE_FIRST_50[:44] == r06_prefix
+
+
+def test_relsh_regates_after_default_change():
+    """VERDICT r06 directive #2 changed ``embedding_lsh_pairs``'s
+    signature-width defaults; a changed query must re-face the driver."""
+    assert "embedding_lsh_pairs" in entrymod._GATE_FIRST_50
 
 
 def test_window_keeps_canary_regression_signal():
@@ -123,4 +140,4 @@ def test_window_keeps_canary_regression_signal():
     for r in _CORRECTNESS_FILES:
         green |= _driver_green(_load(r))
     canaries = green & set(entrymod._GATE_FIRST_50)
-    assert len(canaries) >= 22, sorted(canaries)
+    assert len(canaries) >= 6, sorted(canaries)
