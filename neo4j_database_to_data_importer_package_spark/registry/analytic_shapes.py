@@ -345,9 +345,14 @@ def events_gap_stats(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _embedding_lsh_oracle() -> str:
+    # Mirrors the round-7 scale-safe defaults (VERDICT r06 directive #2):
+    # 128 signature bits in 16-bit blocks (8 bands x 65 536 buckets),
+    # verified-cosine threshold 0.30, and the max_bucket=8192 occupancy
+    # cap (the `kept` CTE — a no-op on the <=2k-row fixtures, mirrored
+    # anyway so both engines share the capped semantics).
     from ..operators.similarity import _hyperplanes
 
-    planes = _hyperplanes(16, 64)
+    planes = _hyperplanes(128, 64)
     bit_exprs = ", ".join(
         "CASE WHEN list_dot_product(v, ["
         + ", ".join(repr(x) for x in p)
@@ -360,9 +365,14 @@ WITH v AS (
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
   FROM embeddings),
 sig AS (SELECT vec_id, concat({bit_exprs}) AS sig FROM v),
+blocks0 AS (
+  SELECT vec_id, q, substr(sig, CAST(q * 16 + 1 AS INT), 16) AS block
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS q) s),
+kept AS (
+  SELECT q, block FROM blocks0 GROUP BY q, block HAVING count(*) <= 8192),
 blocks AS (
-  SELECT vec_id, q, substr(sig, CAST(q * 4 + 1 AS INT), 4) AS block
-  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS q) s),
+  SELECT b.vec_id, b.q, b.block FROM blocks0 b JOIN kept k
+    ON b.q = k.q AND b.block = k.block),
 cands AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM blocks a JOIN blocks b
@@ -370,7 +380,7 @@ cands AS (
 SELECT c.id_a, c.id_b,
        floor((list_dot_product(x.v, y.v) / (x.norm * y.norm)) * 1000000.0 + 0.5) / 1000000.0 AS cosine
 FROM cands c JOIN v x ON x.vec_id = c.id_a JOIN v y ON y.vec_id = c.id_b
-WHERE floor((list_dot_product(x.v, y.v) / (x.norm * y.norm)) * 1000000.0 + 0.5) / 1000000.0 >= 0.35
+WHERE floor((list_dot_product(x.v, y.v) / (x.norm * y.norm)) * 1000000.0 + 0.5) / 1000000.0 >= 0.30
 """
 
 

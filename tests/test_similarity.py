@@ -106,3 +106,37 @@ def test_kmeans_step_two_obvious_clusters(spark):
     assert rowsd[(0, 0)][1] == 3 and rowsd[(1, 0)][1] == 3
     assert abs(rowsd[(0, 0)][0] - (0.0 + 0.1 + 0.0) / 3) < 1e-6
     assert abs(rowsd[(1, 1)][0] - (10.0 + 10.0 + 9.9) / 3) < 1e-6
+
+
+def test_embedding_lsh_bucket_occupancy_cap(spark, caplog):
+    """VERDICT r06 #2: a degenerate bucket (here: near-identical vectors
+    collapsing every band onto one signature) must be dropped with a
+    LOGGED warning, bounding the candidate self-join — and the cap must
+    be a no-op on a healthy corpus."""
+    import logging
+
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        embedding_lsh_pairs,
+    )
+
+    rng = random.Random(11)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    rows = [
+        (i, [float(x + rng.gauss(0, 1e-4)) for x in base]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    with caplog.at_level(logging.WARNING):
+        capped = embedding_lsh_pairs(df, threshold=0.9, max_bucket=10).collect()
+    assert capped == [], "hot buckets must be dropped, not joined"
+    assert any(
+        "dropping" in r.message and "occupancy > 10" in r.message
+        for r in caplog.records
+    ), "cap must log its drops (no silent caps)"
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        uncapped = embedding_lsh_pairs(df, threshold=0.9).collect()
+    # 40 near-identical vectors: every unordered pair verifies at ~1.0
+    assert len(uncapped) == 40 * 39 // 2
+    assert not any("dropping" in r.message for r in caplog.records)
