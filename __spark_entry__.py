@@ -211,6 +211,10 @@ _NEXT_ROTATION: list[str] = [
     "source_burrows_delta",
     "orders_hill_tail_index",
     "graph_percolation_robustness",
+    # round-7 additions (VERDICT r06 directive #4 — the only two new
+    # registrations this round; growth otherwise frozen)
+    "model_v24_table_schemas",
+    "model_v01_file_schemas",
 ]
 
 

@@ -376,6 +376,8 @@ BENCH_QUERIES = [
     "source_burrows_delta",
     "orders_hill_tail_index",
     "graph_percolation_robustness",
+    "model_v24_table_schemas",
+    "model_v01_file_schemas",
 ]
 
 

@@ -67,5 +67,6 @@ from . import r6q_operators  # noqa: E402,F401
 from . import r6r_operators  # noqa: E402,F401
 from . import r6s_operators  # noqa: E402,F401
 from . import r6t_operators  # noqa: E402,F401
+from . import r7_operators  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register", "_view"]
