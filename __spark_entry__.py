@@ -215,6 +215,7 @@ _NEXT_ROTATION: list[str] = [
     # registrations this round; growth otherwise frozen)
     "model_v24_table_schemas",
     "model_v01_file_schemas",
+    "streaming_daily_rollup_evicted",
 ]
 
 

@@ -378,6 +378,7 @@ BENCH_QUERIES = [
     "graph_percolation_robustness",
     "model_v24_table_schemas",
     "model_v01_file_schemas",
+    "streaming_daily_rollup_evicted",
 ]
 
 

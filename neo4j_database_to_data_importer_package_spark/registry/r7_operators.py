@@ -214,3 +214,98 @@ def model_v01_file_schemas(spark, sf_dir):
         "filename string, field string, field_type string, "
         "sample_value string, is_key boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming state eviction (VERDICT r06 directive #6) — the one
+# stateful query that runs ProcessingTimeTimeout instead of NoTimeout.
+# The replay is DAY-ORDERED so eviction is data-deterministic: once the
+# stream moves past a day, that day-key is dormant forever, its timeout
+# fires at the next batch, and the flushed emission carries the day's
+# full totals — so the batch day-rollup SQL is the oracle, and the
+# stream-vs-batch comparison IS the eviction-correctness check.
+# ---------------------------------------------------------------------------
+
+_DAY_STREAM_CACHE: dict[tuple[int, str], tuple[str, object, int]] = {}
+
+
+def _day_ordered_events_stream(spark, sf_dir, n_chunks=6):
+    """Replay directory for the eviction query: events projected to
+    (day, cents) and written as ``n_chunks`` single-file parquets with
+    CONTIGUOUS, increasing day ranges and strictly increasing mtimes
+    (the file source orders by modification time). Returns the stream
+    plus the distinct-day count — the deterministic emission total the
+    sink-polling harness stops on. The distinct-day collect is bounded
+    (30 rows at any sf — days, not events)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..streaming.events import read_events_stream
+
+    key = (id(spark), sf_dir)
+    if key not in _DAY_STREAM_CACHE:
+        view = _view(spark, sf_dir)
+        ev = view.tables["events"].select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+        n_chunks = min(n_chunks, len(days))
+        bounds = [
+            days[(len(days) * k) // n_chunks : (len(days) * (k + 1)) // n_chunks]
+            for k in range(n_chunks)
+        ]
+        tmp = tempfile.mkdtemp(prefix="ndip_events_daystream_")
+        t0 = time.time() - 3600
+        for k, chunk in enumerate(bounds):
+            stage = f"{tmp}/_stage"
+            ev.filter(F.col("day").isin(chunk)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{tmp}/{k:02d}.parquet"
+            shutil.move(part, dst)
+            os.utime(dst, (t0 + k, t0 + k))
+        shutil.rmtree(f"{tmp}/_stage", ignore_errors=True)
+        _DAY_STREAM_CACHE[key] = (
+            tmp,
+            spark.read.parquet(f"{tmp}/00.parquet").schema,
+            len(days),
+        )
+    tmp, schema, n_days = _DAY_STREAM_CACHE[key]
+    return read_events_stream(spark, tmp, schema, max_files_per_trigger=1), n_days
+
+
+_R7_STREAM_SEQ = [0]
+
+
+@register(
+    "streaming_daily_rollup_evicted",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              count(*) AS n_events,
+              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+       FROM events GROUP BY 1""",
+)
+def streaming_daily_rollup_evicted(spark, sf_dir):
+    """ProcessingTimeTimeout eviction, driven to the known emission
+    count: every day is flushed exactly once by its timeout (full
+    integer-cent totals, state removed) — days still open when the file
+    source drains evict in the engine's post-drain timeout batches —
+    and the result equals the batch day rollup, arrival-order
+    independent by the day-ordered replay contract
+    (``streaming.stateful.streaming_daily_rollup_evicted``)."""
+    from ..streaming.events import run_stream_until_count
+    from ..streaming.stateful import streaming_daily_rollup_evicted as op
+
+    stream, n_days = _day_ordered_events_stream(spark, sf_dir)
+    _R7_STREAM_SEQ[0] += 1
+    got = run_stream_until_count(
+        op(stream),
+        f"q_stream_evicted_{_R7_STREAM_SEQ[0]}",
+        target_rows=n_days,
+        state_partitions=8,
+    )
+    return got.select("day", "n_events", "sum_value")

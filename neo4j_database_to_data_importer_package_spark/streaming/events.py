@@ -267,3 +267,65 @@ def run_stream_to_memory(
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_until_count(
+    stream_df: DataFrame,
+    query_name: str,
+    target_rows: int,
+    timeout_sec: int = 600,
+    state_partitions: int | None = None,
+    poll_sec: float = 0.25,
+):
+    """Drive a ProcessingTimeTimeout stream to a KNOWN emission count.
+
+    ``availableNow`` cannot self-terminate such a query:
+    FlatMapGroupsWithStateExec's shouldRunAnotherBatch is unconditionally
+    true under processing-time timeouts (advancing wall-clock may always
+    fire more timers), so after the file source drains the engine keeps
+    scheduling empty batches forever — which is exactly what lets
+    dormant keys evict. Completion is therefore detected at the SINK:
+    poll the memory table until it holds ``target_rows`` rows (the
+    caller knows the deterministic emission count — e.g. one flush per
+    closed day), then stop. A timeout still surfaces as an error, never
+    as a partial result (same contract as ``run_stream_to_memory``).
+    """
+    import time
+
+    spark = stream_df.sparkSession
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout_sec
+            while True:
+                n = spark.sql(f"SELECT count(*) FROM {query_name}").first()[0]
+                if n >= target_rows:
+                    break
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"streaming query {query_name!r} emitted {n}/"
+                        f"{target_rows} rows after {timeout_sec}s — refusing "
+                        f"to return a partial result"
+                    )
+                if not q.isActive:
+                    raise RuntimeError(
+                        f"streaming query {query_name!r} died at {n}/"
+                        f"{target_rows} rows: {q.exception()}"
+                    )
+                time.sleep(poll_sec)
+        finally:
+            if q.isActive:
+                q.stop()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -69,3 +69,52 @@ def test_v01_matches_v24_on_the_shared_surface(spark, v24_rows, v01_rows):
         for r in v01_rows
     }
     assert v24 == v01
+
+
+def test_streaming_daily_rollup_evicts_each_day_exactly_once(spark, tmp_path):
+    """Stream-vs-batch parity for the ProcessingTimeTimeout eviction
+    operator (VERDICT r06 #6): a day spanning two files must keep
+    accumulating (batch data beats an expired timer), every closed day
+    must flush exactly once with full totals, and days still open at
+    end-of-data must evict in the post-drain timeout batches."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from neo4j_database_to_data_importer_package_spark.streaming.events import (
+        run_stream_until_count,
+    )
+    from neo4j_database_to_data_importer_package_spark.streaming.stateful import (
+        streaming_daily_rollup_evicted as op,
+    )
+
+    files = [
+        [("d1", 10), ("d1", 5)],
+        [("d1", 1), ("d2", 7)],   # d1 spans the file boundary
+        [("d3", 42)],             # open at end-of-data -> post-drain evict
+    ]
+    tmp = str(tmp_path / "replay")
+    os.makedirs(tmp)
+    t0 = time.time() - 3600
+    for k, rows in enumerate(files):
+        df = spark.createDataFrame(rows, "day string, cents long")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_s")
+        part = glob.glob(f"{tmp}/_s/part-*.parquet")[0]
+        dst = f"{tmp}/{k:02d}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + k, t0 + k))
+    shutil.rmtree(f"{tmp}/_s")
+    schema = spark.read.parquet(f"{tmp}/00.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    got = run_stream_until_count(
+        op(stream), "t_r7_evict", target_rows=3, state_partitions=2,
+        timeout_sec=120,
+    ).collect()
+    emitted = sorted((r["day"], r["n_events"], r["sum_value"]) for r in got)
+    assert emitted == [("d1", 3, 0.16), ("d2", 1, 0.07), ("d3", 1, 0.42)]
+    assert len(got) == 3  # exactly one flush per day — no split emissions

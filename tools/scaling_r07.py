@@ -33,6 +33,9 @@ from tools.scaling_r06 import SF_DIR, build_8x  # noqa: E402
 QUERIES = [
     "embedding_lsh_pairs",
     "embedding_near_dup_clusters",
+    "model_v24_table_schemas",
+    "model_v01_file_schemas",
+    "streaming_daily_rollup_evicted",
 ]
 
 
