@@ -23,13 +23,37 @@ def fan_out(
     AND the input is at least ``min_bytes`` (Catalyst size estimate);
     otherwise returns ``df`` unchanged. Tiny dimension tables should not
     pay a 32-task shuffle to save a 10 ms single-task scan — callers with
-    CPU-heavy downstream stages (explode × hash) pass ``min_bytes=0``."""
+    CPU-heavy downstream stages (explode × hash) pass ``min_bytes=0``.
+
+    Width is probed via ``df.inputFiles()`` (analysis only), NOT
+    ``df.rdd.getNumPartitions()`` — the RDD conversion runs full
+    physical planning per call (VERDICT r06 #3). File count is a proxy
+    for scan width: it over-counts when the scan bin-packs many small
+    files (we then skip a widening that might have helped — the
+    many-small-files case only arises at cluster scale where width is
+    ample anyway) and under-counts when large files split (we then pay
+    one redundant narrow-stage shuffle on data big enough to amortize
+    it). A non-file-backed plan (in-memory test data) reports 0 files
+    and widens — harmless at test sizes."""
+    import re
+
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if min_bytes:
         size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         if size < min_bytes:
             return df
-    if df.rdd.getNumPartitions() >= target:
+    if len(df.inputFiles()) >= target:
+        return df
+    # Explicit repartition already in the plan (analyzed string — still
+    # no physical planning): don't stack a second shuffle on it.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    widths = [
+        int(m)
+        for m in re.findall(
+            r"\bRepartition(?:ByExpression \[[^\]]*\],)? (\d+)", analyzed
+        )
+    ]
+    if widths and max(widths) >= target:
         return df
     return df.repartition(target)
 
