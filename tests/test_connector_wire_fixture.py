@@ -144,3 +144,69 @@ def test_smoke_script_spec_builder_roundtrip():
     assert [n.label for n in spec.nodes] == ["Customer", "Order"]
     assert spec.edges[0].rel_type == "PLACED"
     assert spec.edges[0].props == ("orderdate",)
+
+
+def test_fixture_is_versioned_against_the_connector_pin():
+    """VERDICT r06 directive #7: the recorded wire fixture and the
+    adapter share ONE pinned connector version + option vocabulary
+    (``sources.base.CONNECTOR_PIN``). Bumping the connector means
+    re-recording the fixture and the pin together — this test is the
+    tripwire."""
+    from neo4j_database_to_data_importer_package_spark.sources import CONNECTOR_PIN
+
+    with open(FIXTURE, encoding="utf-8") as f:
+        wire = json.load(f)
+    assert wire["_connector_version"] == CONNECTOR_PIN["version"]
+    assert sorted(wire["node"]["options"]) == sorted(
+        CONNECTOR_PIN["node_option_keys"]
+    )
+    assert sorted(wire["relationship"]["options"]) == sorted(
+        CONNECTOR_PIN["relationship_option_keys"]
+    )
+    # the documented metadata columns the adapter strips/projects
+    assert "`<id>`" in wire["node"]["schema_ddl"]
+    assert "`<labels>`" in wire["node"]["schema_ddl"]
+    for col in ("`<rel.id>`", "`<rel.type>`", "`source.", "`target.", "`rel."):
+        assert col in wire["relationship"]["schema_ddl"]
+
+
+def test_smoke_dry_run_asserts_full_option_set(spark, capsys):
+    """``live_neo4j_smoke.py --dry-run`` must enumerate one read per
+    label/pattern and verify every option set against CONNECTOR_PIN,
+    offline."""
+    import argparse
+    import importlib.util
+
+    spec_path = os.path.join(
+        os.path.dirname(__file__), os.pardir, "tools", "live_neo4j_smoke.py"
+    )
+    mod_spec = importlib.util.spec_from_file_location("live_neo4j_smoke_dr", spec_path)
+    mod = importlib.util.module_from_spec(mod_spec)
+    mod_spec.loader.exec_module(mod)
+    spec = mod.build_spec(
+        {
+            "nodes": [
+                {"label": "Customer", "id_col": "custkey"},
+                {"label": "Order", "id_col": "orderkey"},
+            ],
+            "edges": [
+                {
+                    "src_label": "Customer",
+                    "rel_type": "PLACED",
+                    "tgt_label": "Order",
+                    "props": ["orderdate"],
+                }
+            ],
+        }
+    )
+    args = argparse.Namespace(
+        uri="bolt://example:7687", user="neo4j", password="secret",
+        database="neo4j",
+    )
+    rc = mod.dry_run(spark, args, spec)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "dry-run OK: 3 reads" in out
+    assert '"labels": ":Customer"' in out
+    assert '"relationship.nodes.map": "false"' in out
+    assert "secret" not in out  # password masked

@@ -115,6 +115,94 @@ def discover(spark: SparkSession, base_opts: dict) -> None:
     )
 
 
+def dry_run(spark: SparkSession, args, spec) -> int:
+    """Print and VERIFY the full connector option set this tool would
+    send — one read per node label and edge pattern — without touching
+    the network (VERDICT r06 directive #7). A recording reader captures
+    every options dict the adapter emits and returns empty frames in
+    the connector's documented wire shape; each captured set is checked
+    key-for-key against ``sources.base.CONNECTOR_PIN`` (the same pin the
+    offline wire-fixture test enforces), so seam drift fails here before
+    it could fail against a live server."""
+    from neo4j_database_to_data_importer_package_spark.sources import (
+        CONNECTOR_PIN,
+        Neo4jConnectorSource,
+    )
+
+    id_props = {n.label: n.id_col for n in spec.nodes}
+    captured: list[dict] = []
+
+    def reader(sess, options):
+        captured.append(dict(options))
+        if "labels" in options:
+            label = options["labels"].lstrip(":")
+            return sess.createDataFrame(
+                [],
+                f"`<id>` BIGINT, `<labels>` ARRAY<STRING>, "
+                f"`{id_props[label]}` STRING",
+            )
+        src = options["relationship.source.labels"].lstrip(":")
+        tgt = options["relationship.target.labels"].lstrip(":")
+        e = next(
+            x
+            for x in spec.edges
+            if x.rel_type == options["relationship"]
+            and x.src_label == src
+            and x.tgt_label == tgt
+        )
+        cols = [
+            "`<rel.id>` BIGINT",
+            "`<rel.type>` STRING",
+            f"`source.{id_props[src]}` STRING",
+            f"`target.{id_props[tgt]}` STRING",
+        ] + [f"`rel.{p}` STRING" for p in e.props]
+        return sess.createDataFrame([], ", ".join(cols))
+
+    source = Neo4jConnectorSource(
+        args.uri,
+        user=args.user,
+        password=args.password,
+        database=args.database,
+        spec=spec,
+        reader=reader,
+    )
+    source.load(spark)
+
+    base = source._base_options()
+    failures = []
+    want_auth = set(CONNECTOR_PIN["auth_option_keys"])
+    if args.database:
+        want_auth |= set(CONNECTOR_PIN["optional_auth_option_keys"])
+    if set(base) != want_auth:
+        failures.append(f"auth options drift: {sorted(base)} != {sorted(want_auth)}")
+    for opts in captured:
+        keys = sorted(opts)
+        if "labels" in opts:
+            want = sorted(CONNECTOR_PIN["node_option_keys"])
+        else:
+            want = sorted(CONNECTOR_PIN["relationship_option_keys"])
+        if keys != want:
+            failures.append(f"read options drift: {keys} != {want}")
+    n_reads = len(spec.nodes) + len(spec.edges)
+    if len(captured) != n_reads:
+        failures.append(f"expected {n_reads} reads, adapter issued {len(captured)}")
+
+    shown_base = {**base}
+    if "authentication.basic.password" in shown_base:
+        shown_base["authentication.basic.password"] = "********"
+    print(f"format: {CONNECTOR_PIN['format']}")
+    print(f"pinned connector: {CONNECTOR_PIN['version']}")
+    print(f"base options (every read): {json.dumps(shown_base, sort_keys=True)}")
+    for opts in captured:
+        print(f"read: {json.dumps(opts, sort_keys=True)}")
+    if failures:
+        for f in failures:
+            print(f"DRIFT: {f}", file=sys.stderr)
+        return 1
+    print(f"dry-run OK: {len(captured)} reads, option sets match CONNECTOR_PIN")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--uri", required=True)
@@ -129,6 +217,12 @@ def main(argv=None) -> int:
         "--discover",
         action="store_true",
         help="print a starter spec from the live catalog and exit",
+    )
+    ap.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="print + verify the full connector option set that would be "
+        "sent (no network, no connector jar needed) and exit",
     )
     ap.add_argument(
         "--connector-package",
@@ -160,6 +254,9 @@ def main(argv=None) -> int:
         ap.error("--spec is required unless --discover is given")
     with open(args.spec, encoding="utf-8") as f:
         spec = build_spec(json.load(f))
+
+    if args.dry_run:
+        return dry_run(spark, args, spec)
 
     from neo4j_database_to_data_importer_package_spark.plans.exporter import GraphExporter
     from neo4j_database_to_data_importer_package_spark.sources import Neo4jConnectorSource
