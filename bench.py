@@ -382,6 +382,35 @@ BENCH_QUERIES = [
 ]
 
 
+def _load_tree_registry(tree_path: str) -> dict:
+    """Import a baseline git-worktree's registry IN THIS PROCESS so both
+    trees share one Spark session (the ABAB requirement — separate
+    sessions would reintroduce the cross-session offset the comparison
+    exists to cancel). Module-swap isolation: purge the package from
+    sys.modules, import from the worktree, capture its QUERIES dict
+    (closures keep their own module objects alive), then restore the
+    HEAD modules."""
+    import importlib
+
+    pkg = "neo4j_database_to_data_importer_package_spark"
+    saved = {
+        k: v for k, v in sys.modules.items()
+        if k == pkg or k.startswith(pkg + ".")
+    }
+    for k in saved:
+        del sys.modules[k]
+    sys.path.insert(0, tree_path)
+    try:
+        reg = importlib.import_module(pkg + ".registry")
+        queries = dict(reg.QUERIES)
+    finally:
+        sys.path.remove(tree_path)
+        for k in [m for m in list(sys.modules) if m == pkg or m.startswith(pkg + ".")]:
+            del sys.modules[k]
+        sys.modules.update(saved)
+    return queries
+
+
 def main(argv=None) -> None:
     import argparse
 
@@ -399,7 +428,25 @@ def main(argv=None) -> None:
         "under ~1.4x become readable. Default (consecutive repeats) is "
         "cheaper and what the driver's unattended run uses.",
     )
+    ap.add_argument(
+        "--baseline-tree", default=None, metavar="COMMIT",
+        help="ALSO bench this commit (a temporary git worktree) "
+        "interleaved with HEAD in the SAME Spark session, and emit "
+        "per-query head/baseline ratios in the artifact (VERDICT r06 "
+        "#5): the regression-vs-noise verdict ships with the numbers "
+        "instead of needing a separate postmortem. Implies the ABAB "
+        "protocol for both trees.",
+    )
+    ap.add_argument(
+        "--queries", nargs="*", default=None, metavar="NAME",
+        help="bench only this subset of the headline list (diagnostics)",
+    )
     args = ap.parse_args(argv)
+
+    global BENCH_QUERIES
+    if args.queries:
+        keep = set(args.queries)
+        BENCH_QUERIES = [q for q in BENCH_QUERIES if q in keep]
 
     from neo4j_database_to_data_importer_package_spark.session import get_spark
     from neo4j_database_to_data_importer_package_spark import registry
@@ -424,7 +471,75 @@ def main(argv=None) -> None:
         return time.perf_counter() - t0
 
     timings: dict[str, float] = {}
-    if args.interleaved:
+    baseline_meta = None
+    if args.baseline_tree:
+        import subprocess
+        import tempfile
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        wt = tempfile.mkdtemp(prefix="bench_baseline_")
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, args.baseline_tree],
+            check=True, cwd=repo, capture_output=True,
+        )
+        try:
+            base_queries = _load_tree_registry(wt)
+            base_timings: dict[str, float] = {}
+            for rnd in range(args.repeats):
+                for name in BENCH_QUERIES:
+                    fn = registry.QUERIES[name]
+                    bfn = base_queries.get(name)
+                    if rnd == 0:
+                        fn(spark, warmup_dir).count()
+                        if bfn is not None:
+                            bfn(spark, warmup_dir).count()
+                    # Alternate AB / BA per round: running second is
+                    # slightly warmer (page cache, JIT), so a fixed
+                    # order would bias identical code toward one tree.
+                    def run_head():
+                        dt = timed(fn)
+                        timings[name] = min(timings.get(name, float("inf")), dt)
+                        spark.catalog.clearCache()
+
+                    def run_base():
+                        if bfn is None:
+                            return
+                        t0 = time.perf_counter()
+                        bfn(spark, SF_DIR).count()
+                        dtb = time.perf_counter() - t0
+                        base_timings[name] = min(
+                            base_timings.get(name, float("inf")), dtb
+                        )
+                        spark.catalog.clearCache()
+
+                    for step in ((run_head, run_base) if rnd % 2 == 0
+                                 else (run_base, run_head)):
+                        step()
+            timings = {n: round(v, 3) for n, v in timings.items()}
+            base_timings = {n: round(v, 3) for n, v in base_timings.items()}
+            common = sorted(base_timings)
+            head_common = sum(timings[n] for n in common)
+            base_common = sum(base_timings[n] for n in common)
+            baseline_meta = {
+                "tree": args.baseline_tree,
+                "protocol": f"ABAB interleaved, min of {args.repeats}, one Spark session",
+                "n_common": len(common),
+                "head_total_common_sec": round(head_common, 3),
+                "baseline_total_common_sec": round(base_common, 3),
+                "ratio_total": round(head_common / base_common, 3)
+                if base_common else None,
+                "queries": base_timings,
+                "ratio": {
+                    n: round(timings[n] / base_timings[n], 2)
+                    for n in common if base_timings[n] > 0
+                },
+            }
+        finally:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=repo, capture_output=True,
+            )
+    elif args.interleaved:
         # Round 1 carries the per-query warmup; rounds 2..N are straight
         # timed passes over the same list, min taken across rounds.
         for rnd in range(args.repeats):
@@ -459,6 +574,8 @@ def main(argv=None) -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if baseline_meta is not None:
+        detail["baseline"] = baseline_meta
     print(json.dumps(detail))
     # Durable per-query detail (VERDICT r04 missing #3): the driver's
     # tail-capture window truncates the detailed stdout line, so the
