@@ -31,9 +31,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # backlog, oldest first): the first 44 entries of the round-6
 # `_NEXT_ROTATION` ledger (all local-green in
 # CORRECTNESS_local_r06.json) gate first, followed by 6 family-spanning
-# driver-green canaries — including `embedding_lsh_pairs`, whose
-# signature-width defaults changed this round (VERDICT r06 directive #2)
-# and therefore must re-face the driver. Every entry, regardless of
+# driver-green canaries — including `embedding_lsh_pairs` AND its
+# downstream consumer `embedding_near_dup_clusters`, whose behavior and
+# oracles changed this round (VERDICT r06 directive #2: new
+# signature-width defaults) and therefore must re-face the driver. Every entry, regardless of
 # position, is oracle-verified locally at sf0.01 by tools/local_gate.py
 # and at sf0.001 by tests/test_oracle_parity.py.
 _GATE_FIRST_50 = [
@@ -85,13 +86,15 @@ _GATE_FIRST_50 = [
     "graph_edge_triangle_support",
     "rel_export_order_contains_part",
     "q1_pricing_summary",
-    "dedup_minhash_lsh_pairs",
+    "embedding_near_dup_clusters",
     "embedding_lsh_pairs",
     "streaming_tumbling_events",
     "graph_pagerank",
     # 6 canaries: reference-parity flagship, TPC-H decimal-exact,
-    # MinHash-LSH near-dup, embedding LSH (re-gated: new defaults),
-    # streaming windows, iterative graph
+    # embedding near-dup clustering + embedding LSH (both re-gated:
+    # their defaults/oracles changed this round; the window's 44-entry
+    # prefix already carries the text-dedup family), streaming windows,
+    # iterative graph
 ]
 assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)
 _GATE_PRIORITY = _GATE_FIRST_50
@@ -211,8 +214,9 @@ _NEXT_ROTATION: list[str] = [
     "source_burrows_delta",
     "orders_hill_tail_index",
     "graph_percolation_robustness",
-    # round-7 additions (VERDICT r06 directive #4 — the only two new
-    # registrations this round; growth otherwise frozen)
+    # round-7 additions (three, each a VERDICT r06 directive's own
+    # deliverable — #4 the two model surfaces, #6 the eviction query;
+    # growth otherwise frozen)
     "model_v24_table_schemas",
     "model_v01_file_schemas",
     "streaming_daily_rollup_evicted",

@@ -382,33 +382,51 @@ BENCH_QUERIES = [
 ]
 
 
-def _load_tree_registry(tree_path: str) -> dict:
+_PKG = "neo4j_database_to_data_importer_package_spark"
+
+
+def _pkg_modules() -> dict:
+    return {
+        k: v for k, v in sys.modules.items()
+        if k == _PKG or k.startswith(_PKG + ".")
+    }
+
+
+def _swap_in(modules: dict) -> None:
+    """Install one tree's module set as the live package. This must
+    bracket every baseline CALL, not just the import: the registry
+    wrappers import their operators function-locally, and a relative
+    import at call time resolves through sys.modules — with HEAD's
+    modules live, a baseline closure would silently execute HEAD
+    operator code and the comparison would be head-vs-head."""
+    for k in list(sys.modules):
+        if k == _PKG or k.startswith(_PKG + "."):
+            del sys.modules[k]
+    sys.modules.update(modules)
+
+
+def _load_tree_registry(tree_path: str) -> tuple[dict, dict]:
     """Import a baseline git-worktree's registry IN THIS PROCESS so both
     trees share one Spark session (the ABAB requirement — separate
     sessions would reintroduce the cross-session offset the comparison
-    exists to cancel). Module-swap isolation: purge the package from
-    sys.modules, import from the worktree, capture its QUERIES dict
-    (closures keep their own module objects alive), then restore the
-    HEAD modules."""
+    exists to cancel). Returns (QUERIES, module_set); run each baseline
+    query inside ``_swap_in(module_set)`` and restore the HEAD set
+    after (see ``_swap_in``). Lazily-imported submodules load from the
+    worktree via the package's ``__path__`` while its set is live."""
     import importlib
 
-    pkg = "neo4j_database_to_data_importer_package_spark"
-    saved = {
-        k: v for k, v in sys.modules.items()
-        if k == pkg or k.startswith(pkg + ".")
-    }
-    for k in saved:
+    head = _pkg_modules()
+    for k in head:
         del sys.modules[k]
     sys.path.insert(0, tree_path)
     try:
-        reg = importlib.import_module(pkg + ".registry")
+        reg = importlib.import_module(_PKG + ".registry")
         queries = dict(reg.QUERIES)
+        base_mods = _pkg_modules()
     finally:
         sys.path.remove(tree_path)
-        for k in [m for m in list(sys.modules) if m == pkg or m.startswith(pkg + ".")]:
-            del sys.modules[k]
-        sys.modules.update(saved)
-    return queries
+        _swap_in(head)
+    return queries, base_mods
 
 
 def main(argv=None) -> None:
@@ -446,6 +464,9 @@ def main(argv=None) -> None:
     global BENCH_QUERIES
     if args.queries:
         keep = set(args.queries)
+        unknown = keep - set(BENCH_QUERIES)
+        if unknown:
+            ap.error(f"--queries names not in the headline list: {sorted(unknown)}")
         BENCH_QUERIES = [q for q in BENCH_QUERIES if q in keep]
 
     from neo4j_database_to_data_importer_package_spark.session import get_spark
@@ -483,8 +504,19 @@ def main(argv=None) -> None:
             check=True, cwd=repo, capture_output=True,
         )
         try:
-            base_queries = _load_tree_registry(wt)
+            base_queries, base_mods = _load_tree_registry(wt)
+            head_mods = _pkg_modules()
             base_timings: dict[str, float] = {}
+
+            def in_baseline(call):
+                _swap_in(base_mods)
+                try:
+                    return call()
+                finally:
+                    # keep any lazily-imported baseline submodules
+                    base_mods.update(_pkg_modules())
+                    _swap_in(head_mods)
+
             for rnd in range(args.repeats):
                 for name in BENCH_QUERIES:
                     fn = registry.QUERIES[name]
@@ -492,7 +524,7 @@ def main(argv=None) -> None:
                     if rnd == 0:
                         fn(spark, warmup_dir).count()
                         if bfn is not None:
-                            bfn(spark, warmup_dir).count()
+                            in_baseline(lambda: bfn(spark, warmup_dir).count())
                     # Alternate AB / BA per round: running second is
                     # slightly warmer (page cache, JIT), so a fixed
                     # order would bias identical code toward one tree.
@@ -505,7 +537,7 @@ def main(argv=None) -> None:
                         if bfn is None:
                             return
                         t0 = time.perf_counter()
-                        bfn(spark, SF_DIR).count()
+                        in_baseline(lambda: bfn(spark, SF_DIR).count())
                         dtb = time.perf_counter() - t0
                         base_timings[name] = min(
                             base_timings.get(name, float("inf")), dtb

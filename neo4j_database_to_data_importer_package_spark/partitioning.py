@@ -44,9 +44,9 @@ def fan_out(
             return df
     if len(df.inputFiles()) >= target:
         return df
+    analyzed = df._jdf.queryExecution().analyzed().toString()
     # Explicit repartition already in the plan (analyzed string — still
     # no physical planning): don't stack a second shuffle on it.
-    analyzed = df._jdf.queryExecution().analyzed().toString()
     widths = [
         int(m)
         for m in re.findall(
@@ -54,6 +54,16 @@ def fan_out(
         )
     ]
     if widths and max(widths) >= target:
+        return df
+    # A plan that already shuffled (aggregate/join/window/distinct or a
+    # count-less repartition-by-column) is session-parallelism wide by
+    # construction — fan_out exists for NARROW post-scan pipelines on
+    # too-few input splits, so treat shuffled plans as already wide
+    # rather than paying a redundant exchange.
+    if re.search(
+        r"\b(Aggregate|Join|Window|Deduplicate|RepartitionByExpression)\b",
+        analyzed,
+    ):
         return df
     return df.repartition(target)
 

@@ -330,24 +330,15 @@ def type_inference_samples(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _model_v3_oracle() -> str:
-    from ..functions.type_inference import _FLOAT_RE, _INT_RE
+    # Shared UNPIVOT/type-inference body (one copy for all three model
+    # generators — see registry/_model_shared.py).
+    from ._model_shared import sample_surface_oracle
 
-    parts = []
-    for n in TPCH_GRAPH_SPEC.nodes:
-        parts.append(f"""
-SELECT '{n.label}.csv' AS table_name, field,
-       CASE WHEN val = '' OR val = 'NULL' THEN 'string'
-            WHEN regexp_matches(val, '{_INT_RE}') THEN 'integer'
-            WHEN regexp_matches(val, '{_FLOAT_RE}') THEN 'float'
-            WHEN lower(val) IN ('true', 'false') THEN 'boolean'
-            ELSE 'string' END AS recommended_type,
-       (val = '' OR val = 'NULL') AS nullable
-FROM (
-  UNPIVOT (SELECT COALESCE(CAST(COLUMNS(*) AS VARCHAR), 'None') FROM
-           (SELECT * FROM {n.table} ORDER BY {n.id_col} LIMIT 1))
-  ON COLUMNS(*) INTO NAME field VALUE val
-)""")
-    return "\nUNION ALL\n".join(parts)
+    return sample_surface_oracle(
+        table_col="table_name",
+        type_col="recommended_type",
+        nullable_col="nullable",
+    )
 
 
 @register("model_v3_table_schemas", _model_v3_oracle())
@@ -358,25 +349,13 @@ def model_v3_table_schemas(spark, sf_dir):
     (``plans.models.generate_model_v3_0``, reference
     neo4j_export.py:460-729) over a manifest whose sample rows are
     deterministic (min-identifier row, exporter ``str()`` rendering), so
-    both engines see the same sample. Per-label 1-row collects are
-    bounded driver fetches (6 labels), same class as the documented
-    manifest scalars."""
-    from ..operators.node_export import ordered_columns
-    from ..plans.manifest import ExportManifest, NodeEntry
+    both engines see the same sample (one shared construction for all
+    three generator queries — ``registry/_model_shared.py``)."""
     from ..plans.models import generate_model_v3_0
+    from ._model_shared import node_manifest
 
     view = _view(spark, sf_dir)
-    idents = view.declared_identifiers()
-    entries: dict[str, object] = {}
-    for label in sorted(view.nodes):
-        df = view.nodes[label]
-        ident = idents[label]
-        cols = ordered_columns(df.columns, ident)
-        head = df.orderBy(ident).limit(1).select(*cols).collect()
-        sample = {c: str(v) for c, v in zip(cols, head[0])} if head else {}
-        entries[label] = NodeEntry(label, cols, ident, sample)
-    manifest = ExportManifest(nodes=entries, rels={})
-    model = generate_model_v3_0(manifest, view.catalog.unique_constraints)
+    model = generate_model_v3_0(node_manifest(view), view.catalog.unique_constraints)
     dm = model["dataModel"]
     nullable_by: dict[tuple[str, str], bool] = {}
     for nl in dm["graphSchemaRepresentation"]["graphSchema"]["nodeLabels"]:

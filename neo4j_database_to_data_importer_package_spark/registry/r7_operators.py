@@ -18,27 +18,8 @@ from ._core import (  # noqa: F401
     _view,
     register,
 )
-
-
-def _node_manifest(view):
-    """Deterministic-sample node manifest (the ``model_v3_table_schemas``
-    construction): per label, the min-identifier row rendered with the
-    exporter's Python ``str()``. Per-label 1-row collects are bounded
-    driver fetches (6 labels), same class as the documented manifest
-    scalars."""
-    from ..operators.node_export import ordered_columns
-    from ..plans.manifest import ExportManifest, NodeEntry
-
-    idents = view.declared_identifiers()
-    entries: dict[str, object] = {}
-    for label in sorted(view.nodes):
-        df = view.nodes[label]
-        ident = idents[label]
-        cols = ordered_columns(df.columns, ident)
-        head = df.orderBy(ident).limit(1).select(*cols).collect()
-        sample = {c: str(v) for c, v in zip(cols, head[0])} if head else {}
-        entries[label] = NodeEntry(label, cols, ident, sample)
-    return ExportManifest(nodes=entries, rels={})
+from ._model_shared import node_manifest as _node_manifest
+from ._model_shared import sample_surface_oracle
 
 
 # ---------------------------------------------------------------------------
@@ -55,26 +36,13 @@ def _node_manifest(view):
 # ---------------------------------------------------------------------------
 
 def _model_v24_oracle() -> str:
-    from ..functions.type_inference import _FLOAT_RE, _INT_RE
-
-    parts = []
-    for n in TPCH_GRAPH_SPEC.nodes:
-        parts.append(f"""
-SELECT '{n.label}.csv' AS table_name, field,
-       CASE WHEN val = '' OR val = 'NULL' THEN 'string'
-            WHEN regexp_matches(val, '{_INT_RE}') THEN 'integer'
-            WHEN regexp_matches(val, '{_FLOAT_RE}') THEN 'float'
-            WHEN lower(val) IN ('true', 'false') THEN 'boolean'
-            ELSE 'string' END AS recommended_type,
-       substr(val, 1, 50) AS sample_value,
-       (val = '' OR val = 'NULL') AS nullable,
-       (field = '{n.id_col}') AS is_node_key
-FROM (
-  UNPIVOT (SELECT COALESCE(CAST(COLUMNS(*) AS VARCHAR), 'None') FROM
-           (SELECT * FROM {n.table} ORDER BY {n.id_col} LIMIT 1))
-  ON COLUMNS(*) INTO NAME field VALUE val
-)""")
-    return "\nUNION ALL\n".join(parts)
+    return sample_surface_oracle(
+        table_col="table_name",
+        type_col="recommended_type",
+        sample_col="sample_value",
+        nullable_col="nullable",
+        key_col="is_node_key",
+    )
 
 
 @register("model_v24_table_schemas", _model_v24_oracle())
@@ -144,25 +112,12 @@ def model_v24_table_schemas(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _model_v01_oracle() -> str:
-    from ..functions.type_inference import _FLOAT_RE, _INT_RE
-
-    parts = []
-    for n in TPCH_GRAPH_SPEC.nodes:
-        parts.append(f"""
-SELECT '{n.label}.csv' AS filename, field,
-       CASE WHEN val = '' OR val = 'NULL' THEN 'string'
-            WHEN regexp_matches(val, '{_INT_RE}') THEN 'integer'
-            WHEN regexp_matches(val, '{_FLOAT_RE}') THEN 'float'
-            WHEN lower(val) IN ('true', 'false') THEN 'boolean'
-            ELSE 'string' END AS field_type,
-       substr(val, 1, 50) AS sample_value,
-       (field = '{n.id_col}') AS is_key
-FROM (
-  UNPIVOT (SELECT COALESCE(CAST(COLUMNS(*) AS VARCHAR), 'None') FROM
-           (SELECT * FROM {n.table} ORDER BY {n.id_col} LIMIT 1))
-  ON COLUMNS(*) INTO NAME field VALUE val
-)""")
-    return "\nUNION ALL\n".join(parts)
+    return sample_surface_oracle(
+        table_col="filename",
+        type_col="field_type",
+        sample_col="sample_value",
+        key_col="is_key",
+    )
 
 
 @register("model_v01_file_schemas", _model_v01_oracle())
@@ -259,6 +214,9 @@ def _day_ordered_events_stream(spark, sf_dir, n_chunks=6):
             for k in range(n_chunks)
         ]
         tmp = tempfile.mkdtemp(prefix="ndip_events_daystream_")
+        import atexit
+
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
         t0 = time.time() - 3600
         for k, chunk in enumerate(bounds):
             stage = f"{tmp}/_stage"

@@ -54,6 +54,10 @@ def _replayed_events_stream(spark, sf_dir, max_files_per_trigger=2):
     if key not in _STREAM_DIR_CACHE:
         view = _view(spark, sf_dir)
         tmp = tempfile.mkdtemp(prefix="ndip_events_stream_")
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
         view.tables["events"].repartition(4).write.mode("overwrite").parquet(tmp)
         _STREAM_DIR_CACHE[key] = (tmp, spark.read.parquet(tmp).schema)
     tmp, schema = _STREAM_DIR_CACHE[key]

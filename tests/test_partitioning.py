@@ -58,3 +58,12 @@ def test_salted_join_rejects_right_join(spark):
     df = spark.range(2).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         salted_join(df, df, "k", how="right")
+
+
+def test_fan_out_noop_on_shuffled_plan(spark):
+    """A plan that already shuffled (aggregate/join) is session-wide by
+    construction — fan_out must not stack a redundant exchange."""
+    agg = spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count()
+    assert fan_out(agg) is agg
+    joined = spark.range(100).join(spark.range(50), "id")
+    assert fan_out(joined) is joined
