@@ -307,7 +307,11 @@ def run_stream_until_count(
         try:
             deadline = time.time() + timeout_sec
             while True:
-                n = spark.sql(f"SELECT count(*) FROM {query_name}").first()[0]
+                try:
+                    n = spark.sql(f"SELECT count(*) FROM {query_name}").first()[0]
+                except Exception:
+                    # memory-sink view not registered yet (first-batch race)
+                    n = 0
                 if n >= target_rows:
                     break
                 if time.time() > deadline:
