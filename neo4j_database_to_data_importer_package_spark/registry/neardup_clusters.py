@@ -66,7 +66,14 @@ def dedup_near_dup_clusters(spark, sf_dir):
     from ..operators.graph_algos import connected_components
 
     view = _view(spark, sf_dir)
-    pairs = minhash_lsh_pairs(view.tables["documents"]).select("id_a", "id_b")
+    # Checkpoint the pair list: connected_components unions its edge
+    # input with itself, which would otherwise run the banded candidate
+    # join twice (same rationale as embedding_near_dup_clusters below).
+    pairs = (
+        minhash_lsh_pairs(view.tables["documents"])
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     # Numeric ids end-to-end: CC's min-label must agree with the oracle's
     # numeric min (string min would order "10" < "9").
     comp = connected_components(pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
@@ -119,7 +126,16 @@ def embedding_near_dup_clusters(spark, sf_dir):
     from ..operators.similarity import embedding_lsh_pairs as op
 
     view = _view(spark, sf_dir)
-    strong = op(view.tables["embeddings"]).filter(F.col("cosine") >= 0.42)
+    # The pair list is tiny (verified near-dups) but its DAG is the whole
+    # LSH pipeline, and connected_components unions its edge input with
+    # itself — checkpoint the pairs so candidate generation runs once,
+    # not twice (0.45s at sf0.1; at corpus scale the second candidate
+    # join would dwarf the checkpoint write).
+    strong = (
+        op(view.tables["embeddings"])
+        .filter(F.col("cosine") >= 0.42)
+        .localCheckpoint(eager=False)
+    )
     comp = connected_components(
         strong.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )

@@ -56,7 +56,13 @@ def dedup_cluster_representatives(spark, sf_dir):
 
     view = _view(spark, sf_dir)
     docs = view.tables["documents"]
-    pairs = minhash_lsh_pairs(docs).select("id_a", "id_b")
+    # Checkpointed: CC unions its edge input with itself (see
+    # dedup_near_dup_clusters) — run the banded candidate join once.
+    pairs = (
+        minhash_lsh_pairs(docs)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
