@@ -28,6 +28,9 @@ QUERIES = [
     "doc_length_bootstrap_ci",  # md5-Poisson fan-out + decimal replicate means
     "graph_modularity_lpa",     # integer-exact community algebra over LPA
     "kmv_audience_overlap",     # two-level bounded bottom-k sketch merge
+    # round-7 representatives
+    "embedding_lsh_pairs",      # 128-bit signature blocking + 6-dp cosine
+    "streaming_daily_rollup_evicted",  # integer-cent state flushed by timeout
 ]
 
 
