@@ -1416,6 +1416,10 @@ def adamic_adar_topk(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # Referenced six times downstream (deg, both wedge sides, the
+        # non-adjacency anti-join, twice via sym's self-union) — without
+        # this the edge distinct's shuffle re-executes per branch.
+        .localCheckpoint(eager=False)
     )
     sym = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
