@@ -275,7 +275,7 @@ def run_stream_until_count(
     target_rows: int,
     timeout_sec: int = 600,
     state_partitions: int | None = None,
-    poll_sec: float = 0.25,
+    poll_sec: float = 0.1,
 ):
     """Drive a ProcessingTimeTimeout stream to a KNOWN emission count.
 
