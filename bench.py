@@ -421,6 +421,15 @@ def _load_tree_registry(tree_path: str) -> tuple[dict, dict]:
     sys.path.insert(0, tree_path)
     try:
         reg = importlib.import_module(_PKG + ".registry")
+        pkg_file = sys.modules[_PKG].__file__ or ""
+        if not pkg_file.startswith(os.path.abspath(tree_path) + os.sep):
+            # import fell through to another sys.path entry (package
+            # missing in the tree / path typo) — that would silently
+            # bench HEAD against itself
+            raise ImportError(
+                f"baseline package resolved to {pkg_file!r}, not the "
+                f"worktree {tree_path!r}"
+            )
         queries = dict(reg.QUERIES)
         base_mods = _pkg_modules()
     finally:
