@@ -25,87 +25,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate evaluates the FIRST 50 entries of this
-# dict (rounds 1-6 each produced rows for exactly list(queries())[:50],
-# bit-identical key sets — see COVERAGE.md for the evidence). Round-7
-# rotation (VERDICT r06 directive #1 — burn down the never-driver-gated
-# backlog, oldest first): the first 44 entries of the round-6
-# `_NEXT_ROTATION` ledger (all local-green in
-# CORRECTNESS_local_r06.json) gate first, followed by 6 family-spanning
-# driver-green canaries — including `embedding_lsh_pairs` AND its
-# downstream consumer `embedding_near_dup_clusters`, whose behavior and
-# oracles changed this round (VERDICT r06 directive #2: new
-# signature-width defaults) and therefore must re-face the driver. Every entry, regardless of
-# position, is oracle-verified locally at sf0.01 by tools/local_gate.py
-# and at sf0.001 by tests/test_oracle_parity.py.
+# dict (rounds 1-7 each produced rows for exactly list(queries())[:50],
+# bit-identical key sets — see COVERAGE.md for the evidence). Round-8
+# rotation (VERDICT r07 directives #2/#3 — keep burning down the
+# never-driver-gated backlog, oldest first, and drive the three round-7
+# ledger-tail additions through this window): the oldest 42 entries of
+# the round-7 `_NEXT_ROTATION` ledger (verbatim order), then the three
+# round-7 additions (`model_v24_table_schemas`, `model_v01_file_schemas`,
+# `streaming_daily_rollup_evicted` — each a r06-directive deliverable
+# that deserves a driver row, per VERDICT r07 directive #3), then 5
+# family-spanning driver-green canaries. The canaries include
+# `streaming_tumbling_events` because the shared streaming stop path
+# changed this round (quiescent stop — VERDICT r07 directives #1/#6) and
+# a streaming query that exercises `run_stream_to_memory` must re-face
+# the driver. Every entry, regardless of position, is oracle-verified
+# locally at sf0.01 by tools/local_gate.py and at sf0.001 by
+# tests/test_oracle_parity.py.
 _GATE_FIRST_50 = [
-    # the oldest 44 of the 152 round-6 post-freeze additions
-    # (r06 _NEXT_ROTATION prefix, verbatim order)
-    "graph_walk_corpus_multi",
-    "graph_modularity_lpa",
-    "graph_bridge_edges",
-    "source_gini_concentration",
-    "events_winsorized_stats",
-    "doc_length_ks_drift",
-    "source_lang_chi2",
-    "source_lang_mutual_information",
-    "doc_length_bootstrap_ci",
-    "embedding_semdedup_prune",
-    "embedding_knn_label_agreement",
-    "dedup_tfidf_cosine_pairs",
-    "events_ewma_daily",
-    "orders_pareto_skyline",
-    "customer_top_percentile_share",
-    "events_seasonal_anomalies",
-    "events_session_conversion",
-    "dedup_rate_by_source",
-    "streaming_ewma_trend",
-    "events_linear_attribution",
-    "orders_monthly_seasonality",
-    "events_burst_days",
-    "events_churn_hazard",
-    "source_length_bootstrap_ci",
-    "events_benford_audit",
-    "embedding_centroid_split_drift",
-    "graph_degree_powerlaw_fit",
-    "quality_calibration_bins",
-    "kmv_audience_overlap",
-    "tokenizer_fertility_by_lang",
-    "dedup_cluster_size_histogram",
-    "events_transition_entropy",
-    "doc_length_lang_anova",
-    "doc_char_entropy",
-    "graph_rich_club",
-    "embedding_intrinsic_dimension",
-    "events_weekly_autocorrelation",
-    "lang_token_budget_plan",
-    "events_funnel_steps",
-    "source_js_divergence",
-    "ann_recall_curve",
-    "streaming_zscore_extremes",
-    "events_fd_violations",
-    "graph_edge_triangle_support",
-    "rel_export_order_contains_part",
-    "q1_pricing_summary",
-    "embedding_near_dup_clusters",
-    "embedding_lsh_pairs",
-    "streaming_tumbling_events",
-    "graph_pagerank",
-    # 6 canaries: reference-parity flagship, TPC-H decimal-exact,
-    # embedding near-dup clustering + embedding LSH (both re-gated:
-    # their defaults/oracles changed this round; the window's 44-entry
-    # prefix already carries the text-dedup family), streaming windows,
-    # iterative graph
-]
-assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)
-_GATE_PRIORITY = _GATE_FIRST_50
-
-# Queries never yet driver-gated: the remaining 108 round-6 additions
-# (oldest first — rounds 8-9 rotate them through the 50-slot window;
-# registry growth is frozen per VERDICT r06 directive #1 until this
-# ledger clears), plus any round-7 additions appended at the end. All
-# are verified by the local sf0.01 gate replica and
-# tests/test_oracle_parity.py (rotation ledger: COVERAGE.md).
-_NEXT_ROTATION: list[str] = [
+    # the oldest 42 of the 111-entry round-7 backlog
+    # (r07 _NEXT_ROTATION prefix, verbatim order)
     "lexical_diversity_by_source",
     "doc_length_rank_test",
     "events_top_paths",
@@ -148,6 +86,33 @@ _NEXT_ROTATION: list[str] = [
     "events_position_attribution",
     "doc_length_levene",
     "events_holt_forecast",
+    # the three round-7 ledger-tail additions (VERDICT r07 directive #3)
+    "model_v24_table_schemas",
+    "model_v01_file_schemas",
+    "streaming_daily_rollup_evicted",
+    # 5 canaries: reference-parity flagship, TPC-H decimal-exact,
+    # iterative graph, streaming (run_stream_to_memory stop path changed
+    # this round), multimodal
+    "rel_export_order_contains_part",
+    "q1_pricing_summary",
+    "graph_pagerank",
+    "streaming_tumbling_events",
+    "multimodal_features",
+]
+# Length AND uniqueness (ADVICE r07: a duplicate name would silently
+# shrink the effective driver gate below 50 unique queries — the
+# round-3 lost-slot failure class).
+assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)
+assert len(set(_GATE_FIRST_50)) == 50, "duplicate gate window entry"
+_GATE_PRIORITY = _GATE_FIRST_50
+
+# Queries never yet driver-gated: the remaining 66 round-6 additions
+# (oldest first — round 9 rotates them through the 50-slot window and
+# closes the ledger; registry growth stays frozen per VERDICT r06
+# directive #1 / r07 directive #8 until then). All are verified by the
+# local sf0.01 gate replica and tests/test_oracle_parity.py (rotation
+# ledger: COVERAGE.md).
+_NEXT_ROTATION: list[str] = [
     "orders_weekday_index",
     "corpus_filter_funnel",
     "events_bot_score_histogram",
@@ -214,12 +179,6 @@ _NEXT_ROTATION: list[str] = [
     "source_burrows_delta",
     "orders_hill_tail_index",
     "graph_percolation_robustness",
-    # round-7 additions (three, each a VERDICT r06 directive's own
-    # deliverable — #4 the two model surfaces, #6 the eviction query;
-    # growth otherwise frozen)
-    "model_v24_table_schemas",
-    "model_v01_file_schemas",
-    "streaming_daily_rollup_evicted",
 ]
 
 

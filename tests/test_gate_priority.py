@@ -5,13 +5,15 @@ Round 3 lost a slot to an off-by-one (51 names before the rotation
 marker, so ``skewed_join_hot_suppliers`` fell outside the window —
 ADVICE r03). These tests pin the boundary and the rotation's intent.
 
-Round-7 rotation (VERDICT r06 directive #1): the window is the oldest
-44 of the 152 round-6 post-freeze additions (the r06 ``_NEXT_ROTATION``
-ledger prefix, verbatim order) + 6 driver-green canaries — growing the
-cumulative driver-gated ledger 191 -> 235 with the remaining 108
-backlogged entries staying in ``_NEXT_ROTATION`` for rounds 8-9.
-Registry growth is frozen until the backlog clears; the few queries
-registered this round append to the ledger per COVERAGE.md's rule.
+Round-8 rotation (VERDICT r07 directives #2/#3): the window is the
+oldest 42 of the 111-entry round-7 ``_NEXT_ROTATION`` ledger (verbatim
+order), the three round-7 ledger-tail additions (which deserve driver
+rows per directive #3), and 5 driver-green canaries — growing the
+cumulative driver-gated ledger 235 -> 280 with the remaining 66
+backlogged entries staying in ``_NEXT_ROTATION`` for round 9.
+Registry growth is frozen until the backlog clears (r07 directive #8);
+any query registered this round must append to the ledger per
+COVERAGE.md's rule.
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ _CORRECTNESS_FILES = (
     "CORRECTNESS_r04.json",
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
+    "CORRECTNESS_r07.json",
 )
 
 
@@ -53,8 +56,12 @@ def test_gate_window_is_exactly_50():
 
 
 def test_no_duplicates_and_all_registered():
+    """ADVICE r07: a duplicated window name silently shrinks the
+    effective driver gate below 50 unique queries (the round-3
+    lost-slot failure class) — pin uniqueness, not just length."""
     names = entrymod._GATE_FIRST_50
-    assert len(set(names)) == len(names)
+    assert len(names) == 50
+    assert len(set(names)) == 50
     missing = [n for n in names if n not in registry.QUERIES]
     assert not missing, missing
 
@@ -94,43 +101,76 @@ def test_window_regates_all_prior_round_reds():
     assert not missing, f"prior-round red rows not re-gated: {sorted(missing)}"
 
 
-def test_window_is_the_oldest_44_of_the_r06_rotation_ledger():
-    """VERDICT r06 directive #1: rotate the never-driver-gated backlog
-    oldest-first. The round-6 ``_NEXT_ROTATION`` ledger (152 names,
-    committed in the r06 tree — its 44-name prefix reproduced here) must
-    open this round's window, in order, before the canaries."""
-    r06_prefix = [
-        "graph_walk_corpus_multi", "graph_modularity_lpa",
-        "graph_bridge_edges", "source_gini_concentration",
-        "events_winsorized_stats", "doc_length_ks_drift",
-        "source_lang_chi2", "source_lang_mutual_information",
-        "doc_length_bootstrap_ci", "embedding_semdedup_prune",
-        "embedding_knn_label_agreement", "dedup_tfidf_cosine_pairs",
-        "events_ewma_daily", "orders_pareto_skyline",
-        "customer_top_percentile_share", "events_seasonal_anomalies",
-        "events_session_conversion", "dedup_rate_by_source",
-        "streaming_ewma_trend", "events_linear_attribution",
-        "orders_monthly_seasonality", "events_burst_days",
-        "events_churn_hazard", "source_length_bootstrap_ci",
-        "events_benford_audit", "embedding_centroid_split_drift",
-        "graph_degree_powerlaw_fit", "quality_calibration_bins",
-        "kmv_audience_overlap", "tokenizer_fertility_by_lang",
-        "dedup_cluster_size_histogram", "events_transition_entropy",
-        "doc_length_lang_anova", "doc_char_entropy", "graph_rich_club",
-        "embedding_intrinsic_dimension", "events_weekly_autocorrelation",
-        "lang_token_budget_plan", "events_funnel_steps",
-        "source_js_divergence", "ann_recall_curve",
-        "streaming_zscore_extremes", "events_fd_violations",
-        "graph_edge_triangle_support",
+def test_window_is_the_oldest_42_of_the_r07_rotation_ledger():
+    """VERDICT r07 directive #2: rotate the never-driver-gated backlog
+    oldest-first. The round-7 ``_NEXT_ROTATION`` ledger (111 names,
+    committed in the r07 tree a59d44e — its 42-name prefix reproduced
+    here) must open this round's window, in order, before the round-7
+    additions and the canaries."""
+    r07_prefix = [
+        "lexical_diversity_by_source",
+        "doc_length_rank_test",
+        "events_top_paths",
+        "join_key_skew_profile",
+        "embedding_silhouette",
+        "embedding_davies_bouldin",
+        "retrieval_ndcg_eval",
+        "order_total_reconciliation",
+        "nation_revenue_hhi",
+        "streaming_silent_keys",
+        "events_gap_exponential_gof",
+        "embedding_jl_distortion",
+        "customer_k_anonymity",
+        "graph_neighbor_jaccard",
+        "doc_readability_by_source",
+        "embedding_fisher_dims",
+        "orders_changepoint_day",
+        "customer_l_diversity",
+        "bloom_filter_fp_audit",
+        "embedding_pair_cosine_histogram",
+        "orders_daily_backlog",
+        "nation_customer_median_ltv",
+        "supplier_delay_trend",
+        "brand_return_wilson",
+        "source_boilerplate_grams",
+        "orders_theil_sen_trend",
+        "customer_t_closeness",
+        "graph_adamic_adar",
+        "returnflag_qty_discount_spearman",
+        "retrieval_mrr_eval",
+        "posting_list_stats",
+        "events_mann_kendall",
+        "returnflag_qty_discount_kendall",
+        "embedding_hubness_histogram",
+        "term_burstiness",
+        "doc_heaps_law_fit",
+        "lineitem_correlation_matrix",
+        "part_brand_type_cramers_v",
+        "events_dominant_transition_scc",
+        "events_position_attribution",
+        "doc_length_levene",
+        "events_holt_forecast",
     ]
-    assert len(r06_prefix) == 44
-    assert entrymod._GATE_FIRST_50[:44] == r06_prefix
+    assert len(r07_prefix) == 42
+    assert entrymod._GATE_FIRST_50[:42] == r07_prefix
 
 
-def test_relsh_regates_after_default_change():
-    """VERDICT r06 directive #2 changed ``embedding_lsh_pairs``'s
-    signature-width defaults; a changed query must re-face the driver."""
-    assert "embedding_lsh_pairs" in entrymod._GATE_FIRST_50
+def test_window_carries_the_three_r07_ledger_tail_additions():
+    """VERDICT r07 directive #3: the three round-7 deliverables must
+    face the driver this round, immediately after the backlog prefix."""
+    assert entrymod._GATE_FIRST_50[42:45] == [
+        "model_v24_table_schemas",
+        "model_v01_file_schemas",
+        "streaming_daily_rollup_evicted",
+    ]
+
+
+def test_window_regates_a_run_stream_to_memory_query():
+    """The shared streaming stop path (``_graceful_stop``) changed this
+    round (VERDICT r07 directives #1/#6); a batch-registry streaming
+    query that goes through ``run_stream_to_memory`` must re-face the
+    driver alongside the eviction query."""
+    assert "streaming_tumbling_events" in entrymod._GATE_FIRST_50
 
 
 def test_window_keeps_canary_regression_signal():
@@ -140,4 +180,4 @@ def test_window_keeps_canary_regression_signal():
     for r in _CORRECTNESS_FILES:
         green |= _driver_green(_load(r))
     canaries = green & set(entrymod._GATE_FIRST_50)
-    assert len(canaries) >= 6, sorted(canaries)
+    assert len(canaries) >= 5, sorted(canaries)

@@ -68,6 +68,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="CORRECTNESS_local.json")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset, or 'window' for _GATE_FIRST_50",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -84,6 +89,13 @@ def main() -> None:
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if args.queries == "window":
+        qs = {n: qs[n] for n in entrymod._GATE_FIRST_50}
+    elif args.queries:
+        wanted = args.queries.split(",")
+        missing = [n for n in wanted if n not in qs]
+        assert not missing, f"unknown queries: {missing}"
+        qs = {n: qs[n] for n in wanted}
     results: dict[str, dict] = {}
     t_start = time.time()
     for name, fn in qs.items():
