@@ -369,6 +369,11 @@ BENCH_QUERIES = [
     "events_lead_lag_correlation",
     "dedup_rate_projection",
     "streaming_value_quantiles",
+    # eviction harness runs mid-list, NOT last: its stop path is quiesced
+    # and logger-silenced now, but keeping it away from the final summary
+    # line is cheap insurance for the driver's tail capture (VERDICT r07
+    # What's-wrong #1 / directive #1).
+    "streaming_daily_rollup_evicted",
     "embedding_binary_recall",
     "orders_gini_by_year",
     "events_gap_burstiness",
@@ -378,7 +383,6 @@ BENCH_QUERIES = [
     "graph_percolation_robustness",
     "model_v24_table_schemas",
     "model_v01_file_schemas",
-    "streaming_daily_rollup_evicted",
 ]
 
 

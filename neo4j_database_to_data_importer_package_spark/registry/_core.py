@@ -24,12 +24,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # Graph views are immutable metadata + lazy scans — cache per (session, dir)
-# so repeated queries don't re-read 9 parquet footers each.
-_VIEW_CACHE: dict[tuple[int, str], object] = {}
+# so repeated queries don't re-read 9 parquet footers each. Keyed on
+# applicationId, not id(spark): a dead session's id() can be reused by a
+# new one and serve stale metadata (VERDICT r07 What's-wrong #2).
+_VIEW_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _view(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _VIEW_CACHE:
         _VIEW_CACHE[key] = load_graph_view(spark, sf_dir)
     return _VIEW_CACHE[key]

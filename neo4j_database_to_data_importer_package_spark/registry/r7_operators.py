@@ -181,7 +181,7 @@ def model_v01_file_schemas(spark, sf_dir):
 # stream-vs-batch comparison IS the eviction-correctness check.
 # ---------------------------------------------------------------------------
 
-_DAY_STREAM_CACHE: dict[tuple[int, str], tuple[str, object, int]] = {}
+_DAY_STREAM_CACHE: dict[tuple[str, str], tuple[str, object, int]] = {}
 
 
 def _day_ordered_events_stream(spark, sf_dir, n_chunks=6):
@@ -200,7 +200,10 @@ def _day_ordered_events_stream(spark, sf_dir, n_chunks=6):
 
     from ..streaming.events import read_events_stream
 
-    key = (id(spark), sf_dir)
+    # Keyed on applicationId, not id(spark): a dead session's id() can be
+    # reused by a new one and silently serve a replay dir built from
+    # another session's tables (VERDICT r07 What's-wrong #2).
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _DAY_STREAM_CACHE:
         view = _view(spark, sf_dir)
         ev = view.tables["events"].select(

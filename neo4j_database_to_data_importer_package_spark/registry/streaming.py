@@ -42,7 +42,7 @@ _STREAM_SEQ = [0]
 # The replay directory is immutable once written — materialize it once
 # per (session, sf_dir) instead of re-writing the events parquet for
 # every streaming query (six gate queries replay the same files).
-_STREAM_DIR_CACHE: dict[tuple[int, str], tuple[str, object]] = {}
+_STREAM_DIR_CACHE: dict[tuple[str, str], tuple[str, object]] = {}
 
 
 def _replayed_events_stream(spark, sf_dir, max_files_per_trigger=2):
@@ -50,7 +50,8 @@ def _replayed_events_stream(spark, sf_dir, max_files_per_trigger=2):
 
     from ..streaming.events import read_events_stream
 
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark) — see registry/_core.py::_view.
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _STREAM_DIR_CACHE:
         view = _view(spark, sf_dir)
         tmp = tempfile.mkdtemp(prefix="ndip_events_stream_")

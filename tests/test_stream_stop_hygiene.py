@@ -1,0 +1,170 @@
+"""Streaming stop hygiene (VERDICT r07 directives #1/#4/#6).
+
+Round 7's driver bench artifact was unparseable because stopping the
+ProcessingTimeTimeout eviction stream killed an in-flight empty batch,
+and the killed tasks flooded stderr with ~30 ERROR-level state-store
+abort stack traces adjacent to the bench summary line. The fix is
+``streaming.events.graceful_stop`` (quiesce at a batch boundary +
+silence the known abort spewers for the stop window) used by BOTH
+memory-sink harnesses. These tests pin:
+
+1. the harness produces NO state-store abort spew end-to-end (a fresh
+   subprocess owns the JVM's stderr, so log4j output is capturable —
+   in-process the JVM writes to the inherited fd and cannot be
+   redirected after launch);
+2. the eviction query still returns the correct rollup after the stop
+   path changed;
+3. memory-sink temp views are dropped after each harness invocation
+   (ADVICE r07: seq-named sinks used to accumulate per call);
+4. replay-dir caches key on applicationId, not id(spark) — a session
+   swap gets a fresh replay dir (VERDICT r07 What's-wrong #2).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from types import SimpleNamespace
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# Signatures of the benign-but-alarming abort spew that flooded the
+# round-7 driver tail (VERDICT r07 What's-wrong #1). The subprocess run
+# must produce none of them. Deliberately NOT a blanket "no ERROR"
+# check: unrelated benign noise (e.g. TorrentBroadcast cleanup races)
+# would make that flaky without being the defect under test.
+_SPEW_SIGNATURES = (
+    "CANNOT_WRITE_STATE_STORE",
+    "HDFSBackedStateStore",
+    "Error aborting",
+    "aborting for operator",
+    "ERROR Executor",
+    "ERROR Utils",
+    "ERROR WriteToDataSourceV2Exec",
+    "ERROR TaskSetManager",
+)
+
+_SUBPROCESS_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from neo4j_database_to_data_importer_package_spark import registry
+
+# The ProcessingTimeTimeout eviction stream: its stop ALWAYS used to
+# interrupt a post-drain empty batch (shouldRunAnotherBatch is
+# unconditionally true under processing-time timeouts).
+df = registry.QUERIES["streaming_daily_rollup_evicted"](spark, {sf!r})
+rows = df.collect()
+print("EVICTED_DAYS", len(rows))
+print("EVICTED_EVENTS", sum(r["n_events"] for r in rows))
+
+# And a run_stream_to_memory query (directive #6: the quiescent stop is
+# the shared library default, not an eviction-only patch).
+df2 = registry.QUERIES["streaming_tumbling_events"](spark, {sf!r})
+print("TUMBLING_ROWS", df2.count())
+
+leftover = [t.name for t in spark.catalog.listTables() if t.name.startswith("q_stream")]
+print("LEFTOVER_SINKS", leftover)
+spark.stop()
+print("CLEAN_EXIT")
+"""
+
+
+def test_stream_harness_produces_no_state_store_abort_spew(spark, sf_dir):
+    """End-to-end: run the eviction query and a memory-sink query in a
+    fresh subprocess and assert the combined output carries none of the
+    round-7 abort-spew signatures, the results are right, and no
+    memory-sink temp views leak."""
+    # Expected day count from the batch side (the eviction contract:
+    # one flush per distinct day).
+    from neo4j_database_to_data_importer_package_spark.registry import _core
+
+    view = _core._view(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    expected_days = (
+        view.tables["events"].select(F.to_date("ts").alias("d")).distinct().count()
+    )
+    expected_events = view.tables["events"].count()
+
+    code = _SUBPROCESS_SCRIPT.format(repo=REPO, sf=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=570,
+        cwd=REPO,
+    )
+    out = proc.stdout + "\n" + proc.stderr
+    assert proc.returncode == 0, out[-4000:]
+    assert "CLEAN_EXIT" in proc.stdout, out[-4000:]
+    for sig in _SPEW_SIGNATURES:
+        assert sig not in out, f"abort spew {sig!r} in harness output:\n{out[-4000:]}"
+    assert f"EVICTED_DAYS {expected_days}" in proc.stdout, proc.stdout
+    assert f"EVICTED_EVENTS {expected_events}" in proc.stdout, proc.stdout
+    assert "LEFTOVER_SINKS []" in proc.stdout, proc.stdout
+
+
+def test_memory_sink_view_dropped_after_harness(spark, sf_dir):
+    """ADVICE r07: the seq-named memory-sink tables must not accumulate
+    across harness invocations — the harness materializes and drops."""
+    from neo4j_database_to_data_importer_package_spark import registry
+
+    before = {t.name for t in spark.catalog.listTables()}
+    df = registry.QUERIES["streaming_tumbling_events"](spark, sf_dir)
+    n = df.count()
+    assert n > 0
+    # The returned DataFrame survives the dropped view (it is a
+    # materialized local relation, not a lazy scan of the sink).
+    assert df.count() == n
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {t for t in after - before if t.startswith("q_stream")}
+
+
+class _SessionProxy:
+    """Wraps a real SparkSession but reports a chosen applicationId —
+    simulates the id(spark)-reuse hazard: two DIFFERENT sessions (new
+    applicationId) can occupy the same CPython object address."""
+
+    def __init__(self, spark, app_id: str):
+        object.__setattr__(self, "_spark", spark)
+        object.__setattr__(self, "_app_id", app_id)
+
+    @property
+    def sparkContext(self):
+        real = self._spark.sparkContext
+        return SimpleNamespace(applicationId=self._app_id, setLogLevel=real.setLogLevel)
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "_spark"), name)
+
+
+def test_replay_dir_cache_keys_on_application_id(spark, sf_dir):
+    """VERDICT r07 What's-wrong #2: a session swap (same object id,
+    different applicationId) must get a fresh replay dir, and the same
+    applicationId must reuse the cached one."""
+    from neo4j_database_to_data_importer_package_spark.registry.r7_operators import (
+        _DAY_STREAM_CACHE,
+        _day_ordered_events_stream,
+    )
+
+    a = _SessionProxy(spark, "app-A")
+    a2 = _SessionProxy(spark, "app-A")  # different proxy object, same app
+    b = _SessionProxy(spark, "app-B")  # "swapped" session
+
+    _day_ordered_events_stream(a, sf_dir)
+    dir_a = _DAY_STREAM_CACHE[("app-A", sf_dir)][0]
+    _day_ordered_events_stream(a2, sf_dir)
+    assert _DAY_STREAM_CACHE[("app-A", sf_dir)][0] == dir_a  # cache hit
+    _day_ordered_events_stream(b, sf_dir)
+    dir_b = _DAY_STREAM_CACHE[("app-B", sf_dir)][0]
+    assert dir_b != dir_a  # fresh replay dir for the new session
