@@ -549,11 +549,21 @@ def main(argv=None) -> None:
                     def run_base():
                         if bfn is None:
                             return
-                        t0 = time.perf_counter()
-                        in_baseline(lambda: bfn(spark, SF_DIR).count())
-                        dtb = time.perf_counter() - t0
+                        # Time ONLY the query inside the swap — the
+                        # module-swap overhead (two sys.modules sweeps)
+                        # was previously inside the perf_counter window,
+                        # a small systematic bias making HEAD look
+                        # faster on sub-second queries (ADVICE r07).
+                        dtb_box = [float("inf")]
+
+                        def _timed_base():
+                            t0 = time.perf_counter()
+                            bfn(spark, SF_DIR).count()
+                            dtb_box[0] = time.perf_counter() - t0
+
+                        in_baseline(_timed_base)
                         base_timings[name] = min(
-                            base_timings.get(name, float("inf")), dtb
+                            base_timings.get(name, float("inf")), dtb_box[0]
                         )
                         spark.catalog.clearCache()
 

@@ -59,11 +59,29 @@ def fan_out(
     # count-less repartition-by-column) is session-parallelism wide by
     # construction — fan_out exists for NARROW post-scan pipelines on
     # too-few input splits, so treat shuffled plans as already wide
-    # rather than paying a redundant exchange.
-    if re.search(
-        r"\b(Aggregate|Join|Window|Deduplicate|RepartitionByExpression)\b",
-        analyzed,
+    # rather than paying a redundant exchange. Matching is anchored to
+    # plan-NODE heads (the token after each line's tree prefix), not
+    # bare words, so a string literal or capitalized alias rendered
+    # inside an expression can't false-positive (ADVICE r07). And a
+    # broadcast-hinted join does NOT shuffle its streamed side — a
+    # narrow scan stays narrow through it — so joins only count as
+    # widening when they outnumber the plan's broadcast hints.
+    node_head = re.compile(r"^[\s:+|-]*([A-Za-z][A-Za-z0-9]*)")
+    heads = []
+    bcast_hints = 0
+    for line in analyzed.splitlines():
+        m = node_head.match(line)
+        if not m:
+            continue
+        heads.append(m.group(1))
+        if m.group(1) == "ResolvedHint" and "broadcast" in line.lower():
+            bcast_hints += 1
+    if any(
+        h in ("Aggregate", "Window", "Deduplicate", "RepartitionByExpression")
+        for h in heads
     ):
+        return df
+    if heads.count("Join") > bcast_hints:
         return df
     return df.repartition(target)
 

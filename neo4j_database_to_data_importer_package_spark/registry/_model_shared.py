@@ -10,6 +10,21 @@ from __future__ import annotations
 from ._core import TPCH_GRAPH_SPEC
 
 
+def assert_constraintless(view) -> None:
+    """``sample_surface_oracle``'s key column hardcodes the reference's
+    constraint-less fallback (key ⇔ field is the identifier column),
+    while the Spark side runs the real generator with
+    ``view.catalog.unique_constraints`` — if the fixture ever declares
+    unique constraints the two sides would silently diverge. Fail
+    loudly instead (ADVICE r07); a constrained fixture needs the oracle
+    parameterized with the declared constraint."""
+    assert not view.catalog.unique_constraints, (
+        "model-surface oracle assumes a constraint-less catalog, but the "
+        f"fixture declares: {view.catalog.unique_constraints!r} — "
+        "parameterize sample_surface_oracle's key column before gating"
+    )
+
+
 def node_manifest(view):
     """Deterministic-sample node manifest: per label, the min-identifier
     row rendered with the exporter's Python ``str()``. Per-label 1-row

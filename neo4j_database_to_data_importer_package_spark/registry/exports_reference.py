@@ -352,9 +352,10 @@ def model_v3_table_schemas(spark, sf_dir):
     both engines see the same sample (one shared construction for all
     three generator queries — ``registry/_model_shared.py``)."""
     from ..plans.models import generate_model_v3_0
-    from ._model_shared import node_manifest
+    from ._model_shared import assert_constraintless, node_manifest
 
     view = _view(spark, sf_dir)
+    assert_constraintless(view)
     model = generate_model_v3_0(node_manifest(view), view.catalog.unique_constraints)
     dm = model["dataModel"]
     nullable_by: dict[tuple[str, str], bool] = {}

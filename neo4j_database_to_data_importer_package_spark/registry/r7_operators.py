@@ -18,6 +18,7 @@ from ._core import (  # noqa: F401
     _view,
     register,
 )
+from ._model_shared import assert_constraintless as _assert_constraintless
 from ._model_shared import node_manifest as _node_manifest
 from ._model_shared import sample_surface_oracle
 
@@ -60,6 +61,7 @@ def model_v24_table_schemas(spark, sf_dir):
     from ..plans.models import generate_model_v2_4
 
     view = _view(spark, sf_dir)
+    _assert_constraintless(view)
     model = generate_model_v2_4(_node_manifest(view), view.catalog.unique_constraints)
     dm = model["dataModel"]
     schema = dm["graphSchemaRepresentation"]["graphSchema"]
@@ -134,6 +136,7 @@ def model_v01_file_schemas(spark, sf_dir):
     from ..plans.models import generate_model_v0_1
 
     view = _view(spark, sf_dir)
+    _assert_constraintless(view)
     counter = itertools.count()
     model = generate_model_v0_1(
         _node_manifest(view),

@@ -67,3 +67,27 @@ def test_fan_out_noop_on_shuffled_plan(spark):
     assert fan_out(agg) is agg
     joined = spark.range(100).join(spark.range(50), "id")
     assert fan_out(joined) is joined
+
+
+def test_fan_out_widens_through_broadcast_join(spark):
+    """ADVICE r07: a broadcast join does not shuffle its streamed side —
+    a narrow scan + broadcast-join + CPU-heavy pipeline must still be
+    widened, unlike a shuffle join."""
+    narrow = spark.range(0, 1000, 1, numPartitions=1)
+    dim = F.broadcast(spark.range(10).withColumnRenamed("id", "id2"))
+    joined = narrow.join(dim, narrow["id"] % 10 == dim["id2"])
+    widened = fan_out(joined)
+    assert widened is not joined
+    assert widened.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_fan_out_ignores_keyword_in_string_literal(spark):
+    """ADVICE r07: node matching is anchored to plan-node heads — a
+    'Join'/'Window' rendered inside an expression (string literal,
+    capitalized alias) must not make a narrow plan look wide."""
+    narrow = spark.range(0, 100, 1, numPartitions=1).select(
+        F.col("id"), F.lit("Join Window Aggregate").alias("JoinWindow")
+    )
+    widened = fan_out(narrow)
+    assert widened is not narrow
+    assert widened.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
