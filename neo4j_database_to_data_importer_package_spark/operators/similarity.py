@@ -178,6 +178,48 @@ def _hyperplanes(n_bits: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def _signature_blocks(
+    n: DataFrame, id_col: str, dim: int, n_bits: int, block_size: int
+) -> DataFrame:
+    """The (id, band q, block) banding table behind ``embedding_lsh_pairs``
+    (input is ``with_norm`` output carrying ``v``). Extracted so
+    occupancy probes (tools/lsh_occupancy_64x.py) measure EXACTLY the
+    production banding, not a reimplementation that could drift.
+
+    One transform over a literal plane matrix, not n_bits separate dot
+    expressions: identical semantics, but the plan carries a single
+    aggregate/zip_with node (fast analysis + codegen at 128 planes).
+    The (id, sig) table is localCheckpointed (~150 B/row) so the dot
+    products run once, not once per self-join branch."""
+    planes = _hyperplanes(n_bits, dim)
+    planes_arr = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    sig_expr = F.array_join(
+        F.transform(
+            planes_arr,
+            lambda p: F.when(_dot(p, F.col("v")) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            ),
+        ),
+        "",
+    )
+    sig = n.select(F.col(id_col), sig_expr.alias("sig")).localCheckpoint(
+        eager=False
+    )
+    n_blocks = n_bits // block_size
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(q).alias("q"),
+                    F.substring("sig", q * block_size + 1, block_size).alias("block"),
+                )
+                for q in range(n_blocks)
+            ])
+        ).alias("bq"),
+    ).select(id_col, F.col("bq.q").alias("q"), F.col("bq.block").alias("block"))
+
+
 def _occupancy_capped_blocks(
     blocks: DataFrame, max_bucket: int | None, op: str
 ) -> DataFrame:
@@ -267,37 +309,8 @@ def embedding_lsh_pairs(
     not once per self-join branch; the dots themselves are codegen
     ``zip_with``/``aggregate`` expressions.
     """
-    planes = _hyperplanes(n_bits, dim)
     n = with_norm(df, vec_col, id_col)
-    # One transform over a literal plane matrix, not n_bits separate dot
-    # expressions: identical semantics, but the plan carries a single
-    # aggregate/zip_with node (fast analysis + codegen at 128 planes).
-    planes_arr = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
-    sig_expr = F.array_join(
-        F.transform(
-            planes_arr,
-            lambda p: F.when(_dot(p, F.col("v")) >= 0, F.lit("1")).otherwise(
-                F.lit("0")
-            ),
-        ),
-        "",
-    )
-    sig = n.select(F.col(id_col), sig_expr.alias("sig")).localCheckpoint(
-        eager=False
-    )
-    n_blocks = n_bits // block_size
-    blocks = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(q).alias("q"),
-                    F.substring("sig", q * block_size + 1, block_size).alias("block"),
-                )
-                for q in range(n_blocks)
-            ])
-        ).alias("bq"),
-    ).select(id_col, F.col("bq.q").alias("q"), F.col("bq.block").alias("block"))
+    blocks = _signature_blocks(n, id_col, dim, n_bits, block_size)
     blocks = _occupancy_capped_blocks(blocks, max_bucket, "embedding_lsh_pairs")
     a, b = blocks.alias("a"), blocks.alias("b")
     cands = (

