@@ -130,6 +130,32 @@ def test_memory_sink_view_dropped_after_harness(spark, sf_dir):
     assert not {t for t in after - before if t.startswith("q_stream")}
 
 
+def test_silenced_stop_loggers_restores_levels(spark):
+    """The stop-window silencer must restore every logger's prior level
+    on exit — permanent silence would hide REAL state-store failures in
+    later queries."""
+    from neo4j_database_to_data_importer_package_spark.streaming.events import (
+        _STOP_SPEW_LOGGERS,
+        _silenced_stop_loggers,
+    )
+
+    jvm = spark.sparkContext._jvm
+    manager = jvm.org.apache.logging.log4j.LogManager
+    level_off = jvm.org.apache.logging.log4j.Level.OFF
+
+    def levels():
+        return {n: str(manager.getLogger(n).getLevel()) for n in _STOP_SPEW_LOGGERS}
+
+    before = levels()
+    assert all(lv != "OFF" for lv in before.values()), before
+    with _silenced_stop_loggers(spark):
+        inside = levels()
+        assert all(lv == "OFF" for lv in inside.values()), inside
+        assert str(level_off) == "OFF"
+    after = levels()
+    assert after == before
+
+
 class _SessionProxy:
     """Wraps a real SparkSession but reports a chosen applicationId —
     simulates the id(spark)-reuse hazard: two DIFFERENT sessions (new
