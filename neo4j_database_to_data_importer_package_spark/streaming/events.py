@@ -225,6 +225,10 @@ def streaming_dedup(
 # sub-second stop window by ``_silenced_stop_loggers``; everything else
 # keeps its level, so a real failure in the stream itself still logs.
 _STOP_SPEW_LOGGERS = (
+    # the logger actually observed emitting "Aborting commit for
+    # partition N" on interrupted micro-batches under Spark 4 (seen in
+    # the r08 baseline-tree bench runs of the old harness)
+    "org.apache.spark.sql.execution.datasources.v2.DataWritingSparkTask",
     "org.apache.spark.sql.execution.datasources.v2.WriteToDataSourceV2Exec",
     "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
     "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStore",
