@@ -130,6 +130,74 @@ def test_memory_sink_view_dropped_after_harness(spark, sf_dir):
     assert not {t for t in after - before if t.startswith("q_stream")}
 
 
+class _FakeQuery:
+    """Minimal StreamingQuery stand-in: scripted isTriggerActive
+    sequence, records when stop() arrives relative to the script."""
+
+    def __init__(self, trigger_script):
+        self._script = list(trigger_script)
+        self._pos = 0
+        self.stopped_at = None
+        self.active = True
+
+    @property
+    def isActive(self):
+        return self.active
+
+    @property
+    def status(self):
+        val = self._script[min(self._pos, len(self._script) - 1)]
+        self._pos += 1
+        return {"isTriggerActive": val, "isDataAvailable": False}
+
+    def stop(self):
+        self.stopped_at = self._pos
+        self.active = False
+
+
+def test_graceful_stop_waits_for_idle_trigger(spark):
+    """Pure-logic pin: stop() must not arrive while the scripted status
+    still reports an active trigger, and must arrive promptly once the
+    idle gap appears."""
+    from neo4j_database_to_data_importer_package_spark.streaming.events import (
+        graceful_stop,
+    )
+
+    q = _FakeQuery([True, True, True, False])
+    graceful_stop(q, spark, quiesce_sec=5.0, poll_sec=0.001)
+    assert q.stopped_at is not None
+    assert q.stopped_at >= 4  # the three active polls were consumed first
+
+
+def test_graceful_stop_caps_the_wait_when_no_gap_appears(spark):
+    """A query with no idle gaps (the availableNow starvation mode) must
+    still be stopped once quiesce_sec elapses — bounded, not hung."""
+    import time
+
+    from neo4j_database_to_data_importer_package_spark.streaming.events import (
+        graceful_stop,
+    )
+
+    q = _FakeQuery([True])  # permanently active
+    t0 = time.time()
+    graceful_stop(q, spark, quiesce_sec=0.2, poll_sec=0.01)
+    assert q.stopped_at is not None
+    assert time.time() - t0 < 3.0  # cap + settle, not a hang
+
+
+def test_graceful_stop_noop_on_inactive_query(spark):
+    """An already-terminated query must not be polled or re-stopped."""
+    from neo4j_database_to_data_importer_package_spark.streaming.events import (
+        graceful_stop,
+    )
+
+    q = _FakeQuery([False])
+    q.active = False
+    graceful_stop(q, spark, quiesce_sec=5.0)
+    assert q.stopped_at is None
+    assert q._pos == 0  # status never consulted
+
+
 def test_silenced_stop_loggers_restores_levels(spark):
     """The stop-window silencer must restore every logger's prior level
     on exit — permanent silence would hide REAL state-store failures in
