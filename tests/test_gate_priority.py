@@ -5,15 +5,14 @@ Round 3 lost a slot to an off-by-one (51 names before the rotation
 marker, so ``skewed_join_hot_suppliers`` fell outside the window —
 ADVICE r03). These tests pin the boundary and the rotation's intent.
 
-Round-8 rotation (VERDICT r07 directives #2/#3): the window is the
-oldest 42 of the 111-entry round-7 ``_NEXT_ROTATION`` ledger (verbatim
-order), the three round-7 ledger-tail additions (which deserve driver
-rows per directive #3), and 5 driver-green canaries — growing the
-cumulative driver-gated ledger 235 -> 280 with the remaining 66
-backlogged entries staying in ``_NEXT_ROTATION`` for round 9.
-Registry growth is frozen until the backlog clears (r07 directive #8);
-any query registered this round must append to the ledger per
-COVERAGE.md's rule.
+Round-9 rotation (VERDICT r08 directive #1): the window is the oldest
+45 of the 66-entry round-8 ``_NEXT_ROTATION`` ledger (verbatim order)
+and 5 driver-green canaries — growing the cumulative driver-gated
+ledger 280 -> 325 with the final 21 backlogged entries staying in
+``_NEXT_ROTATION`` for round 10, which closes the ledger. Registry
+growth is frozen until the backlog clears (r07 directive #8 / r08
+directive #1); any query registered this round must append to the
+ledger per COVERAGE.md's rule.
 """
 
 from __future__ import annotations
@@ -34,6 +33,7 @@ _CORRECTNESS_FILES = (
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
+    "CORRECTNESS_r08.json",
 )
 
 
@@ -101,76 +101,76 @@ def test_window_regates_all_prior_round_reds():
     assert not missing, f"prior-round red rows not re-gated: {sorted(missing)}"
 
 
-def test_window_is_the_oldest_42_of_the_r07_rotation_ledger():
-    """VERDICT r07 directive #2: rotate the never-driver-gated backlog
-    oldest-first. The round-7 ``_NEXT_ROTATION`` ledger (111 names,
-    committed in the r07 tree a59d44e — its 42-name prefix reproduced
-    here) must open this round's window, in order, before the round-7
-    additions and the canaries."""
-    r07_prefix = [
-        "lexical_diversity_by_source",
-        "doc_length_rank_test",
-        "events_top_paths",
-        "join_key_skew_profile",
-        "embedding_silhouette",
-        "embedding_davies_bouldin",
-        "retrieval_ndcg_eval",
-        "order_total_reconciliation",
-        "nation_revenue_hhi",
-        "streaming_silent_keys",
-        "events_gap_exponential_gof",
-        "embedding_jl_distortion",
-        "customer_k_anonymity",
-        "graph_neighbor_jaccard",
-        "doc_readability_by_source",
-        "embedding_fisher_dims",
-        "orders_changepoint_day",
-        "customer_l_diversity",
-        "bloom_filter_fp_audit",
-        "embedding_pair_cosine_histogram",
-        "orders_daily_backlog",
-        "nation_customer_median_ltv",
-        "supplier_delay_trend",
-        "brand_return_wilson",
-        "source_boilerplate_grams",
-        "orders_theil_sen_trend",
-        "customer_t_closeness",
-        "graph_adamic_adar",
-        "returnflag_qty_discount_spearman",
-        "retrieval_mrr_eval",
-        "posting_list_stats",
-        "events_mann_kendall",
-        "returnflag_qty_discount_kendall",
-        "embedding_hubness_histogram",
-        "term_burstiness",
-        "doc_heaps_law_fit",
-        "lineitem_correlation_matrix",
-        "part_brand_type_cramers_v",
-        "events_dominant_transition_scc",
-        "events_position_attribution",
-        "doc_length_levene",
-        "events_holt_forecast",
+def test_window_is_the_oldest_45_of_the_r08_rotation_ledger():
+    """VERDICT r08 directive #1: rotate the never-driver-gated backlog
+    oldest-first. The round-8 ``_NEXT_ROTATION`` ledger (66 names,
+    committed in the r08 tree 3711e6e — its 45-name prefix reproduced
+    here) must open this round's window, in order, before the
+    canaries."""
+    r08_prefix = [
+        "orders_weekday_index",
+        "corpus_filter_funnel",
+        "events_bot_score_histogram",
+        "events_out_of_order",
+        "customer_cohort_ltv",
+        "events_transition_reciprocity",
+        "multimodal_ahash_near_dup",
+        "customer_value_tier_migration",
+        "language_id_margin",
+        "events_dwell_by_transition",
+        "events_conversion_latency",
+        "part_revenue_abc",
+        "streaming_conversion_latency",
+        "quality_threshold_sweep",
+        "embedding_centrality_length_corr",
+        "bm25_tfidf_rank_agreement",
+        "nation_quarter_yoy",
+        "graph_type_mixing_matrix",
+        "customer_reorder_intervals",
+        "token_length_histogram",
+        "supplier_share_shift",
+        "events_session_bounce",
+        "ccnet_perplexity_buckets",
+        "dsir_importance_weights",
+        "graph_katz_centrality",
+        "orders_cumulative_distinct_customers",
+        "embedding_mmr_topk",
+        "events_ab_variant_lift",
+        "kneser_ney_bigram_score",
+        "graph_link_prediction_eval",
+        "customer_mahalanobis_outliers",
+        "corpus_token_budget_packing",
+        "corpus_bigram_entropy_rate",
+        "events_dispersion_index",
+        "graph_spectral_radius",
+        "multimodal_audio_energy_windows",
+        "part_recs_coverage_diversity",
+        "text_rake_keywords",
+        "customer_kaplan_meier",
+        "bm25_prf_expansion",
+        "lineitem_two_way_anova",
+        "events_daily_entropy_trend",
+        "streaming_dispersion_index",
+        "graph_effective_diameter",
+        "quality_margin_sample",
     ]
-    assert len(r07_prefix) == 42
-    assert entrymod._GATE_FIRST_50[:42] == r07_prefix
+    assert len(r08_prefix) == 45
+    assert entrymod._GATE_FIRST_50[:45] == r08_prefix
 
 
-def test_window_carries_the_three_r07_ledger_tail_additions():
-    """VERDICT r07 directive #3: the three round-7 deliverables must
-    face the driver this round, immediately after the backlog prefix."""
-    assert entrymod._GATE_FIRST_50[42:45] == [
-        "model_v24_table_schemas",
-        "model_v01_file_schemas",
-        "streaming_daily_rollup_evicted",
-    ]
+def test_backlog_closes_next_round():
+    """VERDICT r08 directive #1: after this rotation the backlog must be
+    exactly 21 entries, so the 50-slot round-10 window (21 + up to 5
+    canaries) clears the ledger with slots to spare."""
+    assert len(entrymod._NEXT_ROTATION) == 21
 
 
-def test_window_regates_a_run_stream_to_memory_query():
-    """The shared streaming stop path (``_graceful_stop``) changed this
-    round (VERDICT r07 directives #1/#6); a batch-registry streaming
-    query that goes through ``run_stream_to_memory`` must re-face the
-    driver alongside the eviction query."""
-    assert "streaming_tumbling_events" in entrymod._GATE_FIRST_50
+def test_window_regates_the_eviction_streaming_query():
+    """The eviction replay harness is re-tuned this round (VERDICT r08
+    directive #3 — fewer replay chunks, tighter trigger interval); the
+    query whose wall-clock and stop path that changes must re-face the
+    driver as the streaming canary."""
+    assert "streaming_daily_rollup_evicted" in entrymod._GATE_FIRST_50
 
 
 def test_window_keeps_canary_regression_signal():
