@@ -66,6 +66,17 @@ def fan_out(
     # broadcast-hinted join does NOT shuffle its streamed side — a
     # narrow scan stays narrow through it — so joins only count as
     # widening when they outnumber the plan's broadcast hints.
+    # Known limitation (ADVICE r08): only EXPLICIT hints are credited —
+    # the analyzed plan has a ResolvedHint node for F.broadcast()/.hint()
+    # but carries no marker for joins the optimizer will auto-broadcast
+    # via autoBroadcastJoinThreshold, so an auto-broadcast pipeline's
+    # narrow streamed side is conservatively treated as already wide and
+    # skips the beneficial repartition (a missed optimization, never a
+    # correctness issue — and the same behavior as before the r08 fix).
+    # Detecting it would require the OPTIMIZED plan's size-in-bytes
+    # stats; revisit if auto-broadcast pipelines show up under fan_out
+    # in practice (the engine's own dim joins all hint explicitly —
+    # frozen in tests/test_plan_audit.py's allow-list).
     node_head = re.compile(r"^[\s:+|-]*([A-Za-z][A-Za-z0-9]*)")
     heads = []
     bcast_hints = 0

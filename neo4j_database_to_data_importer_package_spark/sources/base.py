@@ -88,6 +88,11 @@ ConnectorReader = Callable[[SparkSession, dict], DataFrame]
 # is docs-knowledge-based; a live environment should run
 # `tools/live_neo4j_smoke.py` (without --dry-run) once before relying
 # on the pin.
+# Re-checked 2026-08-15 (round 9, VERDICT r08 directive #6): no change —
+# same 5.3-series line, same DataSource V2 format string, same option
+# keys; fixture `_connector_version` still matches `version` below, and
+# `tools/live_neo4j_smoke.py --dry-run` still passes against the pinned
+# option sets (asserted by tests/test_connector_wire_fixture.py).
 CONNECTOR_PIN = {
     "version": "neo4j-connector-apache-spark 5.3 series (Spark 3, DataSource V2)",
     "format": "org.neo4j.spark.DataSource",

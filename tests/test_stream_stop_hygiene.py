@@ -224,6 +224,75 @@ def test_silenced_stop_loggers_restores_levels(spark):
     assert after == before
 
 
+def test_silenced_stop_loggers_inheriting_logger_tracks_root_change(spark):
+    """VERDICT r08 directive #5: restoring the *effective* level would
+    pin an explicit LoggerConfig on loggers that previously only
+    inherited — a later root/ancestor level change would silently not
+    reach them. After a silencer cycle, an inheriting logger must (a)
+    have no explicit config of its own and (b) still track a change to
+    its ancestor's level."""
+    from neo4j_database_to_data_importer_package_spark.streaming.events import (
+        _STOP_SPEW_LOGGERS,
+        _silenced_stop_loggers,
+    )
+
+    jvm = spark.sparkContext._jvm
+    manager = jvm.org.apache.logging.log4j.LogManager
+    configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+    level = jvm.org.apache.logging.log4j.Level
+    config = manager.getContext(False).getConfiguration()
+
+    def ancestor_of(name):
+        owner = str(config.getLoggerConfig(name).getName())
+        return None if owner == name else owner
+
+    inheriting = [n for n in _STOP_SPEW_LOGGERS if ancestor_of(n) is not None]
+    assert inheriting, "no inheriting logger left to test — config drift"
+    name = inheriting[0]
+    anc = ancestor_of(name)
+
+    with _silenced_stop_loggers(spark):
+        assert ancestor_of(name) is None  # setLevel pinned an explicit config
+        assert str(manager.getLogger(name).getLevel()) == "OFF"
+    # (a) the explicit config is gone again
+    assert ancestor_of(name) == anc
+    # (b) an ancestor-level change still reaches the logger
+    anc_config = config.getLoggerConfig(name)
+    prev_anc_level = anc_config.getLevel()
+    try:
+        if anc == "":
+            configurator.setRootLevel(level.DEBUG)
+        else:
+            configurator.setLevel(anc, level.DEBUG)
+        assert str(manager.getLogger(name).getLevel()) == "DEBUG"
+    finally:
+        if anc == "":
+            configurator.setRootLevel(prev_anc_level)
+        else:
+            configurator.setLevel(anc, prev_anc_level)
+    assert str(manager.getLogger(name).getLevel()) == str(prev_anc_level)
+
+
+def test_silenced_stop_loggers_partial_enter_failure_restores(spark, monkeypatch):
+    """ADVICE r08: if __enter__ fails mid-loop (partial JVM/py4j
+    failure), loggers already switched OFF must be restored immediately
+    — not left permanently silenced for the session."""
+    from neo4j_database_to_data_importer_package_spark.streaming import events
+
+    jvm = spark.sparkContext._jvm
+    manager = jvm.org.apache.logging.log4j.LogManager
+    real = events._STOP_SPEW_LOGGERS[0]
+    before = str(manager.getLogger(real).getLevel())
+    assert before != "OFF"
+    # A non-string "logger name" makes the py4j call raise after the
+    # real logger has already been silenced.
+    monkeypatch.setattr(events, "_STOP_SPEW_LOGGERS", (real, 12345))
+    with events._silenced_stop_loggers(spark) as cm:
+        assert cm._api is None  # degraded to no-op
+        assert str(manager.getLogger(real).getLevel()) == before
+    assert str(manager.getLogger(real).getLevel()) == before
+
+
 class _SessionProxy:
     """Wraps a real SparkSession but reports a chosen applicationId —
     simulates the id(spark)-reuse hazard: two DIFFERENT sessions (new
