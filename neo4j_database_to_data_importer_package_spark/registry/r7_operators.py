@@ -187,14 +187,18 @@ def model_v01_file_schemas(spark, sf_dir):
 _DAY_STREAM_CACHE: dict[tuple[str, str], tuple[str, object, int]] = {}
 
 
-def _day_ordered_events_stream(spark, sf_dir, n_chunks=6):
+def _day_ordered_events_stream(spark, sf_dir, n_chunks=4):
     """Replay directory for the eviction query: events projected to
     (day, cents) and written as ``n_chunks`` single-file parquets with
     CONTIGUOUS, increasing day ranges and strictly increasing mtimes
     (the file source orders by modification time). Returns the stream
     plus the distinct-day count — the deterministic emission total the
     sink-polling harness stops on. The distinct-day collect is bounded
-    (30 rows at any sf — days, not events)."""
+    (30 rows at any sf — days, not events). ``n_chunks`` is harness
+    wall-clock, not semantics: each chunk costs one processing-time tick
+    (VERDICT r08 directive #3 trimmed 6 -> 4; still >1 so days span
+    micro-batches and the accumulate-then-evict path is exercised, and
+    the boundary-spanning-day case keeps its own unit test)."""
     import glob
     import os
     import shutil
@@ -266,10 +270,18 @@ def streaming_daily_rollup_evicted(spark, sf_dir):
 
     stream, n_days = _day_ordered_events_stream(spark, sf_dir)
     _R7_STREAM_SEQ[0] += 1
+    # Harness tuning (VERDICT r08 directive #3 — the wall here was
+    # sleeps, not data): 4 state partitions keep per-batch fixed cost
+    # (state-store commits + Python workers) well under the trigger
+    # interval locally — size it like any shuffle on a cluster — and the
+    # quiesce cap is 2 s because the sink already holds the committed
+    # target rows when the stop begins (see run_stream_until_count:
+    # the quiesce is log hygiene, not correctness).
     got = run_stream_until_count(
         op(stream),
         f"q_stream_evicted_{_R7_STREAM_SEQ[0]}",
         target_rows=n_days,
-        state_partitions=8,
+        state_partitions=4,
+        quiesce_sec=2.0,
     )
     return got.select("day", "n_events", "sum_value")
