@@ -67,8 +67,9 @@ def fan_out(
     # narrow scan stays narrow through it — so joins only count as
     # widening when they outnumber the plan's broadcast hints.
     # Known limitation (ADVICE r08): only EXPLICIT hints are credited —
-    # the analyzed plan has a ResolvedHint node for F.broadcast()/.hint()
-    # but carries no marker for joins the optimizer will auto-broadcast
+    # the analyzed plan has a ResolvedHint node for explicitly hinted
+    # broadcasts but carries no marker for joins the optimizer will
+    # auto-broadcast
     # via autoBroadcastJoinThreshold, so an auto-broadcast pipeline's
     # narrow streamed side is conservatively treated as already wide and
     # skips the beneficial repartition (a missed optimization, never a
