@@ -635,18 +635,24 @@ def main(argv=None) -> None:
     # Durable per-query detail (VERDICT r04 missing #3): the driver's
     # tail-capture window truncates the detailed stdout line, so the
     # round-over-round regression comparison needs a committed file.
-    # Each round's copy is committed as BENCH_local_rNN.json.
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_local_latest.json"),
-    )
-    try:
-        with open(out_path, "w") as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError:
-        pass  # read-only checkout: stdout still carries the summary
+    # Each round's copy is committed as BENCH_local_rNN.json. A
+    # --queries diagnostic subset does NOT overwrite the default file —
+    # a single-query profiling run once clobbered the round artifact
+    # minutes after the full run built it (round 9); subsets only write
+    # when SPARK_GRAFT_BENCH_OUT names an explicit destination.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path is None and not args.queries:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_local_latest.json",
+        )
+    if out_path is not None:
+        try:
+            with open(out_path, "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError:
+            pass  # read-only checkout: stdout still carries the summary
     # The detailed line above can exceed the driver's tail-capture window
     # (round 2's 83-query line lost its head and parsed as null) — the
     # LAST line is a short, always-parseable summary.
