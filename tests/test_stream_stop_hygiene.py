@@ -185,6 +185,35 @@ def test_graceful_stop_caps_the_wait_when_no_gap_appears(spark):
     assert time.time() - t0 < 3.0  # cap + settle, not a hang
 
 
+def test_graceful_stop_settles_adaptively(spark, monkeypatch):
+    """The post-stop settle must be short (0.25s) after a boundary stop
+    — nothing was killed — and long (1s) when the capped quiesce lost
+    the race and stopped mid-batch, because killed tasks' async abort
+    logging was observed to outlast 0.25s on a loaded box (round 9)."""
+    import time
+
+    from neo4j_database_to_data_importer_package_spark.streaming.events import (
+        graceful_stop,
+    )
+
+    sleeps = []
+    real_sleep = time.sleep
+    monkeypatch.setattr(
+        time, "sleep", lambda s: (sleeps.append(s), real_sleep(min(s, 0.01)))
+    )
+
+    q = _FakeQuery([True, False])  # gap appears -> boundary stop
+    graceful_stop(q, spark, quiesce_sec=5.0, poll_sec=0.001)
+    assert q.stopped_at is not None
+    assert sleeps[-1] == 0.25, sleeps[-3:]
+
+    sleeps.clear()
+    q = _FakeQuery([True])  # permanently active -> capped quiesce
+    graceful_stop(q, spark, quiesce_sec=0.05, poll_sec=0.001)
+    assert q.stopped_at is not None
+    assert sleeps[-1] == 1.0, sleeps[-3:]
+
+
 def test_graceful_stop_noop_on_inactive_query(spark):
     """An already-terminated query must not be polled or re-stopped."""
     from neo4j_database_to_data_importer_package_spark.streaming.events import (
