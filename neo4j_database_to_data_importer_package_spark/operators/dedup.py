@@ -15,6 +15,13 @@ Scale design notes (100 TB):
   candidates come from banded signature equality (equi-join on
   (band, signature) — a plain shuffle join), and only candidates pay
   the verification cost.
+- the banded self-joins (MinHash bands, SimHash blocks) carry the same
+  discipline as the shingle index: a bucket-occupancy cap
+  (``_occupancy_capped_buckets``, default 8192, logged drops) bounds
+  the worst bucket's pair fan-out at max_bucket² — one giant exact-dup
+  cluster or a collapsed signature otherwise turns the equi-join into
+  an all-pairs join in LSH costume (the round-6 embedding trap, same
+  fix as ``similarity._occupancy_capped_blocks``).
 - all hashing is md5 (engine-portable, deterministic) — no seed state,
   no Python in the hot path.
 """
@@ -237,6 +244,57 @@ def _signatures_from_doc_shingles(
     ).select(F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.signature").alias("signature"))
 
 
+def _occupancy_capped_buckets(
+    table: DataFrame, key_cols: tuple[str, ...], max_bucket: int | None, op: str
+) -> DataFrame:
+    """Drop LSH buckets whose occupancy exceeds ``max_bucket`` from a
+    banding table, LOGGING the drop count — the same "no silent caps"
+    rule as ``_df_capped_index`` and
+    ``similarity._occupancy_capped_blocks`` (the embedding twin of this
+    helper).
+
+    The candidate self-join's cost is Σ occ(bucket)² across buckets, so
+    one degenerate bucket — a boilerplate-dominated corpus collapsing a
+    MinHash band, or near-constant documents collapsing a SimHash block
+    — is catastrophic at scale; with the cap, per-bucket pair fan-out is
+    bounded by max_bucket². Dropping a hot bucket costs recall only in
+    that band/block (the other bands still catch its members), and an
+    over-occupied bucket pairs everything with everything — it carries
+    almost no discriminating signal.
+
+    Cost discipline: the screen is ONE eager job — the per-bucket
+    counts filtered to >max_bucket, localCheckpointed (tiny by
+    construction: only hot keys survive the filter). In the common case
+    the checkpoint is EMPTY and the table returns unchanged, so the
+    self-join plan carries no anti-join; only a genuinely hot corpus
+    pays the anti-join (AQE broadcasts the hot table into both self-join
+    sides). Callers should cache/checkpoint the banding table's
+    expensive ancestry so the screen's scan is cheap — that scan is the
+    linear pass that buys the quadratic bound.
+    """
+    if max_bucket is None:
+        return table
+    keys = list(key_cols)
+    hot = (
+        table.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") > max_bucket)
+        .select(*keys)
+        .localCheckpoint(eager=True)
+    )
+    n_hot = hot.count()  # metadata-cheap: counts the materialized checkpoint
+    if not n_hot:
+        return table
+    logger.warning(
+        "%s: dropping %d LSH buckets with occupancy > %d (bounds the "
+        "candidate self-join at max_bucket^2 per bucket; recall loss "
+        "is confined to the dropped band — widen the signature if "
+        "this fires on a healthy corpus)",
+        op, n_hot, max_bucket,
+    )
+    return table.join(hot, keys, "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -245,6 +303,7 @@ def minhash_lsh_pairs(
     band_size: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = 8192,
 ) -> DataFrame:
     """Near-dup pairs via LSH candidates + exact Jaccard verification.
 
@@ -260,11 +319,33 @@ def minhash_lsh_pairs(
     hydration joins. MEMORY_ONLY persist of the (small, one-row-per-doc)
     array table skips the disk-spill write path; an evicted partition
     just recomputes its narrow lineage.
+
+    ``max_bucket`` is defense in depth for the band self-join
+    (``_occupancy_capped_buckets``): a giant exact-dup cluster — the
+    normal shape of web boilerplate — puts its whole membership in ONE
+    (band, signature) bucket in EVERY band, and m members mean m²/2
+    candidate pairs from each. The default (8192, matching the
+    embedding path) never fires on a healthy corpus (measured max
+    occupancy 4 at sf0.1, organic-probe evidence in SCALING.md) and
+    bounds the worst bucket at ~3×10⁷ pairs; exact-dup mass should be
+    removed by ``exact_dedup`` BEFORE near-dup LSH anyway, which is the
+    pipeline-order contract this cap backstops. Set None to disable.
     """
     ds = doc_shingles(df, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_ONLY
     )
     sig = _signatures_from_doc_shingles(ds, id_col, num_hashes, band_size)
+    if max_bucket is not None:
+        # The occupancy pass adds a third consumer of the signature
+        # projection (the two self-join aliases already re-ran its
+        # num_hashes md5 array-transforms once EACH over the cached
+        # shingles) — checkpoint the narrow (id, band, signature) table
+        # so the transforms run exactly once, the same fix that took
+        # the embedding LSH self-join from 16.5 s to 5.5 s in round 7.
+        sig = sig.localCheckpoint(eager=True)
+        sig = _occupancy_capped_buckets(
+            sig, ("band", "signature"), max_bucket, "minhash_lsh_pairs"
+        )
     a, b = sig.alias("a"), sig.alias("b")
     cands = (
         a.join(
@@ -330,6 +411,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 6,
+    max_bucket: int | None = 8192,
 ) -> DataFrame:
     """Pairs within a Hamming radius of SimHash signatures.
 
@@ -344,6 +426,14 @@ def simhash_pairs(
     flagged it). One row per doc, so the cache is corpus-linear and
     MEMORY_ONLY: an evicted partition recomputes narrow lineage, same
     policy as ``minhash_lsh_pairs``.
+
+    ``max_bucket`` caps degenerate (q, block) buckets exactly as the
+    MinHash band join does (``_occupancy_capped_buckets``): a
+    near-constant corpus collapses SimHash blocks, and one collapsed
+    16-bit block puts the whole corpus in one bucket. Dropping a hot
+    bucket weakens the pigeonhole guarantee only for pairs whose sole
+    agreeing block was the dropped one; the default never fires on a
+    healthy corpus. Set None to disable.
     """
     sig = simhash_signatures(df, text_col, id_col).persist(
         StorageLevel.MEMORY_ONLY
@@ -357,6 +447,9 @@ def simhash_pairs(
         F.col("simhash"),
         F.col("q"),
         F.expr("substring(simhash, q*16 + 1, 16)").alias("block"),
+    )
+    blocks = _occupancy_capped_buckets(
+        blocks, ("q", "block"), max_bucket, "simhash_pairs"
     )
     a, b = blocks.alias("a"), blocks.alias("b")
     cands = (

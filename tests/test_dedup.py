@@ -286,3 +286,66 @@ def test_df_cap_equals_stopword_removed_brute_force(spark, boiler_corpus):
             if cont_r >= 0.2:
                 expect.append((a, b, cont_r, jacc_r))
     assert capped == sorted(expect)
+
+
+@pytest.fixture(scope="module")
+def dup_cluster_corpus(spark):
+    """A 20-member exact-dup cluster (every band bucket holds all 20)
+    plus one ordinary near-dup pair — the web-boilerplate shape that
+    turns an uncapped band self-join quadratic."""
+    rows = [(i, FAR) for i in range(20)]
+    rows += [(100, BASE), (101, BASE)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_bucket_cap_drops_degenerate_cluster(spark, dup_cluster_corpus, caplog):
+    """The band self-join must carry the same no-silent-caps discipline
+    as the shingle index: a bucket over max_bucket is dropped WITH a
+    logged count, killing only that cluster's pairs; buckets under the
+    cap are untouched (round-9 — the text twin of the embedding path's
+    ``_occupancy_capped_blocks``)."""
+    import logging
+
+    # Default cap (8192) never fires on this corpus: all pairs present.
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(dup_cluster_corpus, threshold=0.5).collect()
+    }
+    assert (100, 101) in full
+    assert sum(1 for a, b in full if a < 20 and b < 20) == 20 * 19 // 2
+
+    with caplog.at_level(
+        logging.WARNING,
+        logger="neo4j_database_to_data_importer_package_spark.operators.dedup",
+    ):
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                dup_cluster_corpus, threshold=0.5, max_bucket=10
+            ).collect()
+        }
+    # The 20-cluster occupies every one of its band buckets at 20 > 10:
+    # all its pairs vanish; the 2-member bucket (occupancy 2) survives.
+    assert capped == {(100, 101)}
+    assert any("dropping" in r.message and "minhash_lsh_pairs" in r.message
+               for r in caplog.records)
+
+
+def test_simhash_bucket_cap_drops_degenerate_cluster(spark, dup_cluster_corpus):
+    """Same discipline on the SimHash block join: identical docs share
+    all four (q, block) buckets, so a cap below the cluster size kills
+    exactly the cluster's pairs."""
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(dup_cluster_corpus, max_hamming=6).collect()
+    }
+    assert (100, 101) in full
+    assert sum(1 for a, b in full if a < 20 and b < 20) == 20 * 19 // 2
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(
+            dup_cluster_corpus, max_hamming=6, max_bucket=10
+        ).collect()
+    }
+    assert capped == {(100, 101)}
