@@ -406,6 +406,23 @@ def simhash_signatures(
     )
 
 
+def _simhash_blocks(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash, q, block): the four 16-bit signature quarters the
+    blocked self-join keys on. Extracted so occupancy probes run the
+    PRODUCTION banding (the same no-drift rule as
+    ``similarity._signature_blocks``)."""
+    return sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("q"),
+    ).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("q"),
+        F.expr("substring(simhash, q*16 + 1, 16)").alias("block"),
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -438,18 +455,8 @@ def simhash_pairs(
     sig = simhash_signatures(df, text_col, id_col).persist(
         StorageLevel.MEMORY_ONLY
     )
-    blocks = sig.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("q"),
-    ).select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.col("q"),
-        F.expr("substring(simhash, q*16 + 1, 16)").alias("block"),
-    )
     blocks = _occupancy_capped_buckets(
-        blocks, ("q", "block"), max_bucket, "simhash_pairs"
+        _simhash_blocks(sig, id_col), ("q", "block"), max_bucket, "simhash_pairs"
     )
     a, b = blocks.alias("a"), blocks.alias("b")
     cands = (
