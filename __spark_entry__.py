@@ -25,91 +25,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate evaluates the FIRST 50 entries of this
-# dict (rounds 1-8 each produced rows for exactly list(queries())[:50],
-# bit-identical key sets — see COVERAGE.md for the evidence). Round-9
-# rotation (VERDICT r08 directive #1 — keep burning down the
-# never-driver-gated backlog, oldest first): the oldest 45 entries of
-# the round-8 `_NEXT_ROTATION` ledger (verbatim order), then 5
-# family-spanning driver-green canaries (reference-parity flagship,
-# TPC-H decimal-exact, iterative graph, streaming, multimodal). The
-# streaming canary is `streaming_daily_rollup_evicted` because its
-# replay harness is re-tuned this round (VERDICT r08 directive #3 —
-# fewer replay chunks + tighter trigger interval) and the query must
-# re-face the driver after that change. Every entry, regardless of
-# position, is oracle-verified locally at sf0.01 by tools/local_gate.py
-# and at sf0.001 by tests/test_oracle_parity.py.
+# dict (rounds 1-9 each produced rows for exactly list(queries())[:50],
+# bit-identical key sets — see COVERAGE.md for the evidence). Round-10
+# rotation (VERDICT r09 directive #1 — close the ledger): the final 21
+# entries of the round-9 `_NEXT_ROTATION` ledger (verbatim order) —
+# after which the cumulative driver-green union covers all 346
+# registered queries — then the 29 family-spanning driver-green
+# canaries named in COVERAGE.md's r10 close-out plan. Two canary swaps
+# per that plan's own rule ("swap individual names only for queries
+# whose shared code paths change in round 10"): the SimHash block
+# geometry is parameterized this round (VERDICT r09 directive #2), so
+# `dedup_simhash_signatures` and `dedup_simhash_pairs` must re-face the
+# driver; they replace `dedup_exact` and `ann_recall_at_k`, whose
+# families remain covered (dedup by the MinHash+SimHash canaries,
+# embeddings by `embedding_lsh_pairs` + `embedding_near_dup_clusters`,
+# which also exercise the similarity cache-eviction change, directive
+# #5). Every entry, regardless of position, is oracle-verified locally
+# at sf0.01 by tools/local_gate.py and at sf0.001 by
+# tests/test_oracle_parity.py.
 _GATE_FIRST_50 = [
-    # the oldest 45 of the 66-entry round-8 backlog
-    # (r08 _NEXT_ROTATION prefix, verbatim order)
-    "orders_weekday_index",
-    "corpus_filter_funnel",
-    "events_bot_score_histogram",
-    "events_out_of_order",
-    "customer_cohort_ltv",
-    "events_transition_reciprocity",
-    "multimodal_ahash_near_dup",
-    "customer_value_tier_migration",
-    "language_id_margin",
-    "events_dwell_by_transition",
-    "events_conversion_latency",
-    "part_revenue_abc",
-    "streaming_conversion_latency",
-    "quality_threshold_sweep",
-    "embedding_centrality_length_corr",
-    "bm25_tfidf_rank_agreement",
-    "nation_quarter_yoy",
-    "graph_type_mixing_matrix",
-    "customer_reorder_intervals",
-    "token_length_histogram",
-    "supplier_share_shift",
-    "events_session_bounce",
-    "ccnet_perplexity_buckets",
-    "dsir_importance_weights",
-    "graph_katz_centrality",
-    "orders_cumulative_distinct_customers",
-    "embedding_mmr_topk",
-    "events_ab_variant_lift",
-    "kneser_ney_bigram_score",
-    "graph_link_prediction_eval",
-    "customer_mahalanobis_outliers",
-    "corpus_token_budget_packing",
-    "corpus_bigram_entropy_rate",
-    "events_dispersion_index",
-    "graph_spectral_radius",
-    "multimodal_audio_energy_windows",
-    "part_recs_coverage_diversity",
-    "text_rake_keywords",
-    "customer_kaplan_meier",
-    "bm25_prf_expansion",
-    "lineitem_two_way_anova",
-    "events_daily_entropy_trend",
-    "streaming_dispersion_index",
-    "graph_effective_diameter",
-    "quality_margin_sample",
-    # 5 canaries: reference-parity flagship, TPC-H decimal-exact,
-    # iterative graph, streaming (the eviction replay harness is
-    # re-tuned this round — VERDICT r08 directive #3), multimodal
-    "rel_export_order_contains_part",
-    "q1_pricing_summary",
-    "graph_pagerank",
-    "streaming_daily_rollup_evicted",
-    "multimodal_features",
-]
-# Length AND uniqueness (ADVICE r07: a duplicate name would silently
-# shrink the effective driver gate below 50 unique queries — the
-# round-3 lost-slot failure class).
-assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)
-assert len(set(_GATE_FIRST_50)) == 50, "duplicate gate window entry"
-_GATE_PRIORITY = _GATE_FIRST_50
-
-# Queries never yet driver-gated: the final 21 round-6 additions
-# (oldest first — round 10 rotates them through the 50-slot window and
-# closes the ledger, regaining 50−21−5 = 24 registration slots; registry
-# growth stays frozen per VERDICT r06 directive #1 / r07 directive #8 /
-# r08 directive #1 until then — the r10 close-out plan is written in
-# COVERAGE.md). All are verified by the local sf0.01 gate replica and
-# tests/test_oracle_parity.py (rotation ledger: COVERAGE.md).
-_NEXT_ROTATION: list[str] = [
+    # the final 21 entries of the round-9 backlog
+    # (r09 _NEXT_ROTATION, verbatim order — ledger closes here)
     "events_cuped_lift",
     "events_markov_stationary",
     "source_rollup_ivm_check",
@@ -131,7 +67,57 @@ _NEXT_ROTATION: list[str] = [
     "source_burrows_delta",
     "orders_hill_tail_index",
     "graph_percolation_robustness",
+    # 29 canaries (COVERAGE.md r10 close-out plan):
+    # reference-parity surface (10)
+    "node_export_customer",
+    "rel_export_order_contains_part",
+    "schema_union",
+    "identifier_detection",
+    "type_inference_samples",
+    "pattern_discovery",
+    "uniqueness_profile_customer",
+    "model_v3_table_schemas",
+    "model_v24_table_schemas",
+    "model_v01_file_schemas",
+    # TPC-H decimal/join/anti shapes (3)
+    "q1_pricing_summary",
+    "q7_nation_volume_shipping",
+    "q21_sole_late_supplier",
+    # LLM-pipeline families (16; SimHash pair swapped in — the block
+    # geometry is re-parameterized this round and must re-face the
+    # driver)
+    "dedup_simhash_signatures",
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh_pairs",
+    "part_name_linkage",
+    "embedding_lsh_pairs",
+    "embedding_near_dup_clusters",
+    "text_token_stats",
+    "asof_latest_high_value",
+    "bpe_apply_merge_stats",
+    "hybrid_rrf_retrieval",
+    "domain_mixture_weights",
+    "multimodal_features",
+    "streaming_tumbling_events",
+    "streaming_daily_rollup_evicted",
+    "graph_pagerank",
+    "graph_adamic_adar",
 ]
+# Length AND uniqueness (ADVICE r07: a duplicate name would silently
+# shrink the effective driver gate below 50 unique queries — the
+# round-3 lost-slot failure class).
+assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)
+assert len(set(_GATE_FIRST_50)) == 50, "duplicate gate window entry"
+_GATE_PRIORITY = _GATE_FIRST_50
+
+# The never-driver-gated backlog is EMPTY: round 10's window rotates
+# the final 21 round-6 additions through the driver, closing the
+# cumulative ledger at 346/346 — every registered query driver-proven.
+# The registry is declared complete at 346 (COVERAGE.md r10 close-out
+# plan); any future registration must be ledgered here AND fit the
+# standing budget rule (registrations per round ≤ 50 − backlog burned −
+# mandatory canaries), so the backlog can never compound again.
+_NEXT_ROTATION: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

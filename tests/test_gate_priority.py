@@ -5,14 +5,13 @@ Round 3 lost a slot to an off-by-one (51 names before the rotation
 marker, so ``skewed_join_hot_suppliers`` fell outside the window —
 ADVICE r03). These tests pin the boundary and the rotation's intent.
 
-Round-9 rotation (VERDICT r08 directive #1): the window is the oldest
-45 of the 66-entry round-8 ``_NEXT_ROTATION`` ledger (verbatim order)
-and 5 driver-green canaries — growing the cumulative driver-gated
-ledger 280 -> 325 with the final 21 backlogged entries staying in
-``_NEXT_ROTATION`` for round 10, which closes the ledger. Registry
-growth is frozen until the backlog clears (r07 directive #8 / r08
-directive #1); any query registered this round must append to the
-ledger per COVERAGE.md's rule.
+Round-10 rotation (VERDICT r09 directive #1): the window is the final
+21 entries of the round-9 ``_NEXT_ROTATION`` ledger (verbatim order)
+and the 29 family-spanning driver-green canaries from COVERAGE.md's
+r10 close-out plan — closing the cumulative driver-gated ledger at
+346/346, every registered query driver-proven. The registry is
+declared complete at 346; any future registration must be ledgered in
+``_NEXT_ROTATION`` and fit the standing budget rule.
 """
 
 from __future__ import annotations
@@ -34,6 +33,7 @@ _CORRECTNESS_FILES = (
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
     "CORRECTNESS_r08.json",
+    "CORRECTNESS_r09.json",
 )
 
 
@@ -101,76 +101,57 @@ def test_window_regates_all_prior_round_reds():
     assert not missing, f"prior-round red rows not re-gated: {sorted(missing)}"
 
 
-def test_window_is_the_oldest_45_of_the_r08_rotation_ledger():
-    """VERDICT r08 directive #1: rotate the never-driver-gated backlog
-    oldest-first. The round-8 ``_NEXT_ROTATION`` ledger (66 names,
-    committed in the r08 tree 3711e6e — its 45-name prefix reproduced
-    here) must open this round's window, in order, before the
-    canaries."""
-    r08_prefix = [
-        "orders_weekday_index",
-        "corpus_filter_funnel",
-        "events_bot_score_histogram",
-        "events_out_of_order",
-        "customer_cohort_ltv",
-        "events_transition_reciprocity",
-        "multimodal_ahash_near_dup",
-        "customer_value_tier_migration",
-        "language_id_margin",
-        "events_dwell_by_transition",
-        "events_conversion_latency",
-        "part_revenue_abc",
-        "streaming_conversion_latency",
-        "quality_threshold_sweep",
-        "embedding_centrality_length_corr",
-        "bm25_tfidf_rank_agreement",
-        "nation_quarter_yoy",
-        "graph_type_mixing_matrix",
-        "customer_reorder_intervals",
-        "token_length_histogram",
-        "supplier_share_shift",
-        "events_session_bounce",
-        "ccnet_perplexity_buckets",
-        "dsir_importance_weights",
-        "graph_katz_centrality",
-        "orders_cumulative_distinct_customers",
-        "embedding_mmr_topk",
-        "events_ab_variant_lift",
-        "kneser_ney_bigram_score",
-        "graph_link_prediction_eval",
-        "customer_mahalanobis_outliers",
-        "corpus_token_budget_packing",
-        "corpus_bigram_entropy_rate",
-        "events_dispersion_index",
-        "graph_spectral_radius",
-        "multimodal_audio_energy_windows",
-        "part_recs_coverage_diversity",
-        "text_rake_keywords",
-        "customer_kaplan_meier",
-        "bm25_prf_expansion",
-        "lineitem_two_way_anova",
-        "events_daily_entropy_trend",
-        "streaming_dispersion_index",
-        "graph_effective_diameter",
-        "quality_margin_sample",
+def test_window_is_the_full_r09_rotation_ledger():
+    """VERDICT r09 directive #1: the final 21 never-driver-gated
+    entries (the round-9 ``_NEXT_ROTATION`` ledger, committed in the
+    r09 tree cea835f — reproduced here verbatim) must open this
+    round's window, in order, before the canaries. This rotation
+    closes the ledger: cumulative driver-gated union = 346/346."""
+    r09_ledger = [
+        "events_cuped_lift",
+        "events_markov_stationary",
+        "source_rollup_ivm_check",
+        "embedding_ood_histogram",
+        "graph_node2vec_weights",
+        "dedup_cluster_representatives",
+        "text_chargram_lang_confusion",
+        "events_funnel_ab_significance",
+        "supplier_dual_sourcing_overlap",
+        "orders_seasonal_naive_backtest",
+        "embedding_triplet_margin",
+        "events_lead_lag_correlation",
+        "dedup_rate_projection",
+        "streaming_value_quantiles",
+        "embedding_binary_recall",
+        "orders_gini_by_year",
+        "events_gap_burstiness",
+        "events_circular_hour_stats",
+        "source_burrows_delta",
+        "orders_hill_tail_index",
+        "graph_percolation_robustness",
     ]
-    assert len(r08_prefix) == 45
-    assert entrymod._GATE_FIRST_50[:45] == r08_prefix
+    assert len(r09_ledger) == 21
+    assert entrymod._GATE_FIRST_50[:21] == r09_ledger
 
 
-def test_backlog_closes_next_round():
-    """VERDICT r08 directive #1: after this rotation the backlog must be
-    exactly 21 entries, so the 50-slot round-10 window (21 + up to 5
-    canaries) clears the ledger with slots to spare."""
-    assert len(entrymod._NEXT_ROTATION) == 21
+def test_ledger_is_closed():
+    """VERDICT r09 directive #1: this rotation clears the backlog — the
+    union of all prior driver CORRECTNESS keys plus this window must be
+    the ENTIRE registry, and ``_NEXT_ROTATION`` must be empty (registry
+    declared complete at 346 per COVERAGE.md's close-out plan)."""
+    assert entrymod._NEXT_ROTATION == []
+    gated = set(entrymod._GATE_FIRST_50)
+    for r in _CORRECTNESS_FILES:
+        gated |= set(_load(r))
+    assert gated >= set(registry.QUERIES), sorted(set(registry.QUERIES) - gated)
 
 
-def test_window_regates_the_eviction_streaming_query():
-    """The eviction replay harness is re-tuned this round (VERDICT r08
-    directive #3 — fewer replay chunks, tighter trigger interval); the
-    query whose wall-clock and stop path that changes must re-face the
-    driver as the streaming canary."""
-    assert "streaming_daily_rollup_evicted" in entrymod._GATE_FIRST_50
+def test_window_regates_the_simhash_queries():
+    """The SimHash block geometry is parameterized this round (VERDICT
+    r09 directive #2 — wider signatures, corpus-sized blocks, Hamming
+    verify); both queries on that code path must re-face the driver."""
+    assert "dedup_simhash_signatures" in entrymod._GATE_FIRST_50
+    assert "dedup_simhash_pairs" in entrymod._GATE_FIRST_50
 
 
 def test_window_keeps_canary_regression_signal():
