@@ -22,6 +22,11 @@ Scale design notes (100 TB):
   cluster or a collapsed signature otherwise turns the equi-join into
   an all-pairs join in LSH costume (the round-6 embedding trap, same
   fix as ``similarity._occupancy_capped_blocks``).
+- SimHash block geometry is corpus-sized (round 10): 128-bit signatures
+  with ``derive_simhash_block_bits`` widening the block as the corpus
+  grows so hot-block occupancy stays near a target instead of linear —
+  the r09 probe proved fixed 16-bit blocks quadratic in candidates; the
+  occupancy cap is now the backstop, not the design.
 - all hashing is md5 (engine-portable, deterministic) — no seed state,
   no Python in the hot path.
 """
@@ -393,15 +398,19 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 128
 ) -> DataFrame:
-    """SimHash: 64-bit signature as a bitstring, term-frequency weighted.
+    """SimHash: ``bits``-wide signature as a bitstring, term-frequency
+    weighted. Default 128 bits — the full md5 width (round 10, VERDICT
+    r09 directive #2: the 64-bit default left too little entropy for
+    corpus-sized blocking; see ``derive_simhash_block_bits``).
 
     Per (token-instance, bit): bit b of md5(token) is extracted from hex
     nibble b//4 (pure SQL arithmetic, engine-portable); signature bit b =
     1 iff Σ_tokens freq·(2·bit−1) > 0. All codegen — the explode produces
     |tokens|·bits rows which partial-aggregate map-side.
     """
+    assert 1 <= bits <= 128, "md5 supplies at most 128 bits"
     tok = fan_out(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
     )
@@ -429,20 +438,72 @@ def simhash_signatures(
     )
 
 
-def _simhash_blocks(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash, q, block): the four 16-bit signature quarters the
-    blocked self-join keys on. Extracted so occupancy probes run the
+def derive_simhash_block_bits(
+    n_docs: int,
+    bits: int = 128,
+    target_occupancy: int = 64,
+    entropy_per_bit: float = 0.25,
+    min_block_bits: int = 16,
+    min_blocks: int = 4,
+) -> int:
+    """Corpus-sized SimHash block width (round 10, VERDICT r09 directive
+    #2): choose block_bits so the hottest (q, block) bucket stays near
+    ``target_occupancy`` instead of growing linearly with the corpus —
+    ``2^(block_bits · entropy_per_bit) ≳ n_docs / target_occupancy``.
+
+    ``entropy_per_bit`` is measured, not assumed: organic SimHash bits
+    are correlated across documents (shared-token mass drives the bit
+    sums), so a nominal block carries far less than 1 bit of entropy per
+    bit. The round-10 width sweep over half-spliced organic corpora
+    (5k/20k/80k docs × widths 16–32, SCALING.md "SimHash block geometry")
+    measured the hottest-bucket occupancy as the binding constraint: it
+    stays FLAT along the diagonal ``block_bits ≈ 16 + 4·log2(n/5000)``
+    — i.e. ~4 nominal bits absorb one doubling of the corpus, hence the
+    0.25 default. (Mean occupancy needs only ~0.65 effective bits/bit;
+    sizing for the mean is what let the r09 16-bit geometry's max grow
+    291→4238 across 16×.)
+
+    Floors/caps: ``min_block_bits`` (16 — below that the block space is
+    too small to matter and every historical oracle scale lands here,
+    keeping the driver-gated plans deterministic) and ``bits //
+    min_blocks`` (default 4 blocks → the pigeonhole guarantee never
+    degrades below Hamming ≤ 3 exact, the same guarantee the r09 fixed
+    geometry had). Width saturates at n ≈ target·2^(entropy·bits/4)
+    (≈16k docs at the defaults); past it the hottest bucket resumes
+    linear growth from a ~20× lower base, pushing the organic
+    cap-fire horizon from the r09 ~160k docs to ~3M, with the logged
+    ``max_bucket`` drop as the backstop beyond. For larger corpora,
+    relax ``min_blocks`` (wider blocks, weaker pigeonhole) or raise
+    ``target_occupancy`` — the trade is explicit, not hard-coded.
+    """
+    import math
+
+    cap = max(min_block_bits, bits // max(min_blocks, 1))
+    if n_docs <= target_occupancy:
+        return min(min_block_bits, cap)
+    needed = math.log2(n_docs / target_occupancy) / entropy_per_bit
+    return int(max(min_block_bits, min(math.ceil(needed), cap)))
+
+
+def _simhash_blocks(
+    sig: DataFrame, id_col: str = "doc_id", bits: int = 128, block_bits: int = 16
+) -> DataFrame:
+    """(id, simhash, q, block): the ``bits // block_bits`` signature
+    slices of ``block_bits`` bits each that the blocked self-join keys
+    on (tail bits past ``n_blocks·block_bits`` stay unblocked but still
+    count in the Hamming verify). Extracted so occupancy probes run the
     PRODUCTION banding (the same no-drift rule as
     ``similarity._signature_blocks``)."""
+    n_blocks = max(2, bits // block_bits)
     return sig.select(
         F.col(id_col),
         F.col("simhash"),
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("q"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("q"),
     ).select(
         F.col(id_col),
         F.col("simhash"),
         F.col("q"),
-        F.expr("substring(simhash, q*16 + 1, 16)").alias("block"),
+        F.expr(f"substring(simhash, q*{block_bits} + 1, {block_bits})").alias("block"),
     )
 
 
@@ -450,18 +511,37 @@ def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 6,
+    max_hamming: int | None = None,
     max_bucket: int | None = 8192,
+    bits: int = 128,
+    block_bits: int | None = None,
+    target_occupancy: int = 64,
 ) -> DataFrame:
     """Pairs within a Hamming radius of SimHash signatures.
 
-    Blocked by signature quarters (a pair within distance d shares at
-    least one of 4 blocks exactly when d ≤ 3·block-mismatch bound — the
-    standard pigeonhole trick), so the self-join is an equi-join on
-    (block_idx, block) rather than a cross join.
+    Blocked by ``block_bits``-wide signature slices (pigeonhole: a pair
+    within Hamming distance d shares at least one of n_blocks slices
+    EXACTLY when d ≤ n_blocks − 1; beyond that radius candidates are
+    caught with high probability, not certainty — the same best-effort
+    band the r09 fixed 4×16 geometry had for d in 4..6), so the
+    self-join is an equi-join on (block_idx, block) rather than a cross
+    join, and every candidate is verified by exact Hamming distance over
+    all ``bits`` positions.
+
+    ``block_bits=None`` (default) derives the width from the corpus via
+    ``derive_simhash_block_bits`` — ``2^block_bits ≳ n/target_occupancy``
+    in measured-entropy terms — so block occupancy stays near
+    ``target_occupancy`` as the corpus grows instead of linearly
+    (VERDICT r09 directive #2; the derivation costs one count() on the
+    already-persisted one-row-per-doc signature table, which also
+    materializes the cache the self-join needs anyway). The derivation
+    is a pure function of the document count, so the driver-gated
+    oracle plans stay deterministic. ``max_hamming=None`` derives the
+    radius as ``3·bits/32`` — 12 at the 128-bit default, preserving the
+    64-bit design's angular threshold (6/64) under the wider signature.
 
     The signature table is persisted before the self-join: without it
-    BOTH join sides re-run the whole |tokens|·64-row signature
+    BOTH join sides re-run the whole |tokens|·bits-row signature
     aggregation (measured 2× the query's cost at sf0.1 — the r04 bench
     flagged it). One row per doc, so the cache is corpus-linear and
     MEMORY_ONLY: an evicted partition recomputes narrow lineage, same
@@ -470,16 +550,34 @@ def simhash_pairs(
     ``max_bucket`` caps degenerate (q, block) buckets exactly as the
     MinHash band join does (``_occupancy_capped_buckets``): a
     near-constant corpus collapses SimHash blocks, and one collapsed
-    16-bit block puts the whole corpus in one bucket. Dropping a hot
-    bucket weakens the pigeonhole guarantee only for pairs whose sole
-    agreeing block was the dropped one; the default never fires on a
-    healthy corpus. Set None to disable.
+    block puts the whole corpus in one bucket. Dropping a hot bucket
+    weakens the pigeonhole guarantee only for pairs whose sole agreeing
+    block was the dropped one; with the corpus-sized width the default
+    cap never fires on a healthy corpus (r10 probe: hottest bucket ~500
+    at 80k docs and FLAT across 16×). Set None to disable.
     """
-    sig = simhash_signatures(df, text_col, id_col).persist(
+    if max_hamming is None:
+        max_hamming = 3 * bits // 32
+    sig = simhash_signatures(df, text_col, id_col, bits).persist(
         StorageLevel.MEMORY_ONLY
     )
+    if block_bits is None:
+        # One linear job over the cached one-row-per-doc table; the
+        # count both sizes the geometry and materializes the persist.
+        n_docs = sig.count()
+        block_bits = derive_simhash_block_bits(
+            n_docs, bits, target_occupancy=target_occupancy
+        )
+        logger.info(
+            "simhash_pairs: derived block_bits=%d (n_docs=%d, bits=%d, "
+            "target_occupancy=%d)",
+            block_bits, n_docs, bits, target_occupancy,
+        )
     blocks = _occupancy_capped_buckets(
-        _simhash_blocks(sig, id_col), ("q", "block"), max_bucket, "simhash_pairs"
+        _simhash_blocks(sig, id_col, bits, block_bits),
+        ("q", "block"),
+        max_bucket,
+        "simhash_pairs",
     )
     a, b = blocks.alias("a"), blocks.alias("b")
     cands = (
@@ -499,7 +597,8 @@ def simhash_pairs(
     )
     # Hamming distance between bitstrings: count differing positions.
     ham = F.expr(
-        "size(filter(sequence(1, 64), i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
+        f"size(filter(sequence(1, {bits}), "
+        "i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
     )
     return cands.select(
         "id_a", "id_b", ham.alias("hamming")

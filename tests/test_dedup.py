@@ -68,19 +68,59 @@ def test_minhash_lsh_subset_of_exact(spark, corpus):
 
 def test_simhash_properties(spark, corpus):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(corpus).collect()}
-    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in sigs.values())
+    assert all(len(s) == 128 and set(s) <= {"0", "1"} for s in sigs.values())
     assert sigs[0] == sigs[1]  # identical text → identical signature
     ham02 = sum(a != b for a, b in zip(sigs[0], sigs[2]))
     ham03 = sum(a != b for a, b in zip(sigs[0], sigs[3]))
     assert ham02 < ham03  # near-dup closer than unrelated
+    # the 64-bit signature is the 128-bit signature's prefix (same
+    # md5-nibble bit extraction, fewer positions)
+    sigs64 = {r["doc_id"]: r["simhash"] for r in simhash_signatures(corpus, bits=64).collect()}
+    assert all(sigs[d][:64] == s for d, s in sigs64.items())
 
 
 def test_simhash_pairs_hamming(spark, corpus):
-    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(corpus, max_hamming=10).collect()}
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(corpus, max_hamming=20).collect()}
     assert pairs.get((0, 1)) == 0
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(corpus).collect()}
     for (a, b), h in pairs.items():
         assert h == sum(x != y for x, y in zip(sigs[a], sigs[b]))
+
+
+def test_simhash_block_bits_derivation():
+    """Corpus-sized geometry (VERDICT r09 #2): floor at 16 bits for all
+    oracle scales (determinism of the driver-gated plan), widening ~4
+    bits per corpus doubling past the floor, capped so the pigeonhole
+    guarantee never drops below 4 blocks."""
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        derive_simhash_block_bits,
+    )
+
+    # oracle scales: sf0.001 and sf0.01 both carry 500 docs → the floor
+    assert derive_simhash_block_bits(500) == 16
+    assert derive_simhash_block_bits(50) == 16
+    assert derive_simhash_block_bits(0) == 16
+    # monotone non-decreasing in corpus size
+    widths = [derive_simhash_block_bits(n) for n in (500, 5_000, 20_000, 80_000, 10**7)]
+    assert widths == sorted(widths)
+    # ~4 nominal bits per doubling past the floor (entropy 0.25)
+    assert derive_simhash_block_bits(5_000) == 26
+    assert derive_simhash_block_bits(80_000) == 32  # saturates at bits//4
+    # the cap: never fewer than min_blocks blocks
+    assert derive_simhash_block_bits(10**10) == 32
+    assert derive_simhash_block_bits(10**10, min_blocks=2) == 64
+
+
+def test_simhash_pairs_explicit_geometry_matches_derived(spark, corpus):
+    """At 5 docs the derivation lands on the 16-bit floor; passing the
+    same geometry explicitly must produce the identical pair set."""
+    derived = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(corpus).collect()}
+    explicit = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(corpus, block_bits=16, max_hamming=12).collect()
+    }
+    assert derived == explicit
+    assert (0, 1) in derived  # exact dup at hamming 0 always survives
 
 
 def test_duplicate_span_stats(spark):
@@ -333,7 +373,7 @@ def test_minhash_bucket_cap_drops_degenerate_cluster(spark, dup_cluster_corpus, 
 
 def test_simhash_bucket_cap_drops_degenerate_cluster(spark, dup_cluster_corpus):
     """Same discipline on the SimHash block join: identical docs share
-    all four (q, block) buckets, so a cap below the cluster size kills
+    every (q, block) bucket, so a cap below the cluster size kills
     exactly the cluster's pairs."""
     full = {
         (r["id_a"], r["id_b"])

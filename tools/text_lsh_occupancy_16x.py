@@ -1,13 +1,24 @@
 #!/usr/bin/env python
 """16x bucket-occupancy probe for the text LSH dedup paths
-(round 9; SCALING.md "text banding occupancy" section).
+(round 9; SCALING.md "text banding occupancy" section; round 10 adds
+the corpus-derived SimHash geometry rows — VERDICT r09 directive #2).
 
 Round 9 added ``dedup._occupancy_capped_buckets`` to the MinHash band
-self-join and the SimHash block self-join. This probe answers the same
-question the round-8 embedding probe (`tools/lsh_occupancy_64x.py`)
-answered for hyperplane LSH: how does ORGANIC bucket occupancy scale
-with corpus size, where does the default cap sit relative to it, and
-does the drop path work on real (non-planted) data?
+self-join and the SimHash block self-join, and this probe proved the
+then-fixed 16-bit SimHash blocks quadratic (occupancy linear in corpus
+size at constant selectivity). Round 10 parameterized the geometry:
+128-bit signatures with ``derive_simhash_block_bits`` widening the
+block as the corpus grows. The probe now reports BOTH geometries per
+scale — the 16-bit floor (the r09 linear-growth evidence, kept for
+comparison) and the derived production geometry, whose hottest-bucket
+occupancy must stay FLAT across 16× (the same evidence standard the
+MinHash band met in round 9).
+
+This probe answers the same question the round-8 embedding probe
+(`tools/lsh_occupancy_64x.py`) answered for hyperplane LSH: how does
+ORGANIC bucket occupancy scale with corpus size, where does the
+default cap sit relative to it, and does the drop path work on real
+(non-planted) data?
 
 The 16x corpus is built by half-splicing: copy k of doc i is the first
 token-half of doc i joined to the second token-half of doc (i+k) mod n.
@@ -113,6 +124,7 @@ def main() -> int:
         StorageLevel,
         _occupancy_capped_buckets,
         _simhash_blocks,
+        derive_simhash_block_bits,
         minhash_signatures,
         simhash_signatures,
     )
@@ -143,8 +155,17 @@ def main() -> int:
 
             t0 = time.time()
             sig = simhash_signatures(docs).persist(StorageLevel.MEMORY_ONLY)
-            blocks = _simhash_blocks(sig)
-            sst = occupancy_stats(blocks, ("q", "block"), 8192)
+            sig.count()
+            # r09 evidence geometry: the 16-bit floor (occupancy grows
+            # linearly with the corpus — the finding that drove the
+            # round-10 parameterization)
+            blocks16 = _simhash_blocks(sig, bits=128, block_bits=16)
+            sst = occupancy_stats(blocks16, ("q", "block"), 8192)
+            # r10 production geometry: corpus-derived width (what
+            # simhash_pairs actually runs at this scale)
+            w = derive_simhash_block_bits(n)
+            blocks_d = _simhash_blocks(sig, bits=128, block_bits=w)
+            dst = occupancy_stats(blocks_d, ("q", "block"), 8192)
             sh_wall = time.time() - t0
 
             print(
@@ -153,27 +174,32 @@ def main() -> int:
                 f"p99={mst['p99']:.1f} mean={mst['mean']:.2f} "
                 f"cand_pairs={int(mst['cand_pairs'])} over_cap={mst['over_cap']} "
                 f"[{mh_wall:.1f}s]\n"
-                f"  simhash blocks: buckets={sst['buckets']} max={sst['mx']} "
+                f"  simhash w=16  : buckets={sst['buckets']} max={sst['mx']} "
                 f"p99={sst['p99']:.1f} mean={sst['mean']:.2f} "
                 f"cand_pairs={int(sst['cand_pairs'])} "
                 f"(selectivity {int(sst['cand_pairs']) / all_pairs:.2e}) "
-                f"over_cap={sst['over_cap']} [{sh_wall:.1f}s]"
+                f"over_cap={sst['over_cap']}\n"
+                f"  simhash w={w:>2}  : buckets={dst['buckets']} max={dst['mx']} "
+                f"p99={dst['p99']:.1f} mean={dst['mean']:.2f} "
+                f"cand_pairs={int(dst['cand_pairs'])} "
+                f"(selectivity {int(dst['cand_pairs']) / all_pairs:.2e}) "
+                f"over_cap={dst['over_cap']} [DERIVED] [{sh_wall:.1f}s]"
             )
 
             if copies == COPIES:
                 # Exercise the drop path organically: cap below the
-                # measured SimHash max, production code path.
-                small_cap = max(64, int(sst["mx"]) // 4)
+                # measured max of the DERIVED geometry, production path.
+                small_cap = max(16, int(dst["mx"]) // 4)
                 capped = _occupancy_capped_buckets(
-                    blocks, ("q", "block"), small_cap, "probe_simhash"
+                    blocks_d, ("q", "block"), small_cap, "probe_simhash"
                 )
                 cst = occupancy_stats(capped, ("q", "block"), small_cap)
                 assert int(cst["mx"]) <= small_cap, (cst["mx"], small_cap)
-                assert int(cst["cand_pairs"]) < int(sst["cand_pairs"])
+                assert int(cst["cand_pairs"]) < int(dst["cand_pairs"])
                 print(
                     f"  simhash capped@{small_cap}: max={cst['mx']} "
                     f"cand_pairs={int(cst['cand_pairs'])} "
-                    f"({int(sst['cand_pairs']) - int(cst['cand_pairs'])} pairs "
+                    f"({int(dst['cand_pairs']) - int(cst['cand_pairs'])} pairs "
                     f"removed by the logged drop — cap path LIVE on organic data)"
                 )
             sig.unpersist()
