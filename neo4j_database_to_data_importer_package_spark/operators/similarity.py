@@ -239,7 +239,12 @@ def _occupancy_capped_blocks(
     The hot-bucket table is materialized once (eager localCheckpoint —
     it holds only the >max_bucket (q, block) keys, tiny by
     construction), counted for the log line, and anti-joined out (AQE
-    broadcasts it).
+    broadcasts it). Used immediately and never cached across calls, so
+    the checkpoint-block lifetime concern that moved the dedup twin to
+    collected tuples (ADVICE r09) does not apply here. The drop count
+    feeds the shared queryable metric
+    ``dedup.dropped_bucket_counts[(applicationId, op)]`` (ADVICE r09:
+    pipelines assert on recall loss instead of scraping logs).
     """
     if max_bucket is None:
         return blocks
@@ -258,6 +263,14 @@ def _occupancy_capped_blocks(
             "fires on a healthy corpus)",
             op, n_hot, max_bucket,
         )
+    from .dedup import dropped_bucket_counts
+
+    app_id = blocks.sparkSession.sparkContext.applicationId
+    for stale in [k for k in dropped_bucket_counts if k[0] != app_id]:
+        del dropped_bucket_counts[stale]
+    dropped_bucket_counts[(app_id, op)] = (
+        dropped_bucket_counts.get((app_id, op), 0) + n_hot
+    )
     return blocks.join(hot, ["q", "block"], "left_anti")
 
 

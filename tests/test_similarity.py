@@ -126,6 +126,12 @@ def test_embedding_lsh_bucket_occupancy_cap(spark, caplog):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        dropped_bucket_counts,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    before = dropped_bucket_counts.get((app_id, "embedding_lsh_pairs"), 0)
     with caplog.at_level(logging.WARNING):
         capped = embedding_lsh_pairs(df, threshold=0.9, max_bucket=10).collect()
     assert capped == [], "hot buckets must be dropped, not joined"
@@ -133,6 +139,8 @@ def test_embedding_lsh_bucket_occupancy_cap(spark, caplog):
         "dropping" in r.message and "occupancy > 10" in r.message
         for r in caplog.records
     ), "cap must log its drops (no silent caps)"
+    # ADVICE r09: the drop count is queryable, not just logged
+    assert dropped_bucket_counts[(app_id, "embedding_lsh_pairs")] > before
 
     caplog.clear()
     with caplog.at_level(logging.WARNING):
