@@ -185,22 +185,38 @@ def test_graceful_stop_caps_the_wait_when_no_gap_appears(spark):
     assert time.time() - t0 < 3.0  # cap + settle, not a hang
 
 
+def _record_sleeps(monkeypatch):
+    """Monkeypatch time.sleep to record durations from the CALLING thread
+    only. Spark/py4j daemon threads left by earlier tests also call
+    time.sleep — a background 1.0s sleep was observed landing in the
+    record AFTER the 0.25s settle under the full suite, flipping the
+    last-duration assertion."""
+    import threading
+    import time
+
+    sleeps = []
+    caller = threading.get_ident()
+    real_sleep = time.sleep
+
+    def fake(s):
+        if threading.get_ident() == caller:
+            sleeps.append(s)
+        real_sleep(min(s, 0.01))
+
+    monkeypatch.setattr(time, "sleep", fake)
+    return sleeps
+
+
 def test_graceful_stop_settles_adaptively(spark, monkeypatch):
     """The post-stop settle must be short (0.25s) after a boundary stop
     — nothing was killed — and long (1s) when the capped quiesce lost
     the race and stopped mid-batch, because killed tasks' async abort
     logging was observed to outlast 0.25s on a loaded box (round 9)."""
-    import time
-
     from neo4j_database_to_data_importer_package_spark.streaming.events import (
         graceful_stop,
     )
 
-    sleeps = []
-    real_sleep = time.sleep
-    monkeypatch.setattr(
-        time, "sleep", lambda s: (sleeps.append(s), real_sleep(min(s, 0.01)))
-    )
+    sleeps = _record_sleeps(monkeypatch)
 
     q = _FakeQuery([True, False])  # gap appears -> boundary stop
     graceful_stop(q, spark, quiesce_sec=5.0, poll_sec=0.001)
@@ -247,17 +263,11 @@ def test_graceful_stop_natural_termination_is_boundary(spark, monkeypatch):
     killed nothing: graceful_stop must report a boundary stop (True) and
     pay only the short 0.25s settle, not the 1s mid-batch-kill drain
     (ADVICE r09)."""
-    import time
-
     from neo4j_database_to_data_importer_package_spark.streaming.events import (
         graceful_stop,
     )
 
-    sleeps = []
-    real_sleep = time.sleep
-    monkeypatch.setattr(
-        time, "sleep", lambda s: (sleeps.append(s), real_sleep(min(s, 0.01)))
-    )
+    sleeps = _record_sleeps(monkeypatch)
 
     q = _SelfTerminatingQuery(die_after=3)
     assert graceful_stop(q, spark, quiesce_sec=5.0, poll_sec=0.001) is True
