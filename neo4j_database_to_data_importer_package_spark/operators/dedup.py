@@ -296,9 +296,15 @@ def _occupancy_capped_buckets(
     non-reliable blocks die with an executor, so a later reuse of a
     cached DataFrame could fail the query instead of re-screening —
     the literal tuples rebuild the anti-join side from the driver on
-    every use (AQE broadcasts it). The per-(session, op) drop count is
-    queryable via ``dropped_bucket_counts`` so pipelines can assert on
-    recall loss instead of scraping logs.
+    every use (AQE broadcasts it). The collect itself is guarded: past
+    ``_MAX_HOT_KEYS`` hot keys (a pathologically small cap on a huge
+    corpus) the cached verdict is an overflow marker and the anti-join
+    runs distributed instead of via driver-held tuples, so no cap value
+    can turn the screen into a driver-OOM vector. The per-(session, op)
+    drop count is queryable via ``dropped_bucket_counts`` so pipelines
+    can assert on recall loss instead of scraping logs; it accumulates
+    once per distinct screen per op (idempotent across memoized re-runs
+    of the same consumer).
     """
     if max_bucket is None:
         return table
@@ -310,48 +316,101 @@ def _occupancy_capped_buckets(
         tuple(keys),
         max_bucket,
     )
-    if cache_key not in _HOT_BUCKET_CACHE:
-        for stale in [k for k in _HOT_BUCKET_CACHE if k[0] != app_id]:
-            del _HOT_BUCKET_CACHE[stale]
-        for stale in [k for k in dropped_bucket_counts if k[0] != app_id]:
-            del dropped_bucket_counts[stale]
-        hot_rows = (
-            table.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__occ"))
-            .filter(F.col("__occ") > max_bucket)
-            .select(*keys)
-            .collect()  # bounded: ≤ n_rows/max_bucket hot keys survive
-        )
-        if hot_rows:
-            logger.warning(
-                "%s: dropping %d LSH buckets with occupancy > %d (bounds "
-                "the candidate self-join at max_bucket^2 per bucket; "
-                "recall loss is confined to the dropped band — widen the "
-                "signature if this fires on a healthy corpus)",
-                op, len(hot_rows), max_bucket,
-            )
-        _HOT_BUCKET_CACHE[cache_key] = (
-            tuple(tuple(r) for r in hot_rows) if hot_rows else None
-        )
-    hot = _HOT_BUCKET_CACHE[cache_key]
-    dropped_bucket_counts[(app_id, op)] = (
-        dropped_bucket_counts.get((app_id, op), 0) + (len(hot) if hot else 0)
+    hot_agg = (
+        table.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") > max_bucket)
+        .select(*keys)
     )
+    if cache_key not in _HOT_BUCKET_CACHE:
+        _evict_dead_sessions(app_id)
+        # In the expected regime ≤ n_rows/max_bucket keys survive the
+        # filter — tiny. But a pathologically small cap on a huge corpus
+        # makes "hot keys" driver-scale (e.g. max_bucket=16 on 10B rows
+        # → up to 625M keys), so the collect is bounded: past
+        # _MAX_HOT_KEYS the screen records an overflow verdict and the
+        # anti-join stays DISTRIBUTED (the agg subplan joins in-cluster,
+        # recomputed per use, never pulled to the driver).
+        hot_rows = hot_agg.limit(_MAX_HOT_KEYS + 1).collect()
+        if len(hot_rows) > _MAX_HOT_KEYS:
+            n_hot = hot_agg.count()
+            logger.warning(
+                "%s: %d LSH buckets exceed occupancy %d — too many to "
+                "cache on the driver (> %d); dropping them via a "
+                "distributed anti-join instead. A cap this far below "
+                "the corpus's bucket occupancy usually means the "
+                "banding geometry is wrong for this corpus.",
+                op, n_hot, max_bucket, _MAX_HOT_KEYS,
+            )
+            _HOT_BUCKET_CACHE[cache_key] = ("__overflow__", n_hot)
+        else:
+            if hot_rows:
+                logger.warning(
+                    "%s: dropping %d LSH buckets with occupancy > %d "
+                    "(bounds the candidate self-join at max_bucket^2 per "
+                    "bucket; recall loss is confined to the dropped band "
+                    "— widen the signature if this fires on a healthy "
+                    "corpus)",
+                    op, len(hot_rows), max_bucket,
+                )
+            _HOT_BUCKET_CACHE[cache_key] = (
+                tuple(tuple(r) for r in hot_rows) if hot_rows else None
+            )
+    hot = _HOT_BUCKET_CACHE[cache_key]
+    # Attribute the drop count once per (screen, op): a consumer re-run
+    # hitting the memoized screen must not re-add (the metric would
+    # drift from the once-per-screen WARN log and break exact-count
+    # assertions), while a second OP sharing the same screen records its
+    # own recall loss.
+    rec_key = (cache_key, op)
+    if rec_key not in _DROP_RECORDED:
+        _DROP_RECORDED.add(rec_key)
+        if isinstance(hot, tuple) and hot and hot[0] == "__overflow__":
+            n_dropped = hot[1]
+        else:
+            n_dropped = len(hot) if hot else 0
+        dropped_bucket_counts[(app_id, op)] = (
+            dropped_bucket_counts.get((app_id, op), 0) + n_dropped
+        )
     if hot is None:
         return table
+    if isinstance(hot, tuple) and hot and hot[0] == "__overflow__":
+        return table.join(hot_agg, keys, "left_anti")
     hot_df = table.sparkSession.createDataFrame(
         list(hot), table.select(*keys).schema
     )
     return table.join(hot_df, keys, "left_anti")
 
 
-_HOT_BUCKET_CACHE: dict[tuple, tuple[tuple, ...] | None] = {}
+_HOT_BUCKET_CACHE: dict[tuple, tuple | None] = {}
+
+# Driver-side ceiling on cached hot-key tuples; past it the screen
+# verdict is ("__overflow__", exact_count) and the anti-join runs
+# distributed (see _occupancy_capped_buckets).
+_MAX_HOT_KEYS = 65536
 
 # Queryable drop metric (ADVICE r09): (applicationId, op) → cumulative
 # count of LSH buckets the occupancy screen dropped in this session.
 # Pipelines assert on this instead of scraping WARN logs; evicted with
-# the screen cache when a new session inserts.
+# the screen cache when a new session inserts. _DROP_RECORDED keeps the
+# accumulation once-per-(screen, op) — idempotent across memoized
+# re-runs of the same consumer.
 dropped_bucket_counts: dict[tuple[str, str], int] = {}
+_DROP_RECORDED: set[tuple] = set()
+
+
+def _evict_dead_sessions(app_id: str) -> None:
+    """Prune screen-cache entries, drop metrics, and drop-record keys
+    whose applicationId is not the live session's (VERDICT r09
+    directive #5) — shared by this module and
+    ``similarity._occupancy_capped_blocks`` so the lifecycle rule lives
+    in one place."""
+    for stale in [k for k in _HOT_BUCKET_CACHE if k[0] != app_id]:
+        del _HOT_BUCKET_CACHE[stale]
+    for stale in [k for k in dropped_bucket_counts if k[0] != app_id]:
+        del dropped_bucket_counts[stale]
+    for stale in [k for k in _DROP_RECORDED if k[0][0] != app_id]:
+        _DROP_RECORDED.discard(stale)
 
 
 def minhash_lsh_pairs(
@@ -510,9 +569,13 @@ def derive_simhash_block_bits(
     """
     import math
 
-    cap = max(min_block_bits, bits // max(min_blocks, 1))
+    # min_blocks < 2 would allow a single-block geometry, which
+    # _simhash_blocks rejects (one block = no pigeonhole, and the forced
+    # second slice would be empty/truncated) — clamp rather than let a
+    # derived width fail downstream.
+    cap = max(min_block_bits, bits // max(min_blocks, 2))
     if n_docs <= target_occupancy:
-        return min(min_block_bits, cap)
+        return min_block_bits  # cap >= min_block_bits by construction
     needed = math.log2(n_docs / target_occupancy) / entropy_per_bit
     return int(max(min_block_bits, min(math.ceil(needed), cap)))
 
@@ -525,8 +588,18 @@ def _simhash_blocks(
     on (tail bits past ``n_blocks·block_bits`` stay unblocked but still
     count in the Hamming verify). Extracted so occupancy probes run the
     PRODUCTION banding (the same no-drift rule as
-    ``similarity._signature_blocks``)."""
-    n_blocks = max(2, bits // block_bits)
+    ``similarity._signature_blocks``). Rejects geometries with fewer
+    than two full blocks: one block is no pigeonhole at all, and the
+    previous ``max(2, ...)`` fallback manufactured an empty or
+    truncated out-of-range second slice — every doc sharing the ('' ,
+    q=1) bucket is exactly the all-pairs degenerate join this module
+    exists to prevent."""
+    if block_bits < 1 or block_bits * 2 > bits:
+        raise ValueError(
+            f"block_bits={block_bits} must allow >= 2 full blocks of a "
+            f"{bits}-bit signature (1 <= block_bits <= {bits // 2})"
+        )
+    n_blocks = bits // block_bits
     return sig.select(
         F.col(id_col),
         F.col("simhash"),

@@ -263,11 +263,10 @@ def _occupancy_capped_blocks(
             "fires on a healthy corpus)",
             op, n_hot, max_bucket,
         )
-    from .dedup import dropped_bucket_counts
+    from .dedup import _evict_dead_sessions, dropped_bucket_counts
 
     app_id = blocks.sparkSession.sparkContext.applicationId
-    for stale in [k for k in dropped_bucket_counts if k[0] != app_id]:
-        del dropped_bucket_counts[stale]
+    _evict_dead_sessions(app_id)
     dropped_bucket_counts[(app_id, op)] = (
         dropped_bucket_counts.get((app_id, op), 0) + n_hot
     )

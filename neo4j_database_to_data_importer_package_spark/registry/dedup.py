@@ -136,12 +136,11 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 
 # Round 10 (VERDICT r09 directive #2): the SimHash surface re-oracled
 # at the widened defaults — 128-bit signatures (the full md5 width) and
-# corpus-derived block geometry. At the oracle scales (500 docs at both
-# sf0.01 and sf0.001) `derive_simhash_block_bits` lands on the 16-bit
-# floor deterministically (the formula needs only 12 nominal bits at
-# n=500), so the oracle replicates 8 blocks x 16 bits; the derived
-# Hamming radius is 3*128/32 = 12, the same angular threshold the old
-# 6-of-64 default expressed.
+# corpus-derived block geometry. The pairs oracle derives the SAME
+# geometry in SQL (see its `geom` CTE), so parity holds at any fixture
+# size, not just the 500-doc gate scales where both sides land on the
+# 16-bit floor (8 blocks); the derived Hamming radius is 3*128/32 = 12,
+# the same angular threshold the old 6-of-64 default expressed.
 @register(
     "dedup_simhash_signatures",
     f"""WITH tok AS (SELECT doc_id, md5(unnest({_TOKS_DUCK})) AS hx FROM documents),
@@ -172,9 +171,18 @@ def dedup_simhash_pairs(spark, sf_dir):
 QUERIES["dedup_simhash_pairs"] = dedup_simhash_pairs
 # Pigeonhole-blocked Hamming pairs are deterministic → full SQL oracle:
 # signatures CTE (same as dedup_simhash_signatures), blocked equi-join
-# on the derived geometry (16-bit floor → 8 blocks at the 500-doc
-# oracle scales), then exact Hamming distance over all 128 positions at
-# the derived radius 12.
+# on the derived geometry, then exact Hamming distance over all 128
+# positions at the derived radius 12. The geometry is DERIVED in SQL
+# with the engine's own formula (`derive_simhash_block_bits` at the
+# defaults: width = clamp(ceil(log2(n/64)/0.25), 16, 32), n_blocks =
+# 128 // width) rather than frozen at one corpus size — a frozen 8x16
+# block layout silently diverges from the engine on any documents
+# fixture past 1024 docs (e.g. sf0.1's 5000 docs derive width 26). At
+# the 500-doc gate scales both sides land on the 16-bit floor → 8
+# blocks, exactly the geometry the frozen oracle had. Parity past the
+# gate scales additionally assumes the engine's max_bucket cap does not
+# fire (the oracle drops nothing), which the r10 probe supports up to
+# ~3M organic docs.
 ORACLES["dedup_simhash_pairs"] = f"""
 WITH tok AS (SELECT doc_id, md5(unnest({_TOKS_DUCK})) AS hx FROM documents),
 bits AS (
@@ -187,9 +195,15 @@ sig AS (
   SELECT doc_id,
          string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
   FROM sums GROUP BY doc_id),
+geom AS (
+  SELECT CASE WHEN count(*) <= 64 THEN 16
+              ELSE GREATEST(16, LEAST(CAST(ceil(log2(count(*) / 64.0) / 0.25) AS INT), 32))
+         END AS w
+  FROM sig),
 blocks AS (
-  SELECT doc_id, simhash, q, substr(simhash, CAST(q * 16 + 1 AS INT), 16) AS block
-  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS q) s),
+  SELECT doc_id, simhash, q, substr(simhash, CAST(q * w + 1 AS INT), CAST(w AS INT)) AS block
+  FROM sig CROSS JOIN geom CROSS JOIN (SELECT unnest(range(0, 8)) AS q) s
+  WHERE q < 128 // w),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                   a.simhash AS sig_a, b.simhash AS sig_b

@@ -15,11 +15,15 @@ use checkpointed writeStream into parquet/Delta.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, round_half_up
+
+logger = logging.getLogger(__name__)
 
 
 def read_events_stream(
@@ -330,7 +334,7 @@ def graceful_stop(
     spark: SparkSession | None = None,
     quiesce_sec: float = 10.0,
     poll_sec: float = 0.02,
-) -> None:
+) -> bool:
     """Stop a streaming query WITHOUT killing an in-flight micro-batch.
 
     ``q.stop()`` interrupts the stream-execution thread; any micro-batch
@@ -505,7 +509,24 @@ def _effective_trigger_ms() -> int:
 
     env = os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_MS")
     if env:
-        return max(1, int(env))
+        # A malformed or non-positive override must not crash every
+        # streaming query in the process (the var is integer
+        # MILLISECONDS, not a duration string), and 0 would mean
+        # back-to-back batches — the exact starvation mode the quiesce
+        # design documents as pathological. Warn and fall through to
+        # the adaptive default instead.
+        try:
+            ms = int(env)
+        except ValueError:
+            ms = -1
+        if ms >= 1:
+            return ms
+        logger.warning(
+            "ignoring SPARK_GRAFT_STREAM_TRIGGER_MS=%r: expected a "
+            "positive integer millisecond count (e.g. 1200); using the "
+            "adaptive default",
+            env,
+        )
     return _DEFAULT_TRIGGER_MS + _trigger_autowiden_ms[0]
 
 

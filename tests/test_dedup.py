@@ -427,3 +427,80 @@ def test_hot_bucket_cache_evicts_dead_sessions_and_counts_drops(
     assert live and all(isinstance(v, tuple) for v in live)
     # drop metric counted for this session, queryable by (app, op)
     assert dedup.dropped_bucket_counts[(app_id, "simhash_pairs")] > before
+
+
+def test_drop_metric_idempotent_across_memoized_reruns(
+    spark, dup_cluster_corpus
+):
+    """A consumer re-run that HITS the memoized screen must not re-add
+    to dropped_bucket_counts — the metric advances once per distinct
+    screen per op, so an exact-count assertion (the metric's advertised
+    use) holds no matter how many times the pipeline re-executes."""
+    from neo4j_database_to_data_importer_package_spark.operators import dedup
+
+    app_id = spark.sparkContext.applicationId
+    simhash_pairs(dup_cluster_corpus, max_hamming=6, max_bucket=11).collect()
+    after_first = dedup.dropped_bucket_counts[(app_id, "simhash_pairs")]
+    simhash_pairs(dup_cluster_corpus, max_hamming=6, max_bucket=11).collect()
+    assert (
+        dedup.dropped_bucket_counts[(app_id, "simhash_pairs")] == after_first
+    )
+
+
+def test_hot_key_overflow_falls_back_to_distributed_anti_join(
+    spark, dup_cluster_corpus, monkeypatch
+):
+    """Past _MAX_HOT_KEYS the screen must NOT pull hot keys to the
+    driver (a small cap on a huge corpus makes them driver-scale):
+    the cached verdict is an overflow marker, the anti-join runs
+    distributed, and results + the drop metric match the tuple path."""
+    from neo4j_database_to_data_importer_package_spark.operators import dedup
+
+    app_id = spark.sparkContext.applicationId
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(
+            dup_cluster_corpus, max_hamming=6, max_bucket=12
+        ).collect()
+    }
+
+    monkeypatch.setattr(dedup, "_MAX_HOT_KEYS", 0)
+    before = dedup.dropped_bucket_counts.get((app_id, "simhash_pairs"), 0)
+    # max_bucket=13 → fresh cache key → the insert path runs under the
+    # zero ceiling and every hot screen overflows
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(
+            dup_cluster_corpus, max_hamming=6, max_bucket=13
+        ).collect()
+    }
+    assert got == expected == {(100, 101)}
+    overflow = [
+        v
+        for k, v in dedup._HOT_BUCKET_CACHE.items()
+        if k[0] == app_id and k[3] == 13
+    ]
+    assert overflow and overflow[0][0] == "__overflow__"
+    n_recorded = (
+        dedup.dropped_bucket_counts[(app_id, "simhash_pairs")] - before
+    )
+    assert n_recorded == overflow[0][1] > 0  # exact count, from its own job
+
+
+def test_simhash_blocks_reject_single_block_geometry(spark, corpus):
+    """block_bits wide enough to leave fewer than two full blocks must
+    fail fast: the old max(2, ...) fallback sliced an empty/truncated
+    second block, putting EVERY doc in one ('', q=1) bucket — the
+    all-pairs degenerate join the blocking exists to prevent."""
+    import pytest as _pytest
+
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        derive_simhash_block_bits,
+    )
+
+    for bad in (65, 128):
+        with _pytest.raises(ValueError, match="2 full blocks"):
+            simhash_pairs(corpus, block_bits=bad).collect()
+    # the derivation can never hand that geometry to the blocker:
+    # min_blocks < 2 is clamped to 2 (64-bit blocks max at 128 bits)
+    assert derive_simhash_block_bits(10**9, min_blocks=1) <= 64

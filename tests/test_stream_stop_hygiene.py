@@ -313,6 +313,13 @@ def test_trigger_interval_env_override_and_autowiden(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_STREAM_TRIGGER_MS", "1500")
     assert events._effective_trigger_ms() == 1500  # env beats autowiden
 
+    # A malformed or non-positive override must not crash every stream
+    # in the process, and 0 must not mean a 0/1ms back-to-back trigger
+    # (the documented starvation mode): warn + adaptive default.
+    for bad in ("1.5s", "abc", "0", "-5"):
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_TRIGGER_MS", bad)
+        assert events._effective_trigger_ms() == 2000  # saturated default
+
 
 def test_silenced_stop_loggers_restores_levels(spark):
     """The stop-window silencer must restore every logger's prior level
