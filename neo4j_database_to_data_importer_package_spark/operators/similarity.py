@@ -244,7 +244,10 @@ def _occupancy_capped_blocks(
     collected tuples (ADVICE r09) does not apply here. The drop count
     feeds the shared queryable metric
     ``dedup.dropped_bucket_counts[(applicationId, op)]`` (ADVICE r09:
-    pipelines assert on recall loss instead of scraping logs).
+    pipelines assert on recall loss instead of scraping logs),
+    accumulating once per distinct (banding plan, op) — idempotent
+    across re-runs of the same consumer, the same exact-count semantics
+    as the dedup twin (ADVICE r10).
     """
     if max_bucket is None:
         return blocks
@@ -263,13 +266,30 @@ def _occupancy_capped_blocks(
             "fires on a healthy corpus)",
             op, n_hot, max_bucket,
         )
-    from .dedup import _evict_dead_sessions, dropped_bucket_counts
+    from .dedup import _DROP_RECORDED, _evict_dead_sessions, dropped_bucket_counts
 
     app_id = blocks.sparkSession.sparkContext.applicationId
     _evict_dead_sessions(app_id)
-    dropped_bucket_counts[(app_id, op)] = (
-        dropped_bucket_counts.get((app_id, op), 0) + n_hot
+    # Accumulate once per (screen, op), exactly like the dedup twin
+    # (ADVICE r10: the shared metric must have ONE semantics) — keyed on
+    # the banding plan's semantic hash so re-executing the same
+    # similarity consumer is idempotent while a genuinely different
+    # input plan records its own drops. Key shape mirrors dedup's
+    # ((app_id, hash, keys, cap), op) so _evict_dead_sessions covers it.
+    rec_key = (
+        (
+            app_id,
+            blocks._jdf.queryExecution().analyzed().semanticHash(),
+            ("q", "block"),
+            max_bucket,
+        ),
+        op,
     )
+    if rec_key not in _DROP_RECORDED:
+        _DROP_RECORDED.add(rec_key)
+        dropped_bucket_counts[(app_id, op)] = (
+            dropped_bucket_counts.get((app_id, op), 0) + n_hot
+        )
     return blocks.join(hot, ["q", "block"], "left_anti")
 
 

@@ -533,11 +533,30 @@ def _effective_trigger_ms() -> int:
 def _note_capped_quiesce() -> None:
     """Record that a capped quiesce killed a mid-flight batch: widen the
     auto-trigger default one step (ceiling ``_TRIGGER_MS_CEILING``) so
-    subsequent auto-triggered runs in this process regain an idle gap."""
+    subsequent auto-triggered runs in this process regain an idle gap.
+
+    Deliberately a ONE-WAY ratchet with no decay (ADVICE r10): the
+    widening is a process-lifetime admission that this box can't keep
+    the narrow trigger's idle gap under load, and load spikes that
+    triggered it tend to recur within a bench/pipeline run. The
+    read-modify-write is unsynchronized — fine for the single-threaded
+    harness this targets; a long-lived multi-threaded host that wants
+    per-phase narrow triggers back should call
+    ``reset_trigger_autowiden()`` between phases (worst concurrent race
+    is a missed single widen step, never a corrupt value, since the
+    ceiling clamp re-applies on the next note)."""
     _trigger_autowiden_ms[0] = min(
         _trigger_autowiden_ms[0] + _TRIGGER_WIDEN_STEP_MS,
         _TRIGGER_MS_CEILING - _DEFAULT_TRIGGER_MS,
     )
+
+
+def reset_trigger_autowiden() -> None:
+    """Drop the process-global trigger auto-widen back to zero — the
+    escape hatch for long-lived hosts where a transient load spike
+    should not permanently widen every later auto-triggered run
+    (ADVICE r10; the ratchet itself stays one-way between resets)."""
+    _trigger_autowiden_ms[0] = 0
 
 
 def run_stream_until_count(

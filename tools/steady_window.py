@@ -101,6 +101,18 @@ def propose_window(
     unknown = [n for n in changed if n not in registry]
     if unknown:
         raise ValueError(f"--changed names not in the registry: {unknown}")
+    # A red row whose query was since renamed/removed must not emit a
+    # nonexistent name into the window (ADVICE r10) — warn and drop; the
+    # rename's NEW name re-gates via --changed, which the round author
+    # owns.
+    ghost_reds = sorted(n for n in reds_last if n not in registry)
+    if ghost_reds:
+        print(
+            f"WARNING: prior-round reds not in the registry "
+            f"(renamed/removed?), skipped: {ghost_reds}",
+            file=sys.stderr,
+        )
+        reds_last = {n for n in reds_last if n in registry}
     window: list[str] = []
     seen: set[str] = set()
 
@@ -174,7 +186,9 @@ def main(argv=None) -> None:
                     "prior_reds": sorted(reds_last),
                     "changed": changed,
                     "families": sorted({family(n) for n in window}),
-                    "stalest_round": min(greens.get(n, 0) for n in window),
+                    "stalest_round": min(
+                        (greens.get(n, 0) for n in window), default=None
+                    ),
                 },
                 indent=1,
             )
