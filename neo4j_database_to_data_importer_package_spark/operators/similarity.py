@@ -221,7 +221,10 @@ def _signature_blocks(
 
 
 def _occupancy_capped_blocks(
-    blocks: DataFrame, max_bucket: int | None, op: str
+    blocks: DataFrame,
+    max_bucket: int | None,
+    op: str,
+    plan_key: tuple | None = None,
 ) -> DataFrame:
     """Drop LSH buckets whose occupancy exceeds ``max_bucket`` from a
     (id, q, block) banding table, LOGGING the drop count — the same
@@ -272,19 +275,16 @@ def _occupancy_capped_blocks(
     _evict_dead_sessions(app_id)
     # Accumulate once per (screen, op), exactly like the dedup twin
     # (ADVICE r10: the shared metric must have ONE semantics) — keyed on
-    # the banding plan's semantic hash so re-executing the same
-    # similarity consumer is idempotent while a genuinely different
-    # input plan records its own drops. Key shape mirrors dedup's
+    # the banding plan's identity so re-executing the same similarity
+    # consumer is idempotent while a genuinely different input plan
+    # records its own drops. Callers whose banding table passed through
+    # a localCheckpoint (fresh RDD id ⇒ fresh semanticHash every call)
+    # supply ``plan_key`` from the PRE-checkpoint plan; the fallback is
+    # the blocks plan's own semantic hash. Key shape mirrors dedup's
     # ((app_id, hash, keys, cap), op) so _evict_dead_sessions covers it.
-    rec_key = (
-        (
-            app_id,
-            blocks._jdf.queryExecution().analyzed().semanticHash(),
-            ("q", "block"),
-            max_bucket,
-        ),
-        op,
-    )
+    if plan_key is None:
+        plan_key = (blocks._jdf.queryExecution().analyzed().semanticHash(),)
+    rec_key = ((app_id, plan_key, ("q", "block"), max_bucket), op)
     if rec_key not in _DROP_RECORDED:
         _DROP_RECORDED.add(rec_key)
         dropped_bucket_counts[(app_id, op)] = (
@@ -343,7 +343,21 @@ def embedding_lsh_pairs(
     """
     n = with_norm(df, vec_col, id_col)
     blocks = _signature_blocks(n, id_col, dim, n_bits, block_size)
-    blocks = _occupancy_capped_blocks(blocks, max_bucket, "embedding_lsh_pairs")
+    blocks = _occupancy_capped_blocks(
+        blocks,
+        max_bucket,
+        "embedding_lsh_pairs",
+        # Pre-checkpoint identity: _signature_blocks localCheckpoints the
+        # (id, sig) table, so the blocks plan's own semanticHash changes
+        # on every rebuild of the SAME consumer — key the drop metric on
+        # the normed input plan + banding geometry instead.
+        plan_key=(
+            n._jdf.queryExecution().analyzed().semanticHash(),
+            dim,
+            n_bits,
+            block_size,
+        ),
+    )
     a, b = blocks.alias("a"), blocks.alias("b")
     cands = (
         a.join(

@@ -504,3 +504,59 @@ def test_simhash_blocks_reject_single_block_geometry(spark, corpus):
     # the derivation can never hand that geometry to the blocker:
     # min_blocks < 2 is clamped to 2 (64-bit blocks max at 128 bits)
     assert derive_simhash_block_bits(10**9, min_blocks=1) <= 64
+
+
+def test_derive_block_bits_narrow_signatures_never_fail():
+    """ADVICE r10: the derivation must never hand _simhash_blocks a
+    failing geometry, even for signatures narrower than twice the
+    16-bit floor (e.g. bits=24, where the old floor returned 16 and the
+    blocker requires <= 12). Every return is bounded at bits // 2."""
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        derive_simhash_block_bits,
+    )
+
+    for bits in (2, 3, 8, 24, 30, 31, 33, 64, 128):
+        for n in (0, 10, 500, 10**5, 10**9):
+            w = derive_simhash_block_bits(n, bits=bits)
+            assert 1 <= w <= bits // 2, (bits, n, w)
+    # the specific ADVICE repro: bits=24 at derived geometry
+    assert derive_simhash_block_bits(10**6, bits=24) == 12
+    # a signature too narrow for even two 1-bit blocks fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bits=1"):
+        derive_simhash_block_bits(100, bits=1)
+
+
+def test_simhash_min_blocks2_pigeonhole_trade(spark):
+    """Unit-pin the documented large-corpus dial (VERDICT r10 #3):
+    min_blocks=2 widens blocks to 64 bits (two blocks of a 128-bit
+    signature), whose pigeonhole guarantee is exact only for Hamming
+    <= 1 — a Hamming-2 pair split across both halves is legitimately
+    missed by the band (best-effort beyond the radius, by design)."""
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        _simhash_blocks,
+        derive_simhash_block_bits,
+    )
+
+    assert derive_simhash_block_bits(10**9, min_blocks=2) == 64
+
+    base = "10" * 64
+    flip = lambda s, i: s[:i] + ("0" if s[i] == "1" else "1") + s[i + 1 :]
+    sig = spark.createDataFrame(
+        [
+            (0, base),
+            (1, flip(base, 10)),            # Hamming 1: shares the back half
+            (2, flip(flip(base, 10), 70)),  # Hamming 2, one flip per half
+        ],
+        "doc_id long, simhash string",
+    )
+    blocks = _simhash_blocks(sig, bits=128, block_bits=64)
+    byq = {
+        (r["doc_id"], r["q"]): r["block"] for r in blocks.collect()
+    }
+    assert len(byq) == 6  # 3 docs x 2 blocks, no tail at 64-bit blocks
+    # pigeonhole at Hamming 1: doc 1 shares block q=1 with doc 0
+    assert byq[(0, 1)] == byq[(1, 1)] and byq[(0, 0)] != byq[(1, 0)]
+    # the trade: Hamming 2 split across halves shares NEITHER block
+    assert byq[(0, 0)] != byq[(2, 0)] and byq[(0, 1)] != byq[(2, 1)]

@@ -148,3 +148,33 @@ def test_embedding_lsh_bucket_occupancy_cap(spark, caplog):
     # 40 near-identical vectors: every unordered pair verifies at ~1.0
     assert len(uncapped) == 40 * 39 // 2
     assert not any("dropping" in r.message for r in caplog.records)
+
+
+def test_similarity_drop_metric_idempotent_across_reruns(spark):
+    """ADVICE r10: the similarity twin must accumulate
+    dropped_bucket_counts once per (banding plan, op), like dedup's
+    screen — re-executing the same consumer must not double-count the
+    shared exact-count metric."""
+    import random as _random
+
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        dropped_bucket_counts,
+    )
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        embedding_lsh_pairs,
+    )
+
+    rng = _random.Random(23)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    rows = [
+        (i, [float(x + rng.gauss(0, 1e-4)) for x in base]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    app_id = spark.sparkContext.applicationId
+    embedding_lsh_pairs(df, threshold=0.9, max_bucket=10).collect()
+    after_first = dropped_bucket_counts[(app_id, "embedding_lsh_pairs")]
+    assert after_first > 0
+    embedding_lsh_pairs(df, threshold=0.9, max_bucket=10).collect()
+    assert (
+        dropped_bucket_counts[(app_id, "embedding_lsh_pairs")] == after_first
+    )

@@ -87,3 +87,23 @@ def test_row_green_matches_ledger_semantics():
     assert not sw.row_green(
         {"rows_match": True, "schema_match": True, "hash_match": True, "err": "boom"}
     )
+
+
+def test_ghost_red_skipped_with_warning(capsys):
+    """ADVICE r10: a prior-round red whose query has since been
+    renamed/removed must not emit a nonexistent name into the window —
+    it is dropped with a stderr warning instead."""
+    window = sw.propose_window(
+        REGISTRY, GREENS, reds_last={"events_b", "renamed_away"}, changed=[],
+        slots=3,
+    )
+    assert "renamed_away" not in window
+    assert window[0] == "events_b"  # the real red still leads
+    assert "renamed_away" in capsys.readouterr().err
+
+
+def test_zero_slot_window_is_empty():
+    """slots=0 (or an empty registry) must yield an empty proposal, not
+    an exception — the --json stalest_round guard depends on it."""
+    assert sw.propose_window(REGISTRY, GREENS, set(), [], slots=0) == []
+    assert sw.propose_window([], {}, set(), [], slots=50) == []
