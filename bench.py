@@ -522,6 +522,21 @@ def main(argv=None) -> None:
             base_timings: dict[str, float] = {}
 
             def in_baseline(call):
+                # Keep any lazily-imported HEAD submodules before the
+                # swap discards them. Round-11 finding: only base_mods
+                # was updated here, so every head submodule first
+                # imported inside a query function (e.g. operators
+                # pulled via function-level `from .x import y`) was
+                # deleted by the next swap and RE-IMPORTED FROM DISK —
+                # module compile + top-level exec + lost module-global
+                # memos — inside head's next timed window. On
+                # byte-identical trees that bias read as a stable ~2x
+                # "regression" on construction-heavy sub-second queries
+                # (dedup_rate_projection 3.2x in the r10/r11 full
+                # artifacts; 0.92-0.99x in separate-process and solo
+                # ABABs; self-ABAB of identical trees reproduced 2.09x
+                # before this fix and reads ~1.0x after).
+                head_mods.update(_pkg_modules())
                 _swap_in(base_mods)
                 try:
                     return call()
