@@ -25,83 +25,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate evaluates the FIRST 50 entries of this
-# dict (rounds 1-9 each produced rows for exactly list(queries())[:50],
-# bit-identical key sets — see COVERAGE.md for the evidence). Round-10
-# rotation (VERDICT r09 directive #1 — close the ledger): the final 21
-# entries of the round-9 `_NEXT_ROTATION` ledger (verbatim order) —
-# after which the cumulative driver-green union covers all 346
-# registered queries — then the 29 family-spanning driver-green
-# canaries named in COVERAGE.md's r10 close-out plan. Two canary swaps
-# per that plan's own rule ("swap individual names only for queries
-# whose shared code paths change in round 10"): the SimHash block
-# geometry is parameterized this round (VERDICT r09 directive #2), so
-# `dedup_simhash_signatures` and `dedup_simhash_pairs` must re-face the
-# driver; they replace `dedup_exact` and `ann_recall_at_k`, whose
-# families remain covered (dedup by the MinHash+SimHash canaries,
-# embeddings by `embedding_lsh_pairs` + `embedding_near_dup_clusters`,
-# which also exercise the similarity cache-eviction change, directive
-# #5). Every entry, regardless of position, is oracle-verified locally
-# at sf0.01 by tools/local_gate.py and at sf0.001 by
+# dict. Round 11 is the first STEADY-STATE window (COVERAGE.md "Steady
+# state (rounds 11+, ledger closed)"; VERDICT r10 directive #1): the
+# cumulative driver ledger closed at 346/346 in round 10, so the window
+# is canaries only, composed by tools/steady_window.py from the
+# CORRECTNESS ledger — prior-round reds first (r10 had none), then the
+# round's changed-path re-gates, then the oldest-driver-evidence
+# rotation round-robining across families. This round's proposer run:
+#   python tools/steady_window.py --changed dedup_simhash_signatures,\
+#     dedup_simhash_pairs,embedding_lsh_pairs,embedding_near_dup_clusters
+# used VERBATIM (no author swaps; pinned by
+# tests/test_gate_priority.py::test_window_matches_steady_state_proposal).
+# The changed list is the r11 engine diff: the SimHash nibble
+# decomposition + derived-geometry cap (operators/dedup.py) re-gates
+# both SimHash queries, and the similarity screen's pre-checkpoint
+# plan-key fix (operators/similarity.py) re-gates both embedding LSH
+# consumers. Every entry, regardless of position, is oracle-verified
+# locally at sf0.01 by tools/local_gate.py and at sf0.001 by
 # tests/test_oracle_parity.py.
 _GATE_FIRST_50 = [
-    # the final 21 entries of the round-9 backlog
-    # (r09 _NEXT_ROTATION, verbatim order — ledger closes here)
-    "events_cuped_lift",
-    "events_markov_stationary",
-    "source_rollup_ivm_check",
-    "embedding_ood_histogram",
-    "graph_node2vec_weights",
-    "dedup_cluster_representatives",
-    "text_chargram_lang_confusion",
-    "events_funnel_ab_significance",
-    "supplier_dual_sourcing_overlap",
-    "orders_seasonal_naive_backtest",
-    "embedding_triplet_margin",
-    "events_lead_lag_correlation",
-    "dedup_rate_projection",
-    "streaming_value_quantiles",
-    "embedding_binary_recall",
-    "orders_gini_by_year",
-    "events_gap_burstiness",
-    "events_circular_hour_stats",
-    "source_burrows_delta",
-    "orders_hill_tail_index",
-    "graph_percolation_robustness",
-    # 29 canaries (COVERAGE.md r10 close-out plan):
-    # reference-parity surface (10)
-    "node_export_customer",
-    "rel_export_order_contains_part",
-    "schema_union",
-    "identifier_detection",
-    "type_inference_samples",
-    "pattern_discovery",
-    "uniqueness_profile_customer",
-    "model_v3_table_schemas",
-    "model_v24_table_schemas",
-    "model_v01_file_schemas",
-    # TPC-H decimal/join/anti shapes (3)
-    "q1_pricing_summary",
-    "q7_nation_volume_shipping",
-    "q21_sole_late_supplier",
-    # LLM-pipeline families (16; SimHash pair swapped in — the block
-    # geometry is re-parameterized this round and must re-face the
-    # driver)
-    "dedup_simhash_signatures",
-    "dedup_simhash_pairs",
-    "dedup_minhash_lsh_pairs",
-    "part_name_linkage",
-    "embedding_lsh_pairs",
-    "embedding_near_dup_clusters",
-    "text_token_stats",
-    "asof_latest_high_value",
-    "bpe_apply_merge_stats",
-    "hybrid_rrf_retrieval",
-    "domain_mixture_weights",
-    "multimodal_features",
-    "streaming_tumbling_events",
-    "streaming_daily_rollup_evicted",
-    "graph_pagerank",
-    "graph_adamic_adar",
+    "dedup_simhash_signatures",  # changed path
+    "dedup_simhash_pairs",  # changed path
+    "embedding_lsh_pairs",  # changed path
+    "embedding_near_dup_clusters",  # changed path
+    "corpus_clean_pipeline",  # last driver-green r02
+    "customers_with_open_orders",  # last driver-green r02
+    "dedup_minhash_signatures",  # last driver-green r02
+    "embedding_cosine_pairs",  # last driver-green r02
+    "events_funnel_view_purchase",  # last driver-green r02
+    "graph_degrees",  # last driver-green r02
+    "lineitem_price_quantiles",  # last driver-green r02
+    "multimodal_frame_plan",  # last driver-green r02
+    "node_export_orders",  # last driver-green r02
+    "orders_without_lineitems",  # last driver-green r02
+    "rel_export_customer_placed_order",  # last driver-green r02
+    "rollup_revenue_by_flag_status",  # last driver-green r02
+    "streaming_running_totals",  # last driver-green r02
+    "supplier_part_volume",  # last driver-green r02
+    "text_fingerprints",  # last driver-green r02
+    "window_session_events",  # last driver-green r02
+    "bigram_next_token_topk",  # last driver-green r03
+    "bm25_rank_spark_hash_join",  # last driver-green r03
+    "doc_chunk_plan",  # last driver-green r03
+    "domain_cap_sample",  # last driver-green r03
+    "heavy_hitter_terms",  # last driver-green r03
+    "kmv_distinct_users_per_type",  # last driver-green r03
+    "lang_mixture_stats",  # last driver-green r03
+    "pii_scrub_stats",  # last driver-green r03
+    "q10_returned_revenue_by_nation",  # last driver-green r03
+    "q11_part_volume_concentration",  # last driver-green r03
+    "q13_customer_order_distribution",  # last driver-green r03
+    "q14_promo_revenue_share",  # last driver-green r03
+    "q15_top_supplier",  # last driver-green r03
+    "q16_supplier_counts_by_part",  # last driver-green r03
+    "q17_small_quantity_revenue",  # last driver-green r03
+    "q18_large_volume_orders",  # last driver-green r03
+    "q19_disjunctive_predicates",  # last driver-green r03
+    "q2_min_cost_supplier",  # last driver-green r03
+    "q20_heavy_shippers_of_small_parts",  # last driver-green r03
+    "q22_rich_inactive_customers",  # last driver-green r03
+    "q4_order_priority",  # last driver-green r03
+    "q8_market_share",  # last driver-green r03
+    "q9_product_type_profit",  # last driver-green r03
+    "schema_union_sampled",  # last driver-green r03
+    "sequence_pack_stats",  # last driver-green r03
+    "tfidf_top_terms",  # last driver-green r03
+    "unigram_logprob_score",  # last driver-green r03
+    "bpe_merge_candidates",  # last driver-green r04
+    "contamination_check",  # last driver-green r04
+    "cube_orders_by_priority_status",  # last driver-green r04
 ]
 # Length AND uniqueness (ADVICE r07: a duplicate name would silently
 # shrink the effective driver gate below 50 unique queries — the

@@ -5,17 +5,19 @@ Round 3 lost a slot to an off-by-one (51 names before the rotation
 marker, so ``skewed_join_hot_suppliers`` fell outside the window —
 ADVICE r03). These tests pin the boundary and the rotation's intent.
 
-Round-10 rotation (VERDICT r09 directive #1): the window is the final
-21 entries of the round-9 ``_NEXT_ROTATION`` ledger (verbatim order)
-and the 29 family-spanning driver-green canaries from COVERAGE.md's
-r10 close-out plan — closing the cumulative driver-gated ledger at
-346/346, every registered query driver-proven. The registry is
-declared complete at 346; any future registration must be ledgered in
-``_NEXT_ROTATION`` and fit the standing budget rule.
+Round-11 window (VERDICT r10 directive #1, first steady-state round):
+the cumulative driver ledger closed at 346/346 in round 10, so the
+window is canaries only — composed by ``tools/steady_window.py`` per
+COVERAGE.md's rounds-11+ rule (prior reds → changed-path re-gates →
+oldest-evidence family rotation) and used verbatim; the proposal
+equality is pinned below. The registry stays frozen at 346; any future
+registration must be ledgered in ``_NEXT_ROTATION`` and fit the
+standing budget rule.
 """
 
 from __future__ import annotations
 
+import importlib.util
 import json
 import os
 
@@ -34,7 +36,19 @@ _CORRECTNESS_FILES = (
     "CORRECTNESS_r07.json",
     "CORRECTNESS_r08.json",
     "CORRECTNESS_r09.json",
+    "CORRECTNESS_r10.json",
 )
+
+# The r11 engine diff's mandatory re-gates (same list the proposer was
+# run with): SimHash nibble decomposition + derived-geometry cap
+# (operators/dedup.py) and the similarity screen's pre-checkpoint
+# plan-key fix (operators/similarity.py).
+_R11_CHANGED = [
+    "dedup_simhash_signatures",
+    "dedup_simhash_pairs",
+    "embedding_lsh_pairs",
+    "embedding_near_dup_clusters",
+]
 
 
 def _load(path):
@@ -101,37 +115,30 @@ def test_window_regates_all_prior_round_reds():
     assert not missing, f"prior-round red rows not re-gated: {sorted(missing)}"
 
 
-def test_window_is_the_full_r09_rotation_ledger():
-    """VERDICT r09 directive #1: the final 21 never-driver-gated
-    entries (the round-9 ``_NEXT_ROTATION`` ledger, committed in the
-    r09 tree cea835f — reproduced here verbatim) must open this
-    round's window, in order, before the canaries. This rotation
-    closes the ledger: cumulative driver-gated union = 346/346."""
-    r09_ledger = [
-        "events_cuped_lift",
-        "events_markov_stationary",
-        "source_rollup_ivm_check",
-        "embedding_ood_histogram",
-        "graph_node2vec_weights",
-        "dedup_cluster_representatives",
-        "text_chargram_lang_confusion",
-        "events_funnel_ab_significance",
-        "supplier_dual_sourcing_overlap",
-        "orders_seasonal_naive_backtest",
-        "embedding_triplet_margin",
-        "events_lead_lag_correlation",
-        "dedup_rate_projection",
-        "streaming_value_quantiles",
-        "embedding_binary_recall",
-        "orders_gini_by_year",
-        "events_gap_burstiness",
-        "events_circular_hour_stats",
-        "source_burrows_delta",
-        "orders_hill_tail_index",
-        "graph_percolation_robustness",
-    ]
-    assert len(r09_ledger) == 21
-    assert entrymod._GATE_FIRST_50[:21] == r09_ledger
+def test_window_matches_steady_state_proposal():
+    """VERDICT r10 directive #1: the first steady-state window must
+    provably equal tools/steady_window.py's composition from the real
+    CORRECTNESS ledger with this round's changed-path list — the
+    governance built in round 10 actually steering the round, with no
+    unexplained author swaps."""
+    spec = importlib.util.spec_from_file_location(
+        "steady_window", os.path.join(REPO, "tools", "steady_window.py")
+    )
+    sw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sw)
+    greens, reds_last = sw.load_ledger(
+        [os.path.join(REPO, f) for f in _CORRECTNESS_FILES]
+    )
+    proposal = sw.propose_window(
+        list(entrymod.queries()), greens, reds_last, _R11_CHANGED, slots=50
+    )
+    assert entrymod._GATE_FIRST_50 == proposal
+
+
+def test_window_opens_with_changed_path_regates():
+    """r10 had zero reds, so the changed-path re-gates lead the window,
+    in the order given to the proposer."""
+    assert entrymod._GATE_FIRST_50[: len(_R11_CHANGED)] == _R11_CHANGED
 
 
 def test_ledger_is_closed():
@@ -146,12 +153,12 @@ def test_ledger_is_closed():
     assert gated >= set(registry.QUERIES), sorted(set(registry.QUERIES) - gated)
 
 
-def test_window_regates_the_simhash_queries():
-    """The SimHash block geometry is parameterized this round (VERDICT
-    r09 directive #2 — wider signatures, corpus-sized blocks, Hamming
-    verify); both queries on that code path must re-face the driver."""
-    assert "dedup_simhash_signatures" in entrymod._GATE_FIRST_50
-    assert "dedup_simhash_pairs" in entrymod._GATE_FIRST_50
+def test_window_regates_the_changed_paths():
+    """Every query whose shared code path the r11 diff touched (the
+    SimHash rewrite and the similarity screen plan-key fix) must
+    re-face the driver this round."""
+    for name in _R11_CHANGED:
+        assert name in entrymod._GATE_FIRST_50, name
 
 
 def test_window_keeps_canary_regression_signal():

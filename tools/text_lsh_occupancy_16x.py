@@ -140,9 +140,14 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("WARN")
 
+    # Optional scale list on argv (round 11, VERDICT r10 directive #3:
+    # one more octave at 64x/320k docs to test the saturated-width
+    # extrapolation) — e.g. `python tools/text_lsh_occupancy_16x.py 64`
+    # runs only the 64x row; default stays the documented (1, 4, 16).
+    scales = tuple(int(a) for a in sys.argv[1:]) or (1, 4, COPIES)
     tmp = tempfile.mkdtemp(prefix="ndip_text_occ_")
     try:
-        for copies in (1, 4, COPIES):
+        for copies in scales:
             path = f"{tmp}/docs_{copies}x.parquet"
             n = build_spliced(path, copies)
             docs = spark.read.parquet(path)
@@ -186,7 +191,7 @@ def main() -> int:
                 f"over_cap={dst['over_cap']} [DERIVED] [{sh_wall:.1f}s]"
             )
 
-            if copies == COPIES:
+            if copies == max(scales) and copies >= COPIES:
                 # Exercise the drop path organically: cap below the
                 # measured max of the DERIVED geometry, production path.
                 small_cap = max(16, int(dst["mx"]) // 4)
