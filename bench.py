@@ -442,6 +442,33 @@ def _load_tree_registry(tree_path: str) -> tuple[dict, dict]:
     return queries, base_mods
 
 
+def _baseline_runner(head_mods: dict, base_mods: dict):
+    """The swap bracket for one baseline call: returns ``in_baseline``
+    such that ``in_baseline(call)`` executes ``call`` with the baseline
+    module set live and HEAD restored after.
+
+    BOTH snapshots are refreshed with lazily-imported submodules —
+    head's BEFORE the swap discards them, baseline's after its call.
+    The head half is the round-11 fix: without it, any head submodule
+    first imported inside a query function was deleted by the next swap
+    and re-imported from disk (compile + top-level exec + lost
+    module-global memos) inside head's next timed window — a stable ~2×
+    phantom "regression" on construction-heavy sub-second queries even
+    for byte-identical trees (SCALING.md round-11 postmortem). Pinned by
+    ``test_lazy_head_submodule_survives_baseline_call``."""
+
+    def in_baseline(call):
+        head_mods.update(_pkg_modules())
+        _swap_in(base_mods)
+        try:
+            return call()
+        finally:
+            base_mods.update(_pkg_modules())
+            _swap_in(head_mods)
+
+    return in_baseline
+
+
 def main(argv=None) -> None:
     import argparse
 
@@ -521,29 +548,7 @@ def main(argv=None) -> None:
             head_mods = _pkg_modules()
             base_timings: dict[str, float] = {}
 
-            def in_baseline(call):
-                # Keep any lazily-imported HEAD submodules before the
-                # swap discards them. Round-11 finding: only base_mods
-                # was updated here, so every head submodule first
-                # imported inside a query function (e.g. operators
-                # pulled via function-level `from .x import y`) was
-                # deleted by the next swap and RE-IMPORTED FROM DISK —
-                # module compile + top-level exec + lost module-global
-                # memos — inside head's next timed window. On
-                # byte-identical trees that bias read as a stable ~2x
-                # "regression" on construction-heavy sub-second queries
-                # (dedup_rate_projection 3.2x in the r10/r11 full
-                # artifacts; 0.92-0.99x in separate-process and solo
-                # ABABs; self-ABAB of identical trees reproduced 2.09x
-                # before this fix and reads ~1.0x after).
-                head_mods.update(_pkg_modules())
-                _swap_in(base_mods)
-                try:
-                    return call()
-                finally:
-                    # keep any lazily-imported baseline submodules
-                    base_mods.update(_pkg_modules())
-                    _swap_in(head_mods)
+            in_baseline = _baseline_runner(head_mods, base_mods)
 
             for rnd in range(args.repeats):
                 for name in BENCH_QUERIES:

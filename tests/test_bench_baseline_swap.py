@@ -81,3 +81,35 @@ def test_loader_restores_head_on_missing_tree(tmp_path):
     from neo4j_database_to_data_importer_package_spark import registry as r
 
     assert r.QUERIES
+
+
+def test_lazy_head_submodule_survives_baseline_call(tmp_path):
+    """Round-11 harness-bias regression pin: a HEAD submodule imported
+    lazily AFTER the head snapshot was taken (the registry pattern —
+    operators pulled via function-level imports during the first query
+    construction) must still be in sys.modules, as the SAME object,
+    after a baseline call. Before the fix the swap restored the stale
+    snapshot, so the submodule was re-imported from disk inside head's
+    next timed window — a stable ~2x phantom regression on
+    construction-heavy sub-second queries for byte-identical trees."""
+    base_tree = str(tmp_path / "base")
+    os.makedirs(base_tree)
+    _make_fake_tree(base_tree, "baseline-tree")
+    queries, base_mods = bench._load_tree_registry(base_tree)
+
+    head_mods = bench._pkg_modules()
+    lazy_name = "neo4j_database_to_data_importer_package_spark.operators.mixing"
+    sys.modules.pop(lazy_name, None)
+    head_mods.pop(lazy_name, None)
+    import importlib
+
+    lazy_mod = importlib.import_module(lazy_name)  # lazily imported post-snapshot
+    assert lazy_name not in head_mods  # genuinely missing from the snapshot
+
+    in_baseline = bench._baseline_runner(head_mods, base_mods)
+    assert in_baseline(lambda: queries["probe"](None, None)) == "baseline-tree"
+
+    assert sys.modules.get(lazy_name) is lazy_mod, (
+        "lazily-imported head submodule was dropped by the baseline swap "
+        "(it would be re-imported inside the next timed window)"
+    )
