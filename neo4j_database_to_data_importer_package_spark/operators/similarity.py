@@ -224,7 +224,7 @@ def _occupancy_capped_blocks(
     blocks: DataFrame,
     max_bucket: int | None,
     op: str,
-    plan_key: tuple | None = None,
+    plan_key: tuple,
 ) -> DataFrame:
     """Drop LSH buckets whose occupancy exceeds ``max_bucket`` from a
     (id, q, block) banding table, LOGGING the drop count — the same
@@ -277,13 +277,17 @@ def _occupancy_capped_blocks(
     # (ADVICE r10: the shared metric must have ONE semantics) — keyed on
     # the banding plan's identity so re-executing the same similarity
     # consumer is idempotent while a genuinely different input plan
-    # records its own drops. Callers whose banding table passed through
-    # a localCheckpoint (fresh RDD id ⇒ fresh semanticHash every call)
-    # supply ``plan_key`` from the PRE-checkpoint plan; the fallback is
-    # the blocks plan's own semantic hash. Key shape mirrors dedup's
-    # ((app_id, hash, keys, cap), op) so _evict_dead_sessions covers it.
-    if plan_key is None:
-        plan_key = (blocks._jdf.queryExecution().analyzed().semanticHash(),)
+    # records its own drops. ``plan_key`` is REQUIRED and must come from
+    # the PRE-checkpoint plan: the banding table always descends from
+    # _signature_blocks' localCheckpoint, whose fresh RDD id would give
+    # the same consumer a new semanticHash on every rebuild — a
+    # "fallback" to the blocks plan's own hash is inert by construction
+    # (round-11 review). Like every file-source cache in the engine,
+    # once-per-plan recording assumes the underlying files are immutable
+    # for the session — the same assumption under which the recomputed
+    # drop and the recorded count can never diverge. Key shape mirrors
+    # dedup's ((app_id, hash, keys, cap), op) so _evict_dead_sessions
+    # covers it.
     rec_key = ((app_id, plan_key, ("q", "block"), max_bucket), op)
     if rec_key not in _DROP_RECORDED:
         _DROP_RECORDED.add(rec_key)
@@ -343,21 +347,25 @@ def embedding_lsh_pairs(
     """
     n = with_norm(df, vec_col, id_col)
     blocks = _signature_blocks(n, id_col, dim, n_bits, block_size)
-    blocks = _occupancy_capped_blocks(
-        blocks,
-        max_bucket,
-        "embedding_lsh_pairs",
-        # Pre-checkpoint identity: _signature_blocks localCheckpoints the
-        # (id, sig) table, so the blocks plan's own semanticHash changes
-        # on every rebuild of the SAME consumer — key the drop metric on
-        # the normed input plan + banding geometry instead.
-        plan_key=(
-            n._jdf.queryExecution().analyzed().semanticHash(),
-            dim,
-            n_bits,
-            block_size,
-        ),
-    )
+    if max_bucket is not None:
+        blocks = _occupancy_capped_blocks(
+            blocks,
+            max_bucket,
+            "embedding_lsh_pairs",
+            # Pre-checkpoint identity: _signature_blocks localCheckpoints
+            # the (id, sig) table, so the blocks plan's own semanticHash
+            # changes on every rebuild of the SAME consumer — key the
+            # drop metric on the normed input plan + banding geometry
+            # instead. Computed only when the screen is enabled: the
+            # semanticHash call forces driver-side analysis of the
+            # normed plan, wasted work under max_bucket=None.
+            plan_key=(
+                n._jdf.queryExecution().analyzed().semanticHash(),
+                dim,
+                n_bits,
+                block_size,
+            ),
+        )
     a, b = blocks.alias("a"), blocks.alias("b")
     cands = (
         a.join(

@@ -240,6 +240,19 @@ def main(argv=None) -> int:
     )
     args = ap.parse_args(argv)
 
+    # Flag validation BEFORE any Spark/JVM boot: with --connector-package
+    # the builder resolves jars over the network, which must not happen
+    # for an invocation that is about to be rejected (round-11 review).
+    if args.discover and args.dry_run:
+        # Discovery is a live catalog read (CALL db.labels() via the
+        # connector) — there is nothing to dry-run, and silently going
+        # to the network under --dry-run would betray the flag's
+        # promise (round-11 pin re-check).
+        ap.error("--discover needs a live server; it cannot be combined "
+                 "with --dry-run (use --spec for the offline check)")
+    if not args.discover and not args.spec:
+        ap.error("--spec is required unless --discover is given")
+
     builder = SparkSession.builder.appName("live-neo4j-smoke")
     if args.connector_package:
         builder = builder.config("spark.jars.packages", args.connector_package)
@@ -255,18 +268,8 @@ def main(argv=None) -> int:
         base_opts["database"] = args.database
 
     if args.discover:
-        if args.dry_run:
-            # Discovery is a live catalog read (CALL db.labels() via the
-            # connector) — there is nothing to dry-run, and silently
-            # going to the network under --dry-run would betray the
-            # flag's promise (round-11 pin re-check).
-            ap.error("--discover needs a live server; it cannot be combined "
-                     "with --dry-run (use --spec for the offline check)")
         discover(spark, base_opts)
         return 0
-
-    if not args.spec:
-        ap.error("--spec is required unless --discover is given")
     with open(args.spec, encoding="utf-8") as f:
         spec = build_spec(json.load(f))
 
