@@ -21,6 +21,13 @@ from ..partitioning import fan_out
 
 logger = logging.getLogger(__name__)
 
+# ADVICE r11: per-screen recorded hot-bucket counts, so a re-execution
+# whose recomputed n_hot differs from what dropped_bucket_counts absorbed
+# (possible only if session files mutate under a path-keyed plan hash)
+# is logged instead of silently diverging. Keyed like dedup._DROP_RECORDED
+# (rec_key[0][0] is the applicationId) and evicted alongside it.
+_RECORDED_N_HOT: dict[tuple, int] = {}
+
 
 def _as_double(col) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -261,18 +268,12 @@ def _occupancy_capped_blocks(
         .localCheckpoint(eager=True)
     )
     n_hot = hot.count()
-    if n_hot:
-        logger.warning(
-            "%s: dropping %d LSH buckets with occupancy > %d (bounds the "
-            "candidate self-join at max_bucket^2 per bucket; recall loss "
-            "is confined to the dropped band — widen block_size if this "
-            "fires on a healthy corpus)",
-            op, n_hot, max_bucket,
-        )
     from .dedup import _DROP_RECORDED, _evict_dead_sessions, dropped_bucket_counts
 
     app_id = blocks.sparkSession.sparkContext.applicationId
     _evict_dead_sessions(app_id)
+    for stale in [k for k in _RECORDED_N_HOT if k[0][0] != app_id]:
+        del _RECORDED_N_HOT[stale]
     # Accumulate once per (screen, op), exactly like the dedup twin
     # (ADVICE r10: the shared metric must have ONE semantics) — keyed on
     # the banding plan's identity so re-executing the same similarity
@@ -287,12 +288,35 @@ def _occupancy_capped_blocks(
     # for the session — the same assumption under which the recomputed
     # drop and the recorded count can never diverge. Key shape mirrors
     # dedup's ((app_id, hash, keys, cap), op) so _evict_dead_sessions
-    # covers it.
+    # covers it. The WARN lives inside the same once-per-screen branch
+    # as the metric (ADVICE r11: log count and metric must agree, like
+    # the dedup twin's cache-miss WARN); re-executions that recompute a
+    # DIFFERENT n_hot instead log the assumption violation below.
     rec_key = ((app_id, plan_key, ("q", "block"), max_bucket), op)
     if rec_key not in _DROP_RECORDED:
         _DROP_RECORDED.add(rec_key)
+        _RECORDED_N_HOT[rec_key] = n_hot
+        if n_hot:
+            logger.warning(
+                "%s: dropping %d LSH buckets with occupancy > %d (bounds "
+                "the candidate self-join at max_bucket^2 per bucket; "
+                "recall loss is confined to the dropped band — widen "
+                "block_size if this fires on a healthy corpus)",
+                op, n_hot, max_bucket,
+            )
         dropped_bucket_counts[(app_id, op)] = (
             dropped_bucket_counts.get((app_id, op), 0) + n_hot
+        )
+    elif _RECORDED_N_HOT.get(rec_key, n_hot) != n_hot:
+        # ADVICE r11: semanticHash of a file-source plan keys on path,
+        # not contents — surface (don't silently absorb) a mid-session
+        # file mutation that makes the recorded drop count stale.
+        logger.warning(
+            "%s: recomputed hot-bucket count %d differs from the %d "
+            "recorded for this plan — the session's immutable-files "
+            "assumption was violated; dropped_bucket_counts is stale "
+            "for this (plan, op)",
+            op, n_hot, _RECORDED_N_HOT[rec_key],
         )
     return blocks.join(hot, ["q", "block"], "left_anti")
 

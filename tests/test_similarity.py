@@ -178,3 +178,65 @@ def test_similarity_drop_metric_idempotent_across_reruns(spark):
     assert (
         dropped_bucket_counts[(app_id, "embedding_lsh_pairs")] == after_first
     )
+
+
+def test_similarity_drop_warn_logs_once_per_screen(spark, caplog):
+    """ADVICE r11: the drop WARN must share the once-per-screen
+    semantics of the metric (like the dedup twin's cache-miss WARN) —
+    re-executing the same consumer must not re-log."""
+    import logging
+    import random as _random
+
+    from neo4j_database_to_data_importer_package_spark.operators.similarity import (
+        embedding_lsh_pairs,
+    )
+
+    rng = _random.Random(31)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    rows = [
+        (i, [float(x + rng.gauss(0, 1e-4)) for x in base]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with caplog.at_level(logging.WARNING):
+        embedding_lsh_pairs(df, threshold=0.9, max_bucket=10).collect()
+    assert any("dropping" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        embedding_lsh_pairs(df, threshold=0.9, max_bucket=10).collect()
+    assert not any(
+        "dropping" in r.message for r in caplog.records
+    ), "re-running the same screen must not re-WARN (log == metric)"
+
+
+def test_similarity_drop_stale_recording_detected(spark, caplog):
+    """ADVICE r11: if a re-execution recomputes a different n_hot than
+    the recorded one (immutable-files assumption violated), the screen
+    logs the divergence instead of silently keeping the stale metric."""
+    import logging
+    import random as _random
+
+    from neo4j_database_to_data_importer_package_spark.operators import (
+        similarity as sim,
+    )
+
+    rng = _random.Random(37)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    rows = [
+        (i, [float(x + rng.gauss(0, 1e-4)) for x in base]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pre = set(sim._RECORDED_N_HOT)
+    sim.embedding_lsh_pairs(df, threshold=0.9, max_bucket=10).collect()
+    # Simulate a mid-session file mutation: the recorded count no longer
+    # matches what the next execution will recompute. Mutate only the
+    # key THIS run recorded, so other tests' screens stay untouched.
+    keys = [k for k in sim._RECORDED_N_HOT if k not in pre]
+    assert keys, "first run must have recorded its n_hot"
+    for k in keys:
+        sim._RECORDED_N_HOT[k] = sim._RECORDED_N_HOT[k] + 1
+    with caplog.at_level(logging.WARNING):
+        sim.embedding_lsh_pairs(df, threshold=0.9, max_bucket=10).collect()
+    assert any(
+        "immutable-files assumption was violated" in r.message
+        for r in caplog.records
+    ), "recomputed-vs-recorded divergence must be surfaced"

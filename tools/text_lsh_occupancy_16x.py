@@ -117,7 +117,35 @@ def occupancy_stats(banding, key_cols, cap):
     return st
 
 
+def _parse_scales(argv: list[str]) -> tuple[int, ...]:
+    """Validate the optional scale list BEFORE a JVM boots (ADVICE r11:
+    a non-integer arg used to raise an uncaught ValueError after the
+    Spark session was already up, and 0/negative scales reached
+    build_spliced unchecked)."""
+    import argparse
+
+    def positive_int(a: str) -> int:
+        v = int(a)  # argparse turns ValueError into a clean usage error
+        if v < 1:
+            raise argparse.ArgumentTypeError(f"scale must be >= 1, got {v}")
+        return v
+
+    p = argparse.ArgumentParser(
+        description="Text LSH occupancy probe (half-spliced organic corpus)"
+    )
+    p.add_argument(
+        "scales",
+        nargs="*",
+        type=positive_int,
+        help="corpus copy multipliers to probe (default: 1 4 %d)" % COPIES,
+    )
+    ns = p.parse_args(argv)
+    return tuple(ns.scales) or (1, 4, COPIES)
+
+
 def main() -> int:
+    scales = _parse_scales(sys.argv[1:])
+
     from pyspark.sql import SparkSession
 
     from neo4j_database_to_data_importer_package_spark.operators.dedup import (
@@ -144,7 +172,7 @@ def main() -> int:
     # one more octave at 64x/320k docs to test the saturated-width
     # extrapolation) — e.g. `python tools/text_lsh_occupancy_16x.py 64`
     # runs only the 64x row; default stays the documented (1, 4, 16).
-    scales = tuple(int(a) for a in sys.argv[1:]) or (1, 4, COPIES)
+    # Parsed and validated in _parse_scales before the JVM boots.
     tmp = tempfile.mkdtemp(prefix="ndip_text_occ_")
     try:
         for copies in scales:
