@@ -531,7 +531,23 @@ def main(argv=None) -> None:
         fn(spark, SF_DIR).count()
         return time.perf_counter() - t0
 
+    def timed_split(fn) -> tuple[float, float]:
+        """Same total window as ``timed`` with one inner split point:
+        (total, construction) where construction is the driver-side
+        plan-build time (the Python query function returning its
+        DataFrame) and total-construction is the Spark action. Built for
+        the round-12 driver-drift attribution (VERDICT r11 #1): the ABAB
+        postmortem showed construction-heavy sub-second queries are
+        where session state (import caches, JIT, GC) shows up first, so
+        the single-tree artifact now records which component moved."""
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        t1 = time.perf_counter()
+        df.count()
+        return time.perf_counter() - t0, t1 - t0
+
     timings: dict[str, float] = {}
+    construct: dict[str, float] = {}
     baseline_meta = None
     if args.baseline_tree:
         import subprocess
@@ -622,8 +638,10 @@ def main(argv=None) -> None:
                 fn = registry.QUERIES[name]
                 if rnd == 0:
                     fn(spark, warmup_dir).count()
-                dt = timed(fn)
-                timings[name] = min(timings.get(name, float("inf")), dt)
+                dt, dc = timed_split(fn)
+                if dt < timings.get(name, float("inf")):
+                    timings[name] = dt
+                    construct[name] = dc
                 spark.catalog.clearCache()
         timings = {n: round(v, 3) for n, v in timings.items()}
     else:
@@ -632,7 +650,10 @@ def main(argv=None) -> None:
             fn(spark, warmup_dir).count()
             best = float("inf")
             for _ in range(args.repeats):  # min-of-N: damps GC/JIT noise
-                best = min(best, timed(fn))
+                dt, dc = timed_split(fn)
+                if dt < best:
+                    best = dt
+                    construct[name] = dc
             timings[name] = round(best, 3)
             # Operators that persist() intermediates (LSH candidate
             # tables, iterative frontiers) must not leak storage memory
@@ -651,6 +672,12 @@ def main(argv=None) -> None:
     }
     if baseline_meta is not None:
         detail["baseline"] = baseline_meta
+    if construct:
+        # Construction component of each reported (min-total) run —
+        # same perf_counter window as the total, split at the point the
+        # query function returns its DataFrame. Round-12 drift
+        # attribution reads this against prior rounds' totals.
+        detail["construct"] = {n: round(v, 4) for n, v in construct.items()}
     print(json.dumps(detail))
     # Durable per-query detail (VERDICT r04 missing #3): the driver's
     # tail-capture window truncates the detailed stdout line, so the
