@@ -25,75 +25,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate evaluates the FIRST 50 entries of this
-# dict. Round 11 is the first STEADY-STATE window (COVERAGE.md "Steady
-# state (rounds 11+, ledger closed)"; VERDICT r10 directive #1): the
-# cumulative driver ledger closed at 346/346 in round 10, so the window
-# is canaries only, composed by tools/steady_window.py from the
-# CORRECTNESS ledger — prior-round reds first (r10 had none), then the
+# dict. Round 12 is the second steady-state window (COVERAGE.md "Steady
+# state (rounds 11+, ledger closed)"; VERDICT r11 directive #2): the
+# cumulative driver ledger stays closed at 346/346, so the window is
+# canaries only, composed by tools/steady_window.py from the
+# CORRECTNESS ledger — prior-round reds first (r11 had none), then the
 # round's changed-path re-gates, then the oldest-driver-evidence
 # rotation round-robining across families. This round's proposer run:
-#   python tools/steady_window.py --changed dedup_simhash_signatures,\
-#     dedup_simhash_pairs,embedding_lsh_pairs,embedding_near_dup_clusters
+#   python tools/steady_window.py --changed embedding_lsh_pairs,\
+#     embedding_near_dup_clusters
 # used VERBATIM (no author swaps; pinned by
 # tests/test_gate_priority.py::test_window_matches_steady_state_proposal).
-# The changed list is the r11 engine diff: the SimHash nibble
-# decomposition + derived-geometry cap (operators/dedup.py) re-gates
-# both SimHash queries, and the similarity screen's pre-checkpoint
-# plan-key fix (operators/similarity.py) re-gates both embedding LSH
-# consumers. Every entry, regardless of position, is oracle-verified
-# locally at sf0.01 by tools/local_gate.py and at sf0.001 by
-# tests/test_oracle_parity.py.
+# The changed list is the r12 engine diff: the similarity screen's
+# WARN/metric once-per-screen alignment + stale-recording detection
+# (operators/similarity.py::_occupancy_capped_blocks, commit 57d9ced)
+# re-gates its two registered consumers. Every entry, regardless of
+# position, is oracle-verified locally at sf0.01 by tools/local_gate.py
+# and at sf0.001 by tests/test_oracle_parity.py.
 _GATE_FIRST_50 = [
-    "dedup_simhash_signatures",  # changed path
-    "dedup_simhash_pairs",  # changed path
     "embedding_lsh_pairs",  # changed path
     "embedding_near_dup_clusters",  # changed path
-    "corpus_clean_pipeline",  # last driver-green r02
-    "customers_with_open_orders",  # last driver-green r02
-    "dedup_minhash_signatures",  # last driver-green r02
-    "embedding_cosine_pairs",  # last driver-green r02
-    "events_funnel_view_purchase",  # last driver-green r02
-    "graph_degrees",  # last driver-green r02
-    "lineitem_price_quantiles",  # last driver-green r02
-    "multimodal_frame_plan",  # last driver-green r02
-    "node_export_orders",  # last driver-green r02
-    "orders_without_lineitems",  # last driver-green r02
-    "rel_export_customer_placed_order",  # last driver-green r02
-    "rollup_revenue_by_flag_status",  # last driver-green r02
-    "streaming_running_totals",  # last driver-green r02
-    "supplier_part_volume",  # last driver-green r02
-    "text_fingerprints",  # last driver-green r02
-    "window_session_events",  # last driver-green r02
-    "bigram_next_token_topk",  # last driver-green r03
-    "bm25_rank_spark_hash_join",  # last driver-green r03
-    "doc_chunk_plan",  # last driver-green r03
-    "domain_cap_sample",  # last driver-green r03
-    "heavy_hitter_terms",  # last driver-green r03
-    "kmv_distinct_users_per_type",  # last driver-green r03
-    "lang_mixture_stats",  # last driver-green r03
-    "pii_scrub_stats",  # last driver-green r03
-    "q10_returned_revenue_by_nation",  # last driver-green r03
-    "q11_part_volume_concentration",  # last driver-green r03
-    "q13_customer_order_distribution",  # last driver-green r03
-    "q14_promo_revenue_share",  # last driver-green r03
-    "q15_top_supplier",  # last driver-green r03
-    "q16_supplier_counts_by_part",  # last driver-green r03
-    "q17_small_quantity_revenue",  # last driver-green r03
-    "q18_large_volume_orders",  # last driver-green r03
-    "q19_disjunctive_predicates",  # last driver-green r03
-    "q2_min_cost_supplier",  # last driver-green r03
-    "q20_heavy_shippers_of_small_parts",  # last driver-green r03
-    "q22_rich_inactive_customers",  # last driver-green r03
-    "q4_order_priority",  # last driver-green r03
-    "q8_market_share",  # last driver-green r03
-    "q9_product_type_profit",  # last driver-green r03
-    "schema_union_sampled",  # last driver-green r03
-    "sequence_pack_stats",  # last driver-green r03
-    "tfidf_top_terms",  # last driver-green r03
-    "unigram_logprob_score",  # last driver-green r03
-    "bpe_merge_candidates",  # last driver-green r04
-    "contamination_check",  # last driver-green r04
-    "cube_orders_by_priority_status",  # last driver-green r04
+    "dedup_ngram_jaccard",  # last driver-green r02
+    "embedding_ivf_topk",  # last driver-green r02
+    "events_gap_stats",  # last driver-green r02
+    "node_export_part",  # last driver-green r02
+    "rel_export_nation_in_region",  # last driver-green r02
+    "text_language_id",  # last driver-green r02
+    "window_sliding_events",  # last driver-green r02
+    "corpus_split_stats",  # last driver-green r03
+    "graph_bfs_hops",  # last driver-green r03
+    "lineitem_price_histogram_quantiles",  # last driver-green r03
+    "multimodal_resize_plan",  # last driver-green r03
+    "streaming_dedup_user_type",  # last driver-green r03
+    "customer_balance_deciles",  # last driver-green r04
+    "doc_novelty_profile",  # last driver-green r04
+    "grouping_sets_revenue",  # last driver-green r04
+    "motif_customer_order_part",  # last driver-green r04
+    "orders_running_total",  # last driver-green r04
+    "part_brand_families",  # last driver-green r04
+    "pivot_orders_priority_status",  # last driver-green r04
+    "q12_shipping_delay_class",  # last driver-green r04
+    "q3_top_orders_by_revenue",  # last driver-green r04
+    "q5_revenue_by_segment_nation",  # last driver-green r04
+    "q6_forecast_revenue",  # last driver-green r04
+    "quality_survival_curve",  # last driver-green r04
+    "rolling_user_activity",  # last driver-green r04
+    "signup_purchases_24h",  # last driver-green r04
+    "skewed_join_hot_suppliers",  # last driver-green r04
+    "top_parts_per_nation",  # last driver-green r04
+    "vocabulary_oov_rate",  # last driver-green r04
+    "basket_association_rules",  # last driver-green r05
+    "bigram_perplexity_heldout",  # last driver-green r05
+    "cms_term_estimates",  # last driver-green r05
+    "domain_quality_percentiles",  # last driver-green r05
+    "epoch_mixture_plan",  # last driver-green r05
+    "language_confusion_matrix",  # last driver-green r05
+    "length_drift_psi",  # last driver-green r05
+    "pmi_collocations",  # last driver-green r05
+    "split_leakage_check",  # last driver-green r05
+    "vocab_growth_curve",  # last driver-green r05
+    "weighted_corpus_sample",  # last driver-green r05
+    "ann_recall_at_k",  # last driver-green r06
+    "bpe_train_merges",  # last driver-green r06
+    "brand_price_qty_regression",  # last driver-green r06
+    "copurchase_recommendations",  # last driver-green r06
+    "cross_domain_neardup_matrix",  # last driver-green r06
+    "curriculum_order_plan",  # last driver-green r06
+    "data_quality_checks",  # last driver-green r06
+    "dataset_card_stats",  # last driver-green r06
 ]
 # Length AND uniqueness (ADVICE r07: a duplicate name would silently
 # shrink the effective driver gate below 50 unique queries — the

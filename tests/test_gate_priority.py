@@ -37,15 +37,14 @@ _CORRECTNESS_FILES = (
     "CORRECTNESS_r08.json",
     "CORRECTNESS_r09.json",
     "CORRECTNESS_r10.json",
+    "CORRECTNESS_r11.json",
 )
 
-# The r11 engine diff's mandatory re-gates (same list the proposer was
-# run with): SimHash nibble decomposition + derived-geometry cap
-# (operators/dedup.py) and the similarity screen's pre-checkpoint
-# plan-key fix (operators/similarity.py).
-_R11_CHANGED = [
-    "dedup_simhash_signatures",
-    "dedup_simhash_pairs",
+# The r12 engine diff's mandatory re-gates (same list the proposer was
+# run with): the similarity screen's WARN/metric once-per-screen
+# alignment + stale-recording detection
+# (operators/similarity.py::_occupancy_capped_blocks).
+_R12_CHANGED = [
     "embedding_lsh_pairs",
     "embedding_near_dup_clusters",
 ]
@@ -116,7 +115,7 @@ def test_window_regates_all_prior_round_reds():
 
 
 def test_window_matches_steady_state_proposal():
-    """VERDICT r10 directive #1: the first steady-state window must
+    """VERDICT r11 directive #2: the steady-state window must
     provably equal tools/steady_window.py's composition from the real
     CORRECTNESS ledger with this round's changed-path list — the
     governance built in round 10 actually steering the round, with no
@@ -130,15 +129,15 @@ def test_window_matches_steady_state_proposal():
         [os.path.join(REPO, f) for f in _CORRECTNESS_FILES]
     )
     proposal = sw.propose_window(
-        list(entrymod.queries()), greens, reds_last, _R11_CHANGED, slots=50
+        list(entrymod.queries()), greens, reds_last, _R12_CHANGED, slots=50
     )
     assert entrymod._GATE_FIRST_50 == proposal
 
 
 def test_window_opens_with_changed_path_regates():
-    """r10 had zero reds, so the changed-path re-gates lead the window,
+    """r11 had zero reds, so the changed-path re-gates lead the window,
     in the order given to the proposer."""
-    assert entrymod._GATE_FIRST_50[: len(_R11_CHANGED)] == _R11_CHANGED
+    assert entrymod._GATE_FIRST_50[: len(_R12_CHANGED)] == _R12_CHANGED
 
 
 def test_ledger_is_closed():
@@ -154,10 +153,10 @@ def test_ledger_is_closed():
 
 
 def test_window_regates_the_changed_paths():
-    """Every query whose shared code path the r11 diff touched (the
-    SimHash rewrite and the similarity screen plan-key fix) must
-    re-face the driver this round."""
-    for name in _R11_CHANGED:
+    """Every query whose shared code path the r12 diff touched (the
+    similarity screen's WARN/metric alignment) must re-face the
+    driver this round."""
+    for name in _R12_CHANGED:
         assert name in entrymod._GATE_FIRST_50, name
 
 
