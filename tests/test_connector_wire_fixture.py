@@ -145,6 +145,16 @@ def test_smoke_script_spec_builder_roundtrip():
     assert spec.edges[0].rel_type == "PLACED"
     assert spec.edges[0].props == ("orderdate",)
 
+    # Round 12: an unknown top-level key must be rejected, not silently
+    # dropped — {"relationships": [...]} once produced an edge-less spec
+    # and a misleading "dry-run OK: 2 reads".
+    import pytest
+
+    with pytest.raises(SystemExit, match="relationships"):
+        mod.build_spec(
+            {"nodes": [{"label": "A", "id_col": "x"}], "relationships": []}
+        )
+
 
 def test_fixture_is_versioned_against_the_connector_pin():
     """VERDICT r06 directive #7: the recorded wire fixture and the

@@ -63,6 +63,17 @@ def build_spec(spec_json: dict):
         NodeSpec,
     )
 
+    # Reject unknown top-level keys instead of silently ignoring them: a
+    # spec typo'd as {"relationships": [...]} used to produce an
+    # edge-less spec and a misleading "dry-run OK" (found re-checking
+    # the seam in round 12).
+    unknown = set(spec_json) - {"nodes", "edges"}
+    if unknown:
+        raise SystemExit(
+            f"unknown spec keys {sorted(unknown)}: a graph spec has "
+            f"'nodes' and optional 'edges' (see module docstring)"
+        )
+
     nodes = [
         NodeSpec(n["label"], n.get("table", n["label"]), n["id_col"])
         for n in spec_json["nodes"]
