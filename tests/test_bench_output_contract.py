@@ -69,3 +69,38 @@ def test_bench_last_line_is_parseable_json(tmp_path):
         "q1_pricing_summary",
         "streaming_daily_rollup_evicted",
     }
+
+
+def test_bench_detail_records_construction_split(tmp_path):
+    """Round 12 (VERDICT r11 directive #1): single-tree runs record the
+    construction component of each reported min-total window so driver
+    drift can be attributed without a re-run. Same total-window
+    semantics — construct is an inner split point, never > total."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_OUT=str(tmp_path / "bench_out.json"),
+        SPARK_GRAFT_CPUS="8",
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "bench.py"),
+            "--queries",
+            "q1_pricing_summary",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=570,
+        cwd=REPO,
+        env=env,
+    )
+    assert proc.returncode == 0, (proc.stdout + proc.stderr)[-4000:]
+    detail = json.loads((tmp_path / "bench_out.json").read_text())
+    assert set(detail["construct"]) == {"q1_pricing_summary"}
+    c = detail["construct"]["q1_pricing_summary"]
+    assert 0 <= c <= detail["queries"]["q1_pricing_summary"]
+    # the driver's parse target (last stdout line) is unchanged
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    summary = json.loads(lines[-1])
+    assert "construct" not in summary

@@ -240,3 +240,27 @@ def test_similarity_drop_stale_recording_detected(spark, caplog):
         "immutable-files assumption was violated" in r.message
         for r in caplog.records
     ), "recomputed-vs-recorded divergence must be surfaced"
+
+
+def test_similarity_recorded_n_hot_evicted_with_dead_sessions(spark):
+    """The per-screen recorded counts must not leak across Spark
+    sessions: entries keyed to a dead applicationId are swept on the
+    next screen call, like dedup's caches."""
+    import random as _random
+
+    from neo4j_database_to_data_importer_package_spark.operators import (
+        similarity as sim,
+    )
+
+    dead_key = ((("dead-app-id", 123, ("q", "block"), 10)), "embedding_lsh_pairs")
+    sim._RECORDED_N_HOT[dead_key] = 7
+    rng = _random.Random(41)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    rows = [
+        (i, [float(x + rng.gauss(0, 1e-4)) for x in base]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sim.embedding_lsh_pairs(df, threshold=0.9, max_bucket=10).collect()
+    assert dead_key not in sim._RECORDED_N_HOT
+    app_id = spark.sparkContext.applicationId
+    assert any(k[0][0] == app_id for k in sim._RECORDED_N_HOT)
