@@ -47,8 +47,9 @@ _OFF = 100_000_000
 JITTER = 0.7  # x per-component std — decorrelates copies, keeps clusters
 
 
-def build_64x(out_path: str) -> int:
-    """128k-vector organic corpus: 64 seeded re-draws around the base."""
+def build_64x(out_path: str, copies: int = COPIES) -> int:
+    """Organic corpus at ``copies``× the base: seeded re-draws around
+    the base distribution (docstring above)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -59,7 +60,7 @@ def build_64x(out_path: str) -> int:
     vecs = np.asarray(base.column("embedding").to_pylist(), dtype=np.float32)
     comp_std = vecs.std(axis=0)
     out_ids, out_vecs, out_labels = [], [], []
-    for c in range(COPIES):
+    for c in range(copies):
         rng = np.random.default_rng(42_000 + c)
         if c == 0:
             jittered = vecs
@@ -112,7 +113,32 @@ def occupancy_stats(spark, path: str) -> dict:
     return row.asDict()
 
 
+def _parse_scales(argv: list[str]) -> tuple[int, ...]:
+    """Validate the optional scale list BEFORE a JVM boots (round 12,
+    same pattern as the text twin ``text_lsh_occupancy_16x.py``)."""
+    import argparse
+
+    def positive_int(a: str) -> int:
+        v = int(a)
+        if v < 1:
+            raise argparse.ArgumentTypeError(f"scale must be >= 1, got {v}")
+        return v
+
+    p = argparse.ArgumentParser(
+        description="Embedding-LSH occupancy probe (organic re-draw corpus)"
+    )
+    p.add_argument(
+        "scales",
+        nargs="*",
+        type=positive_int,
+        help="corpus copy multipliers to probe (default: 1 %d)" % COPIES,
+    )
+    return tuple(p.parse_args(argv).scales) or (1, COPIES)
+
+
 def main() -> None:
+    scales = _parse_scales(sys.argv[1:])
+
     from pyspark.sql import functions as F
 
     from neo4j_database_to_data_importer_package_spark.operators.similarity import (
@@ -127,10 +153,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="lsh64x_")
     try:
-        path64 = f"{tmp}/embeddings.parquet"
-        n64 = build_64x(path64)
-        print(f"built 64x organic corpus: {n64} vectors", flush=True)
-        for label, path in (("1x", f"{SF_DIR}/embeddings.parquet"), ("64x", path64)):
+        targets = []
+        for copies in scales:
+            if copies == 1:
+                targets.append(("1x", f"{SF_DIR}/embeddings.parquet"))
+                continue
+            path_c = f"{tmp}/embeddings_{copies}x.parquet"
+            n_c = build_64x(path_c, copies)
+            print(f"built {copies}x organic corpus: {n_c} vectors", flush=True)
+            targets.append((f"{copies}x", path_c))
+        for label, path in targets:
             st = occupancy_stats(spark, path)
             nvec = read_parquet_table(spark, path).count()
             print(
@@ -151,7 +183,7 @@ def main() -> None:
                 f"allpairs_trap(n^2/8)={nvec * nvec // 8}",
                 flush=True,
             )
-            if label == "64x":
+            if label != "1x":
                 # Exercise the cap on the organic distribution: pick a
                 # cap below the measured max so drops actually happen.
                 small_cap = max(int(st["p99"]), 8)
@@ -159,7 +191,7 @@ def main() -> None:
                     df, threshold=-1.0, max_bucket=small_cap
                 ).count()
                 print(
-                    f"lsh 64x capped(max_bucket={small_cap}): "
+                    f"lsh {label} capped(max_bucket={small_cap}): "
                     f"candidates={capped} (was {cands}; drop logged by "
                     f"_occupancy_capped_blocks)",
                     flush=True,
