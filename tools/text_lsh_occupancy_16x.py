@@ -117,7 +117,7 @@ def occupancy_stats(banding, key_cols, cap):
     return st
 
 
-def _parse_scales(argv: list[str]) -> tuple[int, ...]:
+def _parse_scales(argv: list[str]) -> tuple[tuple[int, ...], bool]:
     """Validate the optional scale list BEFORE a JVM boots (ADVICE r11:
     a non-integer arg used to raise an uncaught ValueError after the
     Spark session was already up, and 0/negative scales reached
@@ -139,12 +139,19 @@ def _parse_scales(argv: list[str]) -> tuple[int, ...]:
         type=positive_int,
         help="corpus copy multipliers to probe (default: 1 4 %d)" % COPIES,
     )
+    p.add_argument(
+        "--skip-minhash",
+        action="store_true",
+        help="probe only the SimHash geometries (round 12: the 1024x "
+        "organic-horizon run would spend ~45 min in the MinHash stage "
+        "whose slope is already triple-anchored)",
+    )
     ns = p.parse_args(argv)
-    return tuple(ns.scales) or (1, 4, COPIES)
+    return tuple(ns.scales) or (1, 4, COPIES), ns.skip_minhash
 
 
 def main() -> int:
-    scales = _parse_scales(sys.argv[1:])
+    scales, skip_minhash = _parse_scales(sys.argv[1:])
 
     from pyspark.sql import SparkSession
 
@@ -181,10 +188,12 @@ def main() -> int:
             docs = spark.read.parquet(path)
             all_pairs = n * (n - 1) // 2
 
-            t0 = time.time()
-            mh = minhash_signatures(docs)
-            mst = occupancy_stats(mh, ("band", "signature"), 8192)
-            mh_wall = time.time() - t0
+            mst = mh_wall = None
+            if not skip_minhash:
+                t0 = time.time()
+                mh = minhash_signatures(docs)
+                mst = occupancy_stats(mh, ("band", "signature"), 8192)
+                mh_wall = time.time() - t0
 
             t0 = time.time()
             sig = simhash_signatures(docs).persist(StorageLevel.MEMORY_ONLY)
@@ -201,12 +210,19 @@ def main() -> int:
             dst = occupancy_stats(blocks_d, ("q", "block"), 8192)
             sh_wall = time.time() - t0
 
+            mh_line = (
+                "  minhash bands : skipped (--skip-minhash)\n"
+                if mst is None
+                else (
+                    f"  minhash bands : buckets={mst['buckets']} max={mst['mx']} "
+                    f"p99={mst['p99']:.1f} mean={mst['mean']:.2f} "
+                    f"cand_pairs={int(mst['cand_pairs'])} over_cap={mst['over_cap']} "
+                    f"[{mh_wall:.1f}s]\n"
+                )
+            )
             print(
                 f"{copies:>2}x ({n} docs, all-pairs {all_pairs:.3g}):\n"
-                f"  minhash bands : buckets={mst['buckets']} max={mst['mx']} "
-                f"p99={mst['p99']:.1f} mean={mst['mean']:.2f} "
-                f"cand_pairs={int(mst['cand_pairs'])} over_cap={mst['over_cap']} "
-                f"[{mh_wall:.1f}s]\n"
+                + mh_line +
                 f"  simhash w=16  : buckets={sst['buckets']} max={sst['mx']} "
                 f"p99={sst['p99']:.1f} mean={sst['mean']:.2f} "
                 f"cand_pairs={int(sst['cand_pairs'])} "
