@@ -207,3 +207,35 @@ def test_bpe_merge_candidates_known_corpus(spark):
     df = spark.createDataFrame([(1, "aaab aaab ab"), (2, "x")], "doc_id long, text string")
     got = {r["pair"]: r["cnt"] for r in bpe_merge_candidates(df, top_k=5).collect()}
     assert got == {"aa": 4, "ab": 3}  # single-char word contributes nothing
+
+
+@given(
+    bits=st.integers(min_value=2, max_value=256),
+    n=st.integers(min_value=0, max_value=10**12),
+    target=st.integers(min_value=1, max_value=4096),
+    min_blocks=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_derive_simhash_block_bits_laws(bits, n, target, min_blocks):
+    """Property laws for the corpus-sized SimHash geometry (round 12):
+    bounds, monotone widening in corpus size, monotone narrowing in
+    target occupancy — a law violation would mean plan flapping or a
+    geometry the blocker rejects."""
+    from neo4j_database_to_data_importer_package_spark.operators.dedup import (
+        derive_simhash_block_bits,
+    )
+
+    w = derive_simhash_block_bits(
+        n, bits=bits, target_occupancy=target, min_blocks=min_blocks
+    )
+    assert 1 <= w <= bits // 2
+    # monotone non-decreasing in corpus size
+    w2 = derive_simhash_block_bits(
+        2 * n + 1, bits=bits, target_occupancy=target, min_blocks=min_blocks
+    )
+    assert w2 >= w
+    # a laxer occupancy target never widens the block
+    w3 = derive_simhash_block_bits(
+        n, bits=bits, target_occupancy=2 * target, min_blocks=min_blocks
+    )
+    assert w3 <= w
