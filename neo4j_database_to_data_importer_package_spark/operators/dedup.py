@@ -398,6 +398,13 @@ _MAX_HOT_KEYS = 65536
 dropped_bucket_counts: dict[tuple[str, str], int] = {}
 _DROP_RECORDED: set[tuple] = set()
 
+# Session-scoped caches registered by sibling modules (ADVICE r12):
+# mappings keyed like _DROP_RECORDED (key[0][0] is the applicationId)
+# whose stale entries must be swept from the single shared lifecycle
+# point below even when only the dedup screens run in a session.
+# ``similarity`` registers _RECORDED_N_HOT here at import time.
+_REGISTERED_SESSION_CACHES: list[dict] = []
+
 
 def _evict_dead_sessions(app_id: str) -> None:
     """Prune screen-cache entries, drop metrics, and drop-record keys
@@ -411,6 +418,9 @@ def _evict_dead_sessions(app_id: str) -> None:
         del dropped_bucket_counts[stale]
     for stale in [k for k in _DROP_RECORDED if k[0][0] != app_id]:
         _DROP_RECORDED.discard(stale)
+    for cache in _REGISTERED_SESSION_CACHES:
+        for stale in [k for k in cache if k[0][0] != app_id]:
+            del cache[stale]
 
 
 def minhash_lsh_pairs(

@@ -25,8 +25,13 @@ logger = logging.getLogger(__name__)
 # whose recomputed n_hot differs from what dropped_bucket_counts absorbed
 # (possible only if session files mutate under a path-keyed plan hash)
 # is logged instead of silently diverging. Keyed like dedup._DROP_RECORDED
-# (rec_key[0][0] is the applicationId) and evicted alongside it.
+# (rec_key[0][0] is the applicationId) and registered with dedup's
+# shared eviction point (ADVICE r12) so a dedup-only session sweeps it
+# too — no stale growth across long-lived multi-session processes.
 _RECORDED_N_HOT: dict[tuple, int] = {}
+from .dedup import _REGISTERED_SESSION_CACHES as _DEDUP_SESSION_CACHES  # noqa: E402
+
+_DEDUP_SESSION_CACHES.append(_RECORDED_N_HOT)
 
 
 def _as_double(col) -> F.Column:
@@ -271,9 +276,9 @@ def _occupancy_capped_blocks(
     from .dedup import _DROP_RECORDED, _evict_dead_sessions, dropped_bucket_counts
 
     app_id = blocks.sparkSession.sparkContext.applicationId
+    # _evict_dead_sessions sweeps _RECORDED_N_HOT too — it is registered
+    # with dedup's shared lifecycle point at module import (ADVICE r12).
     _evict_dead_sessions(app_id)
-    for stale in [k for k in _RECORDED_N_HOT if k[0][0] != app_id]:
-        del _RECORDED_N_HOT[stale]
     # Accumulate once per (screen, op), exactly like the dedup twin
     # (ADVICE r10: the shared metric must have ONE semantics) — keyed on
     # the banding plan's identity so re-executing the same similarity

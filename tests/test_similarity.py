@@ -264,3 +264,27 @@ def test_similarity_recorded_n_hot_evicted_with_dead_sessions(spark):
     assert dead_key not in sim._RECORDED_N_HOT
     app_id = spark.sparkContext.applicationId
     assert any(k[0][0] == app_id for k in sim._RECORDED_N_HOT)
+
+
+def test_recorded_n_hot_swept_by_dedup_only_sessions():
+    """ADVICE r12: a session that only exercises the dedup screens must
+    still sweep similarity's _RECORDED_N_HOT — the cache is registered
+    with dedup._evict_dead_sessions, the single shared lifecycle point,
+    so no similarity call is needed to prune dead-session entries."""
+    from neo4j_database_to_data_importer_package_spark.operators import (
+        dedup,
+        similarity as sim,
+    )
+
+    assert sim._RECORDED_N_HOT in dedup._REGISTERED_SESSION_CACHES
+    dead_key = ((("dead-app-id", 99, ("q", "block"), 10)), "embedding_lsh_pairs")
+    live_key = ((("live-app-id", 1, ("q", "block"), 10)), "embedding_lsh_pairs")
+    sim._RECORDED_N_HOT[dead_key] = 3
+    sim._RECORDED_N_HOT[live_key] = 5
+    try:
+        dedup._evict_dead_sessions("live-app-id")
+        assert dead_key not in sim._RECORDED_N_HOT
+        assert sim._RECORDED_N_HOT[live_key] == 5
+    finally:
+        sim._RECORDED_N_HOT.pop(dead_key, None)
+        sim._RECORDED_N_HOT.pop(live_key, None)
