@@ -25,74 +25,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate evaluates the FIRST 50 entries of this
-# dict. Round 12 is the second steady-state window (COVERAGE.md "Steady
-# state (rounds 11+, ledger closed)"; VERDICT r11 directive #2): the
+# dict. Round 13 is the third steady-state window (COVERAGE.md "Steady
+# state (rounds 11+, ledger closed)"; VERDICT r12 directive #1): the
 # cumulative driver ledger stays closed at 346/346, so the window is
 # canaries only, composed by tools/steady_window.py from the
-# CORRECTNESS ledger — prior-round reds first (r11 had none), then the
+# CORRECTNESS ledger — prior-round reds first (r12 had none), then the
 # round's changed-path re-gates, then the oldest-driver-evidence
 # rotation round-robining across families. This round's proposer run:
-#   python tools/steady_window.py --changed embedding_lsh_pairs,\
-#     embedding_near_dup_clusters
+#   python tools/steady_window.py --changed dedup_minhash_lsh_pairs,\
+#     dedup_near_dup_clusters,dedup_cluster_representatives,\
+#     dedup_rate_projection,split_leakage_check,\
+#     cross_domain_neardup_matrix,dedup_simhash_pairs,\
+#     embedding_lsh_pairs,embedding_near_dup_clusters
 # used VERBATIM (no author swaps; pinned by
 # tests/test_gate_priority.py::test_window_matches_steady_state_proposal).
-# The changed list is the r12 engine diff: the similarity screen's
-# WARN/metric once-per-screen alignment + stale-recording detection
-# (operators/similarity.py::_occupancy_capped_blocks, commit 57d9ced)
-# re-gates its two registered consumers. Every entry, regardless of
+# The changed list is the r13 engine diff: the dead-session sweep for
+# similarity's _RECORDED_N_HOT moved into dedup._evict_dead_sessions,
+# the shared lifecycle point (ADVICE r12, commit 22224de) — every
+# registry consumer of the occupancy-screened operators
+# (dedup.minhash_lsh_pairs, dedup.simhash_pairs,
+# similarity.embedding_lsh_pairs) re-gates. Every entry, regardless of
 # position, is oracle-verified locally at sf0.01 by tools/local_gate.py
 # and at sf0.001 by tests/test_oracle_parity.py.
 _GATE_FIRST_50 = [
+    "dedup_minhash_lsh_pairs",  # changed path
+    "dedup_near_dup_clusters",  # changed path
+    "dedup_cluster_representatives",  # changed path
+    "dedup_rate_projection",  # changed path
+    "split_leakage_check",  # changed path
+    "cross_domain_neardup_matrix",  # changed path
+    "dedup_simhash_pairs",  # changed path
     "embedding_lsh_pairs",  # changed path
     "embedding_near_dup_clusters",  # changed path
-    "dedup_ngram_jaccard",  # last driver-green r02
-    "embedding_ivf_topk",  # last driver-green r02
-    "events_gap_stats",  # last driver-green r02
-    "node_export_part",  # last driver-green r02
-    "rel_export_nation_in_region",  # last driver-green r02
-    "text_language_id",  # last driver-green r02
-    "window_sliding_events",  # last driver-green r02
-    "corpus_split_stats",  # last driver-green r03
-    "graph_bfs_hops",  # last driver-green r03
-    "lineitem_price_histogram_quantiles",  # last driver-green r03
-    "multimodal_resize_plan",  # last driver-green r03
-    "streaming_dedup_user_type",  # last driver-green r03
-    "customer_balance_deciles",  # last driver-green r04
-    "doc_novelty_profile",  # last driver-green r04
-    "grouping_sets_revenue",  # last driver-green r04
-    "motif_customer_order_part",  # last driver-green r04
-    "orders_running_total",  # last driver-green r04
-    "part_brand_families",  # last driver-green r04
-    "pivot_orders_priority_status",  # last driver-green r04
-    "q12_shipping_delay_class",  # last driver-green r04
-    "q3_top_orders_by_revenue",  # last driver-green r04
-    "q5_revenue_by_segment_nation",  # last driver-green r04
-    "q6_forecast_revenue",  # last driver-green r04
-    "quality_survival_curve",  # last driver-green r04
-    "rolling_user_activity",  # last driver-green r04
-    "signup_purchases_24h",  # last driver-green r04
-    "skewed_join_hot_suppliers",  # last driver-green r04
-    "top_parts_per_nation",  # last driver-green r04
-    "vocabulary_oov_rate",  # last driver-green r04
-    "basket_association_rules",  # last driver-green r05
-    "bigram_perplexity_heldout",  # last driver-green r05
-    "cms_term_estimates",  # last driver-green r05
-    "domain_quality_percentiles",  # last driver-green r05
-    "epoch_mixture_plan",  # last driver-green r05
-    "language_confusion_matrix",  # last driver-green r05
-    "length_drift_psi",  # last driver-green r05
-    "pmi_collocations",  # last driver-green r05
-    "split_leakage_check",  # last driver-green r05
-    "vocab_growth_curve",  # last driver-green r05
-    "weighted_corpus_sample",  # last driver-green r05
-    "ann_recall_at_k",  # last driver-green r06
-    "bpe_train_merges",  # last driver-green r06
-    "brand_price_qty_regression",  # last driver-green r06
-    "copurchase_recommendations",  # last driver-green r06
-    "cross_domain_neardup_matrix",  # last driver-green r06
-    "curriculum_order_plan",  # last driver-green r06
-    "data_quality_checks",  # last driver-green r06
-    "dataset_card_stats",  # last driver-green r06
+    "events_json_props",  # last driver-green r02
+    "rel_export_order_supplied_by_supplier",  # last driver-green r02
+    "window_tumbling_events",  # last driver-green r02
+    "dedup_incremental_batch",  # last driver-green r03
+    "embedding_kmeans_step",  # last driver-green r03
+    "graph_k_core",  # last driver-green r03
+    "streaming_kmv_distinct_users",  # last driver-green r03
+    "text_repetition_stats",  # last driver-green r03
+    "corpus_hash_sample",  # last driver-green r04
+    "lineitem_column_profile",  # last driver-green r04
+    "customer_rfm_segments",  # last driver-green r05
+    "doc_length_buckets",  # last driver-green r05
+    "part_copurchase_topk",  # last driver-green r05
+    "quality_classifier_score",  # last driver-green r05
+    "domain_term_entropy",  # last driver-green r06
+    "language_script_stats",  # last driver-green r06
+    "term_zipf_fit",  # last driver-green r06
+    "user_sequence_anomaly",  # last driver-green r06
+    "vocab_coverage_curve",  # last driver-green r06
+    "ann_recall_curve",  # last driver-green r07
+    "kmv_audience_overlap",  # last driver-green r07
+    "lang_token_budget_plan",  # last driver-green r07
+    "orders_monthly_seasonality",  # last driver-green r07
+    "source_gini_concentration",  # last driver-green r07
+    "tokenizer_fertility_by_lang",  # last driver-green r07
+    "bloom_filter_fp_audit",  # last driver-green r08
+    "brand_return_wilson",  # last driver-green r08
+    "join_key_skew_profile",  # last driver-green r08
+    "lexical_diversity_by_source",  # last driver-green r08
+    "nation_customer_median_ltv",  # last driver-green r08
+    "order_total_reconciliation",  # last driver-green r08
+    "posting_list_stats",  # last driver-green r08
+    "retrieval_mrr_eval",  # last driver-green r08
+    "returnflag_qty_discount_kendall",  # last driver-green r08
+    "supplier_delay_trend",  # last driver-green r08
+    "bm25_prf_expansion",  # last driver-green r09
+    "ccnet_perplexity_buckets",  # last driver-green r09
+    "dsir_importance_weights",  # last driver-green r09
+    "kneser_ney_bigram_score",  # last driver-green r09
+    "multimodal_ahash_near_dup",  # last driver-green r09
+    "token_length_histogram",  # last driver-green r09
 ]
 # Length AND uniqueness (ADVICE r07: a duplicate name would silently
 # shrink the effective driver gate below 50 unique queries — the
