@@ -87,7 +87,7 @@ def build_64x(out_path: str, copies: int = COPIES) -> int:
     return table.num_rows
 
 
-def occupancy_stats(spark, path: str) -> dict:
+def occupancy_stats(spark, path: str, block_size: int = 16) -> dict:
     from pyspark.sql import functions as F
 
     from neo4j_database_to_data_importer_package_spark.operators.similarity import (
@@ -100,7 +100,9 @@ def occupancy_stats(spark, path: str) -> dict:
 
     df = read_parquet_table(spark, path)
     n = with_norm(df, "embedding", "vec_id")
-    blocks = _signature_blocks(n, "vec_id", dim=64, n_bits=128, block_size=16)
+    blocks = _signature_blocks(
+        n, "vec_id", dim=64, n_bits=128, block_size=block_size
+    )
     occ = blocks.groupBy("q", "block").agg(F.count(F.lit(1)).alias("occ"))
     row = occ.agg(
         F.count(F.lit(1)).alias("n_buckets"),
@@ -113,15 +115,23 @@ def occupancy_stats(spark, path: str) -> dict:
     return row.asDict()
 
 
-def _parse_scales(argv: list[str]) -> tuple[int, ...]:
-    """Validate the optional scale list BEFORE a JVM boots (round 12,
-    same pattern as the text twin ``text_lsh_occupancy_16x.py``)."""
+def _parse_args(argv: list[str]):
+    """Validate argv BEFORE a JVM boots (round 12, same pattern as the
+    text twin ``text_lsh_occupancy_16x.py``)."""
     import argparse
 
     def positive_int(a: str) -> int:
         v = int(a)
         if v < 1:
             raise argparse.ArgumentTypeError(f"scale must be >= 1, got {v}")
+        return v
+
+    def block_size_arg(a: str) -> int:
+        v = int(a)
+        if v < 1 or 128 % v != 0:
+            raise argparse.ArgumentTypeError(
+                f"block size must divide n_bits=128, got {v}"
+            )
         return v
 
     p = argparse.ArgumentParser(
@@ -133,11 +143,31 @@ def _parse_scales(argv: list[str]) -> tuple[int, ...]:
         type=positive_int,
         help="corpus copy multipliers to probe (default: 1 %d)" % COPIES,
     )
-    return tuple(p.parse_args(argv).scales) or (1, COPIES)
+    p.add_argument(
+        "--occupancy-only",
+        action="store_true",
+        help="skip the candidate/verified-pair joins — at cap-horizon "
+        "scales (10M+ vectors) the banding histogram is the question "
+        "and the Σocc² candidate join is hours of wall for no answer "
+        "(round-13 horizon closure, mirroring the text twin's "
+        "--skip-minhash)",
+    )
+    p.add_argument(
+        "--block-size",
+        type=block_size_arg,
+        default=16,
+        help="banding block width for the occupancy histogram (the "
+        "documented widen-the-block remedy dial; n_bits stays 128, so "
+        "32 -> 4 bands of 2^32-key blocks)",
+    )
+    args = p.parse_args(argv)
+    args.scales = tuple(args.scales) or (1, COPIES)
+    return args
 
 
 def main() -> None:
-    scales = _parse_scales(sys.argv[1:])
+    args = _parse_args(sys.argv[1:])
+    scales = args.scales
 
     from pyspark.sql import functions as F
 
@@ -163,15 +193,22 @@ def main() -> None:
             print(f"built {copies}x organic corpus: {n_c} vectors", flush=True)
             targets.append((f"{copies}x", path_c))
         for label, path in targets:
-            st = occupancy_stats(spark, path)
+            t0 = time.perf_counter()
+            st = occupancy_stats(spark, path, block_size=args.block_size)
+            occ_wall = time.perf_counter() - t0
             nvec = read_parquet_table(spark, path).count()
+            n_bands = 128 // args.block_size
             print(
                 f"occupancy {label}: n={nvec} buckets_used={st['n_buckets']} "
-                f"(2^16 per band x 8 bands) mean={st['mean_occ']:.2f} "
+                f"(2^{args.block_size} per band x {n_bands} bands) "
+                f"mean={st['mean_occ']:.2f} "
                 f"p99={st['p99']} p99.9={st['p999']} max={st['max_occ']} "
-                f"over_default_cap(8192)={st['over_default_cap']}",
+                f"over_default_cap(8192)={st['over_default_cap']} "
+                f"wall={occ_wall:.1f}s",
                 flush=True,
             )
+            if args.occupancy_only:
+                continue
             df = read_parquet_table(spark, path)
             cands = embedding_lsh_pairs(df, threshold=-1.0).count()
             t0 = time.perf_counter()
