@@ -402,8 +402,46 @@ _DROP_RECORDED: set[tuple] = set()
 # mappings keyed like _DROP_RECORDED (key[0][0] is the applicationId)
 # whose stale entries must be swept from the single shared lifecycle
 # point below even when only the dedup screens run in a session.
-# ``similarity`` registers _RECORDED_N_HOT here at import time.
+# ``similarity`` registers _RECORDED_N_HOT here at import time via
+# register_session_cache().
 _REGISTERED_SESSION_CACHES: list[dict] = []
+
+
+def register_session_cache(cache: dict) -> None:
+    """Register a sibling module's session-scoped cache for the shared
+    ``_evict_dead_sessions`` sweep.
+
+    Idempotent across ``importlib.reload`` (ADVICE r13: an
+    unconditional ``append`` at import time left the previous dict
+    registered forever after a reload — a small leak and a stale
+    double-entry in the registry).
+
+    Key contract (ADVICE r13): keys must be shaped like
+    ``_DROP_RECORDED``'s — ``key[0][0]`` is the owning applicationId
+    *string*, i.e. each key is a tuple whose first element is itself a
+    tuple headed by the app-id.  A flat ``(app_id, op)`` key would make
+    ``key[0][0]`` the first *character* of the app-id and silently
+    mis-evict; the sweep validates the shape and fails loudly instead.
+    """
+    if not any(c is cache for c in _REGISTERED_SESSION_CACHES):
+        _REGISTERED_SESSION_CACHES.append(cache)
+
+
+def _checked_cache_key(k) -> tuple:
+    if not (
+        isinstance(k, tuple)
+        and k
+        and isinstance(k[0], tuple)
+        and k[0]
+        and isinstance(k[0][0], str)
+    ):
+        raise TypeError(
+            f"registered session cache has mis-shaped key {k!r}: the "
+            "sweep contract is key[0][0] == applicationId (a nested "
+            "tuple headed by the app-id string — see "
+            "register_session_cache)"
+        )
+    return k
 
 
 def _evict_dead_sessions(app_id: str) -> None:
@@ -419,7 +457,7 @@ def _evict_dead_sessions(app_id: str) -> None:
     for stale in [k for k in _DROP_RECORDED if k[0][0] != app_id]:
         _DROP_RECORDED.discard(stale)
     for cache in _REGISTERED_SESSION_CACHES:
-        for stale in [k for k in cache if k[0][0] != app_id]:
+        for stale in [k for k in cache if _checked_cache_key(k)[0][0] != app_id]:
             del cache[stale]
 
 

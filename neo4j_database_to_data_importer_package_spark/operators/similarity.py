@@ -29,9 +29,9 @@ logger = logging.getLogger(__name__)
 # shared eviction point (ADVICE r12) so a dedup-only session sweeps it
 # too — no stale growth across long-lived multi-session processes.
 _RECORDED_N_HOT: dict[tuple, int] = {}
-from .dedup import _REGISTERED_SESSION_CACHES as _DEDUP_SESSION_CACHES  # noqa: E402
+from .dedup import register_session_cache as _register_session_cache  # noqa: E402
 
-_DEDUP_SESSION_CACHES.append(_RECORDED_N_HOT)
+_register_session_cache(_RECORDED_N_HOT)
 
 
 def _as_double(col) -> F.Column:

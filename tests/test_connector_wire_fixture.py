@@ -177,6 +177,13 @@ def test_smoke_script_spec_builder_roundtrip():
             }
         )
 
+    # Round 14 (ADVICE r13): a spec missing 'nodes' entirely must get
+    # the same named-error treatment, not a bare KeyError.
+    with pytest.raises(SystemExit, match="missing the required 'nodes'"):
+        mod.build_spec(
+            {"edges": [{"src_label": "A", "rel_type": "R", "tgt_label": "A"}]}
+        )
+
 
 def test_fixture_is_versioned_against_the_connector_pin():
     """VERDICT r06 directive #7: the recorded wire fixture and the

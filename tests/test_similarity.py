@@ -288,3 +288,29 @@ def test_recorded_n_hot_swept_by_dedup_only_sessions():
     finally:
         sim._RECORDED_N_HOT.pop(dead_key, None)
         sim._RECORDED_N_HOT.pop(live_key, None)
+
+
+def test_session_cache_registration_idempotent_and_key_checked():
+    """ADVICE r13: (a) re-registering the same cache (the importlib.reload
+    path) must not append a second reference; (b) a cache registered with
+    flat ``(app_id, op)`` keys violates the key[0][0]-is-applicationId
+    contract and must fail loudly in the sweep instead of comparing the
+    first *character* of the app-id and silently mis-evicting."""
+    from neo4j_database_to_data_importer_package_spark.operators import (
+        dedup,
+        similarity as sim,
+    )
+
+    count = lambda c: sum(1 for x in dedup._REGISTERED_SESSION_CACHES if x is c)
+    assert count(sim._RECORDED_N_HOT) == 1
+    dedup.register_session_cache(sim._RECORDED_N_HOT)
+    assert count(sim._RECORDED_N_HOT) == 1
+
+    bad = {("live-app-id", "op"): 1}  # flat key — first element is a str
+    dedup.register_session_cache(bad)
+    try:
+        with pytest.raises(TypeError, match="mis-shaped key"):
+            dedup._evict_dead_sessions("live-app-id")
+        assert bad, "mis-shaped cache must not be silently evicted"
+    finally:
+        dedup._REGISTERED_SESSION_CACHES.remove(bad)

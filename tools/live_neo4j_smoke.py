@@ -74,6 +74,15 @@ def build_spec(spec_json: dict):
             f"'nodes' and optional 'edges' (see module docstring)"
         )
 
+    # Same discipline for the required key itself (ADVICE r13): a spec
+    # with only "edges" used to die on a bare KeyError at
+    # spec_json["nodes"], inconsistent with the named errors below.
+    if "nodes" not in spec_json:
+        raise SystemExit(
+            "graph spec is missing the required 'nodes' key: a graph "
+            "spec has 'nodes' and optional 'edges' (see module docstring)"
+        )
+
     # Same discipline per entry (found re-checking the seam in round
     # 13): a node typo'd as {"label": ..., "id": ...} used to die on a
     # bare KeyError, and an extra key like "properties" was silently
