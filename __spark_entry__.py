@@ -39,14 +39,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     embedding_lsh_pairs,embedding_near_dup_clusters
 # used VERBATIM (no author swaps; pinned by
 # tests/test_gate_priority.py::test_window_matches_steady_state_proposal).
-# The changed list is the r13 engine diff: the dead-session sweep for
-# similarity's _RECORDED_N_HOT moved into dedup._evict_dead_sessions,
-# the shared lifecycle point (ADVICE r12, commit 22224de) — every
-# registry consumer of the occupancy-screened operators
-# (dedup.minhash_lsh_pairs, dedup.simhash_pairs,
-# similarity.embedding_lsh_pairs) re-gates. Every entry, regardless of
-# position, is oracle-verified locally at sf0.01 by tools/local_gate.py
-# and at sf0.001 by tests/test_oracle_parity.py.
+# The changed list is the r14 engine diff: the session-cache
+# registration/sweep hardening (ADVICE r13 — identity-guarded
+# register_session_cache + key-shape validation in
+# dedup._evict_dead_sessions, commit 50f7230) — every registry consumer
+# of the occupancy-screened operators (dedup.minhash_lsh_pairs,
+# dedup.simhash_pairs, similarity.embedding_lsh_pairs) re-gates; the
+# rotation fill resumes at the r03 evidence tail. Every entry,
+# regardless of position, is oracle-verified locally at sf0.01 by
+# tools/local_gate.py and at sf0.001 by tests/test_oracle_parity.py.
 _GATE_FIRST_50 = [
     "dedup_minhash_lsh_pairs",  # changed path
     "dedup_near_dup_clusters",  # changed path
@@ -57,47 +58,47 @@ _GATE_FIRST_50 = [
     "dedup_simhash_pairs",  # changed path
     "embedding_lsh_pairs",  # changed path
     "embedding_near_dup_clusters",  # changed path
-    "events_json_props",  # last driver-green r02
-    "rel_export_order_supplied_by_supplier",  # last driver-green r02
-    "window_tumbling_events",  # last driver-green r02
-    "dedup_incremental_batch",  # last driver-green r03
-    "embedding_kmeans_step",  # last driver-green r03
-    "graph_k_core",  # last driver-green r03
-    "streaming_kmv_distinct_users",  # last driver-green r03
-    "text_repetition_stats",  # last driver-green r03
-    "corpus_hash_sample",  # last driver-green r04
-    "lineitem_column_profile",  # last driver-green r04
-    "customer_rfm_segments",  # last driver-green r05
-    "doc_length_buckets",  # last driver-green r05
-    "part_copurchase_topk",  # last driver-green r05
-    "quality_classifier_score",  # last driver-green r05
-    "domain_term_entropy",  # last driver-green r06
-    "language_script_stats",  # last driver-green r06
-    "term_zipf_fit",  # last driver-green r06
-    "user_sequence_anomaly",  # last driver-green r06
-    "vocab_coverage_curve",  # last driver-green r06
-    "ann_recall_curve",  # last driver-green r07
-    "kmv_audience_overlap",  # last driver-green r07
-    "lang_token_budget_plan",  # last driver-green r07
-    "orders_monthly_seasonality",  # last driver-green r07
-    "source_gini_concentration",  # last driver-green r07
-    "tokenizer_fertility_by_lang",  # last driver-green r07
-    "bloom_filter_fp_audit",  # last driver-green r08
-    "brand_return_wilson",  # last driver-green r08
-    "join_key_skew_profile",  # last driver-green r08
-    "lexical_diversity_by_source",  # last driver-green r08
-    "nation_customer_median_ltv",  # last driver-green r08
-    "order_total_reconciliation",  # last driver-green r08
-    "posting_list_stats",  # last driver-green r08
-    "retrieval_mrr_eval",  # last driver-green r08
-    "returnflag_qty_discount_kendall",  # last driver-green r08
-    "supplier_delay_trend",  # last driver-green r08
-    "bm25_prf_expansion",  # last driver-green r09
-    "ccnet_perplexity_buckets",  # last driver-green r09
-    "dsir_importance_weights",  # last driver-green r09
-    "kneser_ney_bigram_score",  # last driver-green r09
-    "multimodal_ahash_near_dup",  # last driver-green r09
-    "token_length_histogram",  # last driver-green r09
+    "embedding_quantize_stats",  # last driver-green r03
+    "graph_triangle_counts",  # last driver-green r03
+    "streaming_session_events",  # last driver-green r03
+    "corpus_shard_manifest",  # last driver-green r04
+    "dedup_span_stats",  # last driver-green r04
+    "events_group_sample",  # last driver-green r04
+    "text_quality_score",  # last driver-green r04
+    "quality_signal_ensemble",  # last driver-green r05
+    "customer_top_percentile_share",  # last driver-green r07
+    "doc_char_entropy",  # last driver-green r07
+    "orders_pareto_skyline",  # last driver-green r07
+    "source_js_divergence",  # last driver-green r07
+    "lineitem_correlation_matrix",  # last driver-green r08
+    "nation_revenue_hhi",  # last driver-green r08
+    "part_brand_type_cramers_v",  # last driver-green r08
+    "retrieval_ndcg_eval",  # last driver-green r08
+    "returnflag_qty_discount_spearman",  # last driver-green r08
+    "term_burstiness",  # last driver-green r08
+    "bm25_tfidf_rank_agreement",  # last driver-green r09
+    "language_id_margin",  # last driver-green r09
+    "multimodal_audio_energy_windows",  # last driver-green r09
+    "supplier_share_shift",  # last driver-green r09
+    "asof_latest_high_value",  # last driver-green r10
+    "bpe_apply_merge_stats",  # last driver-green r10
+    "domain_mixture_weights",  # last driver-green r10
+    "hybrid_rrf_retrieval",  # last driver-green r10
+    "identifier_detection",  # last driver-green r10
+    "model_v01_file_schemas",  # last driver-green r10
+    "node_export_customer",  # last driver-green r10
+    "pattern_discovery",  # last driver-green r10
+    "q1_pricing_summary",  # last driver-green r10
+    "q21_sole_late_supplier",  # last driver-green r10
+    "q7_nation_volume_shipping",  # last driver-green r10
+    "rel_export_order_contains_part",  # last driver-green r10
+    "schema_union",  # last driver-green r10
+    "type_inference_samples",  # last driver-green r10
+    "uniqueness_profile_customer",  # last driver-green r10
+    "bigram_next_token_topk",  # last driver-green r11
+    "contamination_check",  # last driver-green r11
+    "cube_orders_by_priority_status",  # last driver-green r11
+    "customers_with_open_orders",  # last driver-green r11
 ]
 # Length AND uniqueness (ADVICE r07: a duplicate name would silently
 # shrink the effective driver gate below 50 unique queries — the

@@ -39,15 +39,16 @@ _CORRECTNESS_FILES = (
     "CORRECTNESS_r10.json",
     "CORRECTNESS_r11.json",
     "CORRECTNESS_r12.json",
+    "CORRECTNESS_r13.json",
 )
 
-# The r13 engine diff's mandatory re-gates (same list the proposer was
-# run with): the dead-session sweep for similarity's _RECORDED_N_HOT
-# moved into dedup._evict_dead_sessions, the shared lifecycle point
-# (ADVICE r12) — every registry consumer of the occupancy-screened
-# operators (dedup.minhash_lsh_pairs, dedup.simhash_pairs,
-# similarity.embedding_lsh_pairs).
-_R13_CHANGED = [
+# The r14 engine diff's mandatory re-gates (same list the proposer was
+# run with): the session-cache registration/sweep hardening (ADVICE
+# r13 — identity-guarded register_session_cache + key-shape validation
+# in dedup._evict_dead_sessions) — every registry consumer of the
+# occupancy-screened operators (dedup.minhash_lsh_pairs,
+# dedup.simhash_pairs, similarity.embedding_lsh_pairs).
+_R14_CHANGED = [
     "dedup_minhash_lsh_pairs",
     "dedup_near_dup_clusters",
     "dedup_cluster_representatives",
@@ -139,15 +140,15 @@ def test_window_matches_steady_state_proposal():
         [os.path.join(REPO, f) for f in _CORRECTNESS_FILES]
     )
     proposal = sw.propose_window(
-        list(entrymod.queries()), greens, reds_last, _R13_CHANGED, slots=50
+        list(entrymod.queries()), greens, reds_last, _R14_CHANGED, slots=50
     )
     assert entrymod._GATE_FIRST_50 == proposal
 
 
 def test_window_opens_with_changed_path_regates():
-    """r12 had zero reds, so the changed-path re-gates lead the window,
+    """r13 had zero reds, so the changed-path re-gates lead the window,
     in the order given to the proposer."""
-    assert entrymod._GATE_FIRST_50[: len(_R13_CHANGED)] == _R13_CHANGED
+    assert entrymod._GATE_FIRST_50[: len(_R14_CHANGED)] == _R14_CHANGED
 
 
 def test_ledger_is_closed():
@@ -163,10 +164,10 @@ def test_ledger_is_closed():
 
 
 def test_window_regates_the_changed_paths():
-    """Every query whose shared code path the r13 diff touched (the
-    shared dead-session sweep behind the occupancy screens) must
-    re-face the driver this round."""
-    for name in _R13_CHANGED:
+    """Every query whose shared code path the r14 diff touched (the
+    hardened session-cache registration and sweep behind the occupancy
+    screens) must re-face the driver this round."""
+    for name in _R14_CHANGED:
         assert name in entrymod._GATE_FIRST_50, name
 
 
