@@ -66,6 +66,16 @@ def connected_components(
 
     try:
         with superstep_scope(edges.sparkSession, n_edges):
+            # r14: the old cand-aggregate + comp-left-join pair is fused
+            # into ONE union + aggregate (min is order-independent, and
+            # a node has exactly one comp row and ≤1 cand value, so the
+            # grouped min reproduces the left join bit-for-bit). Plan:
+            # 4 Exchanges/superstep → 1 (see plans/r14/). The frontier
+            # deliberately does NOT broadcast: a measured ablation
+            # (OPTIMIZATION_r14.md) showed per-superstep broadcast
+            # builds (driver collect + relation build, serialized
+            # before the superstep job) cost more than the small
+            # exchanges they replace at every scale where they'd fire.
             comp = (
                 und.select(F.col("a").alias("node"))
                 .distinct()
@@ -79,13 +89,25 @@ def connected_components(
             # instead of the full vertex set.
             frontier = comp
             for i in range(max_iter):
-                msgs = (
-                    und.join(frontier, und["a"] == frontier["node"])
-                    .select(F.col("b").alias("node"), F.col("component"))
+                bfr = frontier
+                msgs = und.join(bfr, und["a"] == bfr["node"]).select(
+                    F.col("b").alias("node"),
+                    F.col("component").alias("c"),
+                    F.lit(True).alias("m"),
                 )
-                cand = msgs.groupBy("node").agg(F.min("component").alias("cand"))
                 joined = (
-                    comp.join(cand, "node", "left")
+                    msgs.unionByName(
+                        comp.select(
+                            "node",
+                            F.col("component").alias("c"),
+                            F.lit(False).alias("m"),
+                        )
+                    )
+                    .groupBy("node")
+                    .agg(
+                        F.min(F.when(~F.col("m"), F.col("c"))).alias("component"),
+                        F.min(F.when(F.col("m"), F.col("c"))).alias("cand"),
+                    )
                     .select("node", "component", "cand")
                     .localCheckpoint(eager=True)  # the superstep's only big job
                 )
@@ -146,16 +168,23 @@ def pagerank(
         # checkpoint path bypasses AQE coalescing, so a small graph
         # otherwise pays full-width exchanges 10 times over.
         with superstep_scope(edges.sparkSession, n_nodes):
+            # r14: the contrib-aggregate + nodes-left-join pair is fused
+            # into one union + sum (null-ignoring sum over the message
+            # rows plus a null row per node ≡ the left join's coalesce
+            # semantics) — fewer exchanges per iteration (see
+            # plans/r14/). State deliberately does NOT broadcast: the
+            # with_deg broadcast build (a join executed as a driver
+            # collect, serialized before the superstep job) measured
+            # strictly slower than the small exchanges it replaced
+            # (OPTIMIZATION_r14.md ablation).
             ranks = nodes.select(
                 "node", F.lit(1.0 / n_nodes).alias("rank")
             ).localCheckpoint(eager=True)
             for _ in range(iterations):
                 with_deg = ranks.join(out_deg, "node", "left")
-                contribs = (
-                    e.join(with_deg, "node")
-                    .select(F.col("dst_node").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-                    .groupBy("node")
-                    .agg(F.sum("c").alias("contrib"))
+                msgs = e.join(with_deg, "node").select(
+                    F.col("dst_node").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
                 )
                 # Dangling mass as a broadcast 1-row aggregate folded into
                 # the same superstep job — no separate driver action per
@@ -166,7 +195,13 @@ def pagerank(
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
                 )
                 ranks = (
-                    nodes.join(contribs, "node", "left")
+                    msgs.unionByName(
+                        nodes.select(
+                            "node", F.lit(None).cast("double").alias("c")
+                        )
+                    )
+                    .groupBy("node")
+                    .agg(F.sum("c").alias("contrib"))
                     .crossJoin(F.broadcast(dangling_df))
                     .select(
                         "node",
@@ -214,6 +249,9 @@ def bfs_distances(
 
     try:
         with superstep_scope(edges.sparkSession, n_edges):
+            # (r14 ablation: per-hop broadcast builds of the frontier /
+            # visited set measured slower than the small exchanges they
+            # replace — the loop keeps plain shuffle joins.)
             dist = (
                 sources.select(F.col(node_col).alias("node"))
                 .distinct()
@@ -421,6 +459,13 @@ def shortest_paths(
 
     try:
         with superstep_scope(edges.sparkSession, n_edges):
+            # r14: the relax-aggregate + full-outer join pair is fused
+            # into one union + aggregate (each node has ≤1 dist row and
+            # the min over its messages; min over a singleton/null
+            # partition reproduces the full-outer row set exactly).
+            # ~4 Exchanges/superstep → 1. (Frontier broadcasts measured
+            # slower than the small exchanges — ablation in
+            # OPTIMIZATION_r14.md — so the join stays a shuffle join.)
             dist = (
                 sources.select(F.col(node_col).alias("node"))
                 .distinct()
@@ -429,18 +474,24 @@ def shortest_paths(
             )
             frontier = dist
             for _ in range(rounds):
-                relax = (
-                    und.join(frontier, und["a"] == frontier["node"])
-                    .select(F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("cand"))
-                    .groupBy("node")
-                    .agg(F.min("cand").alias("cand"))
+                bfr = frontier
+                msgs = und.join(bfr, und["a"] == bfr["node"]).select(
+                    F.col("b").alias("node"),
+                    F.lit(None).cast("double").alias("dist"),
+                    (F.col("dist") + F.col("w")).alias("cand"),
                 )
                 joined = (
-                    dist.join(relax, "node", "full_outer")
-                    .select(
-                        "node",
-                        F.col("dist"),
-                        F.col("cand"),
+                    msgs.unionByName(
+                        dist.select(
+                            "node",
+                            "dist",
+                            F.lit(None).cast("double").alias("cand"),
+                        )
+                    )
+                    .groupBy("node")
+                    .agg(
+                        F.min("dist").alias("dist"),
+                        F.min("cand").alias("cand"),
                     )
                     .localCheckpoint(eager=True)
                 )
@@ -482,14 +533,13 @@ def label_propagation(
     ``pagerank``'s fixed iterations and ``shortest_paths``' bounded
     hops).
 
-    Scale shape: per round one shuffle join (edges ⋈ labels on the
-    source endpoint), one count aggregate on (node, label), one rank
-    per node — all hash-partitioned on the vertex id so consecutive
-    rounds reuse the partitioning; ``localCheckpoint`` truncates lineage
-    per superstep. State is one row per node.
+    Scale shape: per round one join (edges ⋈ labels on the source
+    endpoint; the label table broadcasts when driver-known small), one
+    count aggregate on (node, label), and one grouped min picking the
+    winner — hash-partitioned on the vertex id so consecutive rounds
+    reuse the partitioning; ``localCheckpoint`` truncates lineage per
+    superstep. State is one row per node.
     """
-    from pyspark.sql import Window
-
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -499,27 +549,39 @@ def label_propagation(
     )
     nodes = und.select(F.col("a").alias("node")).distinct()
     n_edges = und.count()  # warms the cache; sizes superstep shuffles
-    w = Window.partitionBy("node").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
-    from ..partitioning import superstep_scope
+    from ..partitioning import state_broadcaster, superstep_scope
 
     try:
         with superstep_scope(edges.sparkSession, n_edges):
+            # r14: labels broadcast into the vote join when the graph is
+            # driver-known small, and the winner is a grouped
+            # min(struct(-c, label)) instead of a row_number window —
+            # the same total order (count desc, label asc; counts are
+            # positive longs so -c ascending ≡ c descending), but with
+            # map-side partial aggregation and no per-partition sort.
+            bc = state_broadcaster(n_edges)
             labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
                 eager=True
             )
             for _ in range(rounds):
+                blb = bc(labels)
                 votes = (
-                    und.join(labels, und["b"] == labels["node"])
+                    und.join(blb, und["b"] == blb["node"])
                     .select(F.col("a").alias("node"), "label")
                     .groupBy("node", "label")
                     .agg(F.count(F.lit(1)).alias("c"))
                 )
                 winner = (
-                    votes.withColumn("rn", F.row_number().over(w))
-                    .filter(F.col("rn") == 1)
-                    .select("node", "label")
+                    votes.groupBy("node")
+                    .agg(
+                        F.min(
+                            F.struct(
+                                (-F.col("c")).alias("nc"),
+                                F.col("label").alias("label"),
+                            )
+                        ).alias("w")
+                    )
+                    .select("node", F.col("w.label").alias("label"))
                 )
                 labels = winner.localCheckpoint(eager=True)
         return labels
@@ -572,18 +634,25 @@ def hits(
     )
     try:
         with superstep_scope(edges.sparkSession, n_edges):
+            # r14: node-sized score projections and per-step contrib
+            # tables broadcast into the edge joins / score joins when
+            # the graph is driver-known small (guide §3.1) — each
+            # half-step's only exchange is then its sum aggregate.
+            from ..partitioning import state_broadcaster
+
+            bc = state_broadcaster(n_edges)
             scores = nodes.select(
                 "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
             ).localCheckpoint(eager=True)
             for _ in range(iterations):
                 # authority step: sum incoming hub mass
                 contrib = (
-                    e.join(scores.select(F.col("node").alias("u"), "hub"), "u")
+                    e.join(bc(scores.select(F.col("node").alias("u"), "hub")), "u")
                     .groupBy(F.col("v").alias("node"))
                     .agg(F.sum("hub").alias("auth_raw"))
                 )
                 scores = (
-                    scores.join(contrib, "node", "left")
+                    scores.join(bc(contrib), "node", "left")
                     .select(
                         "node",
                         "hub",
@@ -596,12 +665,12 @@ def hits(
                 )
                 # hub step: sum outgoing authority mass
                 contrib = (
-                    e.join(scores.select(F.col("node").alias("v"), "auth"), "v")
+                    e.join(bc(scores.select(F.col("node").alias("v"), "auth")), "v")
                     .groupBy(F.col("u").alias("node"))
                     .agg(F.sum("auth").alias("hub_raw"))
                 )
                 scores = (
-                    scores.join(contrib, "node", "left")
+                    scores.join(bc(contrib), "node", "left")
                     .select(
                         "node",
                         F.coalesce("hub_raw", F.lit(0.0)).alias("hub"),
@@ -691,25 +760,35 @@ def personalized_pagerank(
     )
     try:
         with superstep_scope(edges.sparkSession, n_nodes):
+            # r14: same plan surgery as ``pagerank`` — the
+            # contrib-aggregate + base-left-join pair fused into one
+            # union + sum (base carries (node, v), so v rides the union
+            # instead of a join); state does NOT broadcast, same
+            # ablation evidence as ``pagerank``.
             ranks = base.select("node", F.col("v").alias("rank")).localCheckpoint(
                 eager=True
             )
             for _ in range(iterations):
                 with_deg = ranks.join(out_deg, "node", "left")
-                contribs = (
-                    e.join(with_deg, "node")
-                    .select(
-                        F.col("dst_node").alias("node"),
-                        (F.col("rank") / F.col("deg")).alias("c"),
-                    )
-                    .groupBy("node")
-                    .agg(F.sum("c").alias("contrib"))
+                msgs = e.join(with_deg, "node").select(
+                    F.col("dst_node").alias("node"),
+                    F.lit(None).cast("double").alias("v"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
                 )
                 dangling_df = with_deg.filter(F.col("deg").isNull()).agg(
                     F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
                 )
                 ranks = (
-                    base.join(contribs, "node", "left")
+                    msgs.unionByName(
+                        base.select(
+                            "node", "v", F.lit(None).cast("double").alias("c")
+                        )
+                    )
+                    .groupBy("node")
+                    .agg(
+                        F.max("v").alias("v"),
+                        F.sum("c").alias("contrib"),
+                    )
                     .crossJoin(F.broadcast(dangling_df))
                     .select(
                         "node",
@@ -766,8 +845,12 @@ def closeness_sampled(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = und.count()  # warms the cache; sizes superstep shuffles
+
     try:
         with superstep_scope(edges.sparkSession, n_edges):
+            # (r14 ablation: per-hop broadcast builds of the frontier /
+            # visited set measured slower than the small exchanges they
+            # replace — the loop keeps plain shuffle joins.)
             dist = (
                 seeds.select(F.col(node_col).alias("seed"))
                 .distinct()
@@ -1045,6 +1128,7 @@ def modularity(
     node_col: str = "node",
     label_col: str = "label",
     digits: int = 6,
+    n_state_hint: int | None = None,
 ) -> DataFrame:
     """Newman modularity Q of a community assignment over the undirected
     graph: Q = Σ_c [ e_c/m − (d_c/2m)² ] — the standard "are these
@@ -1054,8 +1138,10 @@ def modularity(
     community-detection papers report 0.3–0.7 on real social graphs.
 
     Two hash joins hydrate each undirected edge with its endpoint
-    labels (no broadcast hint — the label table is one row per NODE,
-    the same unbounded-input rule as ``degree_assortativity``). The
+    labels (broadcast only when the caller passes a driver-known
+    ``n_state_hint`` under the state-broadcast threshold — the label
+    table is one row per NODE, the same unbounded-input rule as
+    ``degree_assortativity``). The
     algebra is arranged so every aggregate is an INTEGER sum —
     Q = Σe2/(2m) − Σd_c²/(4m²) with Σe2 (within-community directed
     edges) and Σd_c² both exact integers — so the score is bit-
@@ -1070,13 +1156,20 @@ def modularity(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    from ..partitioning import state_broadcaster
+
+    bc = (
+        state_broadcaster(n_state_hint)
+        if n_state_hint is not None
+        else (lambda df: df)
+    )
     la = labels.select(
         F.col(node_col).alias("a"), F.col(label_col).alias("la")
     )
     lb = labels.select(
         F.col(node_col).alias("b"), F.col(label_col).alias("lb")
     )
-    hyd = und.join(la, "a").join(lb, "b")
+    hyd = und.join(bc(la), "a").join(bc(lb), "b")
     # per-community degree sums d_c (each directed row adds 1 to its
     # source's community) and the within-community directed-edge total
     per_c = hyd.groupBy(F.col("la").alias("community")).agg(
@@ -1436,6 +1529,17 @@ def adamic_adar_topk(
             n_hot,
             max_center_degree,
         )
+    # r14: the hot-screen's count() above materialized und's lazy
+    # checkpoint, so counting it now is a cheap local scan; the edge
+    # count gates broadcasting the node-sized center weights and the
+    # non-adjacency anti-join side. The wedge self-join side is
+    # deliberately NOT broadcast: hinting it collapsed the quadratic
+    # wedge fan-out + partial aggregation onto the streamed side's few
+    # input partitions (measured 9 s → 80 s at sf0.1) — the exchange IS
+    # what spreads the wedge work (OPTIMIZATION_r14.md).
+    from ..partitioning import state_broadcaster
+
+    bc = state_broadcaster(2 * und.count())
     centers = (
         deg.join(hot.select("u"), "u", "left_anti")
         .where(F.col("deg") >= 2)
@@ -1448,7 +1552,7 @@ def adamic_adar_topk(
     )
     nbrs = sym.select(F.col("u").alias("c"), F.col("v").alias("x"))
     wedges = (
-        nbrs.join(centers, "c")
+        nbrs.join(bc(centers), "c")
         .join(
             nbrs.select(F.col("c"), F.col("x").alias("y")),
             "c",
@@ -1459,7 +1563,7 @@ def adamic_adar_topk(
         F.count(F.lit(1)).cast("long").alias("n_common"),
         F.sum("w_c").alias("__aa"),
     )
-    non_adj = scored.join(und, ["u", "v"], "left_anti")
+    non_adj = scored.join(bc(und), ["u", "v"], "left_anti")
     return (
         non_adj.orderBy(F.col("__aa").desc(), "u", "v")
         .limit(top_k)
@@ -1725,22 +1829,34 @@ def katz_centrality(
     )
     nodes = und.select(F.col("a").alias("node")).distinct()
     n_edges = und.count()  # warms the cache; sizes superstep shuffles
-    from ..partitioning import superstep_scope
+    from ..partitioning import state_broadcaster, superstep_scope
 
     try:
         with superstep_scope(edges.sparkSession, n_edges):
+            # r14: scores broadcast into the neighbor join when the
+            # graph is driver-known small, and the neighbor-sum + nodes
+            # left-join pair is fused into one union + integer sum (a
+            # null row per node makes the null-ignoring sum reproduce
+            # the left join's coalesce exactly; integer sums are
+            # order-independent). ~4 Exchanges/round → 1.
+            bc = state_broadcaster(n_edges)
+            nodes = nodes.localCheckpoint(eager=True)
             scores = nodes.withColumn(
                 "katz_micro", F.lit(1_000_000).cast("long")
             ).localCheckpoint(eager=True)
             for _ in range(rounds):
-                nbr = (
-                    und.join(scores, und["b"] == scores["node"])
-                    .select(F.col("a").alias("node"), "katz_micro")
-                    .groupBy("node")
-                    .agg(F.sum("katz_micro").alias("__s"))
+                bsc = bc(scores)
+                msgs = und.join(bsc, und["b"] == bsc["node"]).select(
+                    F.col("a").alias("node"), F.col("katz_micro").alias("__s")
                 )
                 scores = (
-                    nodes.join(nbr, "node", "left")
+                    msgs.unionByName(
+                        nodes.select(
+                            "node", F.lit(None).cast("long").alias("__s")
+                        )
+                    )
+                    .groupBy("node")
+                    .agg(F.sum("__s").alias("__s"))
                     .select(
                         "node",
                         (
@@ -1899,24 +2015,34 @@ def spectral_radius_estimate(
     )
     nodes = und.select(F.col("a").alias("node")).distinct()
     n_edges = und.count()
-    from ..partitioning import superstep_scope
+    from ..partitioning import state_broadcaster, superstep_scope
 
     try:
         with superstep_scope(edges.sparkSession, n_edges):
+            # r14: scores broadcast into the neighbor join when the
+            # graph is driver-known small; neighbor-sum + nodes
+            # left-join fused into one union + integer sum (exact,
+            # order-independent — the katz_centrality shape).
+            bc = state_broadcaster(n_edges)
+            nodes = nodes.localCheckpoint(eager=True)
             hist = []
             x = nodes.withColumn("x", F.lit(1).cast("long")).localCheckpoint(
                 eager=True
             )
             hist.append(x)
             for _ in range(rounds):
-                nxt = (
-                    und.join(x, und["b"] == x["node"])
-                    .select(F.col("a").alias("node"), "x")
-                    .groupBy("node")
-                    .agg(F.sum("x").alias("__s"))
+                bx = bc(x)
+                msgs = und.join(bx, und["b"] == bx["node"]).select(
+                    F.col("a").alias("node"), F.col("x").alias("__s")
                 )
                 x = (
-                    nodes.join(nxt, "node", "left")
+                    msgs.unionByName(
+                        nodes.select(
+                            "node", F.lit(None).cast("long").alias("__s")
+                        )
+                    )
+                    .groupBy("node")
+                    .agg(F.sum("__s").alias("__s"))
                     .select(
                         "node",
                         F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("x"),
@@ -1999,8 +2125,12 @@ def effective_diameter_sampled(
         .persist()
     )
     n_edges = und.count()
+
     try:
         with superstep_scope(edges.sparkSession, n_edges):
+            # (r14 ablation: per-hop broadcast builds measured slower
+            # than the small exchanges — plain shuffle joins kept, same
+            # evidence as ``closeness_sampled``.)
             dist = (
                 seeds.select(F.col(node_col).alias("seed"))
                 .distinct()

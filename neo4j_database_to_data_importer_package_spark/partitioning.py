@@ -134,6 +134,45 @@ def salted_join(
 
 from contextlib import contextmanager
 
+# Row ceiling under which an iterative algorithm's node-sized state is
+# broadcast into its per-superstep joins instead of shuffled (guide §3.1:
+# replace the exchange of BOTH sides with one executor-local hash
+# relation). 1M rows of (id, value) state is ~30-60 MB framed — far
+# under the 8 GB / 512M-row broadcast cap and cheap to rebuild per
+# superstep; production graphs with billions of nodes exceed the
+# threshold and keep today's shuffle-join plan unchanged. Row count
+# (known exactly on the driver from the loop's own sizing count) is the
+# decision input rather than Catalyst size estimates, which are unknown
+# for checkpointed RDD-backed state.
+_BCAST_STATE_ROWS = 1_000_000
+
+
+def state_broadcaster(n_rows: int):
+    """Return a wrapper for node-sized superstep-state DataFrames:
+    ``F.broadcast`` when the loop's state row count is at most
+    ``SPARK_GRAFT_BCAST_STATE_ROWS`` (default 1M), else identity.
+
+    Iterative graph algorithms re-join edge tables against node-sized
+    state every superstep; the state side is exactly bounded by the
+    driver-known node/edge count, so the broadcast decision can be made
+    deterministically instead of trusting stats (a ``localCheckpoint``'s
+    LogicalRDD has no size estimate, so auto-broadcast never fires and
+    every superstep pays full exchanges on both sides). Above the
+    threshold the returned identity keeps the existing shuffle-join plan
+    — the 100 TB path is unchanged."""
+    import os
+
+    cap = _BCAST_STATE_ROWS
+    env = os.environ.get("SPARK_GRAFT_BCAST_STATE_ROWS")
+    if env:
+        try:
+            cap = int(env)
+        except ValueError:
+            pass
+    if n_rows <= cap:
+        return F.broadcast
+    return lambda df: df
+
 
 @contextmanager
 def superstep_scope(spark, n_rows: int, rows_per_partition: int = 250_000,

@@ -113,7 +113,11 @@ def graph_modularity_lpa(spark, sf_dir):
     from ..operators.graph_algos import label_propagation, modularity
 
     e = _shipyear_graph(_view(spark, sf_dir))
-    return modularity(e, label_propagation(e, rounds=3))
+    labels = label_propagation(e, rounds=3)
+    # r14: LPA's output is eagerly checkpointed, so counting it here is a
+    # cheap local scan — the driver-known node count lets modularity
+    # broadcast its two node-sized label hydration joins when small.
+    return modularity(e, labels, n_state_hint=labels.count())
 
 
 @register(

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from neo4j_database_to_data_importer_package_spark.partitioning import (
     fan_out,
     salted_join,
+    state_broadcaster,
 )
 
 
@@ -91,3 +92,35 @@ def test_fan_out_ignores_keyword_in_string_literal(spark):
     widened = fan_out(narrow)
     assert widened is not narrow
     assert widened.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_state_broadcaster_threshold_and_env(spark, monkeypatch):
+    """r14: state_broadcaster returns a broadcast-hinting wrapper at or
+    under the row threshold, the identity above it, and honors the
+    SPARK_GRAFT_BCAST_STATE_ROWS override (including 0 = never)."""
+    df = spark.range(10)
+    small = state_broadcaster(1_000_000)(df)
+    # The broadcast hint lands as a ResolvedHint/UnresolvedHint node.
+    assert "hint" in small._jdf.queryExecution().logical().toString().lower()
+    big = state_broadcaster(1_000_001)(df)
+    assert big is df
+    monkeypatch.setenv("SPARK_GRAFT_BCAST_STATE_ROWS", "0")
+    assert state_broadcaster(1)(df) is df
+    monkeypatch.setenv("SPARK_GRAFT_BCAST_STATE_ROWS", "5")
+    hinted = state_broadcaster(5)(df)
+    assert "hint" in hinted._jdf.queryExecution().logical().toString().lower()
+    monkeypatch.setenv("SPARK_GRAFT_BCAST_STATE_ROWS", "not-a-number")
+    # malformed override falls back to the default, never crashes
+    assert state_broadcaster(10)(df) is not df
+
+
+def test_state_broadcaster_join_results_unchanged(spark):
+    """The hint is a pure wall-clock knob: joining through the wrapper
+    yields exactly the rows of the plain join."""
+    left = spark.range(100).withColumnRenamed("id", "k")
+    right = spark.range(0, 100, 3).withColumnRenamed("id", "k")
+    plain = sorted(r["k"] for r in left.join(right, "k").collect())
+    hinted = sorted(
+        r["k"] for r in left.join(state_broadcaster(10)(right), "k").collect()
+    )
+    assert plain == hinted

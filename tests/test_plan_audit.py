@@ -261,3 +261,47 @@ def test_forced_broadcasts_are_allow_listed():
     )
     stale = _ALLOWED_FORCED_BROADCASTS - found
     assert not stale, f"allow-list entries with no call site: {sorted(stale)}"
+
+
+# r14: `state_broadcaster(n)` wraps F.broadcast behind a driver-known
+# row-count gate, so the regex above never sees its hint sites — the
+# same review rule applies to the GATE ARGUMENT instead: the expression
+# passed as n must be a true upper bound on the wrapped DataFrame's row
+# count (node/edge counts the loop already computed). Every call site is
+# frozen here with its bound justification.
+_ALLOWED_STATE_BROADCASTER_SITES = {
+    # labels/scores: one row per node ≤ n_edges rows of the symmetric
+    # edge set (LPA, HITS, Katz, spectral radius)
+    ("operators/graph_algos.py", "n_edges"),
+    # modularity: caller-supplied label-table row count (documented on
+    # the n_state_hint parameter; None = never broadcast)
+    ("operators/graph_algos.py", "n_state_hint"),
+    # adamic-adar: centers ≤ nodes ≤ 2·|und|; und itself is the
+    # anti-join side and counted exactly (post-checkpoint local scan)
+    # (the regex stops at the first ')' of the inner call)
+    ("operators/graph_algos.py", "2 * und.count("),
+}
+
+
+def test_state_broadcaster_sites_are_allow_listed():
+    import pathlib
+    import re
+
+    import neo4j_database_to_data_importer_package_spark as _pkg
+
+    pkg = pathlib.Path(_pkg.__file__).parent
+    pat = re.compile(r"state_broadcaster\(\s*([^)]*)")
+    found = set()
+    for p in sorted(pkg.rglob("*.py")):
+        if p.name == "partitioning.py":  # the definition itself
+            continue
+        for m in pat.finditer(p.read_text()):
+            arg = " ".join(m.group(1).split())[:50]
+            found.add((str(p.relative_to(pkg)), arg))
+    new = found - _ALLOWED_STATE_BROADCASTER_SITES
+    assert not new, (
+        "new state_broadcaster() call sites — prove the row-count gate "
+        f"bounds the wrapped DataFrame and allow-list them: {sorted(new)}"
+    )
+    stale = _ALLOWED_STATE_BROADCASTER_SITES - found
+    assert not stale, f"allow-list entries with no call site: {sorted(stale)}"
