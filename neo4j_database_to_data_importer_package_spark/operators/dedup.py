@@ -215,21 +215,14 @@ def _seeded_md5(seed: int):
     return lambda x: F.md5(F.concat_ws("|", F.lit(seed), x))
 
 
-def _signatures_from_doc_shingles(
-    ds: DataFrame, id_col: str, num_hashes: int, band_size: int
+def _band_signatures(
+    mins: DataFrame, id_col: str, num_hashes: int, band_size: int
 ) -> DataFrame:
-    # A doc with no shingles has no MinHash (array_min(empty) is NULL and
-    # every empty doc would band-match every other); the exploded-index
-    # formulation naturally emitted no rows for them — keep that
-    # semantic, and keep the downstream Jaccard denominator non-zero.
-    ds = ds.filter(F.size("shingles") > 0)
-    mins = ds.select(
-        F.col(id_col),
-        *[
-            F.array_min(F.transform(F.col("shingles"), _seeded_md5(s))).alias(f"mh{s}")
-            for s in range(num_hashes)
-        ],
-    )
+    """(id, band, signature) from a table already carrying the per-seed
+    minima as ``mh0..mh{num_hashes-1}`` columns — split out (r14) so
+    callers that need the minima TOO (``minhash_calibration``) derive
+    the banding from one persisted minima table instead of re-running
+    the num_hashes md5 array-transforms per consumer."""
     n_bands = num_hashes // band_size
     band_structs = F.array(
         *[
@@ -247,6 +240,24 @@ def _signatures_from_doc_shingles(
     return mins.select(
         F.col(id_col), F.explode(band_structs).alias("bs")
     ).select(F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.signature").alias("signature"))
+
+
+def _signatures_from_doc_shingles(
+    ds: DataFrame, id_col: str, num_hashes: int, band_size: int
+) -> DataFrame:
+    # A doc with no shingles has no MinHash (array_min(empty) is NULL and
+    # every empty doc would band-match every other); the exploded-index
+    # formulation naturally emitted no rows for them — keep that
+    # semantic, and keep the downstream Jaccard denominator non-zero.
+    ds = ds.filter(F.size("shingles") > 0)
+    mins = ds.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("shingles"), _seeded_md5(s))).alias(f"mh{s}")
+            for s in range(num_hashes)
+        ],
+    )
+    return _band_signatures(mins, id_col, num_hashes, band_size)
 
 
 def _occupancy_capped_buckets(
@@ -1335,26 +1346,30 @@ def minhash_calibration(
     the only addition is carrying the per-seed minima through the pair
     hydration, which widens the join payload by num_hashes hex strings.
     """
-    # Persist the FILTERED table and keep the handle (ADVICE r04: the
-    # previous persist-then-filter chained away the persisted handle, so
-    # the pre-filter cache could never be unpersisted and covered rows
-    # the two consumers below never read).
-    ds = (
+    # r14: persist the MINIMA table, not the shingle table — the three
+    # downstream consumers (the banding table and both pair-hydration
+    # sides) previously each re-ran the num_hashes md5 array-transforms
+    # over the cached shingles (3× the md5 work, the query's dominant
+    # cost); with (shingles, mh0..mh{n-1}) cached once, the banding
+    # derives from the mh columns (_band_signatures) and the hydration
+    # reads the same cache. Expressions are unchanged, so signatures
+    # and Jaccards are bit-identical.
+    mins = (
         doc_shingles(df, text_col, id_col, shingle_n)
         .filter(F.size("shingles") > 0)
+        .select(
+            F.col(id_col),
+            F.col("shingles"),
+            *[
+                F.array_min(F.transform(F.col("shingles"), _seeded_md5(s))).alias(
+                    f"mh{s}"
+                )
+                for s in range(num_hashes)
+            ],
+        )
         .persist(StorageLevel.MEMORY_ONLY)
     )
-    mins = ds.select(
-        F.col(id_col),
-        F.col("shingles"),
-        *[
-            F.array_min(F.transform(F.col("shingles"), _seeded_md5(s))).alias(
-                f"mh{s}"
-            )
-            for s in range(num_hashes)
-        ],
-    )
-    sig = _signatures_from_doc_shingles(ds, id_col, num_hashes, band_size)
+    sig = _band_signatures(mins, id_col, num_hashes, band_size)
     a, b = sig.alias("a"), sig.alias("b")
     cands = (
         a.join(

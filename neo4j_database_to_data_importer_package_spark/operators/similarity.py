@@ -38,6 +38,27 @@ def _as_double(col) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _literal_matrix_expr(rows: list[list[float]]) -> F.Column:
+    """A nested array<array<double>> literal built as ONE parsed SQL
+    expression instead of per-element ``F.lit`` calls.
+
+    ``F.array(*[F.array(*[F.lit(x) ...])])`` costs one py4j round-trip
+    per element — measured 4.5 s of pure DRIVER time for the 128×64
+    hyperplane matrix (8 192 elements), dwarfing the 0.4 s the dot
+    products actually take (r14 profile, OPTIMIZATION_r14.md). One
+    ``F.expr`` string is a single round-trip; the JVM parses the 8 192
+    numeric literals in milliseconds. Values are emitted with ``repr``
+    (shortest round-trip form) and the whole array is CAST to
+    ARRAY<ARRAY<DOUBLE>>: a decimal literal converted to double is
+    correctly rounded to the nearest double — the exact same bits as
+    the Python float — so plans, signatures, and oracles are unchanged.
+    """
+    body = ",".join(
+        "array(" + ",".join(repr(x) for x in row) + ")" for row in rows
+    )
+    return F.expr(f"CAST(array({body}) AS ARRAY<ARRAY<DOUBLE>>)")
+
+
 def _dot(a, b) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -204,7 +225,7 @@ def _signature_blocks(
     The (id, sig) table is localCheckpointed (~150 B/row) so the dot
     products run once, not once per self-join branch."""
     planes = _hyperplanes(n_bits, dim)
-    planes_arr = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    planes_arr = _literal_matrix_expr(planes)
     sig_expr = F.array_join(
         F.transform(
             planes_arr,
@@ -1640,25 +1661,21 @@ def random_projection_distortion(
     ed = df.select(
         F.col(id_col), F.transform(vec_col, lambda x: x.cast("double")).alias("ed")
     )
+    # r14: one parsed literal matrix + a transform over its rows instead
+    # of d_out per-row F.lit arrays (same folds, same order, one py4j
+    # round-trip instead of 64·d_out — see _literal_matrix_expr).
+    signs_arr = _literal_matrix_expr([[float(v) for v in row] for row in signs])
     proj = ed.select(
         F.col(id_col),
         "ed",
-        F.array(
-            *[
-                (
-                    F.aggregate(
-                        F.zip_with(
-                            "ed",
-                            F.array(*[F.lit(v) for v in row]),
-                            lambda x, s: x * s,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    * F.lit(scale)
-                ).alias(f"y{j}")
-                for j, row in enumerate(signs)
-            ]
+        F.transform(
+            signs_arr,
+            lambda row: F.aggregate(
+                F.zip_with("ed", row, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale),
         ).alias("y"),
     )
     b = proj.select(
