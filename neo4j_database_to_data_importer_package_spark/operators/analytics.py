@@ -438,6 +438,10 @@ def copurchase_recommendations(
     """
     li = view.tables["lineitem"].select("l_orderkey", "l_partkey")
     orders = view.tables["orders"].select("o_orderkey", "o_custkey")
+    # (r14 ablation: persisting this projection measured 1.22× SLOWER
+    # isolated — the two consumers' identical subtrees already dedup via
+    # exchange reuse, and the cache write + scans cost more than they
+    # save. Left exactly as-is.)
     purchases = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
@@ -1320,10 +1324,14 @@ def dual_sourcing_overlap(
     supplier-keyed aggregate; the read-out is TakeOrderedAndProject.
     Jaccard is an exact integer ratio.
     """
+    # r14: persist the distinct (supplier, part) projection — its three
+    # consumers (portfolio sizes + both self-join sides) otherwise each
+    # re-run the fact-table scan + distinct.
     sp = (
         view.tables["lineitem"]
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
+        .persist()
     )
     sizes = sp.groupBy("s").agg(F.count(F.lit(1)).alias("n_parts"))
     a = sp.select(F.col("s").alias("s1"), "p")

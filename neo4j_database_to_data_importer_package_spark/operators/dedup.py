@@ -141,9 +141,14 @@ def ngram_jaccard_pairs(
     (id_a, id_b, jaccard) with id_a < id_b. ``max_df=None`` restores
     the uncapped exact-oracle baseline.
     """
-    idx = _df_capped_index(
-        shingle_index(df, text_col, id_col, n), max_df, "ngram_jaccard_pairs"
+    # r14: persist the raw inverted index — its four consumers (the df
+    # screen, both self-join sides, and the per-doc sizes) each re-ran
+    # the corpus-sized explode+distinct otherwise; the cached table is
+    # (id, shingle)-sized and the screen's anti-join stays broadcast.
+    raw = shingle_index(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_ONLY
     )
+    idx = _df_capped_index(raw, max_df, "ngram_jaccard_pairs")
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = idx.alias("a")
     b = idx.alias("b")
@@ -1483,9 +1488,12 @@ def containment_pairs(
     measures are directly comparable per pair; ``max_df=None``
     restores the uncapped exact baseline.
     """
-    idx = _df_capped_index(
-        shingle_index(df, text_col, id_col, n), max_df, "containment_pairs"
+    # r14: persist the raw inverted index (same four-consumer shape and
+    # rationale as ``ngram_jaccard_pairs``).
+    raw = shingle_index(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_ONLY
     )
+    idx = _df_capped_index(raw, max_df, "containment_pairs")
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = idx.alias("a")
     b = idx.alias("b")

@@ -293,6 +293,11 @@ def triangle_counts(
 
     Returns (node, n_triangles) for every node in >= 1 triangle.
     """
+    # (r14 ablation: BOTH a persist of the deduped edge set and an
+    # explicit degree broadcast measured SLOWER here — the identical
+    # distinct subtrees already dedup via exchange reuse, and the
+    # planner's own size estimates pick the deg join strategy. Left
+    # exactly as-is; OPTIMIZATION_r14.md.)
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -1396,6 +1401,12 @@ def edge_triangle_support(
     )
     sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # r14: persist the oriented edge table — exactly as triangle_counts
+    # already does — so the wedge self-join's two sides (and
+    # neighbor_jaccard's reuse of this whole DAG) read one materialized
+    # table instead of re-running the two orientation joins per branch
+    # (the un-persisted plan carried 35 Exchanges / 8 SortMergeJoins in
+    # neighbor_jaccard; see plans/r14/).
     oriented = (
         sym.join(deg.select(F.col("u"), F.col("deg").alias("du")), "u")
         .join(deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v")
@@ -1404,6 +1415,7 @@ def edge_triangle_support(
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v")
+        .persist()
     )
     wedges = (
         oriented.select(F.col("u").alias("c"), F.col("v").alias("x"))
@@ -1736,10 +1748,17 @@ def type_mixing_matrix(
     sym = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
+    # r14: the cell matrix is bounded (≤ |types|² rows) but feeds FIVE
+    # consumers (tot, both margins, the trace, the final read-out) —
+    # un-materialized, each re-ran the corpus-sized distinct+aggregate
+    # (27 Exchanges in the plan; see plans/r14/). One eager checkpoint
+    # of the tiny table makes everything downstream driver-cheap.
     cell = sym.groupBy(
         F.substring("u", 1, 1).alias("type_a"),
         F.substring("v", 1, 1).alias("type_b"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_ends"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_ends")).localCheckpoint(
+        eager=True
+    )
     tot = cell.agg(F.sum("n_ends").alias("m2"))
     am = cell.groupBy("type_a").agg(F.sum("n_ends").alias("na"))
     bm = cell.groupBy("type_b").agg(F.sum("n_ends").alias("nb"))
