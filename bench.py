@@ -1,8 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints TWO JSON lines: a detailed one carrying the per-query map
+{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "construct": {...}, "sf": ...} (also written to
+BENCH_local_latest[_c{N}].json — the committed per-query channel), then
+a short FINAL line {"metric", "value", "unit", "n_queries", "sf"} sized
+for the driver's 2 000-char tail capture (a 346-entry map overflows it
+and parses as null — round-2 postmortem).
 
 Each query is executed to completion with a count() action (results are
 not collected to the driver — we measure engine throughput, not driver
@@ -687,11 +693,18 @@ def main(argv=None) -> None:
     # a single-query profiling run once clobbered the round artifact
     # minutes after the full run built it (round 9); subsets only write
     # when SPARK_GRAFT_BENCH_OUT names an explicit destination.
+    # Core-count-suffixed default so a lower-core re-run (the driver
+    # benches both local[32] and local[8]) can never clobber the 32-core
+    # per-query record — round 14's c8 re-run overwrote the 32-core
+    # detail and the round's per-query ground truth was lost (VERDICT
+    # r14 What's-wrong #2).
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if out_path is None and not args.queries:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        suffix = "" if cpus == "32" else f"_c{cpus}"
         out_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            "BENCH_local_latest.json",
+            f"BENCH_local_latest{suffix}.json",
         )
     if out_path is not None:
         try:
