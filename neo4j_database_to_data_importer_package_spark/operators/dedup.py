@@ -145,8 +145,17 @@ def ngram_jaccard_pairs(
     # screen, both self-join sides, and the per-doc sizes) each re-ran
     # the corpus-sized explode+distinct otherwise; the cached table is
     # (id, shingle)-sized and the screen's anti-join stays broadcast.
+    # Lifecycle (r15, VERDICT r14 #8): the result is returned lazily, so
+    # there is no in-operator unpersist point; the engine contract is
+    # caller-scoped cleanup (bench/registry clearCache per query) with
+    # Spark's LRU as the backstop — MEMORY_AND_DISK (not MEMORY_ONLY)
+    # so eviction under pressure spills a corpus-sized index to disk
+    # instead of re-running the explode+distinct per consumer (guide §5).
+    # The dict-cache eviction machinery (register_session_cache) is for
+    # driver-side memos keyed by applicationId and does not apply to a
+    # per-call persisted DataFrame.
     raw = shingle_index(df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_ONLY
+        StorageLevel.MEMORY_AND_DISK
     )
     idx = _df_capped_index(raw, max_df, "ngram_jaccard_pairs")
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -1372,7 +1381,11 @@ def minhash_calibration(
                 for s in range(num_hashes)
             ],
         )
-        .persist(StorageLevel.MEMORY_ONLY)
+        # MEMORY_AND_DISK (r15): corpus-sized minima table with three
+        # consumers — LRU eviction under pressure must spill, not
+        # re-run the 16 md5 array-transforms (guide §5). Cleanup is
+        # caller-scoped (clearCache per query); see ngram_jaccard_pairs.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sig = _band_signatures(mins, id_col, num_hashes, band_size)
     a, b = sig.alias("a"), sig.alias("b")
@@ -1488,10 +1501,10 @@ def containment_pairs(
     measures are directly comparable per pair; ``max_df=None``
     restores the uncapped exact baseline.
     """
-    # r14: persist the raw inverted index (same four-consumer shape and
-    # rationale as ``ngram_jaccard_pairs``).
+    # r14: persist the raw inverted index (same four-consumer shape,
+    # storage-level and lifecycle rationale as ``ngram_jaccard_pairs``).
     raw = shingle_index(df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_ONLY
+        StorageLevel.MEMORY_AND_DISK
     )
     idx = _df_capped_index(raw, max_df, "containment_pairs")
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
