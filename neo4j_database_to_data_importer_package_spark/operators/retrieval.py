@@ -200,9 +200,14 @@ def cms_term_estimates(
     size) that replaces exact per-term counts when the vocabulary
     doesn't fit; the audit shows its overestimate directly.
 
-    Plan: one explode to (row, col) pairs (depth small, map-side
-    partial-agg collapses to ≤ depth·width rows before the shuffle), a
-    broadcast of the tiny probe set, min-over-rows per probed term.
+    Plan (r15): ONE tokenize pass — both the sketch and the heavy-hitter
+    probes derive from the per-term exact counts (guide §2.3 "aggregate
+    before you shuffle"): a CMS cell's count over the token stream is
+    exactly Σ count(term) over the terms hashing into the cell, so the
+    sketch builds from the vocabulary-sized count table (persisted for
+    its two consumers) instead of re-exploding the corpus-sized term
+    stream ×depth. The pre-r15 shape tokenized the corpus twice and
+    shuffled |tokens|·depth rows; identical integer results.
     """
     stream = _term_stream(df, text_col, id_col)
 
@@ -212,20 +217,26 @@ def cms_term_estimates(
             F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % width
         ).cast("int")
 
-    rows = stream.select(
-        F.col("term"), F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
-    )
-    sketch = (
-        rows.select("i", col_of(F.col("term"), F.col("i")).alias("col"))
-        .groupBy("i", "col")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    true_counts = (
+    # Vocabulary-sized (term, count) table — cheap to cache, two
+    # consumers below; cleanup is caller-scoped (the result is lazy).
+    tc = (
         stream.groupBy("term")
         .agg(F.count(F.lit(1)).alias("true_count"))
-        .orderBy(F.col("true_count").desc(), F.col("term"))
-        .limit(top_k)
+        .persist()
     )
+    rows = tc.select(
+        F.col("term"),
+        F.col("true_count"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"),
+    )
+    sketch = (
+        rows.select("i", col_of(F.col("term"), F.col("i")).alias("col"), "true_count")
+        .groupBy("i", "col")
+        .agg(F.sum("true_count").alias("c"))
+    )
+    true_counts = tc.orderBy(
+        F.col("true_count").desc(), F.col("term")
+    ).limit(top_k)
     probes = true_counts.select(
         "term",
         "true_count",

@@ -1125,12 +1125,28 @@ def pca_power_iteration(
     """
     import math
 
+    # r15: the loop runs iterations+1 sequential driver jobs over this
+    # projection (one 64-sum aggregate per iteration + the final share
+    # pass) — persist it once so each job reads the cached (rows × dim)
+    # doubles instead of re-scanning + re-casting the parquet (guide §5:
+    # reused ≥4×, recompute cost ≥ cache cost). Unpersisted before
+    # return: every consumer job has already collected.
     ed = df.select(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("ed")
-    )
+    ).persist()
+
+    def _vec_lit(vals: list[float]) -> F.Column:
+        # One parsed expression instead of ``dim`` F.lit round-trips —
+        # the 1-D case of _literal_matrix_expr, same repr/CAST
+        # bit-identity argument.
+        return F.expr(
+            "CAST(array(" + ",".join(repr(x) for x in vals)
+            + ") AS ARRAY<DOUBLE>)"
+        )
+
     v = [1.0 / math.sqrt(dim)] * dim  # 0.125 for dim=64 — exact binary
     for _ in range(iterations):
-        v_lit = F.array(*[F.lit(float(x)) for x in v])
+        v_lit = _vec_lit(v)
         s = _dot(F.col("ed"), v_lit)
         # 64 direct sum aggregates over (element × score) — one codegen
         # pass with map-side combine, no posexplode fan-out (the
@@ -1146,12 +1162,13 @@ def pca_power_iteration(
         m = [m_row[f"m{i}"] for i in range(dim)]
         nn = math.sqrt(sum(x * x for x in m))
         v = [math.floor(x / nn * 1e6 + 0.5) / 1e6 for x in m]
-    v_lit = F.array(*[F.lit(float(x)) for x in v])
+    v_lit = _vec_lit(v)
     s = _dot(F.col("ed"), v_lit)
     xx = _dot(F.col("ed"), F.col("ed"))
     share = ed.agg(
         (F.sum(s * s) / F.sum(xx)).alias("share")
     ).collect()[0]["share"]
+    ed.unpersist()
     share = math.floor(share * 1e6 + 0.5) / 1e6
     spark = df.sparkSession
     return spark.createDataFrame(

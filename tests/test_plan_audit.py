@@ -280,6 +280,10 @@ _ALLOWED_STATE_BROADCASTER_SITES = {
     # anti-join side and counted exactly (post-checkpoint local scan)
     # (the regex stops at the first ')' of the inner call)
     ("operators/graph_algos.py", "2 * und.count("),
+    # k-core compaction: the semi-join side is the alive-node state
+    # table, whose row count is tracked exactly on the driver
+    # (initial checkpoint count minus cumulative drop counts)
+    ("operators/graph_algos.py", "alive_base"),
 }
 
 
