@@ -1999,6 +1999,16 @@ def chargram_lang_id_confusion(
         .groupBy(id_col, "tagged", "plang")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
+    # r15 ablation, measured and REVERTED: rewriting this argmax as the
+    # LPA-style min(struct(-hits, plang)) grouped aggregate read 1.06 in
+    # an isolated ABAB (min-of-5). Unlike LPA's case the window here
+    # removes no exchange (the hits aggregate and the window need the
+    # same re-partition either way), and min-over-struct plans as a
+    # SortAggregate (sorts both partial and final sides) while the
+    # row_number window gets WindowGroupLimit rank-limit pushdown — the
+    # window formulation is the cheaper physical shape. Same lesson as
+    # r14's triangle_counts revert: check what the transform actually
+    # removes before applying it.
     wd = Window.partitionBy(id_col).orderBy(
         F.col("hits").desc(), F.col("plang").asc()
     )
