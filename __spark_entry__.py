@@ -25,80 +25,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate evaluates the FIRST 50 entries of this
-# dict. Round 13 is the third steady-state window (COVERAGE.md "Steady
-# state (rounds 11+, ledger closed)"; VERDICT r12 directive #1): the
-# cumulative driver ledger stays closed at 346/346, so the window is
-# canaries only, composed by tools/steady_window.py from the
-# CORRECTNESS ledger — prior-round reds first (r12 had none), then the
-# round's changed-path re-gates, then the oldest-driver-evidence
-# rotation round-robining across families. This round's proposer run:
-#   python tools/steady_window.py --changed dedup_minhash_lsh_pairs,\
-#     dedup_near_dup_clusters,dedup_cluster_representatives,\
-#     dedup_rate_projection,split_leakage_check,\
-#     cross_domain_neardup_matrix,dedup_simhash_pairs,\
-#     embedding_lsh_pairs,embedding_near_dup_clusters
-# used VERBATIM (no author swaps; pinned by
+# dict. Round 15 is the fifth steady-state window (COVERAGE.md "Steady
+# state (rounds 11+, ledger closed)"): the cumulative driver ledger
+# stays closed at 346/346, so the window is canaries only, composed by
+# tools/steady_window.py from the CORRECTNESS ledger — prior-round reds
+# first (r14 had none), then the round's changed-path re-gates, then
+# the oldest-driver-evidence rotation round-robining across families.
+# This round's changed list (VERDICT r14 directive #2 + the r15 diff)
+# leads with the 17 paths the r14 optimization touched AFTER that
+# round's window froze — the pagerank-family fused union-aggregates,
+# state_broadcaster sites, LSH-literal/calibration rewrites and
+# multi-consumer persists that were local-gate-green but never
+# driver-verified (graph_pagerank … embedding_jl_distortion below),
+# plus graph_connected_components (same r14 fusion, previously covered
+# only via its dedup consumers) — then the r15 optimization diff
+# (percolation fused CC loop, incremental k-core, SCC fixpoint exit,
+# PCA persist, CMS one-pass: graph_percolation_robustness,
+# graph_k_core, events_dominant_transition_scc,
+# embedding_pca_power_iteration, cms_term_estimates; the three
+# storage-level-hardened dedup consumers are already in the r14 17).
+# Proposal used VERBATIM (no author swaps; pinned by
 # tests/test_gate_priority.py::test_window_matches_steady_state_proposal).
-# The changed list is the r14 engine diff: the session-cache
-# registration/sweep hardening (ADVICE r13 — identity-guarded
-# register_session_cache + key-shape validation in
-# dedup._evict_dead_sessions, commit 50f7230) — every registry consumer
-# of the occupancy-screened operators (dedup.minhash_lsh_pairs,
-# dedup.simhash_pairs, similarity.embedding_lsh_pairs) re-gates; the
-# rotation fill resumes at the r03 evidence tail. Every entry,
-# regardless of position, is oracle-verified locally at sf0.01 by
-# tools/local_gate.py and at sf0.001 by tests/test_oracle_parity.py.
+# Every entry, regardless of position, is oracle-verified locally at
+# sf0.01 by tools/local_gate.py and at sf0.001 by
+# tests/test_oracle_parity.py.
 _GATE_FIRST_50 = [
-    "dedup_minhash_lsh_pairs",  # changed path
-    "dedup_near_dup_clusters",  # changed path
-    "dedup_cluster_representatives",  # changed path
-    "dedup_rate_projection",  # changed path
-    "split_leakage_check",  # changed path
-    "cross_domain_neardup_matrix",  # changed path
-    "dedup_simhash_pairs",  # changed path
-    "embedding_lsh_pairs",  # changed path
-    "embedding_near_dup_clusters",  # changed path
-    "embedding_quantize_stats",  # last driver-green r03
-    "graph_triangle_counts",  # last driver-green r03
-    "streaming_session_events",  # last driver-green r03
-    "corpus_shard_manifest",  # last driver-green r04
-    "dedup_span_stats",  # last driver-green r04
-    "events_group_sample",  # last driver-green r04
-    "text_quality_score",  # last driver-green r04
-    "quality_signal_ensemble",  # last driver-green r05
-    "customer_top_percentile_share",  # last driver-green r07
-    "doc_char_entropy",  # last driver-green r07
-    "orders_pareto_skyline",  # last driver-green r07
-    "source_js_divergence",  # last driver-green r07
-    "lineitem_correlation_matrix",  # last driver-green r08
-    "nation_revenue_hhi",  # last driver-green r08
-    "part_brand_type_cramers_v",  # last driver-green r08
-    "retrieval_ndcg_eval",  # last driver-green r08
-    "returnflag_qty_discount_spearman",  # last driver-green r08
-    "term_burstiness",  # last driver-green r08
-    "bm25_tfidf_rank_agreement",  # last driver-green r09
-    "language_id_margin",  # last driver-green r09
-    "multimodal_audio_energy_windows",  # last driver-green r09
-    "supplier_share_shift",  # last driver-green r09
-    "asof_latest_high_value",  # last driver-green r10
-    "bpe_apply_merge_stats",  # last driver-green r10
-    "domain_mixture_weights",  # last driver-green r10
-    "hybrid_rrf_retrieval",  # last driver-green r10
-    "identifier_detection",  # last driver-green r10
-    "model_v01_file_schemas",  # last driver-green r10
-    "node_export_customer",  # last driver-green r10
-    "pattern_discovery",  # last driver-green r10
-    "q1_pricing_summary",  # last driver-green r10
-    "q21_sole_late_supplier",  # last driver-green r10
-    "q7_nation_volume_shipping",  # last driver-green r10
-    "rel_export_order_contains_part",  # last driver-green r10
-    "schema_union",  # last driver-green r10
-    "type_inference_samples",  # last driver-green r10
-    "uniqueness_profile_customer",  # last driver-green r10
-    "bigram_next_token_topk",  # last driver-green r11
-    "contamination_check",  # last driver-green r11
-    "cube_orders_by_priority_status",  # last driver-green r11
-    "customers_with_open_orders",  # last driver-green r11
+    "graph_pagerank",  # changed path
+    "graph_personalized_pagerank",  # changed path
+    "graph_katz_centrality",  # changed path
+    "graph_spectral_radius",  # changed path
+    "graph_label_propagation",  # changed path
+    "graph_hits_scores",  # changed path
+    "graph_shortest_hops",  # changed path
+    "graph_modularity_lpa",  # changed path
+    "graph_adamic_adar",  # changed path
+    "graph_bfs_hops",  # changed path
+    "graph_connected_components",  # changed path
+    "dedup_minhash_calibration",  # changed path
+    "graph_type_mixing_matrix",  # changed path
+    "graph_neighbor_jaccard",  # changed path
+    "graph_edge_triangle_support",  # changed path
+    "dedup_ngram_jaccard",  # changed path
+    "dedup_containment_pairs",  # changed path
+    "supplier_dual_sourcing_overlap",  # changed path
+    "embedding_jl_distortion",  # changed path
+    "graph_percolation_robustness",  # changed path
+    "graph_k_core",  # changed path
+    "events_dominant_transition_scc",  # changed path
+    "embedding_pca_power_iteration",  # changed path
+    "cms_term_estimates",  # changed path
+    "streaming_signup_purchase_pairs",  # last driver-green r03
+    "corpus_snapshot_diff",  # last driver-green r04
+    "embedding_label_stats",  # last driver-green r04
+    "events_hourly_daily_rollup",  # last driver-green r04
+    "dedup_incremental_near_dup",  # last driver-green r05
+    "graph_assortativity",  # last driver-green r06
+    "doc_length_bootstrap_ci",  # last driver-green r07
+    "quality_calibration_bins",  # last driver-green r07
+    "source_lang_chi2",  # last driver-green r07
+    "customer_k_anonymity",  # last driver-green r08
+    "orders_changepoint_day",  # last driver-green r08
+    "lineitem_two_way_anova",  # last driver-green r09
+    "nation_quarter_yoy",  # last driver-green r09
+    "part_recs_coverage_diversity",  # last driver-green r09
+    "text_rake_keywords",  # last driver-green r09
+    "model_v24_table_schemas",  # last driver-green r10
+    "multimodal_features",  # last driver-green r10
+    "bm25_rank_spark_hash_join",  # last driver-green r11
+    "bpe_merge_candidates",  # last driver-green r11
+    "domain_cap_sample",  # last driver-green r11
+    "heavy_hitter_terms",  # last driver-green r11
+    "kmv_distinct_users_per_type",  # last driver-green r11
+    "lang_mixture_stats",  # last driver-green r11
+    "node_export_orders",  # last driver-green r11
+    "pii_scrub_stats",  # last driver-green r11
+    "q10_returned_revenue_by_nation",  # last driver-green r11
 ]
 # Length AND uniqueness (ADVICE r07: a duplicate name would silently
 # shrink the effective driver gate below 50 unique queries — the

@@ -40,24 +40,40 @@ _CORRECTNESS_FILES = (
     "CORRECTNESS_r11.json",
     "CORRECTNESS_r12.json",
     "CORRECTNESS_r13.json",
+    "CORRECTNESS_r14.json",
 )
 
-# The r14 engine diff's mandatory re-gates (same list the proposer was
-# run with): the session-cache registration/sweep hardening (ADVICE
-# r13 — identity-guarded register_session_cache + key-shape validation
-# in dedup._evict_dead_sessions) — every registry consumer of the
-# occupancy-screened operators (dedup.minhash_lsh_pairs,
-# dedup.simhash_pairs, similarity.embedding_lsh_pairs).
-_R14_CHANGED = [
-    "dedup_minhash_lsh_pairs",
-    "dedup_near_dup_clusters",
-    "dedup_cluster_representatives",
-    "dedup_rate_projection",
-    "split_leakage_check",
-    "cross_domain_neardup_matrix",
-    "dedup_simhash_pairs",
-    "embedding_lsh_pairs",
-    "embedding_near_dup_clusters",
+# The r15 engine diff's mandatory re-gates (same list the proposer was
+# run with): the 17 paths the r14 optimization touched after that
+# round's window froze (VERDICT r14 directive #2) plus
+# graph_connected_components (same r14 CC fusion), then the r15
+# optimization diff (incremental k-core, fused percolation CC loop,
+# SCC fixpoint exit, PCA persist, CMS one-pass).
+_R15_CHANGED = [
+    "graph_pagerank",
+    "graph_personalized_pagerank",
+    "graph_katz_centrality",
+    "graph_spectral_radius",
+    "graph_label_propagation",
+    "graph_hits_scores",
+    "graph_shortest_hops",
+    "graph_modularity_lpa",
+    "graph_adamic_adar",
+    "graph_bfs_hops",
+    "graph_connected_components",
+    "dedup_minhash_calibration",
+    "graph_type_mixing_matrix",
+    "graph_neighbor_jaccard",
+    "graph_edge_triangle_support",
+    "dedup_ngram_jaccard",
+    "dedup_containment_pairs",
+    "supplier_dual_sourcing_overlap",
+    "embedding_jl_distortion",
+    "graph_percolation_robustness",
+    "graph_k_core",
+    "events_dominant_transition_scc",
+    "embedding_pca_power_iteration",
+    "cms_term_estimates",
 ]
 
 
@@ -140,15 +156,15 @@ def test_window_matches_steady_state_proposal():
         [os.path.join(REPO, f) for f in _CORRECTNESS_FILES]
     )
     proposal = sw.propose_window(
-        list(entrymod.queries()), greens, reds_last, _R14_CHANGED, slots=50
+        list(entrymod.queries()), greens, reds_last, _R15_CHANGED, slots=50
     )
     assert entrymod._GATE_FIRST_50 == proposal
 
 
 def test_window_opens_with_changed_path_regates():
-    """r13 had zero reds, so the changed-path re-gates lead the window,
+    """r14 had zero reds, so the changed-path re-gates lead the window,
     in the order given to the proposer."""
-    assert entrymod._GATE_FIRST_50[: len(_R14_CHANGED)] == _R14_CHANGED
+    assert entrymod._GATE_FIRST_50[: len(_R15_CHANGED)] == _R15_CHANGED
 
 
 def test_ledger_is_closed():
@@ -167,7 +183,7 @@ def test_window_regates_the_changed_paths():
     """Every query whose shared code path the r14 diff touched (the
     hardened session-cache registration and sweep behind the occupancy
     screens) must re-face the driver this round."""
-    for name in _R14_CHANGED:
+    for name in _R15_CHANGED:
         assert name in entrymod._GATE_FIRST_50, name
 
 
