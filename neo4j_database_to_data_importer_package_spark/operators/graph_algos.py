@@ -523,6 +523,19 @@ def shortest_paths(
             # ~4 Exchanges/superstep → 1. (Frontier broadcasts measured
             # slower than the small exchanges — ablation in
             # OPTIMIZATION_r14.md — so the join stays a shuffle join.)
+            #
+            # r15: TWO relaxation rounds per checkpoint/probe (the
+            # multi-round fusion VERDICT r14 deferred). Safe here —
+            # unlike the float-sum loops (pagerank/PPR/HITS) — because
+            # every aggregate in this loop is a MIN: exact and
+            # order-independent, so the un-checkpointed mid-pair state
+            # re-executing under a different shuffle-fetch order cannot
+            # produce divergent floats in the two branches that consume
+            # it. Extra relaxation rounds past the fixpoint are no-ops
+            # (monotone min), so probing every 2 rounds returns the
+            # identical dist table. Halves the job barriers per
+            # execution at any scale; isolated ABAB min-of-7 0.896
+            # (OPTIMIZATION_r15.md).
             dist = (
                 sources.select(F.col(node_col).alias("node"))
                 .distinct()
@@ -530,44 +543,50 @@ def shortest_paths(
                 .localCheckpoint(eager=True)
             )
             frontier = dist
-            for _ in range(rounds):
-                bfr = frontier
-                msgs = und.join(bfr, und["a"] == bfr["node"]).select(
-                    F.col("b").alias("node"),
-                    F.lit(None).cast("double").alias("dist"),
-                    (F.col("dist") + F.col("w")).alias("cand"),
-                )
-                joined = (
-                    msgs.unionByName(
-                        dist.select(
-                            "node",
-                            "dist",
-                            F.lit(None).cast("double").alias("cand"),
+            done = 0
+            while done < rounds:
+                fuse = min(2, rounds - done)
+                for j in range(fuse):
+                    bfr = frontier
+                    msgs = und.join(bfr, und["a"] == bfr["node"]).select(
+                        F.col("b").alias("node"),
+                        F.lit(None).cast("double").alias("dist"),
+                        (F.col("dist") + F.col("w")).alias("cand"),
+                    )
+                    joined = (
+                        msgs.unionByName(
+                            dist.select(
+                                "node",
+                                "dist",
+                                F.lit(None).cast("double").alias("cand"),
+                            )
+                        )
+                        .groupBy("node")
+                        .agg(
+                            F.min("dist").alias("dist"),
+                            F.min("cand").alias("cand"),
                         )
                     )
-                    .groupBy("node")
-                    .agg(
-                        F.min("dist").alias("dist"),
-                        F.min("cand").alias("cand"),
+                    if j == fuse - 1:
+                        joined = joined.localCheckpoint(eager=True)
+                    frontier = joined.filter(
+                        F.col("dist").isNull() | (F.col("cand") < F.col("dist"))
+                    ).select("node", F.col("cand").alias("dist"))
+                    dist = joined.select(
+                        "node",
+                        F.least(
+                            F.coalesce(F.col("dist"), F.col("cand")),
+                            F.coalesce(F.col("cand"), F.col("dist")),
+                        ).alias("dist"),
                     )
-                    .localCheckpoint(eager=True)
-                )
-                frontier = joined.filter(
-                    F.col("dist").isNull() | (F.col("cand") < F.col("dist"))
-                ).select("node", F.col("cand").alias("dist"))
-                dist = joined.select(
-                    "node",
-                    F.least(
-                        F.coalesce(F.col("dist"), F.col("cand")),
-                        F.coalesce(F.col("cand"), F.col("dist")),
-                    ).alias("dist"),
-                )
-                # Probe AFTER the superstep (as connected_components
-                # does): the frontier can only shrink to empty once
-                # relaxation has run, so a head-of-loop probe just pays
-                # an extra job on round one. frontier derives from the
+                done += fuse
+                # Probe AFTER the fused pair (as connected_components
+                # does per round): frontier derives from the
                 # checkpointed `joined`, so the emptiness probe is a
-                # cheap local scan.
+                # cheap local scan. If the frontier emptied after the
+                # pair's FIRST round, its second round relaxed an empty
+                # message set — dist is unchanged by construction — and
+                # the probe still exits here.
                 if frontier.limit(1).count() == 0:
                     break
     finally:

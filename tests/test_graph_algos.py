@@ -134,6 +134,21 @@ def test_shortest_paths_hop_bound(spark):
     assert _sp(spark, edges, ["a"], rounds=4)["e"] == 4.0
 
 
+def test_shortest_paths_odd_rounds_hop_bound(spark):
+    """r15 two-round fusion: an odd rounds count runs a trailing
+    single-round step (fuse=1), and the hop bound must stay exact —
+    rounds=3 reaches exactly 3 hops, never 4."""
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0), ("d", "e", 1.0)]
+    got = _sp(spark, edges, ["a"], rounds=3)
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0}
+
+
+def test_shortest_paths_single_round(spark):
+    """rounds=1 degenerates the fused pair to one round + probe."""
+    edges = [("a", "b", 1.0), ("b", "c", 1.0)]
+    assert _sp(spark, edges, ["a"], rounds=1) == {"a": 0.0, "b": 1.0}
+
+
 def test_shortest_paths_multi_source_min(spark):
     # sources at both ends of a chain: middle node takes the nearer one
     edges = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)]
