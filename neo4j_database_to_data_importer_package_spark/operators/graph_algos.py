@@ -43,6 +43,14 @@ def connected_components(
     Converges in O(diameter) supersteps; lineage is cut with
     localCheckpoint to keep plans bounded. Returns (node, component)
     where component = min node id in the component.
+
+    r15 ablation: the two-rounds-per-checkpoint fusion that won 0.896
+    in ``shortest_paths`` (same min algebra, same loop shape) measured
+    FLAT here — 0.996/1.049/1.013/0.964 across the four consumer
+    queries (isolated ABAB min-of-5, identical results): hash-min
+    converges in a few rounds with frontier-shrinking late supersteps,
+    so there are too few barriers to save and the mid-pair duplicated
+    aggregate offsets them. One round per checkpoint kept.
     """
     from pyspark import StorageLevel
 
@@ -615,6 +623,14 @@ def label_propagation(
     winner — hash-partitioned on the vertex id so consecutive rounds
     reuse the partitioning; ``localCheckpoint`` truncates lineage per
     superstep. State is one row per node.
+
+    r15 ablation: chaining the rounds lazily (single eager checkpoint
+    at the end — here the state has ONE consumer per round, so no
+    subtree duplicates) measured 1.015 here / 1.012 on modularity_lpa,
+    and the same treatment on katz (1.195) and spectral (1.126) was
+    strictly worse (isolated ABAB min-of-5, identical results). The
+    per-superstep checkpoint stays: each round's exchange then plans
+    against materialized stats instead of a deepening lazy chain.
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -1402,6 +1418,15 @@ def rich_club_coefficient(
     edge list against the (shrinking) rich-node set and two bounded
     counts. No windows; the rich sets shrink geometrically with k, so
     the per-k cost is dominated by the smallest-k pass.
+
+    r15 ablation: the static plan replicates the union-distinct edge
+    subtree across the 2·|ks| branches (144 parquet scans, 66
+    Exchanges, plans/r15/graph_rich_club_audit.txt), but persisting
+    deg + the canonical edge list measured 1.48x SLOWER (isolated ABAB
+    min-of-5, identical results) — AQE's runtime exchange reuse
+    already dedups the identical shuffle stages, and the persist only
+    adds materialization barriers (the triangle_counts/copurchase
+    lesson from r14). Left un-persisted.
     """
     from ..functions.numeric import round_half_up
 
@@ -1925,7 +1950,9 @@ def katz_centrality(
     Scale shape: per round one shuffle join (edges ⋈ scores on the
     neighbor endpoint) + one sum aggregate keyed on the vertex id —
     consecutive rounds reuse the hash partitioning; ``localCheckpoint``
-    truncates superstep lineage exactly like ``label_propagation``.
+    truncates superstep lineage exactly like ``label_propagation``
+    (whose r15 lazy-chaining ablation — 1.195 HERE, strictly worse —
+    is why the per-round checkpoint stays).
     State is one BIGINT row per node.
     """
     und = (
@@ -2315,6 +2342,14 @@ def node2vec_transition_weights(
     Scale shape: sample ⋈ adjacency (Σ deg(cur) over the constant
     sample), one left-semi adjacency probe for the ``common`` class,
     dimension-sized aggregates after.
+
+    r15 ablation: eagerly materializing the 50-row pair sample + the
+    nbrs table (so the duplicated TakeOrdered/und subtrees — 120
+    parquet scans in the static plan,
+    plans/r15/graph_node2vec_weights_audit.txt — run once) measured
+    1.29x SLOWER (isolated ABAB min-of-5, identical results): AQE
+    runtime exchange reuse already covers the duplication and the
+    checkpoints serialize work the lazy plan overlaps. Left lazy.
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
